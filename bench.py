@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"top_products": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no driver collect, no disk write skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from lakehouse_adventureworks2022_spark.plans.catalog import QUERIES
+from lakehouse_adventureworks2022_spark.session import get_spark
+
+#: Queries timed by the driver's per-round bench. Covers the star-join
+#: marts, the fact build, window/dedup, and the generated dim.
+HEADLINE = [
+    "top_products",
+    "sales_summary",
+    "fact_sales",
+    "dim_date",
+    "latest_event_per_user",
+    "event_windows",
+    "incremental_read",
+    "flatten_props",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # plans, not first-touch JIT/IO noise
+    QUERIES["top_products"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        start = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

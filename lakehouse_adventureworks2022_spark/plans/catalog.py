@@ -1,0 +1,189 @@
+"""Query catalog: every implemented operator exposed as a named query
+(SURVEY.md §2 inventory) with an ANSI-SQL oracle twin for differential
+testing against DuckDB (SURVEY.md §5.1, driver contract).
+
+Conventions (the driver hashes values after sorting columns by name):
+- every computed/aggregate column is aliased identically in the Spark plan
+  and the oracle SQL;
+- double aggregates go through the engine rounding policy
+  (``functions.dialect.money``) in BOTH engines so accumulation-order noise
+  cannot flip the hash;
+- timestamps are µs, session timezone UTC in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_adventureworks2022_spark.plans import dims, events, facts, marts
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {
+    # marts (J7/J8, A4/A5, T1)
+    "top_products": marts.top_products,
+    "top_products_approx": marts.top_products_approx,
+    "sales_summary": marts.sales_summary,
+    # dims (S6, F4-F8, P12, J2)
+    "dim_date": lambda spark, sf_dir: dims.build_dim_date(spark),
+    "dim_customer_geo": dims.build_dim_customer_geo,
+    "dim_supplier_geo": dims.build_dim_supplier_geo,
+    # facts (J4, F3)
+    "fact_sales": facts.build_fact_sales,
+    # events (S2-S4, A1/A2, F9, WF1, windows)
+    "incremental_read": events.incremental_read,
+    "watermark_state": events.watermark_state,
+    "flatten_props": events.flatten_props,
+    "latest_event_per_user": events.latest_event_per_user,
+    "event_windows": events.event_windows,
+}
+
+
+def get_queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+ORACLES: dict[str, str] = {
+    "top_products": """
+        SELECT p.p_partkey, p.p_name, p.p_brand,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue,
+               ROUND(SUM(l.l_quantity), 4) AS total_qty,
+               COUNT(DISTINCT l.l_orderkey) AS order_count
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_partkey, p.p_name, p.p_brand
+        ORDER BY total_revenue DESC, p.p_partkey ASC
+        LIMIT 10
+    """,
+    "sales_summary": """
+        SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+               o.o_orderpriority AS order_priority,
+               r.r_name AS region_name,
+               n.n_name AS nation_name,
+               c.c_mktsegment AS market_segment,
+               l.l_returnflag AS return_flag,
+               l.l_linestatus AS line_status,
+               COUNT(DISTINCT o.o_orderkey) AS order_count,
+               COUNT(*) AS line_count,
+               ROUND(SUM(l.l_quantity), 4) AS total_qty,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue,
+               ROUND(SUM(l.l_extendedprice * l.l_discount), 4) AS total_discount_amount,
+               ROUND(SUM(l.l_extendedprice), 2) / COUNT(*) AS avg_unit_price_ext
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+    "dim_date": """
+        WITH spine AS (
+          SELECT CAST(full_ts AS DATE) AS d
+          FROM generate_series(TIMESTAMP '2010-01-01', TIMESTAMP '2029-12-31',
+                               INTERVAL 1 DAY) t(full_ts)
+        )
+        SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+               CAST(d AS TIMESTAMP) AS full_date,
+               CAST(year(d) AS INT) AS year,
+               CAST(quarter(d) AS INT) AS quarter,
+               CAST(month(d) AS INT) AS month,
+               monthname(d) AS month_name,
+               strftime(d, '%b') AS month_abbr,
+               CAST(day(d) AS INT) AS day_of_month,
+               CAST(dayofyear(d) AS INT) AS day_of_year,
+               CAST(weekofyear(d) AS INT) AS week_of_year,
+               CAST(isodow(d) AS INT) AS day_of_week,
+               dayname(d) AS day_name,
+               strftime(d, '%a') AS day_abbr,
+               isodow(d) IN (6, 7) AS is_weekend,
+               CAST(year(d) + CASE WHEN month(d) >= 7 THEN 1 ELSE 0 END AS INT) AS fiscal_year,
+               CAST(((month(d) + 5) % 12) // 3 + 1 AS INT) AS fiscal_quarter,
+               CAST(((month(d) + 5) % 12) + 1 AS INT) AS fiscal_month
+        FROM spine
+    """,
+    "dim_customer_geo": """
+        SELECT c.c_custkey AS customer_key,
+               c.c_name AS customer_name,
+               c.c_mktsegment AS market_segment,
+               c.c_acctbal AS account_balance,
+               n.n_nationkey AS nation_key,
+               n.n_name AS nation_name,
+               r.r_regionkey AS region_key,
+               r.r_name AS region_name
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    "dim_supplier_geo": """
+        SELECT s.s_suppkey AS supplier_key,
+               s.s_name AS supplier_name,
+               s.s_acctbal AS account_balance,
+               n.n_name AS nation_name,
+               r.r_name AS region_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    "fact_sales": """
+        SELECT l.l_orderkey AS order_key,
+               l.l_linenumber AS line_number,
+               l.l_partkey AS product_key,
+               l.l_suppkey AS supplier_key,
+               o.o_custkey AS customer_key,
+               o.o_orderstatus AS order_status,
+               o.o_orderpriority AS order_priority,
+               CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) AS order_date_key,
+               CAST(strftime(l.l_shipdate, '%Y%m%d') AS INT) AS ship_date_key,
+               l.l_quantity AS order_qty,
+               l.l_extendedprice AS unit_price_ext,
+               l.l_discount AS discount,
+               l.l_tax AS tax,
+               l.l_extendedprice * (1 - l.l_discount) AS line_total,
+               l.l_returnflag AS return_flag,
+               l.l_linestatus AS line_status
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    "incremental_read": """
+        SELECT event_type,
+               COUNT(*) AS event_count,
+               MAX(ts) AS max_ts,
+               MAX(event_id) AS last_event_id,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY event_type
+    """,
+    "watermark_state": """
+        SELECT COALESCE(MAX(event_id), 0) AS last_id,
+               MAX(ts) AS last_event_time,
+               COUNT(*) AS record_count
+        FROM events
+    """,
+    "flatten_props": """
+        SELECT event_id,
+               user_id,
+               ts,
+               CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+               value
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+    "latest_event_per_user": """
+        SELECT event_id, ts, user_id, event_type, value
+        FROM (
+          SELECT e.*, row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events e
+        )
+        WHERE rn = 1
+    """,
+    "event_windows": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS event_count,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+}

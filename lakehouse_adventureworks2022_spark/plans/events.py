@@ -1,0 +1,117 @@
+"""Event-table queries: watermark-incremental reads, semi-structured
+flattening, dedup-latest, and (batch-equivalent) windowed aggregation.
+
+Reference parity:
+- incremental scan S2 (``extract_load_template.py:126-159``): predicate on
+  the watermark column evaluated at the scan (pushed into parquet
+  row-group pruning here; into the source DB over JDBC);
+- global watermark aggregate A1/A2 (``extract_load_template.py:190-195``,
+  ``dags/product.py:262-263``);
+- semi-structured parse F9: the reference parses an XML column via
+  ``from_xml`` (``dags/customer_pipeline.py:74-90``); the events fixture
+  carries JSON ``props`` — same operator shape via ``from_json``;
+- dedup-latest WF1 (``dags/product.py:174-179``): row_number over
+  (key, ts desc) keep first;
+- tumbling-window aggregation: the batch twin of the Structured Streaming
+  path in ``streaming/`` (same ``F.window`` semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lakehouse_adventureworks2022_spark.functions.dialect import money
+from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+#: Fixed watermark used by the oracle-checked incremental query (the
+#: pipeline's real watermark is state-managed — sources/watermark.py).
+DEMO_WATERMARK = "2024-01-15 00:00:00"
+
+
+def incremental_read(
+    spark: SparkSession, sf_dir: str, watermark: str = DEMO_WATERMARK
+) -> DataFrame:
+    """Rows strictly after the watermark, summarized per event type (S2 +
+    grouped agg). The filter sits directly on the scan so Catalyst pushes
+    it to the parquet reader (min/max row-group pruning)."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("ts") > F.to_timestamp(F.lit(watermark)))
+        .groupBy(F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.max("ts").alias("max_ts"),
+            F.max("event_id").alias("last_event_id"),
+            money(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+def watermark_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row watermark snapshot (A1/A2): COALESCE(MAX(id),0),
+    MAX(event_time), row count — the exact fields the reference persists
+    in its checkpoint docs (``extract_load_template.py:196-209``)."""
+    events = read_table(spark, sf_dir, "events")
+    return events.agg(
+        F.coalesce(F.max("event_id"), F.lit(0)).alias("last_id"),
+        F.max("ts").alias("last_event_time"),
+        F.count(F.lit(1)).alias("record_count"),
+    )
+
+
+def flatten_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON ``props`` column into typed fields and filter (F9 +
+    P2/P3). JVM-side ``from_json`` — no UDF."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("props_parsed", F.from_json("props", "k INT"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("props_parsed.k").alias("prop_k"),
+            "value",
+        )
+    )
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-latest (WF1): keep each user's most recent event.
+
+    ``row_number`` partitioned by user, ordered ts desc with event_id desc
+    as a deterministic tiebreak (the reference order by ingestion_date desc
+    alone is nondeterministic on ties — fixed here).
+    """
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "props")
+    )
+
+
+def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate per event type — batch twin of
+    the Structured Streaming query (``streaming/events.py``); same
+    ``F.window`` operator Spark uses under a watermark."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            money(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )

@@ -1,0 +1,131 @@
+"""Mart queries (the reference's Trino CTAS analytics, re-targeted to
+Spark SQL/DataFrame — SURVEY.md §2.5, §3.3).
+
+- ``top_products``: ``trino_scripts/top_product.sql:1-14`` — star join J8 +
+  grouped agg with COUNT(DISTINCT) A5 + top-k T1. This is the engine's
+  flagship query (SURVEY.md §7 minimum slice).
+- ``sales_summary``: ``trino_scripts/business_sales_summary.sql:1-33`` —
+  wide-key grouped aggregate A4 over the star join J7, with the measure
+  bugs *corrected* (per-row ``SUM(price*qty)`` instead of the reference's
+  sum-of-products; ``COUNT(order)`` instead of ``COUNT(x IS NOT NULL)`` —
+  SURVEY.md §2.5 quirk note).
+
+Scale notes:
+- dims are broadcast (no shuffle on the fact side for the dim joins);
+  only the groupBy shuffles, with map-side partial aggregation.
+- COUNT(DISTINCT) triggers Spark's two-phase expand — correct and exact;
+  the 100 TB variant ``top_products_approx`` swaps in
+  ``approx_count_distinct`` (HLL) to kill the expand.
+- top-k compiles to ``TakeOrderedAndProject`` — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_adventureworks2022_spark.functions.dialect import money
+from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+
+def top_products(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Top-K products by net revenue (flagship; reference
+    ``top_product.sql``: SUM(linetotal), SUM(orderqty),
+    COUNT(DISTINCT salesordernumber), ORDER BY revenue DESC LIMIT 10)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    return (
+        lineitem.join(
+            F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"], "inner"
+        )
+        .groupBy("p_partkey", "p_name", "p_brand")
+        .agg(
+            money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "total_revenue"
+            ),
+            money(F.sum("l_quantity")).alias("total_qty"),
+            F.countDistinct("l_orderkey").alias("order_count"),
+        )
+        .orderBy(F.desc("total_revenue"), F.asc("p_partkey"))
+        .limit(k)
+    )
+
+
+def top_products_approx(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """100 TB variant: HLL distinct counts (no expand, single shuffle).
+
+    Not oracle-checked for exact equality (approximate by design); the
+    driver records a rows-only check.
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    return (
+        lineitem.join(
+            F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"], "inner"
+        )
+        .groupBy("p_partkey", "p_name", "p_brand")
+        .agg(
+            money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "total_revenue"
+            ),
+            F.approx_count_distinct("l_orderkey").alias("order_count_approx"),
+        )
+        .orderBy(F.desc("total_revenue"), F.asc("p_partkey"))
+        .limit(k)
+    )
+
+
+def sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business sales summary: star join (fact ⋈ customer-geo dims ⋈ date
+    attrs) grouped on a wide key with corrected measures.
+
+    Reference ``business_sales_summary.sql:1-33`` (J7 + A4 + A6); the
+    latest-batch scalar-subquery filter (A6) applies to the partitioned
+    pipeline table and is exercised in the pipeline tests — on the
+    immutable fixtures the whole history is the latest batch.
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"], "inner")
+        .join(
+            F.broadcast(customer),
+            orders["o_custkey"] == customer["c_custkey"],
+            "inner",
+        )
+        .join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"], "inner"
+        )
+        .join(
+            F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "inner"
+        )
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("o_orderpriority").alias("order_priority"),
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("c_mktsegment").alias("market_segment"),
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(
+            F.countDistinct("o_orderkey").alias("order_count"),
+            F.count(F.lit(1)).alias("line_count"),
+            money(F.sum("l_quantity")).alias("total_qty"),
+            money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "total_revenue"
+            ),
+            money(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "total_discount_amount"
+            ),
+            # avg computed as round(sum,2)/count: the numerator is an exact
+            # 2dp decimal in every engine, so the division is bit-identical
+            # IEEE — no final rounding that could straddle a half boundary.
+            (money(F.sum("l_extendedprice"), 2) / F.count(F.lit(1))).alias(
+                "avg_unit_price_ext"
+            ),
+        )
+    )

@@ -1,0 +1,48 @@
+"""Differential tests: every catalog query vs its DuckDB oracle at
+sf0.001 (the driver runs the same comparison at sf0.01 — SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from lakehouse_adventureworks2022_spark.plans.catalog import ORACLES, QUERIES
+from tools.check_oracles import TABLES, canonical_hash, normalize_pandas
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_all_queries_have_oracles_or_are_declared_approx():
+    missing = set(QUERIES) - set(ORACLES)
+    # approximate / non-SQL-expressible ops are exempt by design
+    assert all("approx" in name or name.startswith("stream_") for name in missing), (
+        f"queries without oracle: {missing}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    spark_pdf = normalize_pandas(QUERIES[name](spark, SF).toPandas())
+    duck_pdf = normalize_pandas(duck.sql(ORACLES[name]).df())
+    assert canonical_hash(spark_pdf) == canonical_hash(duck_pdf)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "total_revenue" in df.columns
