@@ -17,7 +17,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lakehouse_adventureworks2022_spark.plans import dims, events, facts, marts
+from lakehouse_adventureworks2022_spark.plans import (
+    dims,
+    events,
+    facts,
+    marts,
+    scd2_query,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -38,6 +44,8 @@ QUERIES: dict[str, QueryFn] = {
     "flatten_props": events.flatten_props,
     "latest_event_per_user": events.latest_event_per_user,
     "event_windows": events.event_windows,
+    # SCD2 composite (O5: F1, J5/J6, P9-P11, WF1/WF2, W4/W5)
+    "scd2_part_dimension": scd2_query.scd2_part_dimension,
 }
 
 
@@ -186,4 +194,5 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    "scd2_part_dimension": scd2_query.ORACLE,
 }

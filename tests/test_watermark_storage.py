@@ -1,0 +1,103 @@
+"""Watermark manager (S2-S4 semantics incl. ms-truncation edge) and
+table-manager write semantics (W1-W3 + replace_where idempotency)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_adventureworks2022_spark.sources.readers import read_table
+from lakehouse_adventureworks2022_spark.sources.watermark import (
+    Watermark,
+    WatermarkStore,
+    compute_watermark,
+    incremental_filter,
+    normalize_event_time,
+)
+from lakehouse_adventureworks2022_spark.storage.tables import TableManager
+
+
+def test_normalize_event_time_truncates_to_millis():
+    assert (
+        normalize_event_time("2024-01-15 10:20:30.123456")
+        == "2024-01-15 10:20:30.123"
+    )
+    assert normalize_event_time("2024-01-15 10:20:30") == "2024-01-15 10:20:30"
+    assert normalize_event_time("2024-01-15 10:20:30.1") == "2024-01-15 10:20:30.100"
+
+
+def test_watermark_store_roundtrip(tmp_path):
+    store = WatermarkStore(str(tmp_path))
+    assert store.get("t") is None  # missing ⇒ full load
+    store.put(Watermark("t", last_id=42, last_event_time="2024-01-15 10:20:30.123456"))
+    wm = store.get("t")
+    assert wm.last_id == 42
+    assert wm.processed_at is not None
+
+
+def test_incremental_filter_full_then_delta(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events")
+    total = events.count()
+    assert incremental_filter(events, "ts", None).count() == total
+    wm = compute_watermark(events.limit(0), "t", "event_id", "ts")
+    assert wm.last_id is None  # empty batch ⇒ no watermark advance
+
+    half = Watermark("t", last_event_time="2024-01-15 00:00:00")
+    n_half = incremental_filter(events, "ts", half).count()
+    assert 0 < n_half < total
+
+    # watermark at max ts ⇒ re-run yields zero rows (idempotency)
+    full_wm = compute_watermark(events, "t", "event_id", "ts")
+    assert incremental_filter(events, "ts", full_wm).count() == 0
+
+
+def test_ms_truncation_is_conservative(spark, sf_dir):
+    """Truncating the watermark to ms can only re-read rows, never skip."""
+    events = read_table(spark, sf_dir, "events")
+    full_wm = compute_watermark(events, "t", "event_id", "ts")
+    exact = incremental_filter(events, "ts", full_wm).count()
+    truncated = incremental_filter(events, "ts", full_wm, truncate_to_ms=True).count()
+    assert exact == 0  # full precision: re-run exactly empty
+    assert truncated >= exact  # ms sources: re-read, never skip
+
+
+def test_table_manager_append_overwrite(spark, tmp_path):
+    tm = TableManager(spark, str(tmp_path))
+    df = spark.range(10).withColumn("p", F.col("id") % 2)
+    tm.append(df, "bronze.t", partition_by="p")
+    tm.append(df, "bronze.t", partition_by="p")
+    assert tm.read("bronze.t").count() == 20
+    tm.overwrite(df, "bronze.t", partition_by="p")
+    assert tm.read("bronze.t").count() == 10
+
+
+def test_replace_where_is_idempotent(spark, tmp_path):
+    tm = TableManager(spark, str(tmp_path))
+    d1 = spark.range(5).withColumn("day", F.lit("2024-01-01"))
+    d2 = spark.range(7).withColumn("day", F.lit("2024-01-02"))
+    tm.replace_where(d1, "gold.fact", "day")
+    tm.replace_where(d2, "gold.fact", "day")
+    assert tm.read("gold.fact").count() == 12
+    # re-running a day replaces, not duplicates (fixes reference §4.4)
+    tm.replace_where(d2, "gold.fact", "day")
+    assert tm.read("gold.fact").count() == 12
+    d2b = spark.range(3).withColumn("day", F.lit("2024-01-02"))
+    tm.replace_where(d2b, "gold.fact", "day")
+    assert tm.read("gold.fact").count() == 8
+
+
+def test_pipeline_end_to_end_and_incremental_idempotency(spark, sf_dir, tmp_path):
+    from lakehouse_adventureworks2022_spark.pipeline import MedallionPipeline
+
+    p = MedallionPipeline(spark, str(tmp_path), sf_dir)
+    res = p.run()
+    assert res.ingested["events"] == 1000
+    assert p.tables.read("gold.fact_sales").count() == 6000
+    assert p.tables.read("mart.top_products").count() == 10
+    assert p.tables.read("gold.dim_part").filter("is_current").count() == 200
+    # second run: no new events (watermark), fact replaced not duplicated
+    res2 = p.run()
+    assert res2.ingested["events"] == 0
+    assert p.tables.read("bronze.events").count() == 1000
+    assert p.tables.read("gold.fact_sales").count() == 6000
+    # SCD2 dim unchanged (same batch, same attributes ⇒ no new versions)
+    assert p.tables.read("gold.dim_part").count() == 200
