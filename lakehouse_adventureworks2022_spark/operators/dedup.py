@@ -1,0 +1,188 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram-Jaccard near-dup, and MinHash-LSH (beyond-reference scope,
+BASELINE.json north star).
+
+Scale design (the whole point of each variant):
+
+- **exact** (:func:`dedup_exact`): hash-groupBy — one shuffle on a 32-char
+  key; at 100 TB group on ``xxhash64`` prefix-bucketed md5 if key skew
+  ever matters (it doesn't: md5 keys are uniform).
+- **n-gram Jaccard** (:func:`ngram_jaccard_pairs`): the *verification*
+  primitive — explode distinct shingles, self-equi-join on shingle,
+  count intersections. All-pairs-with-shared-shingle, so it's quadratic
+  in the worst case: at scale it must be fed CANDIDATES, not the corpus.
+- **MinHash-LSH** (:func:`minhash_lsh_pairs`): the scale path. Shingle →
+  K min-hashes → band signatures → equi-join on (band, signature) buckets
+  → exact-Jaccard verify of the (tiny) candidate set. Every step is a
+  shuffle on a uniform hash key; no cross-product ever materializes. This
+  is the standard web-scale near-dup pipeline (MinHashLSH à la
+  Broder; same shape as Spark MLlib's MinHashLSH but pure SQL
+  expressions, so it is portable to the DuckDB oracle and needs no ML
+  pipeline objects).
+
+Hash portability contract (shared with ``plans/text_queries.py`` oracles):
+every hash is a *string* md5 — min() over hex strings is byte-wise
+lexicographic in both engines; no 64-bit signed/unsigned pitfalls. Band
+ids are zero-padded so lexicographic string sort == numeric seed order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_adventureworks2022_spark.operators.textops import tokens_col
+
+#: MinHash configuration: 12 hash functions in 4 bands of 3 rows.
+#: P(candidate) = 1 - (1 - j^3)^4 — ~0.5 at j≈0.5, >0.97 at j≥0.8.
+MINHASH_K = 12
+BAND_ROWS = 3
+
+
+def shingles_df(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) pairs — distinct word n-gram shingles per doc."""
+    toks = tokens_col(F.col(text_col))
+    # i ranges 0..L-n (guarded: sequence(0, negative) would DESCEND)
+    shingles = F.expr(
+        f"CASE WHEN size(__toks__) >= {n} THEN"
+        f" transform(sequence(0, size(__toks__) - {n}),"
+        f"   i -> concat_ws(' ', {', '.join(f'__toks__[i+{j}]' for j in range(n))}))"
+        f" ELSE array() END"
+    )
+    return (
+        df.withColumn("__toks__", toks)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one keeper (min doc_id) per distinct
+    normalized text; dup_count tells how many copies existed."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select("doc_id", F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.4
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct word n-grams; the
+    division is int/int in both engines ⇒ bit-identical, no rounding.
+    """
+    sh = shingles_df(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = F.col("n_common").cast("double") / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+    )
+    return (
+        common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_common", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n: int = 3, k: int = MINHASH_K
+) -> DataFrame:
+    """(doc_id, seed, minhash) — k independent min-hashes per document.
+
+    hash_i(shingle) = md5('<i:02d>|' || shingle); the min over a doc's
+    shingles approximates a uniform permutation sample. String min is
+    byte-wise in both engines.
+    """
+    sh = shingles_df(df, text_col, n)
+    seeds = F.explode(
+        F.array(*[F.lit(f"{i:02d}") for i in range(k)])
+    ).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat(F.col("seed"), F.lit("|"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = MINHASH_K,
+    band_rows: int = BAND_ROWS,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Bands: seeds [0..k) grouped by ``seed div band_rows``; band signature =
+    md5 of the seed-ordered minhashes. Docs sharing ANY band bucket become
+    candidates; candidates are verified with the exact n-gram Jaccard, so
+    the output is a *subset* of :func:`ngram_jaccard_pairs` (LSH recall
+    < 1 by design — that's the scale trade).
+    """
+    sig = minhash_signatures(df, text_col, n, k)
+    bands = (
+        sig.withColumn("band", (F.col("seed").cast("int") / band_rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|", F.array_sort(F.collect_list(F.concat_ws(":", "seed", "minhash")))
+                )
+            ).alias("band_sig")
+        )
+    )
+    candidates = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify ONLY the candidate pairs (never the corpus cross-product):
+    # candidate ⋈ shingles on each side, equi on shingle, count overlap
+    sh = shingles_df(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    common = (
+        candidates.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = F.col("n_common").cast("double") / (
+        F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("n_common")
+    )
+    return (
+        common.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select("doc_a", "doc_b", "n_common", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

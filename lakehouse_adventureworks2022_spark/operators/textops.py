@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data pipelines (beyond-reference
+scope, BASELINE.json north star): token statistics, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All pure Catalyst (split/filter/transform/aggregate higher-order
+functions) — zero Python UDFs, so the hot path stays in whole-stage
+codegen and scales linearly with executors over a 100 TB corpus: these are
+embarrassingly parallel per-row projections with no shuffle at all.
+
+Tokenization contract (shared with the DuckDB oracles): lowercase, trim,
+split on ``\\s+``. Keep this in sync with ``plans/text_queries.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small + deterministic (an oracle-checkable
+#: heuristic, not a trained model — swap in fastText/CLD3 on a real
+#: cluster via the pandas-UDF seam in multimodal.py).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+}
+
+STOPWORDS_ALL: tuple[str, ...] = tuple(
+    dict.fromkeys(w for ws in LANG_STOPWORDS.values() for w in ws)
+)
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (the engine's shared
+    tokenizer contract)."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics + quality score.
+
+    Ratios are integer/integer divisions — bit-identical across engines,
+    no rounding policy needed.
+    """
+    toks = tokens_col(F.col(text_col))
+    out = df.withColumn("__toks__", toks)
+    n_tokens = F.size(F.col("__toks__"))
+    n_distinct = F.size(F.array_distinct(F.col("__toks__")))
+    token_chars = F.aggregate(
+        F.transform(F.col("__toks__"), lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    stop_hits = _count_in(F.col("__toks__"), STOPWORDS_ALL)
+    punct = F.length(
+        F.regexp_replace(F.col(text_col), r"[^.,;:!?]", "")
+    )
+    out = out.select(
+        "doc_id",
+        F.length(F.col(text_col)).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (n_distinct.cast("double") / n_tokens).alias("type_token_ratio"),
+        (token_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        stop_hits.alias("stopword_hits"),
+        (stop_hits.cast("double") / n_tokens).alias("stopword_ratio"),
+        punct.alias("punct_count"),
+    )
+    # simple trainability gate: enough tokens, lexical diversity, bounded
+    # punctuation density (the length/punct/stopword quality heuristics)
+    return out.withColumn(
+        "is_quality",
+        (F.col("n_tokens") >= 5)
+        & (F.col("type_token_ratio") > 0.05)
+        & (F.col("punct_count").cast("double") / F.col("n_chars") < 0.2),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language identification with a deterministic argmax
+    (ties resolved in fixed language order, 0 hits ⇒ 'und')."""
+    out = df.withColumn("__toks__", tokens_col(F.col(text_col)))
+    for lang, words in LANG_STOPWORDS.items():
+        out = out.withColumn(f"hits_{lang}", _count_in(F.col("__toks__"), words))
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties ⇒ apply in reverse
+        pred = F.when(F.col(f"hits_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return out.select(
+        "doc_id",
+        *[F.col(f"hits_{lg}") for lg in langs],
+        pred.alias("predicted_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized text (exact
+    content identity) + min-shingle fingerprint (minhash with k=1 over
+    3-token shingles — stable under local edits)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    out = df.withColumn("__toks__", tokens_col(F.col(text_col)))
+    # i ranges 0..L-3 (guarded: sequence(0, negative) would DESCEND)
+    shingles = F.expr(
+        "CASE WHEN size(__toks__) >= 3 THEN"
+        " transform(sequence(0, size(__toks__) - 3),"
+        "   i -> concat_ws(' ', __toks__[i], __toks__[i+1], __toks__[i+2]))"
+        " ELSE array() END"
+    )
+    min_shingle_hash = F.array_min(
+        F.transform(shingles, lambda s: F.md5(s))
+    )
+    return out.select(
+        "doc_id",
+        F.md5(norm).alias("content_hash"),
+        min_shingle_hash.alias("min_shingle_hash"),
+    )

@@ -23,6 +23,7 @@ from lakehouse_adventureworks2022_spark.plans import (
     facts,
     marts,
     scd2_query,
+    text_queries,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -46,7 +47,31 @@ QUERIES: dict[str, QueryFn] = {
     "event_windows": events.event_windows,
     # SCD2 composite (O5: F1, J5/J6, P9-P11, WF1/WF2, W4/W5)
     "scd2_part_dimension": scd2_query.scd2_part_dimension,
+    # training-data ops: text analysis
+    "text_stats": text_queries.q_text_stats,
+    "lang_id": text_queries.q_lang_id,
+    "doc_fingerprint": text_queries.q_fingerprint,
+    # training-data ops: dedup (exact / n-gram Jaccard / MinHash-LSH)
+    "dedup_exact": text_queries.q_dedup_exact,
+    "dedup_ngram_jaccard": text_queries.q_ngram_jaccard,
+    "dedup_minhash_lsh": text_queries.q_minhash_lsh,
+    # training-data ops: similarity search
+    "ann_cosine_topk": text_queries.q_ann_cosine,
+    "ann_cosine_topk_np": text_queries.q_ann_cosine_np,
+    "ann_cosine_topk_lsh": text_queries.q_ann_cosine_lsh,
 }
+
+
+#: Queries intentionally WITHOUT a SQL oracle (driver records a weaker
+#: rows-only check): approximate by design, or execution-order-dependent
+#: float accumulation. Every other query MUST have an oracle.
+NON_ORACLE_QUERIES: frozenset[str] = frozenset(
+    {
+        "top_products_approx",  # HLL distinct count
+        "ann_cosine_topk_np",  # GEMM float-sum order ≠ sequential fold
+        "ann_cosine_topk_lsh",  # single-probe LSH: recall < 1 by design
+    }
+)
 
 
 def get_queries() -> dict[str, QueryFn]:
@@ -195,4 +220,13 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2
     """,
     "scd2_part_dimension": scd2_query.ORACLE,
+    "text_stats": text_queries.ORACLE_TEXT_STATS,
+    "lang_id": text_queries.ORACLE_LANG_ID,
+    "doc_fingerprint": text_queries.ORACLE_FINGERPRINT,
+    "dedup_exact": text_queries.ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": text_queries.ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": text_queries.ORACLE_MINHASH_LSH,
+    "ann_cosine_topk": text_queries.ORACLE_ANN_COSINE,
+    # ann_cosine_topk_np: GEMM float-sum order differs ⇒ rows-only check
+    # ann_cosine_topk_lsh: approximate by design ⇒ rows-only check
 }

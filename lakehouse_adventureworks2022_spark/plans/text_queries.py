@@ -1,0 +1,230 @@
+"""Catalog wrappers + DuckDB oracles for the training-data operators
+(text analysis, dedup, similarity search) over the ``documents`` and
+``embeddings`` fixtures.
+
+The oracles re-implement each operator in DuckDB SQL using the SHARED
+portability contracts:
+- tokenizer: lower → trim → split ``\\s+``;
+- hashes: md5 hex strings (string min is byte-wise in both engines);
+- ratios/cosines: int/int or sequential-double divisions — bit-identical
+  (verified empirically), so raw doubles are compared unrounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_adventureworks2022_spark.operators import dedup, similarity, textops
+from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+
+# ---- query functions -------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_stats(read_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id(read_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(read_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, c = similarity.embedding_queries(spark, sf_dir)
+    return similarity.cosine_topk(q, c, k=10)
+
+
+def q_ann_cosine_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, c = similarity.embedding_queries(spark, sf_dir)
+    return similarity.cosine_topk_np(q, c, k=10)
+
+
+def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, c = similarity.embedding_queries(spark, sf_dir)
+    return similarity.cosine_topk_lsh(q, c, k=10)
+
+
+# ---- oracles ---------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+_STOP_ALL = ", ".join(f"'{w}'" for w in textops.STOPWORDS_ALL)
+
+ORACLE_TEXT_STATS = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+               AS avg_token_len,
+           CAST(len(list_filter(toks, x -> x IN ({_STOP_ALL}))) AS INT)
+               AS stopword_hits,
+           CAST(len(list_filter(toks, x -> x IN ({_STOP_ALL}))) AS DOUBLE) / len(toks)
+               AS stopword_ratio,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_count,
+           (len(toks) >= 5
+            AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.05
+            AND CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                / length(text) < 0.2) AS is_quality
+    FROM t
+"""
+
+_LANG_HIT = {
+    lang: f"CAST(len(list_filter(toks, x -> x IN ({', '.join(chr(39) + w + chr(39) for w in words)}))) AS INT)"
+    for lang, words in textops.LANG_STOPWORDS.items()
+}
+
+ORACLE_LANG_ID = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    h AS (
+      SELECT doc_id,
+             {_LANG_HIT['en']} AS hits_en,
+             {_LANG_HIT['es']} AS hits_es,
+             {_LANG_HIT['de']} AS hits_de,
+             {_LANG_HIT['fr']} AS hits_fr
+      FROM t
+    )
+    SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+           CASE
+             WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+             WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+             WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+             WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM h
+"""
+
+#: 1-based DuckDB twin of the Spark shingle expr: i = 1..L-2 ⇒ L-2
+#: 3-gram shingles, empty list for docs under 3 tokens.
+_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN"
+    " list_distinct(list_transform(range(1, len(toks) - 1),"
+    "   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    " ELSE [] END"
+)
+
+ORACLE_FINGERPRINT = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, text, {_SHINGLES} AS shingles FROM t)
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+           list_min(list_transform(shingles, s -> md5(s))) AS min_shingle_hash
+    FROM s
+"""
+
+ORACLE_DEDUP_EXACT = """
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+"""
+
+_SHINGLE_PAIRS = f"""
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+"""
+
+ORACLE_NGRAM_JACCARD = f"""
+    WITH {_SHINGLE_PAIRS}
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE)
+          / (sa.n_shingles + sb.n_shingles - n_common) >= 0.2
+"""
+
+_K = dedup.MINHASH_K
+_BR = dedup.BAND_ROWS
+
+ORACLE_MINHASH_LSH = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM t),
+    seeds AS (SELECT lpad(CAST(i AS VARCHAR), 2, '0') AS seed
+              FROM range({_K}) r(i)),
+    mh AS (
+      SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS minhash
+      FROM sh, seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed AS INT) // {_BR} AS band,
+             md5(string_agg(seed || ':' || minhash, '|' ORDER BY seed)) AS band_sig
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT doc_a, doc_b, COUNT(*) AS n_common
+      FROM cand
+      JOIN sh sa ON doc_a = sa.doc_id
+      JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE)
+             / (za.n_shingles + zb.n_shingles - n_common) AS jaccard
+    FROM common
+    JOIN sizes za ON doc_a = za.doc_id
+    JOIN sizes zb ON doc_b = zb.doc_id
+    WHERE CAST(n_common AS DOUBLE)
+          / (za.n_shingles + zb.n_shingles - n_common) >= 0.2
+"""
+
+ORACLE_ANN_COSINE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, cand_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cosine
+      FROM q, c WHERE query_id <> cand_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rk
+      FROM scored
+    )
+    SELECT query_id, cand_id, CAST(rk AS INT) AS rank, cosine
+    FROM ranked WHERE rk <= 10
+"""

@@ -25,10 +25,12 @@ def duck():
 
 
 def test_all_queries_have_oracles_or_are_declared_approx():
+    from lakehouse_adventureworks2022_spark.plans.catalog import NON_ORACLE_QUERIES
+
     missing = set(QUERIES) - set(ORACLES)
-    # approximate / non-SQL-expressible ops are exempt by design
-    assert all("approx" in name or name.startswith("stream_") for name in missing), (
-        f"queries without oracle: {missing}"
+    assert missing == set(NON_ORACLE_QUERIES), (
+        f"queries without oracle not declared in NON_ORACLE_QUERIES: "
+        f"{missing ^ set(NON_ORACLE_QUERIES)}"
     )
 
 

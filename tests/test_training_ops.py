@@ -1,0 +1,99 @@
+"""Property tests for the training-data operators: the approximate/fast
+variants must agree with their exact counterparts in the documented ways
+(the oracle-hash tests in test_catalog.py cover exactness of the exact
+variants)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_adventureworks2022_spark.operators import dedup, similarity
+from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF, "documents").cache()
+
+
+def test_np_topk_matches_declarative_exactly(spark):
+    q, c = similarity.embedding_queries(spark, SF)
+    exact = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in similarity.cosine_topk(q, c, k=10).collect()
+    }
+    fast = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in similarity.cosine_topk_np(q, c, k=10).collect()
+    }
+    assert fast == exact
+
+
+def test_lsh_topk_is_subset_with_decent_recall(spark):
+    q, c = similarity.embedding_queries(spark, SF)
+    exact_pairs = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.cosine_topk(q, c, k=10).collect()
+    }
+    lsh_rows = similarity.cosine_topk_lsh(q, c, k=10).collect()
+    # cosine values are computed identically, so any overlapping pair is
+    # correct; recall is the approximation trade
+    recall = len(
+        {(r["query_id"], r["cand_id"]) for r in lsh_rows} & exact_pairs
+    ) / len(exact_pairs)
+    assert recall >= 0.5  # 8 tables × 4 planes: ~0.7 on fixture geometry
+    assert all(r["rank"] <= 10 for r in lsh_rows)
+
+
+def test_minhash_lsh_subset_of_exact_jaccard(spark, docs):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.2).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        key = (r["doc_a"], r["doc_b"])
+        assert key in exact  # verified candidates can't invent pairs
+        assert r["jaccard"] == exact[key]
+
+
+def test_minhash_recall_at_high_similarity(spark, docs):
+    """LSH with 4 bands × 3 rows: pairs with j ≥ 0.6 are near-certain
+    candidates (1-(1-j^3)^4 ≈ 0.96 at j=0.6)."""
+    exact_hi = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    if not exact_hi:
+        pytest.skip("no high-similarity pairs in fixture")
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.6).collect()
+    }
+    assert len(lsh & exact_hi) / len(exact_hi) >= 0.9
+
+
+def test_shingles_short_doc_edge(spark):
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "a b c d"), (3, "")], ["doc_id", "text"]
+    )
+    rows = dedup.shingles_df(df).groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in rows}
+    assert 1 not in counts and 3 not in counts  # <3 tokens ⇒ no shingles
+    assert counts[2] == 2  # 4 tokens ⇒ 2 trigrams
+
+
+def test_dedup_exact_finds_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different text")],
+        ["doc_id", "text"],
+    )
+    rows = dedup.dedup_exact(df).collect()
+    by_hash = {r["content_hash"]: r for r in rows}
+    assert len(rows) == 2  # normalization folds 1 and 2 together
+    dup_group = [r for r in rows if r["dup_count"] == 2][0]
+    assert dup_group["keeper_doc_id"] == 1
