@@ -31,8 +31,13 @@ HEADLINE = [
     "dim_date",
     "latest_event_per_user",
     "event_windows",
+    "event_sessions",
     "incremental_read",
     "flatten_props",
+    "scd2_part_dimension",
+    "text_stats",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk_np",
 ]
 
 

@@ -28,6 +28,22 @@ from lakehouse_adventureworks2022_spark.plans import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+
+def _sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_adventureworks2022_spark.streaming.events import (
+        sliding_windows_batch,
+    )
+
+    return sliding_windows_batch(spark, sf_dir)
+
+
+def _session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_adventureworks2022_spark.streaming.events import (
+        session_windows_batch,
+    )
+
+    return session_windows_batch(spark, sf_dir)
+
 QUERIES: dict[str, QueryFn] = {
     # marts (J7/J8, A4/A5, T1)
     "top_products": marts.top_products,
@@ -59,6 +75,10 @@ QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk": text_queries.q_ann_cosine,
     "ann_cosine_topk_np": text_queries.q_ann_cosine_np,
     "ann_cosine_topk_lsh": text_queries.q_ann_cosine_lsh,
+    # streaming batch twins (same F.window/F.session_window operators the
+    # streams run; streaming equivalence is tested in tests/test_streaming)
+    "event_windows_sliding": _sliding_windows,
+    "event_sessions": _session_windows,
 }
 
 
@@ -229,4 +249,36 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": text_queries.ORACLE_ANN_COSINE,
     # ann_cosine_topk_np: GEMM float-sum order differs ⇒ rows-only check
     # ann_cosine_topk_lsh: approximate by design ⇒ rows-only check
+    "event_windows_sliding": """
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - k.i * (INTERVAL '15 minutes') AS window_start,
+               event_type,
+               COUNT(*) AS event_count,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events, range(4) k(i)
+        GROUP BY 1, 2
+    """,
+    "event_sessions": """
+        WITH o AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+        ),
+        s AS (
+          SELECT *, SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, value
+                   ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM o
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS event_count,
+               ROUND(SUM(value), 4) AS total_value
+        FROM s
+        GROUP BY user_id, sess_id
+    """,
 }

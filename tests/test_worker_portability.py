@@ -1,0 +1,41 @@
+"""Python-worker portability: every Python-UDF (mapInPandas) query must
+run when the DRIVER's cwd is not the repo root — i.e. the shipped
+closures must be self-contained, never referencing package module globals
+(cloudpickle serializes those by reference, and the Spark Python workers
+may not have the package on their import path)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+import __spark_entry__ as e
+# the two Python-UDF paths: numpy ANN + multimodal feature extraction
+n = e.queries()["ann_cosine_topk_np"](spark, "/root/testdata/sf0.001").count()
+assert n == 50, n
+from lakehouse_adventureworks2022_spark.operators import multimodal
+from lakehouse_adventureworks2022_spark.sources.readers import read_table
+assets = multimodal.attach_fake_assets(
+    read_table(spark, "/root/testdata/sf0.001", "documents").limit(5))
+rows = multimodal.extract_features(assets).collect()
+assert len(rows) == 5 and len(rows[0]["features"]) == multimodal.FEATURE_DIM
+print("PORTABLE-OK")
+spark.stop()
+"""
+
+
+def test_python_udf_queries_run_with_foreign_cwd():
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "PORTABLE-OK" in proc.stdout, proc.stderr[-2000:]
