@@ -38,6 +38,9 @@ HEADLINE = [
     "text_stats",
     "dedup_minhash_lsh",
     "ann_cosine_topk_np",
+    "tpch_q1",
+    "tpch_q5",
+    "silver_lineitem_enriched",
 ]
 
 

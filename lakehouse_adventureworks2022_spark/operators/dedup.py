@@ -101,6 +101,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document (Charikar): each distinct token votes
+    ±1 on every bit of its 32-bit hash; the fingerprint keeps the sign.
+
+    Fully declarative: explode tokens × bit positions, two hash
+    aggregations — both shuffles keyed on doc_id (uniform). The token
+    hash is the first 8 md5 hex digits parsed as an integer, identical in
+    the SQL oracle (``CAST('0x'||substr(md5(t),1,8) AS BIGINT)``). A zero
+    vote sum yields bit 0 in both engines (strict ``> 0``).
+    """
+    toks = (
+        df.withColumn("__toks__", tokens_col(F.col(text_col)))
+        .select("doc_id", F.explode(F.array_distinct("__toks__")).alias("token"))
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint"),
+        )
+    )
+    votes = (
+        toks.select(
+            "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+        )
+        .withColumn(
+            "contrib",
+            F.when(F.expr("(shiftright(h, j) & 1) = 1"), F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    All-pairs comparison here (fixture-sized); the scale path buckets on
+    rotated fingerprint prefixes (pigeonhole: distance ≤ d ⇒ some
+    ⌈32/(d+1)⌉-bit block matches exactly) — same equi-join shape as the
+    MinHash bands.
+    """
+    sh = simhash_docs(df, text_col)
+    a, b = sh.alias("a"), sh.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", n: int = 3, k: int = MINHASH_K
 ) -> DataFrame:

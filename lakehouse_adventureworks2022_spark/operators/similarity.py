@@ -227,6 +227,31 @@ def cosine_topk_lsh(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.45
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector-space member of
+    the dedup family): all (a < b) pairs with cosine ≥ threshold.
+
+    All-pairs at fixture scale; the 100 TB path is the same predicate
+    over :func:`cosine_topk_lsh`-style bucket candidates. Cosine is the
+    sequential fold — bit-identical to the SQL oracle, compared unrounded.
+    """
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_queries(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Standard query/candidate split over the embeddings fixture: every
     100th vector is a query; all vectors are candidates."""

@@ -24,6 +24,7 @@ from lakehouse_adventureworks2022_spark.plans import (
     marts,
     scd2_query,
     text_queries,
+    tpch,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -67,10 +68,19 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": text_queries.q_text_stats,
     "lang_id": text_queries.q_lang_id,
     "doc_fingerprint": text_queries.q_fingerprint,
-    # training-data ops: dedup (exact / n-gram Jaccard / MinHash-LSH)
+    # training-data ops: dedup (exact / Jaccard / MinHash-LSH / SimHash /
+    # embedding-cosine)
     "dedup_exact": text_queries.q_dedup_exact,
     "dedup_ngram_jaccard": text_queries.q_ngram_jaccard,
     "dedup_minhash_lsh": text_queries.q_minhash_lsh,
+    "dedup_simhash": text_queries.q_simhash,
+    "dedup_embedding_cosine": text_queries.q_embedding_near_dup,
+    # TPC-H-shaped analytics (A4/J7/T1 at full selectivity + breadth)
+    "tpch_q1": tpch.tpch_q1,
+    "tpch_q3": tpch.tpch_q3,
+    "tpch_q5": tpch.tpch_q5,
+    # silver enrichment (J1 4-way snowflake→flat)
+    "silver_lineitem_enriched": tpch.silver_lineitem_enriched,
     # training-data ops: similarity search
     "ann_cosine_topk": text_queries.q_ann_cosine,
     "ann_cosine_topk_np": text_queries.q_ann_cosine_np,
@@ -257,6 +267,68 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(value), 4) AS total_value
         FROM events, range(4) k(i)
         GROUP BY 1, 2
+    """,
+    "dedup_simhash": text_queries.ORACLE_SIMHASH,
+    "dedup_embedding_cosine": text_queries.ORACLE_EMBEDDING_NEAR_DUP,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+                 AS sum_charge,
+               ROUND(SUM(l_quantity), 2) / COUNT(*) AS avg_qty,
+               ROUND(SUM(l_extendedprice), 2) / COUNT(*) AS avg_price,
+               ROUND(SUM(l_discount), 2) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q3": """
+        SELECT l.l_orderkey AS order_key,
+               o.o_orderdate AS order_date,
+               o.o_orderpriority AS order_priority,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_shipdate > TIMESTAMP '1998-06-15'
+          AND o.o_orderdate < TIMESTAMP '1998-06-15'
+          AND c.c_mktsegment = 'BUILDING'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, order_key ASC
+        LIMIT 10
+    """,
+    "tpch_q5": """
+        SELECT n.n_name AS nation_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+    """,
+    "silver_lineitem_enriched": """
+        SELECT l.l_orderkey AS order_key,
+               l.l_linenumber AS line_number,
+               o.o_orderstatus AS order_status,
+               p.p_name AS product_name,
+               p.p_brand AS product_brand,
+               p.p_type AS product_type,
+               s.s_name AS supplier_name,
+               l.l_quantity AS quantity,
+               l.l_extendedprice AS extended_price,
+               l.l_extendedprice * (1 - l.l_discount) AS net_price
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
     """,
     "event_sessions": """
         WITH o AS (

@@ -48,6 +48,18 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(
+        read_table(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, c = similarity.embedding_queries(spark, sf_dir)
     return similarity.cosine_topk(q, c, k=10)
@@ -205,6 +217,47 @@ ORACLE_MINHASH_LSH = f"""
     JOIN sizes zb ON doc_b = zb.doc_id
     WHERE CAST(n_common AS DOUBLE)
           / (za.n_shingles + zb.n_shingles - n_common) >= 0.2
+"""
+
+ORACLE_SIMHASH = f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS token FROM t
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, j.i AS j,
+             SUM(CASE WHEN (h >> j.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, range(32) j(i)
+      GROUP BY doc_id, j.i
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+               AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+            >= 0.45
 """
 
 ORACLE_ANN_COSINE = """
