@@ -170,25 +170,24 @@ def simhash_pairs(
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", n: int = 3, k: int = MINHASH_K
 ) -> DataFrame:
-    """(doc_id, seed, minhash) — k independent min-hashes per document.
+    """(doc_id, mh_00..mh_<k-1>) — k independent min-hashes per document
+    in ONE hash aggregation.
 
     hash_i(shingle) = md5('<i:02d>|' || shingle); the min over a doc's
     shingles approximates a uniform permutation sample. String min is
-    byte-wise in both engines.
+    byte-wise in both engines. Computing the k mins as k aggregate
+    columns over one (doc_id)-keyed shuffle replaces the naive
+    seed-explode plan (k× the rows through a (doc_id, seed) shuffle) —
+    same result, one stage, 1/k the shuffle volume.
     """
     sh = shingles_df(df, text_col, n)
-    seeds = F.explode(
-        F.array(*[F.lit(f"{i:02d}") for i in range(k)])
-    ).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat(F.col("seed"), F.lit("|"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i:02d}|"), F.col("shingle")))
+            ).alias(f"mh_{i:02d}")
+            for i in range(k)
+        ]
     )
 
 
@@ -209,17 +208,32 @@ def minhash_lsh_pairs(
     < 1 by design — that's the scale trade).
     """
     sig = minhash_signatures(df, text_col, n, k)
-    bands = (
-        sig.withColumn("band", (F.col("seed").cast("int") / band_rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|", F.array_sort(F.collect_list(F.concat_ws(":", "seed", "minhash")))
-                )
-            ).alias("band_sig")
-        )
+    # band signature = md5 of the seed-ordered 'seed:minhash' strings —
+    # a pure projection over the signature row (no second shuffle), then
+    # one explode into (doc_id, band, band_sig)
+    n_bands = k // band_rows
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.concat(
+                                F.lit(f"{i:02d}:"), F.col(f"mh_{i:02d}")
+                            )
+                            for i in range(b * band_rows, (b + 1) * band_rows)
+                        ],
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
     )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     candidates = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_sig"])
