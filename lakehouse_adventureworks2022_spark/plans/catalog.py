@@ -22,6 +22,7 @@ from lakehouse_adventureworks2022_spark.plans import (
     events,
     facts,
     marts,
+    relational,
     scd2_query,
     text_queries,
     tpch,
@@ -81,6 +82,11 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q5": tpch.tpch_q5,
     # silver enrichment (J1 4-way snowflake→flat)
     "silver_lineitem_enriched": tpch.silver_lineitem_enriched,
+    # relational breadth: rollup, semi/anti joins, ordered statistics
+    "sales_rollup": relational.sales_rollup,
+    "customers_without_orders": relational.customers_without_orders,
+    "repeat_customers": relational.repeat_customers,
+    "event_value_stats": relational.event_value_stats,
     # training-data ops: similarity search
     "ann_cosine_topk": text_queries.q_ann_cosine,
     "ann_cosine_topk_np": text_queries.q_ann_cosine_np,
@@ -329,6 +335,53 @@ ORACLES: dict[str, str] = {
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
         JOIN part p     ON l.l_partkey = p.p_partkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+    "sales_rollup": """
+        SELECT r.r_name AS region_name,
+               n.n_name AS nation_name,
+               c.c_mktsegment AS market_segment,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue,
+               ROUND(SUM(l.l_quantity), 4) AS total_qty,
+               COUNT(*) AS line_count,
+               CAST(GROUPING(r.r_name, n.n_name, c.c_mktsegment) AS INT)
+                 AS grouping_level
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name, c.c_mktsegment)
+    """,
+    "customers_without_orders": """
+        SELECT c.c_custkey AS customer_key,
+               c.c_name AS customer_name,
+               c.c_mktsegment AS market_segment
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+    """,
+    "repeat_customers": """
+        SELECT c.c_custkey AS customer_key,
+               c.c_name AS customer_name
+        FROM customer c
+        WHERE c.c_custkey IN (
+          SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 10
+        )
+    """,
+    "event_value_stats": """
+        SELECT event_type,
+               COUNT(*) AS n,
+               MIN(value) AS min_value,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99,
+               MAX(value) AS max_value,
+               stddev_samp(value) AS stddev_value
+        FROM events
+        GROUP BY event_type
     """,
     "event_sessions": """
         WITH o AS (

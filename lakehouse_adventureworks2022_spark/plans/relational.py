@@ -1,0 +1,112 @@
+"""Additional relational surface the reference never needed but a
+complete engine must offer (SURVEY.md §2.4/§2.5 "not present" notes):
+rollup subtotals, semi/anti joins, subquery predicates, and ordered
+statistics — all Catalyst-native, each with a DuckDB oracle.
+
+Determinism notes: exact interpolated percentiles (Spark ``percentile``
+== DuckDB ``quantile_cont``: same sort + same IEEE interpolation) and
+sample stddev verified bit-identical on the fixtures, so they are
+compared unrounded; rollup subtotal rows use the engines' shared
+NULL-for-total convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_adventureworks2022_spark.functions.dialect import money
+from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region → nation → market-segment revenue rollup (hierarchical
+    subtotals + grand total in one pass — Spark plans a single Expand +
+    hash aggregate, no repeated scans)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("c_mktsegment").alias("market_segment"),
+            revenue.alias("rev"),
+            F.col("l_quantity"),
+        )
+    )
+    return (
+        base.rollup("region_name", "nation_name", "market_segment")
+        .agg(
+            money(F.sum("rev")).alias("total_revenue"),
+            money(F.sum("l_quantity")).alias("total_qty"),
+            F.count(F.lit(1)).alias("line_count"),
+            F.grouping_id().cast("int").alias("grouping_level"),
+        )
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — the declarative form of the reference's manual
+    left-join-then-null-filter key-existence test (J5,
+    ``dags/product.py:276-291``). Restricted to recent orders so the
+    churned-customer set is non-empty on the fixtures."""
+    cust = read_table(spark, sf_dir, "customer")
+    recent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+    )
+    return (
+        cust.join(
+            recent, cust["c_custkey"] == recent["o_custkey"], "left_anti"
+        )
+        .select(
+            F.col("c_custkey").alias("customer_key"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("market_segment"),
+        )
+    )
+
+
+def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join against a grouped subquery: customers with more
+    than 10 orders (the IN/EXISTS-subquery shape)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    frequent = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 10)
+    )
+    return (
+        cust.join(
+            frequent, cust["c_custkey"] == frequent["o_custkey"], "left_semi"
+        )
+        .select(
+            F.col("c_custkey").alias("customer_key"),
+            F.col("c_name").alias("customer_name"),
+        )
+    )
+
+
+def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered statistics per event type: exact interpolated percentiles
+    + sample stddev + extrema. At 100 TB swap ``percentile`` for
+    ``approx_percentile`` (t-digest) — the exact form requires a per-group
+    sort."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.max("value").alias("max_value"),
+        F.stddev("value").alias("stddev_value"),
+    )
