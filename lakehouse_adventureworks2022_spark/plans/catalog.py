@@ -24,6 +24,7 @@ from lakehouse_adventureworks2022_spark.plans import (
     marts,
     relational,
     scd2_query,
+    semistructured,
     text_queries,
     tpch,
 )
@@ -87,6 +88,10 @@ QUERIES: dict[str, QueryFn] = {
     "customers_without_orders": relational.customers_without_orders,
     "repeat_customers": relational.repeat_customers,
     "event_value_stats": relational.event_value_stats,
+    # semi-structured + reshaping: XML parse (F9), set ops, pivot
+    "xml_roundtrip": semistructured.xml_roundtrip,
+    "user_churn_set_ops": semistructured.user_churn_set_ops,
+    "daily_event_pivot": semistructured.daily_event_pivot,
     # training-data ops: similarity search
     "ann_cosine_topk": text_queries.q_ann_cosine,
     "ann_cosine_topk_np": text_queries.q_ann_cosine_np,
@@ -383,6 +388,9 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "xml_roundtrip": semistructured.ORACLE_XML_ROUNDTRIP,
+    "user_churn_set_ops": semistructured.ORACLE_USER_CHURN,
+    "daily_event_pivot": semistructured.ORACLE_DAILY_PIVOT,
     "event_sessions": """
         WITH o AS (
           SELECT user_id, ts, value,

@@ -1,0 +1,97 @@
+"""SQL entry point (the reference's entry point C — SURVEY.md §3.3):
+the same analytics expressed as pure Spark SQL text over registered
+views, proving the Trino scripts re-target to ``spark.sql`` with only
+dialect translation (UNNEST→explode, %-patterns→JDK patterns, ISO
+day-of-week remap — `functions/dialect.py` notes).
+
+``register_views`` exposes the fixture tables under their names;
+``run_sql`` executes any of the SQL_CATALOG statements. The DataFrame
+catalog (plans/*.py) remains the primary surface — these SQL twins are
+dialect-parity evidence, tested equal to their DataFrame counterparts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_adventureworks2022_spark.sources.readers import TABLES, read_table
+
+#: Spark-SQL twins of representative catalog queries (dialect-translated
+#: from the Trino-ish forms; aliases match the DataFrame versions).
+SQL_CATALOG: dict[str, str] = {
+    "top_products": """
+        SELECT p.p_partkey, p.p_name, p.p_brand,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue,
+               ROUND(SUM(l.l_quantity), 4) AS total_qty,
+               COUNT(DISTINCT l.l_orderkey) AS order_count
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_partkey, p.p_name, p.p_brand
+        ORDER BY total_revenue DESC, p.p_partkey ASC
+        LIMIT 10
+    """,
+    "dim_date": """
+        SELECT CAST(date_format(d, 'yyyyMMdd') AS INT) AS date_key,
+               CAST(d AS TIMESTAMP) AS full_date,
+               CAST(year(d) AS INT) AS year,
+               CAST(quarter(d) AS INT) AS quarter,
+               CAST(month(d) AS INT) AS month,
+               date_format(d, 'MMMM') AS month_name,
+               date_format(d, 'MMM') AS month_abbr,
+               CAST(day(d) AS INT) AS day_of_month,
+               CAST(dayofyear(d) AS INT) AS day_of_year,
+               CAST(weekofyear(d) AS INT) AS week_of_year,
+               CAST(weekday(d) + 1 AS INT) AS day_of_week,
+               date_format(d, 'EEEE') AS day_name,
+               date_format(d, 'EEE') AS day_abbr,
+               (weekday(d) + 1) IN (6, 7) AS is_weekend,
+               CAST(year(d) + CASE WHEN month(d) >= 7 THEN 1 ELSE 0 END AS INT)
+                 AS fiscal_year,
+               CAST(FLOOR(((month(d) + 5) % 12) / 3) + 1 AS INT) AS fiscal_quarter,
+               CAST(((month(d) + 5) % 12) + 1 AS INT) AS fiscal_month
+        FROM (
+          SELECT explode(sequence(to_date('2010-01-01'), to_date('2029-12-31')))
+                   AS d
+        )
+    """,
+    "latest_event_per_user": """
+        SELECT event_id, ts, user_id, event_type, value
+        FROM (
+          SELECT e.*, row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events e
+        )
+        WHERE rn = 1
+    """,
+    "sales_summary": """
+        SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+               o.o_orderpriority AS order_priority,
+               r.r_name AS region_name,
+               n.n_name AS nation_name,
+               c.c_mktsegment AS market_segment,
+               l.l_returnflag AS return_flag,
+               l.l_linestatus AS line_status,
+               COUNT(DISTINCT o.o_orderkey) AS order_count,
+               COUNT(*) AS line_count,
+               ROUND(SUM(l.l_quantity), 4) AS total_qty,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue,
+               ROUND(SUM(l.l_extendedprice * l.l_discount), 4) AS total_discount_amount,
+               ROUND(SUM(l.l_extendedprice), 2) / COUNT(*) AS avg_unit_price_ext
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the fixture tables as temp views for the SQL surface."""
+    for name in TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_CATALOG[name])
