@@ -105,3 +105,47 @@ class TableManager:
         p = Path(self.path(name))
         if p.exists():
             shutil.rmtree(p)
+
+    # ---- catalog-managed variants (bucketing needs table metadata) ----
+
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: str | list[str],
+        n_buckets: int,
+        sort_cols: str | list[str] | None = None,
+    ) -> None:
+        """Write a bucketed (and optionally sorted) catalog table.
+
+        Bucketing is the core co-location tool at 100 TB (SCALE.md): two
+        tables bucketed on the same key with the same bucket count join
+        with NO exchange on either side — the shuffle happens once at
+        write time instead of per query. Requires the session catalog
+        (bucket metadata can't live in bare parquet paths), hence
+        ``saveAsTable``; ``spark.sql.warehouse.dir`` controls placement.
+        """
+        # a table dropped from a *previous* session's in-memory catalog
+        # leaves its warehouse directory behind; clear both or
+        # saveAsTable fails with LOCATION_ALREADY_EXISTS
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = Path(wh.removeprefix("file:")) / table.split(".")[-1]
+        if loc.exists():
+            shutil.rmtree(loc, ignore_errors=True)
+
+        bc = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+        w = df.write.format(self.fmt).mode("overwrite").bucketBy(n_buckets, *bc)
+        if sort_cols:
+            sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+            w = w.sortBy(*sc)
+        w.saveAsTable(table)
+
+    def compact(
+        self, name: str, target_files: int, partition_by: str | list[str] | None = None
+    ) -> None:
+        """OPTIMIZE analog for path tables: rewrite to ``target_files``
+        size-balanced files (small-file compaction after many incremental
+        appends — the reference never compacts; SURVEY.md §4 notes)."""
+        df = self.read(name).repartition(target_files)
+        self.overwrite(df, name, partition_by=partition_by)

@@ -1,0 +1,80 @@
+"""Bucketed-table co-location: the write-once-shuffle-never property
+that makes the detail⋈header join shuffle-free at 100 TB (SCALE.md).
+The plan assertion is the point: same-key same-count bucketed tables
+must join with no Exchange on either side."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from lakehouse_adventureworks2022_spark.sources.readers import read_table
+from lakehouse_adventureworks2022_spark.storage.tables import TableManager
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    # warehouse dir is a static conf set in session.get_spark (tempdir)
+    yield str(tmp_path)
+    for t in ("b_lineitem", "b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, warehouse):
+    tm = TableManager(spark, warehouse)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_custkey"
+    )
+    tm.save_bucketed(li, "b_lineitem", "l_orderkey", 8, sort_cols="l_orderkey")
+    tm.save_bucketed(orders, "b_orders", "o_orderkey", 8, sort_cols="o_orderkey")
+
+    # fixture tables are broadcast-small, which would bypass bucketing —
+    # disable auto-broadcast to expose the co-located join the buckets
+    # buy at real scale (where neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            spark.table("b_lineitem")["l_orderkey"]
+            == spark.table("b_orders")["o_orderkey"],
+        )
+        plan = _plan(joined)
+        # co-located: a sort-merge join with no shuffle exchange anywhere
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "Bucketed: true" in plan
+        # and the result is right
+        assert joined.count() == read_table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    import os
+
+    tm = TableManager(spark, str(tmp_path))
+    df = spark.range(10_000).repartition(40)
+    tm.append(df, "t")
+    n_before = len(
+        [f for f in os.listdir(tm.path("t")) if f.endswith(".parquet")]
+    )
+    assert n_before >= 40
+    tm.compact("t", target_files=4)
+    n_after = len(
+        [f for f in os.listdir(tm.path("t")) if f.endswith(".parquet")]
+    )
+    assert n_after <= 8
+    assert tm.read("t").count() == 10_000
