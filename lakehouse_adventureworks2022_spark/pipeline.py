@@ -128,3 +128,22 @@ class MedallionPipeline:
         self.build_gold()
         self.build_mart()
         return res
+
+
+def main() -> None:
+    """CLI: ``python -m lakehouse_adventureworks2022_spark.pipeline
+    <warehouse_dir> [sf_dir]`` — run the full medallion pipeline."""
+    import sys
+
+    from lakehouse_adventureworks2022_spark.session import get_spark
+
+    warehouse = sys.argv[1] if len(sys.argv) > 1 else "/tmp/lakehouse_warehouse"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    spark = get_spark("medallion-pipeline")
+    res = MedallionPipeline(spark, warehouse, sf_dir).run()
+    print(f"pipeline complete: warehouse={warehouse} ingested={res.ingested}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

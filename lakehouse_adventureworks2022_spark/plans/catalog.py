@@ -47,6 +47,36 @@ def _session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return session_windows_batch(spark, sf_dir)
 
+
+def _dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_adventureworks2022_spark.operators.quality import null_profile
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    return null_profile(read_table(spark, sf_dir, "orders"))
+
+
+def _dq_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_adventureworks2022_spark.operators.quality import fk_violations
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    return fk_violations(
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )
+
+
+def _dq_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_adventureworks2022_spark.operators.quality import (
+        uniqueness_violations,
+    )
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    return uniqueness_violations(
+        read_table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"]
+    )
+
 QUERIES: dict[str, QueryFn] = {
     # marts (J7/J8, A4/A5, T1)
     "top_products": marts.top_products,
@@ -92,6 +122,10 @@ QUERIES: dict[str, QueryFn] = {
     "xml_roundtrip": semistructured.xml_roundtrip,
     "user_churn_set_ops": semistructured.user_churn_set_ops,
     "daily_event_pivot": semistructured.daily_event_pivot,
+    # data-quality gates
+    "dq_null_profile": _dq_null_profile,
+    "dq_orderkey_integrity": _dq_fk,
+    "dq_lineitem_pk": _dq_pk,
     # training-data ops: similarity search
     "ann_cosine_topk": text_queries.q_ann_cosine,
     "ann_cosine_topk_np": text_queries.q_ann_cosine_np,
@@ -387,6 +421,39 @@ ORACLES: dict[str, str] = {
                stddev_samp(value) AS stddev_value
         FROM events
         GROUP BY event_type
+    """,
+    "dq_null_profile": """
+        WITH n AS (SELECT COUNT(*) AS total FROM orders)
+        SELECT c.column_name,
+               c.null_count,
+               CAST(c.null_count AS DOUBLE) / n.total AS null_ratio
+        FROM n, (
+          SELECT 'o_orderkey' AS column_name,
+                 COUNT(*) FILTER (o_orderkey IS NULL) AS null_count FROM orders
+          UNION ALL SELECT 'o_custkey',
+                 COUNT(*) FILTER (o_custkey IS NULL) FROM orders
+          UNION ALL SELECT 'o_orderstatus',
+                 COUNT(*) FILTER (o_orderstatus IS NULL) FROM orders
+          UNION ALL SELECT 'o_totalprice',
+                 COUNT(*) FILTER (o_totalprice IS NULL) FROM orders
+          UNION ALL SELECT 'o_orderdate',
+                 COUNT(*) FILTER (o_orderdate IS NULL) FROM orders
+          UNION ALL SELECT 'o_orderpriority',
+                 COUNT(*) FILTER (o_orderpriority IS NULL) FROM orders
+        ) c
+    """,
+    "dq_orderkey_integrity": """
+        SELECT DISTINCT l.l_orderkey AS orphan_key
+        FROM lineitem l
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+        )
+    """,
+    "dq_lineitem_pk": """
+        SELECT l_orderkey, l_linenumber, COUNT(*) AS dup_count
+        FROM lineitem
+        GROUP BY 1, 2
+        HAVING COUNT(*) > 1
     """,
     "xml_roundtrip": semistructured.ORACLE_XML_ROUNDTRIP,
     "user_churn_set_ops": semistructured.ORACLE_USER_CHURN,
