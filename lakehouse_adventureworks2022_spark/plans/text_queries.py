@@ -84,7 +84,7 @@ _STOP_ALL = ", ".join(f"'{w}'" for w in textops.STOPWORDS_ALL)
 ORACLE_TEXT_STATS = f"""
     WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     SELECT doc_id,
-           length(text) AS n_chars,
+           CAST(length(text) AS INT) AS n_chars,
            CAST(len(toks) AS INT) AS n_tokens,
            CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
@@ -94,7 +94,8 @@ ORACLE_TEXT_STATS = f"""
                AS stopword_hits,
            CAST(len(list_filter(toks, x -> x IN ({_STOP_ALL}))) AS DOUBLE) / len(toks)
                AS stopword_ratio,
-           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_count,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT)
+               AS punct_count,
            (len(toks) >= 5
             AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.05
             AND CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)

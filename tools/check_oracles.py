@@ -88,9 +88,19 @@ def main() -> int:
             continue
         duck_pdf = normalize_pandas(con.sql(ORACLES[name]).df())
         n_d, cols_d, h_d = canonical_hash(duck_pdf)
-        ok = (n_s, cols_s, h_s) == (n_d, cols_d, h_d)
+        # dtype parity (datetime resolution normalized away above) — the
+        # driver may compare schemas more strictly than value hashes
+        dtype_diffs = [
+            f"{c}(spark={spark_pdf[c].dtype},duck={duck_pdf[c].dtype})"
+            for c in cols_s
+            if c in duck_pdf.columns
+            and str(spark_pdf[c].dtype) != str(duck_pdf[c].dtype)
+        ]
+        ok = (n_s, cols_s, h_s) == (n_d, cols_d, h_d) and not dtype_diffs
         status = "OK " if ok else "FAIL"
         print(f"  {name:28s} {status} rows={n_s}/{n_d} hash={h_s}/{h_d}")
+        if dtype_diffs:
+            print(f"    dtype mismatches: {dtype_diffs}")
         if not ok:
             failures.append(name)
             if cols_s != cols_d:
