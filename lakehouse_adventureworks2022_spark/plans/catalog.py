@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from lakehouse_adventureworks2022_spark.plans import (
+    advanced_joins,
     dims,
     events,
     facts,
@@ -27,6 +28,7 @@ from lakehouse_adventureworks2022_spark.plans import (
     semistructured,
     text_queries,
     tpch,
+    windowed,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -134,6 +136,15 @@ QUERIES: dict[str, QueryFn] = {
     # streams run; streaming equivalence is tested in tests/test_streaming)
     "event_windows_sliding": _sliding_windows,
     "event_sessions": _session_windows,
+    # window-function breadth (frames, lag, rank, ratio-to-total)
+    "customer_running_revenue": windowed.customer_running_revenue,
+    "nation_top_customers": windowed.nation_top_customers,
+    "priority_revenue_share": windowed.priority_revenue_share,
+    # advanced join shapes (as-of, banded range, EXISTS, correlated agg)
+    "asof_click_attribution": advanced_joins.asof_click_attribution,
+    "error_burst_context": advanced_joins.error_burst_context,
+    "late_shipment_priority": advanced_joins.late_shipment_priority,
+    "small_quantity_part_revenue": advanced_joins.small_quantity_part_revenue,
 }
 
 
@@ -480,5 +491,115 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(value), 4) AS total_value
         FROM s
         GROUP BY user_id, sess_id
+    """,
+    "customer_running_revenue": """
+        SELECT o_custkey AS customer_key,
+               o_orderkey AS order_key,
+               o_orderdate AS order_date,
+               o_totalprice AS order_total,
+               CAST(row_number() OVER w AS INT) AS order_seq,
+               CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+                    AS INT) AS days_since_prev,
+               ROUND(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 4) AS cum_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "nation_top_customers": """
+        SELECT * FROM (
+          SELECT n.n_name AS nation_name,
+                 c.c_custkey AS customer_key,
+                 c.c_name AS customer_name,
+                 per.revenue,
+                 CAST(dense_rank() OVER (
+                        PARTITION BY n.n_name
+                        ORDER BY per.revenue DESC, c.c_custkey ASC)
+                      AS INT) AS revenue_rank
+          FROM (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS revenue
+                FROM orders GROUP BY o_custkey) per
+          JOIN customer c ON per.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ) WHERE revenue_rank <= 3
+    """,
+    "priority_revenue_share": """
+        WITH per AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+                 o_orderpriority AS order_priority,
+                 ROUND(SUM(o_totalprice), 4) AS revenue,
+                 COUNT(*) AS order_count
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT order_year, order_priority, revenue, order_count,
+               ROUND(revenue / SUM(revenue) OVER (PARTITION BY order_year), 6)
+                 AS revenue_share
+        FROM per
+    """,
+    "asof_click_attribution": """
+        WITH tagged AS (
+          SELECT event_id, user_id, ts, value,
+                 CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+                 CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+          FROM events
+          WHERE event_type IN ('click', 'purchase')
+        ),
+        carried AS (
+          SELECT *,
+                 last_value(click_id IGNORE NULLS) OVER w AS last_click_id,
+                 last_value(click_ts IGNORE NULLS) OVER w AS last_click_ts
+          FROM tagged
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_purchase, event_id
+                       ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT event_id AS purchase_id,
+               user_id,
+               ts AS purchase_ts,
+               value AS purchase_value,
+               last_click_id,
+               last_click_ts,
+               date_diff('second', last_click_ts, ts) AS seconds_since_click
+        FROM carried
+        WHERE is_purchase = 1
+    """,
+    "error_burst_context": """
+        SELECT e.event_id AS error_id,
+               e.user_id,
+               e.ts AS error_ts,
+               COUNT(*) AS prior_activity_count,
+               ROUND(SUM(a.value), 4) AS prior_activity_value
+        FROM events e
+        JOIN events a
+          ON a.user_id = e.user_id
+         AND a.event_type IN ('click', 'view')
+         AND a.ts > e.ts - INTERVAL 5 MINUTE
+         AND a.ts <= e.ts
+        WHERE e.event_type = 'error'
+        GROUP BY 1, 2, 3
+    """,
+    "late_shipment_priority": """
+        SELECT o.o_orderpriority AS order_priority,
+               COUNT(*) AS late_order_count
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY 1
+    """,
+    "small_quantity_part_revenue": """
+        WITH pa AS (
+          SELECT l_partkey, AVG(l_quantity) * 0.5 AS half_avg_qty
+          FROM lineitem GROUP BY 1
+        )
+        SELECT p.p_brand AS brand,
+               ROUND(SUM(l.l_extendedprice), 4) AS small_qty_revenue,
+               COUNT(*) AS small_qty_lines
+        FROM lineitem l
+        JOIN pa ON l.l_partkey = pa.l_partkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity < pa.half_avg_qty
+        GROUP BY 1
     """,
 }
