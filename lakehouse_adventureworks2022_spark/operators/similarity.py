@@ -227,6 +227,115 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_cap: int = 2048,
+) -> DataFrame:
+    """Approximate top-k: IVF (inverted-file) coarse quantization.
+
+    Classic two-stage ANN (the standard alternative to LSH bucketing):
+
+    1. *Train* — a deterministic sample of candidates (every Nth vec_id,
+       capped at ``train_cap``) is pulled to the driver and Lloyd-iterated
+       into ``n_cells`` spherical centroids. Init is the first
+       ``n_cells`` sample vectors in vec_id order — seedless, so re-runs
+       and restarts agree bit-for-bit.
+    2. *Assign + probe* — every candidate joins its nearest cell (one
+       Arrow-batched argmax per batch, broadcast centroid matrix); each
+       query probes its ``n_probe`` nearest cells. Scoring happens only
+       inside probed cells via an equi-join on ``cell`` — the corpus
+       shuffles once, keyed by cell id.
+
+    Scale shape: the centroid matrix is O(n_cells × dim) — kilobytes —
+    broadcast inside the closure; the corpus never cross-joins. At 100 TB
+    raise ``n_cells`` ~ sqrt(corpus) so cells stay executor-sized; recall
+    is tunable via ``n_probe``. Approximate by design ⇒ rows-only check;
+    the recall floor is asserted in tests.
+    """
+    import numpy as np
+
+    # --- train (driver-side, bounded) -----------------------------------
+    n_cand = candidates.count()
+    stride = max(1, n_cand // train_cap)
+    sample = (
+        candidates.filter(F.col("vec_id") % stride == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(train_cap)
+        .collect()
+    )
+    tm = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    tm /= np.linalg.norm(tm, axis=1, keepdims=True)
+    cents = tm[: min(n_cells, len(tm))].copy()
+    for _ in range(8):  # Lloyd on the unit sphere (cosine k-means)
+        assign = np.argmax(tm @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = tm[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cents[c] = m / norm
+    cm = cents  # (n_cells, dim), unit rows
+
+    # --- assign candidates to cells (Arrow batches, one argmax each) ----
+    def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            em = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if em.size == 0:
+                continue
+            em_n = em / np.linalg.norm(em, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "cand_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": np.argmax(em_n @ cm.T, axis=1).astype("int32"),
+                }
+            )
+
+    emb_type = dict(candidates.dtypes)["embedding"]
+    cells = candidates.select("vec_id", "embedding").mapInPandas(
+        assign_cells, schema=f"cand_id long, embedding {emb_type}, cell int"
+    )
+
+    # --- probe: n_probe nearest cells per query (query side is small) ---
+    qrows = queries.select("vec_id", "embedding").collect()
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    probe_idx = np.argsort(-(qm_n @ cm.T), axis=1)[:, :n_probe]
+    probes = queries.sparkSession.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]], int(c))
+            for r, cells_of_q in zip(qrows, probe_idx)
+            for c in cells_of_q
+        ],
+        "query_id long, qv array<double>, cell int",
+    )
+
+    scored = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _cosine(F.col("qv"), F.col("embedding").cast("array<double>")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.45
 ) -> DataFrame:

@@ -132,6 +132,9 @@ QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk": text_queries.q_ann_cosine,
     "ann_cosine_topk_np": text_queries.q_ann_cosine_np,
     "ann_cosine_topk_lsh": text_queries.q_ann_cosine_lsh,
+    "ann_cosine_topk_ivf": text_queries.q_ann_cosine_ivf,
+    # relational breadth: outer-join histogram (TPC-H Q13 shape)
+    "customer_order_distribution": relational.customer_order_distribution,
     # streaming batch twins (same F.window/F.session_window operators the
     # streams run; streaming equivalence is tested in tests/test_streaming)
     "event_windows_sliding": _sliding_windows,
@@ -156,6 +159,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "top_products_approx",  # HLL distinct count
         "ann_cosine_topk_np",  # GEMM float-sum order ≠ sequential fold
         "ann_cosine_topk_lsh",  # single-probe LSH: recall < 1 by design
+        "ann_cosine_topk_ivf",  # n_probe-cell IVF: recall < 1 by design
     }
 )
 
@@ -491,6 +495,17 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(value), 4) AS total_value
         FROM s
         GROUP BY user_id, sess_id
+    """,
+    "customer_order_distribution": """
+        SELECT order_count, COUNT(*) AS customer_count
+        FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY order_count
     """,
     "customer_running_revenue": """
         SELECT o_custkey AS customer_key,

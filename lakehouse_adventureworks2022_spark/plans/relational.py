@@ -95,6 +95,33 @@ def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed exactly N urgent orders (TPC-H Q13
+    shape): LEFT OUTER join with the filter *in the join condition* (so
+    zero-order customers survive), per-customer count, then a histogram
+    of the counts.
+
+    Scale shape: two aggregations, both key-reducing; the outer join
+    shuffles on custkey (or disappears if both tables are bucketed on
+    it — ``storage/tables.py``)."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_customer = (
+        customer.join(
+            orders,
+            (customer["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] == "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return (
+        per_customer.groupBy("order_count")
+        .agg(F.count(F.lit(1)).alias("customer_count"))
+    )
+
+
 def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered statistics per event type: exact interpolated percentiles
     + sample stddev + extrema. At 100 TB swap ``percentile`` for

@@ -75,6 +75,11 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(q, c, k=10)
 
 
+def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, c = similarity.embedding_queries(spark, sf_dir)
+    return similarity.cosine_topk_ivf(q, c, k=10)
+
+
 # ---- oracles ---------------------------------------------------------
 
 _TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"

@@ -97,3 +97,23 @@ def test_dedup_exact_finds_planted_duplicates(spark):
     assert len(rows) == 2  # normalization folds 1 and 2 together
     dup_group = [r for r in rows if r["dup_count"] == 2][0]
     assert dup_group["keeper_doc_id"] == 1
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    q, c = similarity.embedding_queries(spark, SF)
+    exact_pairs = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.cosine_topk(q, c, k=10).collect()
+    }
+    ivf_rows = similarity.cosine_topk_ivf(q, c, k=10).collect()
+    pairs = {(r["query_id"], r["cand_id"]) for r in ivf_rows}
+    # scored pairs use the exact cosine, so overlap == correct hits
+    recall = len(pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.5  # 4 of 16 cells probed
+    assert all(r["rank"] <= 10 for r in ivf_rows)
+    # seedless training: a second run is bit-identical
+    again = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.cosine_topk_ivf(q, c, k=10).collect()
+    }
+    assert again == pairs
