@@ -41,6 +41,12 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q5",
     "silver_lineitem_enriched",
+    "customer_running_revenue",
+    "asof_click_attribution",
+    "error_burst_context",
+    "small_quantity_part_revenue",
+    "customer_order_distribution",
+    "ann_cosine_topk_ivf",
 ]
 
 
