@@ -149,3 +149,17 @@ class TableManager:
         appends — the reference never compacts; SURVEY.md §4 notes)."""
         df = self.read(name).repartition(target_files)
         self.overwrite(df, name, partition_by=partition_by)
+
+    def analyze(self, table: str, columns: list[str] | None = None) -> None:
+        """ANALYZE maintenance for catalog tables: table-level row/size
+        stats, plus per-column NDV/min/max when ``columns`` given — feeds
+        Catalyst's CBO join reordering (SURVEY.md §4 join-reordering row:
+        "Optional: spark.sql.cbo.enabled + ANALYZE TABLE in our engine's
+        maintenance job"). Path tables rely on parquet footer stats and
+        AQE runtime sizes instead."""
+        self.spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+        if columns:
+            cols = ", ".join(columns)
+            self.spark.sql(
+                f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}"
+            )

@@ -83,14 +83,20 @@ def stream_tumbling_counts(
     )
 
 
-def run_stream_once(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_stream_once(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drive a stream to completion against the fixture files and return
-    the final result from the memory sink (test/dev harness)."""
+    the final result from the memory sink (test/dev harness).
+
+    ``complete`` suits aggregations; stream-stream joins (no aggregation)
+    require ``append``.
+    """
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .start()
     )
     q.processAllAvailable()

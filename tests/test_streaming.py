@@ -65,3 +65,18 @@ def test_stream_session_windows_equals_batch(spark, sf_dir):
     got = run_stream_once(stream, "t_session")
     want = session_windows_batch(spark, sf_dir).drop("total_value")
     assert _rowset(got) == _rowset(want)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    from lakehouse_adventureworks2022_spark.streaming.joins import (
+        click_purchase_join_batch,
+        stream_click_purchase_join,
+    )
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    stream = stream_click_purchase_join(stream_events_source(spark, sf_dir))
+    assert stream.isStreaming
+    got = run_stream_once(stream, "t_ss_join", output_mode="append")
+    want = click_purchase_join_batch(read_table(spark, sf_dir, "events"))
+    assert _rowset(got) == _rowset(want)
+    assert got.count() > 0
