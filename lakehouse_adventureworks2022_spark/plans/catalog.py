@@ -143,6 +143,11 @@ QUERIES: dict[str, QueryFn] = {
     "customer_running_revenue": windowed.customer_running_revenue,
     "nation_top_customers": windowed.nation_top_customers,
     "priority_revenue_share": windowed.priority_revenue_share,
+    # conditional-aggregation ratio (TPC-H Q8 shape), grouping sets,
+    # time-series gap fill
+    "tpch_q8_market_share": tpch.tpch_q8_market_share,
+    "revenue_grouping_sets": relational.revenue_grouping_sets,
+    "user_hourly_gapfill": events.user_hourly_gapfill,
     # advanced join shapes (as-of, banded range, EXISTS, correlated agg)
     "asof_click_attribution": advanced_joins.asof_click_attribution,
     "error_burst_context": advanced_joins.error_burst_context,
@@ -495,6 +500,67 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(value), 4) AS total_value
         FROM s
         GROUP BY user_id, sess_id
+    """,
+    "tpch_q8_market_share": """
+        SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+               ROUND(SUM(CASE WHEN sn.n_name = 'CHINA'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END), 4) AS china_revenue,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+                 AS total_revenue,
+               ROUND(ROUND(SUM(CASE WHEN sn.n_name = 'CHINA'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END), 4)
+                     / ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4),
+                     6) AS market_share
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        GROUP BY 1
+    """,
+    "revenue_grouping_sets": """
+        SELECT r.r_name AS region_name,
+               c.c_mktsegment AS market_segment,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+                 AS total_revenue,
+               COUNT(*) AS line_count,
+               CAST(GROUPING(r.r_name, c.c_mktsegment) AS INT)
+                 AS grouping_level
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r.r_name), (c.c_mktsegment), ())
+    """,
+    "user_hourly_gapfill": """
+        WITH bounds AS (
+          SELECT date_trunc('hour', MIN(ts)) AS lo,
+                 date_trunc('hour', MAX(ts)) AS hi
+          FROM events
+        ),
+        hours AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+          FROM bounds
+        ),
+        users AS (SELECT DISTINCT user_id FROM events),
+        hourly AS (
+          SELECT user_id AS a_user, date_trunc('hour', ts) AS a_hour,
+                 COUNT(*) AS c, ROUND(SUM(value), 4) AS v
+          FROM events GROUP BY 1, 2
+        )
+        SELECT u.user_id,
+               h.hour_ts,
+               COALESCE(hourly.c, 0) AS event_count,
+               COALESCE(hourly.v, 0.0) AS total_value
+        FROM users u
+        CROSS JOIN hours h
+        LEFT JOIN hourly ON hourly.a_user = u.user_id
+                        AND hourly.a_hour = h.hour_ts
     """,
     "customer_order_distribution": """
         SELECT order_count, COUNT(*) AS customer_count

@@ -115,3 +115,48 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def user_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled hourly activity per user (time-series gap filling):
+    generated hour spine × distinct users, left-joined to the hourly
+    aggregate, gaps coalesced to zero.
+
+    All-declarative two-pass: the spine bounds come from a 1-row
+    aggregate cross-joined back (no driver collect). Scale: the dense
+    grid is |users| × |hours| — intentional (that's the operator);
+    the expensive side (events) is aggregated BEFORE the outer join, so
+    the grid join is agg-row sized, and the 1-row bounds frame
+    broadcasts."""
+    events = read_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    users = events.select("user_id").distinct()
+    hourly = events.groupBy(
+        F.col("user_id").alias("a_user"),
+        F.date_trunc("hour", F.col("ts")).alias("a_hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        money(F.sum("value")).alias("v"),
+    )
+    return (
+        users.crossJoin(hours)
+        .join(
+            hourly,
+            (F.col("user_id") == F.col("a_user")) & (F.col("hour_ts") == F.col("a_hour")),
+            "left",
+        )
+        .select(
+            "user_id",
+            "hour_ts",
+            F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("event_count"),
+            F.coalesce(F.col("v"), F.lit(0.0)).alias("total_value"),
+        )
+    )

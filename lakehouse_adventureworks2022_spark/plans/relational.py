@@ -137,3 +137,35 @@ def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("max_value"),
         F.stddev("value").alias("stddev_value"),
     )
+
+
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond ROLLUP's nested prefixes): revenue
+    by region, by market segment, and grand total — three independent
+    groupings in ONE pass over the join (the Expand operator multiplies
+    rows per set AFTER the partial aggregation, not at scan)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    base = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("c_mktsegment").alias("market_segment"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    return base.groupingSets(
+        [["region_name"], ["market_segment"], []],
+        "region_name",
+        "market_segment",
+    ).agg(
+        money(F.sum("rev")).alias("total_revenue"),
+        F.count(F.lit(1)).alias("line_count"),
+        F.grouping_id().cast("int").alias("grouping_level"),
+    )

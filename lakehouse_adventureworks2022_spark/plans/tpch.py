@@ -132,3 +132,53 @@ def silver_lineitem_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): for orders by ASIA-region
+    customers, the fraction of yearly revenue supplied by CHINA-nation
+    suppliers — conditional aggregation (`sum(CASE WHEN)`) forming a
+    ratio of two same-group aggregates.
+
+    Scale: the region filter prunes the broadcast customer side before
+    the fact join; one grouping shuffle on year; the share divides two
+    already-rounded money values (round-stable across engines).
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    cust_asia = (
+        customer.join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust_asia), orders["o_custkey"] == cust_asia["c_custkey"])
+        .join(F.broadcast(supp_nation), lineitem["l_suppkey"] == supp_nation["s_suppkey"])
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            money(F.sum(F.when(F.col("supp_nation") == "CHINA", rev).otherwise(F.lit(0.0)))).alias(
+                "china_revenue"
+            ),
+            money(F.sum(rev)).alias("total_revenue"),
+        )
+        .select(
+            "order_year",
+            "china_revenue",
+            "total_revenue",
+            F.round(F.col("china_revenue") / F.col("total_revenue"), 6).alias(
+                "market_share"
+            ),
+        )
+    )
