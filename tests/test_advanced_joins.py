@@ -138,3 +138,18 @@ def test_nation_top_customers_rank_bounded(spark, sf_dir):
         assert ranks[0] == 1 and ranks[-1] <= 3
         revs = [m["revenue"] for m in sorted(members, key=lambda m: m["revenue_rank"])]
         assert revs == sorted(revs, reverse=True)
+
+
+def test_asof_plans_single_shuffle(spark, sf_dir):
+    """The as-of composition must cost exactly ONE hash exchange (on
+    user_id) — the point of the union+window formulation."""
+    plan = (
+        advanced_joins.asof_click_attribution(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert exchanges == 1, plan
