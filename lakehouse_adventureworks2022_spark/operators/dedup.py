@@ -266,3 +266,38 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", "n_common", j.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def clean_corpus(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.2
+) -> DataFrame:
+    """End-to-end corpus cleaning (the composite a training-data pipeline
+    actually runs — each stage is the operator tested above):
+
+    1. quality gate — ``textops.token_stats`` trainability heuristics;
+    2. exact dedup — keep the min-doc_id copy per normalized content;
+    3. near-dup removal — MinHash-LSH pairs at ``threshold``; any doc
+       similar to a LOWER-id doc drops (one-sided rule: deterministic,
+       non-iterative — unlike connected-components canonicalization it
+       needs no fixpoint loop, at the cost of keeping at most one doc of
+       each near-dup chain edge-wise).
+
+    Scale: stages only shrink data; the LSH stage (the expensive one)
+    runs on the already-gated unique set. Returns the surviving document
+    rows.
+    """
+    from lakehouse_adventureworks2022_spark.operators import textops
+
+    stats = textops.token_stats(df, text_col)
+    quality = df.join(
+        stats.filter(F.col("is_quality")).select("doc_id"), "doc_id", "left_semi"
+    )
+    keepers = dedup_exact(quality, text_col).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    uniq = quality.join(keepers, "doc_id", "left_semi")
+    pairs = minhash_lsh_pairs(uniq, text_col, threshold=threshold)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return uniq.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "source", "lang", "n_chars"
+    )

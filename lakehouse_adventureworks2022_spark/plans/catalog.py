@@ -109,6 +109,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": text_queries.q_minhash_lsh,
     "dedup_simhash": text_queries.q_simhash,
     "dedup_embedding_cosine": text_queries.q_embedding_near_dup,
+    "clean_corpus": text_queries.q_clean_corpus,
     # TPC-H-shaped analytics (A4/J7/T1 at full selectivity + breadth)
     "tpch_q1": tpch.tpch_q1,
     "tpch_q3": tpch.tpch_q3,
@@ -335,6 +336,7 @@ ORACLES: dict[str, str] = {
     """,
     "dedup_simhash": text_queries.ORACLE_SIMHASH,
     "dedup_embedding_cosine": text_queries.ORACLE_EMBEDDING_NEAR_DUP,
+    "clean_corpus": text_queries.ORACLE_CLEAN_CORPUS,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -188,8 +188,14 @@ ORACLE_NGRAM_JACCARD = f"""
 _K = dedup.MINHASH_K
 _BR = dedup.BAND_ROWS
 
-ORACLE_MINHASH_LSH = f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+def _minhash_pairs_sql(src: str, threshold: float = 0.2) -> str:
+    """Standalone SELECT producing the MinHash-LSH near-dup pairs
+    (doc_a, doc_b, n_common, jaccard) of relation ``src`` — parameterized
+    so composite oracles (``clean_corpus``) can run it over a filtered
+    subset. Per-doc signatures are input-set independent, so pairs over a
+    subset == full pairs restricted to the subset."""
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
     sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM t),
     seeds AS (SELECT lpad(CAST(i AS VARCHAR), 2, '0') AS seed
               FROM range({_K}) r(i)),
@@ -222,8 +228,11 @@ ORACLE_MINHASH_LSH = f"""
     JOIN sizes za ON doc_a = za.doc_id
     JOIN sizes zb ON doc_b = zb.doc_id
     WHERE CAST(n_common AS DOUBLE)
-          / (za.n_shingles + zb.n_shingles - n_common) >= 0.2
-"""
+          / (za.n_shingles + zb.n_shingles - n_common) >= {threshold}
+    """
+
+
+ORACLE_MINHASH_LSH = _minhash_pairs_sql("documents")
 
 ORACLE_SIMHASH = f"""
     WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
@@ -286,4 +295,38 @@ ORACLE_ANN_COSINE = """
     )
     SELECT query_id, cand_id, CAST(rk AS INT) AS rank, cosine
     FROM ranked WHERE rk <= 10
+"""
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.clean_corpus(read_table(spark, sf_dir, "documents"))
+
+
+_QUALITY_PRED = f"""(len(toks) >= 5
+            AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.05
+            AND CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                / length(text) < 0.2)"""
+
+ORACLE_CLEAN_CORPUS = f"""
+    WITH stats AS (
+      SELECT doc_id, {_QUALITY_PRED} AS is_quality
+      FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    ),
+    q AS (
+      SELECT d.* FROM documents d
+      JOIN stats s ON d.doc_id = s.doc_id AND s.is_quality
+    ),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+            FROM q)
+      GROUP BY h
+    ),
+    u AS (SELECT q.* FROM q JOIN keep ON q.doc_id = keep.doc_id),
+    pairs AS ({_minhash_pairs_sql("u")}),
+    dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+    SELECT doc_id, source, lang, n_chars
+    FROM u
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 """
