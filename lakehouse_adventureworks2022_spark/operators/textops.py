@@ -122,3 +122,26 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("content_hash"),
         min_shingle_hash.alias("min_shingle_hash"),
     )
+
+
+#: BPE-ish pre-tokenizer: letter runs, single digits, single
+#: non-alphanumeric marks (the GPT-2-style split shape, ASCII classes
+#: only so Java and RE2 regex engines agree byte-for-byte).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting at both granularities a training pipeline budgets
+    with: whitespace tokens and BPE-ish subword pieces (letter runs /
+    digits / marks). ``chars_per_subword`` approximates the
+    chars-per-token compression ratio used for corpus sizing."""
+    ws = F.size(tokens_col(F.col(text_col)))
+    sub = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
+    return df.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        sub.alias("n_subword_tokens"),
+        F.when(
+            sub > 0, F.length(F.col(text_col)).cast("double") / sub
+        ).alias("chars_per_subword"),
+    )

@@ -100,6 +100,7 @@ QUERIES: dict[str, QueryFn] = {
     "scd2_part_dimension": scd2_query.scd2_part_dimension,
     # training-data ops: text analysis
     "text_stats": text_queries.q_text_stats,
+    "token_counts": text_queries.q_token_counts,
     "lang_id": text_queries.q_lang_id,
     "doc_fingerprint": text_queries.q_fingerprint,
     # training-data ops: dedup (exact / Jaccard / MinHash-LSH / SimHash /
@@ -317,6 +318,7 @@ ORACLES: dict[str, str] = {
     """,
     "scd2_part_dimension": scd2_query.ORACLE,
     "text_stats": text_queries.ORACLE_TEXT_STATS,
+    "token_counts": text_queries.ORACLE_TOKEN_COUNTS,
     "lang_id": text_queries.ORACLE_LANG_ID,
     "doc_fingerprint": text_queries.ORACLE_FINGERPRINT,
     "dedup_exact": text_queries.ORACLE_DEDUP_EXACT,

@@ -330,3 +330,21 @@ ORACLE_CLEAN_CORPUS = f"""
     FROM u
     WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 """
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_counts(read_table(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKEN_COUNTS = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks,
+                      regexp_extract_all(text, '{textops.BPE_PATTERN}') AS subs
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_ws_tokens,
+           CAST(len(subs) AS INT) AS n_subword_tokens,
+           CASE WHEN len(subs) > 0
+                THEN CAST(length(text) AS DOUBLE) / len(subs) END
+             AS chars_per_subword
+    FROM t
+"""
