@@ -101,3 +101,12 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
             continue
         plan = plan_of(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_distinct_marts_plan_no_expand(spark, sf_dir):
+    """sales_summary/top_products compute COUNT(DISTINCT) as two-phase
+    aggregations — the plan must not contain the distinct-expand (which
+    doubles fact rows through the shuffle)."""
+    for q in (marts.sales_summary, marts.top_products):
+        plan = plan_of(q(spark, sf_dir))
+        assert "Expand" not in plan, q.__name__
