@@ -80,3 +80,58 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     want = click_purchase_join_batch(read_table(spark, sf_dir, "events"))
     assert _rowset(got) == _rowset(want)
     assert got.count() > 0
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """An event arriving behind the watermark must NOT revise an already
+    finalized window (the late-data policy the reference's hand-rolled
+    checkpoint loop cannot express — SURVEY.md §2.9)."""
+    import datetime
+    import time
+
+    from pyspark.sql import functions as F
+
+    def ev(eid, hhmm, val):
+        h, m = divmod(hhmm, 100)
+        return (eid, datetime.datetime(2024, 3, 1, h, m), 1, "click", float(val), "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # batch 1: three events in the 10:00 window, plus one at 14:00 that
+    # advances the watermark (1h) to 13:00, finalizing window 10:00
+    spark.createDataFrame(
+        [ev(1, 1005, 1), ev(2, 1015, 1), ev(3, 1045, 1), ev(4, 1400, 1)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    events = spark.readStream.schema(schema).parquet(str(src))
+    counts = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: a LATE event for the finalized 10:00 window (behind the
+    # 13:00 watermark) and a fresh 15:00 event to trigger emission
+    time.sleep(1)  # distinct file mtime so the source sees a new file
+    spark.createDataFrame([ev(5, 1030, 99), ev(6, 1500, 1)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["ws"].hour: r["n"] for r in spark.table("t_late_drop").collect()
+    }
+    assert got[10] == 3  # late event 5 dropped, count unrevised
