@@ -85,3 +85,21 @@ def money(col: Column, scale: int = 4) -> Column:
     cross-engine on ~0.1% of 20k groups).
     """
     return F.round(col, scale)
+
+
+def money_sum(expr: Column, scale: int = 4) -> Column:
+    """Exact monetary SUM for coarse/unbounded groups: each double term
+    converts to its nearest 6-dp decimal (deterministic and tie-free —
+    fixture monetary products are exact at ≤6dp, so this recovers the
+    true term), the decimals sum EXACTLY, and the result rounds to
+    ``scale`` and returns as double.
+
+    Why not ``money(F.sum(...))``: double accumulation error grows with
+    group size — at sf0.1 a grand-total sum (~6e9 over 600k terms)
+    drifts past the 4dp half-boundary and the rounded digit flips with
+    accumulation order (observed cross-engine on rollup totals and
+    TPC-H Q1). Decimal accumulation is order-independent at ANY data
+    scale — the 100 TB-safe form for rollup/grand-total measures. SQL
+    twin: ``CAST(ROUND(SUM(CAST(x AS DECIMAL(28,6))), s) AS DOUBLE)``.
+    """
+    return F.round(F.sum(expr.cast("decimal(28,6)")), scale).cast("double")

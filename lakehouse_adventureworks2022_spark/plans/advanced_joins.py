@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakehouse_adventureworks2022_spark.functions.dialect import money
+from lakehouse_adventureworks2022_spark.functions.dialect import money, money_sum
 from lakehouse_adventureworks2022_spark.sources.readers import read_table
 
 
@@ -162,7 +162,8 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         small.join(F.broadcast(part), small["l_partkey"] == part["p_partkey"], "inner")
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
-            money(F.sum("l_extendedprice")).alias("small_qty_revenue"),
+            # brand-level totals are coarse → exact decimal accumulation
+            money_sum(F.col("l_extendedprice")).alias("small_qty_revenue"),
             F.count(F.lit(1)).alias("small_qty_lines"),
         )
     )

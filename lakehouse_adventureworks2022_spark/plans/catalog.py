@@ -5,9 +5,11 @@ testing against DuckDB (SURVEY.md §5.1, driver contract).
 Conventions (the driver hashes values after sorting columns by name):
 - every computed/aggregate column is aliased identically in the Spark plan
   and the oracle SQL;
-- double aggregates go through the engine rounding policy
+- fine-grained double aggregates go through the engine rounding policy
   (``functions.dialect.money``) in BOTH engines so accumulation-order noise
-  cannot flip the hash;
+  cannot flip the hash; coarse-group sums (rollup/grand totals, year- or
+  nation-level) use exact decimal accumulation (``dialect.money_sum`` /
+  ``SUM(CAST(x AS DECIMAL(28,6)))``) — order-independent at any magnitude;
 - timestamps are µs, session timezone UTC in both engines.
 """
 
@@ -196,10 +198,10 @@ ORACLES: dict[str, str] = {
                l.l_linestatus AS line_status,
                COUNT(DISTINCT o.o_orderkey) AS order_count,
                COUNT(*) AS line_count,
-               ROUND(SUM(l.l_quantity), 4) AS total_qty,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue,
-               ROUND(SUM(l.l_extendedprice * l.l_discount), 4) AS total_discount_amount,
-               ROUND(SUM(l.l_extendedprice), 2) / COUNT(*) AS avg_unit_price_ext
+               CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_qty,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_revenue,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * l.l_discount AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_discount_amount,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) / COUNT(*) AS avg_unit_price_ext
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -341,14 +343,14 @@ ORACLES: dict[str, str] = {
     "clean_corpus": text_queries.ORACLE_CLEAN_CORPUS,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 4) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 6) AS DOUBLE)
                  AS sum_charge,
-               ROUND(SUM(l_quantity), 2) / COUNT(*) AS avg_qty,
-               ROUND(SUM(l_extendedprice), 2) / COUNT(*) AS avg_price,
-               ROUND(SUM(l_discount), 2) / COUNT(*) AS avg_disc,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(28,6))), 2) AS DOUBLE) / COUNT(*) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -371,7 +373,7 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_q5": """
         SELECT n.n_name AS nation_name,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -403,8 +405,8 @@ ORACLES: dict[str, str] = {
         SELECT r.r_name AS region_name,
                n.n_name AS nation_name,
                c.c_mktsegment AS market_segment,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue,
-               ROUND(SUM(l.l_quantity), 4) AS total_qty,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_revenue,
+               CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_qty,
                COUNT(*) AS line_count,
                CAST(GROUPING(r.r_name, n.n_name, c.c_mktsegment) AS INT)
                  AS grouping_level
@@ -507,16 +509,9 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_q8_market_share": """
         SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
-               ROUND(SUM(CASE WHEN sn.n_name = 'CHINA'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0.0 END), 4) AS china_revenue,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
-                 AS total_revenue,
-               ROUND(ROUND(SUM(CASE WHEN sn.n_name = 'CHINA'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0.0 END), 4)
-                     / ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4),
-                     6) AS market_share
+               CAST(ROUND(SUM(CAST(CASE WHEN sn.n_name = 'CHINA' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END AS DECIMAL(28,6))), 4) AS DOUBLE) AS china_revenue,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_revenue,
+               ROUND(CAST(ROUND(SUM(CAST(CASE WHEN sn.n_name = 'CHINA' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END AS DECIMAL(28,6))), 4) AS DOUBLE) / CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE), 6) AS market_share
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -529,7 +524,7 @@ ORACLES: dict[str, str] = {
     "revenue_grouping_sets": """
         SELECT r.r_name AS region_name,
                c.c_mktsegment AS market_segment,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE)
                  AS total_revenue,
                COUNT(*) AS line_count,
                CAST(GROUPING(r.r_name, c.c_mktsegment) AS INT)
@@ -611,7 +606,7 @@ ORACLES: dict[str, str] = {
         WITH per AS (
           SELECT CAST(year(o_orderdate) AS INT) AS order_year,
                  o_orderpriority AS order_priority,
-                 ROUND(SUM(o_totalprice), 4) AS revenue,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue,
                  COUNT(*) AS order_count
           FROM orders GROUP BY 1, 2
         )
@@ -679,7 +674,7 @@ ORACLES: dict[str, str] = {
           FROM lineitem GROUP BY 1
         )
         SELECT p.p_brand AS brand,
-               ROUND(SUM(l.l_extendedprice), 4) AS small_qty_revenue,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))), 4) AS DOUBLE) AS small_qty_revenue,
                COUNT(*) AS small_qty_lines
         FROM lineitem l
         JOIN pa ON l.l_partkey = pa.l_partkey

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_adventureworks2022_spark.functions.dialect import money
+from lakehouse_adventureworks2022_spark.functions.dialect import money, money_sum
 from lakehouse_adventureworks2022_spark.sources.readers import read_table
 
 
@@ -147,12 +147,14 @@ def sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("order_count"),
             F.sum("_lines").alias("line_count"),
-            money(F.sum("_qty")).alias("total_qty"),
-            money(F.sum("_rev")).alias("total_revenue"),
-            money(F.sum("_disc")).alias("total_discount_amount"),
+            # group count is bounded (~50k key combos) while sums grow
+            # with the fact -> coarse at scale: exact decimal accumulation
+            money_sum(F.col("_qty")).alias("total_qty"),
+            money_sum(F.col("_rev")).alias("total_revenue"),
+            money_sum(F.col("_disc")).alias("total_discount_amount"),
             # avg computed as round(sum,2)/count: the numerator is an exact
             # 2dp decimal in every engine, so the division is bit-identical
             # IEEE — no final rounding that could straddle a half boundary.
-            (money(F.sum("_price"), 2) / F.sum("_lines")).alias("avg_unit_price_ext"),
+            (money_sum(F.col("_price"), 2) / F.sum("_lines")).alias("avg_unit_price_ext"),
         )
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_adventureworks2022_spark.functions.dialect import money
+from lakehouse_adventureworks2022_spark.functions.dialect import money, money_sum
 from lakehouse_adventureworks2022_spark.sources.readers import read_table
 
 
@@ -45,8 +45,9 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.rollup("region_name", "nation_name", "market_segment")
         .agg(
-            money(F.sum("rev")).alias("total_revenue"),
-            money(F.sum("l_quantity")).alias("total_qty"),
+            # rollup grand totals are coarse -> exact decimal accumulation
+            money_sum(F.col("rev")).alias("total_revenue"),
+            money_sum(F.col("l_quantity")).alias("total_qty"),
             F.count(F.lit(1)).alias("line_count"),
             F.grouping_id().cast("int").alias("grouping_level"),
         )
@@ -165,7 +166,7 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region_name",
         "market_segment",
     ).agg(
-        money(F.sum("rev")).alias("total_revenue"),
+        money_sum(F.col("rev")).alias("total_revenue"),
         F.count(F.lit(1)).alias("line_count"),
         F.grouping_id().cast("int").alias("grouping_level"),
     )

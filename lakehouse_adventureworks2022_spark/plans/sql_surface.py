@@ -72,10 +72,14 @@ SQL_CATALOG: dict[str, str] = {
                l.l_linestatus AS line_status,
                COUNT(DISTINCT o.o_orderkey) AS order_count,
                COUNT(*) AS line_count,
-               ROUND(SUM(l.l_quantity), 4) AS total_qty,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue,
-               ROUND(SUM(l.l_extendedprice * l.l_discount), 4) AS total_discount_amount,
-               ROUND(SUM(l.l_extendedprice), 2) / COUNT(*) AS avg_unit_price_ext
+               CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(28,6))), 4)
+                    AS DOUBLE) AS total_qty,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_revenue,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * l.l_discount
+                    AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_discount_amount,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))), 2)
+                    AS DOUBLE) / COUNT(*) AS avg_unit_price_ext
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey

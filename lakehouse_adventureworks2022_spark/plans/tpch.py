@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_adventureworks2022_spark.functions.dialect import money
+from lakehouse_adventureworks2022_spark.functions.dialect import money, money_sum
 from lakehouse_adventureworks2022_spark.sources.readers import read_table
 
 
@@ -31,15 +31,18 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            money(F.sum("l_quantity")).alias("sum_qty"),
-            money(F.sum("l_extendedprice")).alias("sum_base_price"),
-            money(F.sum(disc_price)).alias("sum_disc_price"),
-            money(F.sum(charge), 6).alias("sum_charge"),
-            (money(F.sum("l_quantity"), 2) / F.count(F.lit(1))).alias("avg_qty"),
-            (money(F.sum("l_extendedprice"), 2) / F.count(F.lit(1))).alias(
+            # coarse groups (6 flag combos hold the whole fact): exact
+            # decimal accumulation — double sums drift past the rounding
+            # resolution at these magnitudes (see dialect.money_sum)
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(charge, 6).alias("sum_charge"),
+            (money_sum(F.col("l_quantity"), 2) / F.count(F.lit(1))).alias("avg_qty"),
+            (money_sum(F.col("l_extendedprice"), 2) / F.count(F.lit(1))).alias(
                 "avg_price"
             ),
-            (money(F.sum("l_discount"), 2) / F.count(F.lit(1))).alias("avg_disc"),
+            (money_sum(F.col("l_discount"), 2) / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -101,7 +104,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
         )
         .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(money(F.sum(revenue)).alias("revenue"))
+        # nation-level totals are coarse → exact decimal accumulation
+        .agg(money_sum(revenue).alias("revenue"))
     )
 
 
@@ -168,10 +172,11 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp_nation), lineitem["l_suppkey"] == supp_nation["s_suppkey"])
         .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
         .agg(
-            money(F.sum(F.when(F.col("supp_nation") == "CHINA", rev).otherwise(F.lit(0.0)))).alias(
-                "china_revenue"
-            ),
-            money(F.sum(rev)).alias("total_revenue"),
+            # year-level totals are coarse → exact decimal accumulation
+            money_sum(
+                F.when(F.col("supp_nation") == "CHINA", rev).otherwise(F.lit(0.0))
+            ).alias("china_revenue"),
+            money_sum(rev).alias("total_revenue"),
         )
         .select(
             "order_year",

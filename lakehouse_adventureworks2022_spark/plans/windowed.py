@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakehouse_adventureworks2022_spark.functions.dialect import money
+from lakehouse_adventureworks2022_spark.functions.dialect import money, money_sum
 from lakehouse_adventureworks2022_spark.sources.readers import read_table
 
 
@@ -94,7 +94,11 @@ def priority_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("order_year"),
             F.col("o_orderpriority").alias("order_priority"),
         )
-        .agg(money(F.sum("o_totalprice")).alias("revenue"), F.count(F.lit(1)).alias("order_count"))
+        .agg(
+            # year-priority totals are coarse -> exact decimal accumulation
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
     )
     w = Window.partitionBy("order_year")
     return per.select(
