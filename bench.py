@@ -47,6 +47,8 @@ HEADLINE = [
     "small_quantity_part_revenue",
     "customer_order_distribution",
     "ann_cosine_topk_ivf",
+    "sales_rollup",
+    "clean_corpus",
 ]
 
 
