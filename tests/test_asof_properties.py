@@ -75,3 +75,55 @@ def test_asof_equals_naive_quadratic(sparkref, tmp_path_factory, events):
             assert got[pid] == (None, None), pid
         else:
             assert got[pid] == (best[0], best[1]), pid
+
+
+def naive_burst(rows):
+    """Quadratic reference for the banded range join."""
+    out = {}
+    for eid, ets, euser, ekind in rows:
+        if ekind != "error":
+            continue
+        hits = [
+            1
+            for aid, ats, auser, akind in rows
+            if akind in ("click", "view")
+            and auser == euser
+            and ats <= ets
+            and (ets - ats).total_seconds() < 300
+        ]
+        if hits:
+            out[eid] = len(hits)
+    return out
+
+
+burst_event_strategy = st.tuples(
+    st.integers(min_value=0, max_value=700),  # second offsets spanning buckets
+    st.integers(min_value=0, max_value=2),
+    st.sampled_from(["click", "view", "error"]),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=st.lists(burst_event_strategy, min_size=1, max_size=25))
+def test_band_join_equals_naive_quadratic(sparkref, tmp_path_factory, events):
+    spark = sparkref
+    rows = [
+        (i, BASE + datetime.timedelta(seconds=sec), user, kind)
+        for i, (sec, user, kind) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, k, 1.0, "{}") for i, ts, u, k in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tmp_path_factory.mktemp("burst")
+    df.write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = {
+        r["error_id"]: r["prior_activity_count"]
+        for r in advanced_joins.error_burst_context(spark, str(d)).collect()
+    }
+    assert got == naive_burst(rows)
