@@ -42,13 +42,21 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity"),
         )
     )
+    # Pre-aggregate to the leaf grouping FIRST (≈ |regions|×|nations|×
+    # |segments| rows), then rollup over the partials — the Expand ×4
+    # multiplies hundreds of rows instead of the whole fact. Exact:
+    # decimal partial sums re-sum exactly; counts sum.
+    leaf = base.groupBy("region_name", "nation_name", "market_segment").agg(
+        F.sum(F.col("rev").cast("decimal(28,6)")).alias("_rev"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("_qty"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
     return (
-        base.rollup("region_name", "nation_name", "market_segment")
+        leaf.rollup("region_name", "nation_name", "market_segment")
         .agg(
-            # rollup grand totals are coarse -> exact decimal accumulation
-            money_sum(F.col("rev")).alias("total_revenue"),
-            money_sum(F.col("l_quantity")).alias("total_qty"),
-            F.count(F.lit(1)).alias("line_count"),
+            F.round(F.sum("_rev"), 4).cast("double").alias("total_revenue"),
+            F.round(F.sum("_qty"), 4).cast("double").alias("total_qty"),
+            F.sum("_cnt").alias("line_count"),
             F.grouping_id().cast("int").alias("grouping_level"),
         )
     )
@@ -161,12 +169,17 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
         )
     )
-    return base.groupingSets(
+    # leaf pre-aggregation before Expand (see sales_rollup)
+    leaf = base.groupBy("region_name", "market_segment").agg(
+        F.sum(F.col("rev").cast("decimal(28,6)")).alias("_rev"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    return leaf.groupingSets(
         [["region_name"], ["market_segment"], []],
         "region_name",
         "market_segment",
     ).agg(
-        money_sum(F.col("rev")).alias("total_revenue"),
-        F.count(F.lit(1)).alias("line_count"),
+        F.round(F.sum("_rev"), 4).cast("double").alias("total_revenue"),
+        F.sum("_cnt").alias("line_count"),
         F.grouping_id().cast("int").alias("grouping_level"),
     )
