@@ -124,6 +124,8 @@ QUERIES: dict[str, QueryFn] = {
     "customers_without_orders": relational.customers_without_orders,
     "repeat_customers": relational.repeat_customers,
     "event_value_stats": relational.event_value_stats,
+    "event_value_stats_approx": relational.event_value_stats_approx,
+    "corpus_report": text_queries.q_corpus_report,
     # semi-structured + reshaping: XML parse (F9), set ops, pivot
     "xml_roundtrip": semistructured.xml_roundtrip,
     "user_churn_set_ops": semistructured.user_churn_set_ops,
@@ -169,6 +171,8 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "ann_cosine_topk_np",  # GEMM float-sum order ≠ sequential fold
         "ann_cosine_topk_lsh",  # single-probe LSH: recall < 1 by design
         "ann_cosine_topk_ivf",  # n_probe-cell IVF: recall < 1 by design
+        "event_value_stats_approx",  # t-digest percentiles
+
     }
 )
 
@@ -321,6 +325,7 @@ ORACLES: dict[str, str] = {
     "scd2_part_dimension": scd2_query.ORACLE,
     "text_stats": text_queries.ORACLE_TEXT_STATS,
     "token_counts": text_queries.ORACLE_TOKEN_COUNTS,
+    "corpus_report": text_queries.ORACLE_CORPUS_REPORT,
     "lang_id": text_queries.ORACLE_LANG_ID,
     "doc_fingerprint": text_queries.ORACLE_FINGERPRINT,
     "dedup_exact": text_queries.ORACLE_DEDUP_EXACT,

@@ -183,3 +183,16 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_cnt").alias("line_count"),
         F.grouping_id().cast("int").alias("grouping_level"),
     )
+
+
+def event_value_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB variant of :func:`event_value_stats`: t-digest
+    ``approx_percentile`` — single pass, bounded memory, no per-group
+    sort. Approximate by design ⇒ rows-only check."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("approx_percentile(value, 0.5)").alias("p50_approx"),
+        F.expr("approx_percentile(value, 0.9)").alias("p90_approx"),
+        F.expr("approx_percentile(value, 0.99)").alias("p99_approx"),
+    )

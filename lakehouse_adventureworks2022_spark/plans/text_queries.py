@@ -348,3 +348,35 @@ ORACLE_TOKEN_COUNTS = f"""
              AS chars_per_subword
     FROM t
 """
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus profile: doc count, mean tokens, quality
+    rate — the summary a data curator reads before/after clean_corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    stats = textops.token_stats(docs)
+    joined = docs.select("doc_id", "source", "lang").join(stats, "doc_id")
+    from pyspark.sql import functions as F
+
+    return joined.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+            "mean_tokens"
+        ),
+        (
+            F.sum(F.when(F.col("is_quality"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("quality_rate"),
+    )
+
+
+ORACLE_CORPUS_REPORT = f"""
+    WITH t AS (SELECT doc_id, source, lang, {_TOKS} AS toks, text FROM documents)
+    SELECT source, lang,
+           COUNT(*) AS doc_count,
+           CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS mean_tokens,
+           CAST(SUM(CASE WHEN {_QUALITY_PRED} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS quality_rate
+    FROM t
+    GROUP BY 1, 2
+"""
