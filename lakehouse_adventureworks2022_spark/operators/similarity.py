@@ -239,11 +239,14 @@ def cosine_topk_ivf(
 
     Classic two-stage ANN (the standard alternative to LSH bucketing):
 
-    1. *Train* — a deterministic sample of candidates (every Nth vec_id,
-       capped at ``train_cap``) is pulled to the driver and Lloyd-iterated
+    1. *Train* — a deterministic sample of candidates (the ``train_cap``
+       lowest ``xxhash64(vec_id)`` values — a seedless pseudo-random
+       draw that needs no pre-count, works with sparse/offset ids, and
+       compiles to TakeOrderedAndProject: per-partition top-k then one
+       driver merge, never a full scan job of its own) is Lloyd-iterated
        into ``n_cells`` spherical centroids. Init is the first
-       ``n_cells`` sample vectors in vec_id order — seedless, so re-runs
-       and restarts agree bit-for-bit.
+       ``n_cells`` sample vectors in hash order — re-runs agree
+       bit-for-bit.
     2. *Assign + probe* — every candidate joins its nearest cell (one
        Arrow-batched argmax per batch, broadcast centroid matrix); each
        query probes its ``n_probe`` nearest cells. Scoring happens only
@@ -258,18 +261,22 @@ def cosine_topk_ivf(
     """
     import numpy as np
 
-    # --- train (driver-side, bounded) -----------------------------------
-    n_cand = candidates.count()
-    stride = max(1, n_cand // train_cap)
+    def _safe_norms(m: "np.ndarray") -> "np.ndarray":
+        # zero-norm vectors would divide to NaN and silently corrupt every
+        # cell assignment they touch; treat them as unit-norm instead
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return n
+
+    # --- train (driver-side, bounded; single top-k job, no pre-count) ---
     sample = (
-        candidates.filter(F.col("vec_id") % stride == 0)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
+        candidates.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(train_cap)
         .collect()
     )
     tm = np.array([r["embedding"] for r in sample], dtype=np.float64)
-    tm /= np.linalg.norm(tm, axis=1, keepdims=True)
+    tm /= _safe_norms(tm)
     cents = tm[: min(n_cells, len(tm))].copy()
     for _ in range(8):  # Lloyd on the unit sphere (cosine k-means)
         assign = np.argmax(tm @ cents.T, axis=1)
@@ -288,7 +295,9 @@ def cosine_topk_ivf(
             em = np.array(list(pdf["embedding"]), dtype=np.float64)
             if em.size == 0:
                 continue
-            em_n = em / np.linalg.norm(em, axis=1, keepdims=True)
+            norms = np.linalg.norm(em, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            em_n = em / norms
             yield pd.DataFrame(
                 {
                     "cand_id": pdf["vec_id"],
@@ -305,7 +314,7 @@ def cosine_topk_ivf(
     # --- probe: n_probe nearest cells per query (query side is small) ---
     qrows = queries.select("vec_id", "embedding").collect()
     qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qm_n = qm / _safe_norms(qm)
     probe_idx = np.argsort(-(qm_n @ cm.T), axis=1)[:, :n_probe]
     probes = queries.sparkSession.createDataFrame(
         [

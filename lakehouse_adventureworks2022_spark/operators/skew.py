@@ -23,9 +23,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _row_salt(df: DataFrame, n_salts: int, salt_on: str) -> Column:
-    """Deterministic per-row salt in [0, n_salts): hash of a row-varying
-    column (NOT the grouping key — identical keys must spread)."""
+def _row_salt(
+    df: DataFrame, n_salts: int, salt_on: str | None, key_cols: tuple[str, ...]
+) -> Column:
+    """Deterministic per-row salt in [0, n_salts).
+
+    Defaults to a whole-row ``xxhash64`` so identical join/grouping keys
+    still spread (a salt derived from the key itself would send every row
+    of a hot key to ONE reducer — a silent no-op). An explicit ``salt_on``
+    column is accepted but rejected when it IS the key: that defeats the
+    mitigation by construction.
+    """
+    if salt_on is None:
+        return F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
+    if salt_on in key_cols:
+        raise ValueError(
+            f"salt_on={salt_on!r} is a grouping/join key: identical keys "
+            "would all get one salt and never spread; pass a row-varying "
+            "column or leave salt_on=None for a whole-row hash"
+        )
     return F.pmod(F.hash(F.col(salt_on)), F.lit(n_salts)).cast("int")
 
 
@@ -41,10 +57,11 @@ def salted_aggregate(
 
     Stage 1 groups by (keys, salt) — a hot key fans out over ``n_salts``
     reducers; stage 2 merges the ≤ ``n_salts × |keys-space|`` partials.
-    ``salt_on`` names a row-varying column (defaults to the first
-    summed column — adequate spread for numeric measures).
+    ``salt_on`` optionally names a row-varying column; the default is a
+    whole-row hash, which spreads hot keys even when every measure value
+    is constant.
     """
-    salt_col = _row_salt(df, n_salts, salt_on or sums[0])
+    salt_col = _row_salt(df, n_salts, salt_on, tuple(keys))
     stage1 = (
         df.withColumn("_salt", salt_col)
         .groupBy(*keys, "_salt")
@@ -81,7 +98,7 @@ def replicated_skew_join(
     if how not in ("inner", "left"):
         raise ValueError("replicated_skew_join supports inner/left joins")
     salted_fact = fact.withColumn(
-        "_salt", _row_salt(fact, n_salts, salt_on or fact_key)
+        "_salt", _row_salt(fact, n_salts, salt_on, (fact_key,))
     )
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -31,6 +31,13 @@ STOPWORDS_ALL: tuple[str, ...] = tuple(
     dict.fromkeys(w for ws in LANG_STOPWORDS.values() for w in ws)
 )
 
+#: Trainability-gate thresholds. Single source of truth: the SQL twin in
+#: ``plans/text_queries.py`` builds its quality predicate from these same
+#: constants, so an edit here cannot desynchronize the oracles.
+QUALITY_MIN_TOKENS = 5
+QUALITY_MIN_TTR = 0.05
+QUALITY_MAX_PUNCT_RATIO = 0.2
+
 
 def tokens_col(text: Column) -> Column:
     """Whitespace tokenization of lowercased text (the engine's shared
@@ -76,9 +83,12 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     # punctuation density (the length/punct/stopword quality heuristics)
     return out.withColumn(
         "is_quality",
-        (F.col("n_tokens") >= 5)
-        & (F.col("type_token_ratio") > 0.05)
-        & (F.col("punct_count").cast("double") / F.col("n_chars") < 0.2),
+        (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+        & (F.col("type_token_ratio") > QUALITY_MIN_TTR)
+        & (
+            F.col("punct_count").cast("double") / F.col("n_chars")
+            < QUALITY_MAX_PUNCT_RATIO
+        ),
     )
 
 

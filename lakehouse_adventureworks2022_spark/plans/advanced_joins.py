@@ -80,8 +80,10 @@ _BURST_MINUTES = 5
 
 
 def error_burst_context(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """For every ``error`` event, how much click/view activity the same
-    user produced in the preceding 5 minutes (banded range self-join).
+    """For every ``error`` event with at least one click/view by the same
+    user in the preceding 5 minutes, how much of that activity there was
+    (banded range self-join). Errors with zero prior activity do not
+    appear — the join is inner; oracle and property test encode this.
 
     Scale plan: both sides get a 5-minute bucket key; activity joins on
     (user, bucket) for bucket offsets {0, 1} — i.e. each activity row is

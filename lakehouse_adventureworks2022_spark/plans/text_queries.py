@@ -86,6 +86,14 @@ _TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
 _STOP_ALL = ", ".join(f"'{w}'" for w in textops.STOPWORDS_ALL)
 
+#: SQL twin of textops.token_stats' is_quality gate, built from the SAME
+#: threshold constants so the two can never silently diverge. Expects
+#: columns ``text`` and ``toks`` in scope.
+_QUALITY_PRED = f"""(len(toks) >= {textops.QUALITY_MIN_TOKENS}
+            AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > {textops.QUALITY_MIN_TTR}
+            AND CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                / length(text) < {textops.QUALITY_MAX_PUNCT_RATIO})"""
+
 ORACLE_TEXT_STATS = f"""
     WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     SELECT doc_id,
@@ -101,10 +109,7 @@ ORACLE_TEXT_STATS = f"""
                AS stopword_ratio,
            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT)
                AS punct_count,
-           (len(toks) >= 5
-            AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.05
-            AND CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-                / length(text) < 0.2) AS is_quality
+           {_QUALITY_PRED} AS is_quality
     FROM t
 """
 
@@ -301,11 +306,6 @@ ORACLE_ANN_COSINE = """
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.clean_corpus(read_table(spark, sf_dir, "documents"))
 
-
-_QUALITY_PRED = f"""(len(toks) >= 5
-            AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.05
-            AND CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-                / length(text) < 0.2)"""
 
 ORACLE_CLEAN_CORPUS = f"""
     WITH stats AS (

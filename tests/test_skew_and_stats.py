@@ -37,6 +37,43 @@ def test_salted_aggregate_splits_hot_key(spark):
     assert abs(out[0]["sum_v"] - sum(range(10000))) < 1e-6
 
 
+def test_salted_aggregate_constant_measure_still_spreads(spark):
+    # a hot key whose measure is CONSTANT: the old sums[0]-derived salt
+    # collapsed to one reducer here; the whole-row default must not
+    df = spark.range(5000).select(
+        F.lit("hot").alias("k"),
+        F.lit(1.0).alias("v"),
+        F.col("id").alias("row_id"),
+    )
+    salts = (
+        df.withColumn("_salt", skew._row_salt(df, 8, None, ("k",)))
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts > 1
+    out = skew.salted_aggregate(df, keys=["k"], sums=["v"], n_salts=8).collect()
+    assert len(out) == 1 and out[0]["sum_v"] == 5000.0
+
+
+def test_salt_on_grouping_key_is_rejected(spark):
+    import pytest
+
+    df = spark.range(10).select(F.lit("hot").alias("k"), F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="grouping/join key"):
+        skew.salted_aggregate(df, keys=["k"], sums=["v"], salt_on="k")
+    with pytest.raises(ValueError, match="grouping/join key"):
+        skew.replicated_skew_join(df, df, "k", "k", salt_on="k")
+
+
+def test_replicated_skew_join_default_salt_matches_plain(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    got = skew.replicated_skew_join(li, part, "l_partkey", "p_partkey", n_salts=4)
+    want = li.join(part, li["l_partkey"] == part["p_partkey"], "inner")
+    assert _rowset(got) == _rowset(want)
+
+
 def test_replicated_skew_join_matches_plain_inner_and_left(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
