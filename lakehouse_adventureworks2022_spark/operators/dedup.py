@@ -144,13 +144,76 @@ def simhash_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_pairs(
     df: DataFrame, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+    """Near-dup pairs by SimHash Hamming distance — EXACT result via
+    pigeonhole block bucketing (no all-pairs join anywhere).
 
-    All-pairs comparison here (fixture-sized); the scale path buckets on
-    rotated fingerprint prefixes (pigeonhole: distance ≤ d ⇒ some
-    ⌈32/(d+1)⌉-bit block matches exactly) — same equi-join shape as the
-    MinHash bands.
+    Split the 32-bit fingerprint into ``max_hamming + 1`` contiguous
+    blocks: two fingerprints within Hamming distance d differ in at most
+    d blocks, so at least one block matches *exactly* (pigeonhole).
+    Candidates therefore come from an equi-join on (block index, block
+    value) — the same shuffle shape as the MinHash bands — and the exact
+    Hamming predicate verifies only the candidate set. Recall is 1.0 by
+    construction (tested equal to the naive quadratic form), so the
+    oracle of the all-pairs definition still applies unchanged.
+
+    Scale: the join key (blk, blk_val) is near-uniform for d ≤ 7 (blocks
+    of ≥ 4 bits over hash-derived fingerprints); a corpus of true
+    duplicates concentrates some buckets, which AQE skew-split handles —
+    never a cross product.
     """
+    return simhash_fingerprint_pairs(simhash_docs(df, text_col), max_hamming)
+
+
+def simhash_fingerprint_pairs(
+    sh: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Pigeonhole block-bucket pairing over a (doc_id, simhash) frame —
+    the candidate-generation + verify core of :func:`simhash_pairs`,
+    exposed separately so the exactness property (≡ naive all-pairs) is
+    testable on arbitrary fingerprints."""
+    n_blocks = max_hamming + 1
+    width = -(-32 // n_blocks)  # ceil(32 / n_blocks)
+    mask = (1 << width) - 1
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.expr(f"shiftright(simhash, {b * width}) & {mask}").alias(
+                            "blk_val"
+                        ),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.blk").alias("blk"), F.col("bv.blk_val").alias("blk_val"))
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        blocks.alias("a")
+        .join(blocks.alias("b"), ["blk", "blk_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def simhash_pairs_naive(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """All-pairs reference form of :func:`simhash_pairs` (quadratic theta
+    self-join) — test oracle only, never a catalog path: feed it
+    fixtures, not corpora."""
     sh = simhash_docs(df, text_col)
     a, b = sh.alias("a"), sh.alias("b")
     hamming = F.bit_count(
@@ -180,7 +243,10 @@ def minhash_signatures(
     seed-explode plan (k× the rows through a (doc_id, seed) shuffle) —
     same result, one stage, 1/k the shuffle volume.
     """
-    sh = shingles_df(df, text_col, n)
+    return _signatures_from_shingles(shingles_df(df, text_col, n), k)
+
+
+def _signatures_from_shingles(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return sh.groupBy("doc_id").agg(
         *[
             F.min(
@@ -192,12 +258,14 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame,
+    df: DataFrame | None = None,
     text_col: str = "text",
     n: int = 3,
     k: int = MINHASH_K,
     band_rows: int = BAND_ROWS,
     threshold: float = 0.4,
+    *,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
@@ -206,8 +274,14 @@ def minhash_lsh_pairs(
     candidates; candidates are verified with the exact n-gram Jaccard, so
     the output is a *subset* of :func:`ngram_jaccard_pairs` (LSH recall
     < 1 by design — that's the scale trade).
+
+    The shingle set feeds BOTH the signature and verify stages; pass a
+    persisted ``shingles`` frame (as :func:`clean_corpus` does) to compute
+    it once instead of re-deriving the tokenization per stage.
     """
-    sig = minhash_signatures(df, text_col, n, k)
+    if shingles is None:
+        shingles = shingles_df(df, text_col, n)
+    sig = _signatures_from_shingles(shingles, k)
     # band signature = md5 of the seed-ordered 'seed:minhash' strings —
     # a pure projection over the signature row (no second shuffle), then
     # one explode into (doc_id, band, band_sig)
@@ -245,7 +319,7 @@ def minhash_lsh_pairs(
     )
     # verify ONLY the candidate pairs (never the corpus cross-product):
     # candidate ⋈ shingles on each side, equi on shingle, count overlap
-    sh = shingles_df(df, text_col, n)
+    sh = shingles
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     common = (
         candidates.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))

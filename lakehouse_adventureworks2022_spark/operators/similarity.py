@@ -132,6 +132,58 @@ def cosine_topk_np(
     )
 
 
+def _srp_plane(t: int, p: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane weights from md5 bits (seedless, so
+    re-runs, the LSH top-k, and the bucketed near-dup all agree)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest(), 16) & 1
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def _srp_bucket_col(vec, t: int, n_planes: int, dim: int):
+    """Bucket id of ``vec`` in hash table ``t``: one sign bit per plane."""
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in _srp_plane(t, p, dim)]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _srp_with_buckets(
+    df: DataFrame, vec_col: str, n_planes: int, n_tables: int, dim: int
+) -> DataFrame:
+    """One (tbl, bkt) row per input row per hash table — the shared
+    candidate-generation step of the SRP-LSH family."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _srp_bucket_col(F.col(vec_col), t, n_planes, dim).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.withColumn("tb", F.explode(buckets)).select(
+        *df.columns, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
+    )
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     candidates: DataFrame,
@@ -153,61 +205,25 @@ def cosine_topk_lsh(
     codegen'd column math, no Python. Recall < 1 by design ⇒ rows-only
     correctness check; the recall floor is asserted in tests.
     """
-    import hashlib
-
-    def plane(t: int, p: int) -> list[float]:
-        return [
-            1.0
-            if int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest(), 16) & 1
-            else -1.0
-            for d in range(dim)
-        ]
-
-    def bucket_col(vec, t: int):
-        bits = []
-        for p in range(n_planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(w) for w in plane(t, p)]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
-    def with_buckets(df: DataFrame, vec_col: str) -> DataFrame:
-        # one (table, bucket) row per input row per table
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"), bucket_col(F.col(vec_col), t).alias("bkt")
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return df.withColumn("tb", F.explode(buckets)).select(
-            *df.columns, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
-        )
-
-    q = with_buckets(
+    q = _srp_with_buckets(
         queries.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").cast("array<double>").alias("qv"),
         ),
         "qv",
+        n_planes=n_planes,
+        n_tables=n_tables,
+        dim=dim,
     )
-    c = with_buckets(
+    c = _srp_with_buckets(
         candidates.select(
             F.col("vec_id").alias("cand_id"),
             F.col("embedding").cast("array<double>").alias("cv"),
         ),
         "cv",
+        n_planes=n_planes,
+        n_tables=n_tables,
+        dim=dim,
     )
     pairs = (
         F.broadcast(q)
@@ -351,9 +367,12 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (the vector-space member of
     the dedup family): all (a < b) pairs with cosine ≥ threshold.
 
-    All-pairs at fixture scale; the 100 TB path is the same predicate
-    over :func:`cosine_topk_lsh`-style bucket candidates. Cosine is the
-    sequential fold — bit-identical to the SQL oracle, compared unrounded.
+    This is the EXACT all-pairs definition — the oracle/test reference
+    and the recall denominator for the scale path,
+    :func:`embedding_near_dup_pairs_lsh` (same predicate over SRP-LSH
+    bucket candidates). Quadratic by construction: feed it fixtures or
+    verified candidate sets, never a corpus. Cosine is the sequential
+    fold — bit-identical to the SQL oracle, compared unrounded.
     """
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -365,6 +384,48 @@ def embedding_near_dup_pairs(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             _cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP-LSH bucket candidates —
+    the 100 TB path for :func:`embedding_near_dup_pairs`.
+
+    Candidates are (a < b) pairs sharing ANY (table, bucket) cell — an
+    equi-join on the uniform (tbl, bkt) key, L small shuffles instead of
+    the quadratic theta join — then the exact cosine predicate verifies
+    only candidates. Output ⊆ the exact form with recall
+    1-(1-p^n_planes)^n_tables, p = 1-θ/π (≈0.8 at θ=63°/defaults, higher
+    for truer duplicates; the floor is asserted in tests). Approximate by
+    design ⇒ rows-only correctness check.
+    """
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b = _srp_with_buckets(e, "v", n_planes=n_planes, n_tables=n_tables, dim=dim)
+    candidates = (
+        b.alias("a")
+        .join(b.alias("b"), ["tbl", "bkt"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        candidates.select(
+            "vec_a", "vec_b", _cosine(F.col("va"), F.col("vb")).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
     )

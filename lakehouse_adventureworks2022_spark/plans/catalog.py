@@ -112,6 +112,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": text_queries.q_minhash_lsh,
     "dedup_simhash": text_queries.q_simhash,
     "dedup_embedding_cosine": text_queries.q_embedding_near_dup,
+    "dedup_embedding_cosine_lsh": text_queries.q_embedding_near_dup_lsh,
     "clean_corpus": text_queries.q_clean_corpus,
     # TPC-H-shaped analytics (A4/J7/T1 at full selectivity + breadth)
     "tpch_q1": tpch.tpch_q1,
@@ -172,7 +173,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "ann_cosine_topk_lsh",  # single-probe LSH: recall < 1 by design
         "ann_cosine_topk_ivf",  # n_probe-cell IVF: recall < 1 by design
         "event_value_stats_approx",  # t-digest percentiles
-
+        "dedup_embedding_cosine_lsh",  # LSH candidates: recall < 1 by design
     }
 )
 

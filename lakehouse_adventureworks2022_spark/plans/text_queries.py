@@ -60,6 +60,12 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs_lsh(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, c = similarity.embedding_queries(spark, sf_dir)
     return similarity.cosine_topk(q, c, k=10)

@@ -6,6 +6,8 @@ variants)."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from lakehouse_adventureworks2022_spark.operators import dedup, similarity
@@ -97,6 +99,71 @@ def test_dedup_exact_finds_planted_duplicates(spark):
     assert len(rows) == 2  # normalization folds 1 and 2 together
     dup_group = [r for r in rows if r["dup_count"] == 2][0]
     assert dup_group["keeper_doc_id"] == 1
+
+
+def test_simhash_block_pairs_equal_naive_on_fixture(spark, docs):
+    """The pigeonhole-bucketed pairing is EXACT: identical to the
+    all-pairs theta join on the real corpus fixture."""
+    fast = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    naive = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_pairs_naive(docs, max_hamming=3).collect()
+    }
+    assert fast == naive and len(naive) > 0
+
+
+@pytest.fixture(scope="module")
+def sparkref(spark):
+    return spark
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fps=st.lists(
+        st.integers(min_value=0, max_value=2**32 - 1), min_size=2, max_size=16
+    ),
+    d=st.integers(min_value=0, max_value=6),
+)
+def test_simhash_fingerprint_pairs_equal_naive_property(sparkref, fps, d):
+    """Pigeonhole exactness on ARBITRARY 32-bit fingerprints: the
+    block-bucket pairing equals the quadratic definition for any corpus
+    and any max_hamming (pattern: test_asof_properties.py)."""
+    rows = [(i, fp) for i, fp in enumerate(fps)]
+    sh = sparkref.createDataFrame(rows, "doc_id int, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_fingerprint_pairs(sh, max_hamming=d).collect()
+    }
+    want = {
+        (a, b, bin(fa ^ fb).count("1"))
+        for a, fa in rows
+        for b, fb in rows
+        if a < b and bin(fa ^ fb).count("1") <= d
+    }
+    assert got == want
+
+
+def test_embedding_near_dup_lsh_subset_with_recall(spark):
+    emb = read_table(spark, SF, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    assert exact
+    lsh = similarity.embedding_near_dup_pairs_lsh(emb, threshold=0.45).collect()
+    for r in lsh:  # verified candidates can't invent or mis-score pairs
+        key = (r["vec_a"], r["vec_b"])
+        assert key in exact
+        assert r["cosine"] == exact[key]
+    recall = len({(r["vec_a"], r["vec_b"]) for r in lsh}) / len(exact)
+    assert recall >= 0.5  # 8 tables × 4 planes at θ≈63°; truer dups rank higher
 
 
 def test_ivf_topk_recall_and_determinism(spark):
