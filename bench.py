@@ -40,6 +40,7 @@ HEADLINE = [
     "ann_cosine_topk_np",
     "tpch_q1",
     "tpch_q5",
+    "tpch_q8_market_share",
     "silver_lineitem_enriched",
     "customer_running_revenue",
     "asof_click_attribution",

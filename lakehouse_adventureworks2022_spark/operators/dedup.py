@@ -170,10 +170,22 @@ def simhash_fingerprint_pairs(
     """Pigeonhole block-bucket pairing over a (doc_id, simhash) frame —
     the candidate-generation + verify core of :func:`simhash_pairs`,
     exposed separately so the exactness property (≡ naive all-pairs) is
-    testable on arbitrary fingerprints."""
+    testable on arbitrary fingerprints.
+
+    The 32 fingerprint bits are spread EVENLY across the blocks (widths
+    differ by at most 1, no block reaches past bit 31) — a fixed ceil
+    width would leave every block past bit 31 constant-zero for
+    ``max_hamming >= 8``, collapsing all docs into one bucket (an exact
+    result, but a silent all-pairs cross product)."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(
+            f"max_hamming must be in [0, 31] for 32-bit fingerprints, "
+            f"got {max_hamming}"
+        )
     n_blocks = max_hamming + 1
-    width = -(-32 // n_blocks)  # ceil(32 / n_blocks)
-    mask = (1 << width) - 1
+    base, rem = divmod(32, n_blocks)
+    widths = [base + 1] * rem + [base] * (n_blocks - rem)
+    offsets = [sum(widths[:b]) for b in range(n_blocks)]
     blocks = sh.select(
         "doc_id",
         "simhash",
@@ -182,9 +194,10 @@ def simhash_fingerprint_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("blk"),
-                        F.expr(f"shiftright(simhash, {b * width}) & {mask}").alias(
-                            "blk_val"
-                        ),
+                        F.expr(
+                            f"shiftright(simhash, {offsets[b]})"
+                            f" & {(1 << widths[b]) - 1}"
+                        ).alias("blk_val"),
                     )
                     for b in range(n_blocks)
                 ]
@@ -280,6 +293,8 @@ def minhash_lsh_pairs(
     it once instead of re-deriving the tokenization per stage.
     """
     if shingles is None:
+        if df is None:
+            raise ValueError("pass df or shingles")
         shingles = shingles_df(df, text_col, n)
     sig = _signatures_from_shingles(shingles, k)
     # band signature = md5 of the seed-ordered 'seed:minhash' strings —
@@ -357,8 +372,11 @@ def clean_corpus(
        each near-dup chain edge-wise).
 
     Scale: stages only shrink data; the LSH stage (the expensive one)
-    runs on the already-gated unique set. Returns the surviving document
-    rows.
+    runs on the already-gated unique set, over ONE persisted shingle
+    frame shared by its signature and verify stages (at 100 TB swap the
+    storage level to DISK_ONLY — the shingle set is ~tokens×n the corpus
+    size and the recompute it avoids is the corpus tokenization ×3).
+    Returns the surviving document rows.
     """
     from lakehouse_adventureworks2022_spark.operators import textops
 
@@ -370,7 +388,8 @@ def clean_corpus(
         F.col("keeper_doc_id").alias("doc_id")
     )
     uniq = quality.join(keepers, "doc_id", "left_semi")
-    pairs = minhash_lsh_pairs(uniq, text_col, threshold=threshold)
+    shingles = shingles_df(uniq, text_col).persist()
+    pairs = minhash_lsh_pairs(threshold=threshold, shingles=shingles)
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return uniq.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "source", "lang", "n_chars"

@@ -33,6 +33,15 @@ def _row_salt(
     of a hot key to ONE reducer — a silent no-op). An explicit ``salt_on``
     column is accepted but rejected when it IS the key: that defeats the
     mitigation by construction.
+
+    Limitation: rows that are fully identical across ALL columns hash to
+    the same salt and still land on one reducer. That's deliberate — a
+    row-varying source (``monotonically_increasing_id``,
+    ``spark_partition_id``) would spread them but is partitioning-
+    dependent, breaking re-run determinism of the salted aggregate.
+    Fully-duplicate hot rows are collapse-with-a-count material
+    (pre-aggregate ``groupBy(*).count()``) before they are a salting
+    problem.
     """
     if salt_on is None:
         return F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")

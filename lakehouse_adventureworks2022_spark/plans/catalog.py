@@ -81,10 +81,17 @@ def _dq_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"]
     )
 
+#: The driver verifies only the FIRST ``DRIVER_WINDOW`` entries of
+#: ``queries()`` against their oracles, so ordering is part of the
+#: contract: every oracle-backed query MUST sit inside the window and the
+#: no-oracle (approximate-by-design) variants go last. Guarded by a
+#: module-import assert below and ``tests/test_catalog.py``.
+DRIVER_WINDOW = 50
+
 QUERIES: dict[str, QueryFn] = {
+    # ---- oracle-backed queries: exactly DRIVER_WINDOW of them, first ----
     # marts (J7/J8, A4/A5, T1)
     "top_products": marts.top_products,
-    "top_products_approx": marts.top_products_approx,
     "sales_summary": marts.sales_summary,
     # dims (S6, F4-F8, P12, J2)
     "dim_date": lambda spark, sf_dir: dims.build_dim_date(spark),
@@ -105,27 +112,27 @@ QUERIES: dict[str, QueryFn] = {
     "token_counts": text_queries.q_token_counts,
     "lang_id": text_queries.q_lang_id,
     "doc_fingerprint": text_queries.q_fingerprint,
-    # training-data ops: dedup (exact / Jaccard / MinHash-LSH / SimHash /
-    # embedding-cosine)
+    # training-data ops: dedup. The exact-Jaccard form is the
+    # *verification primitive* (quadratic if fed a corpus — hence the
+    # ``_exact`` name); MinHash-LSH is the corpus-scale path.
     "dedup_exact": text_queries.q_dedup_exact,
-    "dedup_ngram_jaccard": text_queries.q_ngram_jaccard,
+    "dedup_ngram_jaccard_exact": text_queries.q_ngram_jaccard,
     "dedup_minhash_lsh": text_queries.q_minhash_lsh,
     "dedup_simhash": text_queries.q_simhash,
-    "dedup_embedding_cosine": text_queries.q_embedding_near_dup,
-    "dedup_embedding_cosine_lsh": text_queries.q_embedding_near_dup_lsh,
     "clean_corpus": text_queries.q_clean_corpus,
     # TPC-H-shaped analytics (A4/J7/T1 at full selectivity + breadth)
     "tpch_q1": tpch.tpch_q1,
     "tpch_q3": tpch.tpch_q3,
     "tpch_q5": tpch.tpch_q5,
+    "tpch_q8_market_share": tpch.tpch_q8_market_share,
     # silver enrichment (J1 4-way snowflake→flat)
     "silver_lineitem_enriched": tpch.silver_lineitem_enriched,
-    # relational breadth: rollup, semi/anti joins, ordered statistics
+    # relational breadth: rollup/grouping sets, semi/anti joins, stats
     "sales_rollup": relational.sales_rollup,
+    "revenue_grouping_sets": relational.revenue_grouping_sets,
     "customers_without_orders": relational.customers_without_orders,
     "repeat_customers": relational.repeat_customers,
     "event_value_stats": relational.event_value_stats,
-    "event_value_stats_approx": relational.event_value_stats_approx,
     "corpus_report": text_queries.q_corpus_report,
     # semi-structured + reshaping: XML parse (F9), set ops, pivot
     "xml_roundtrip": semistructured.xml_roundtrip,
@@ -135,11 +142,8 @@ QUERIES: dict[str, QueryFn] = {
     "dq_null_profile": _dq_null_profile,
     "dq_orderkey_integrity": _dq_fk,
     "dq_lineitem_pk": _dq_pk,
-    # training-data ops: similarity search
+    # training-data ops: similarity search (exact brute-force baseline)
     "ann_cosine_topk": text_queries.q_ann_cosine,
-    "ann_cosine_topk_np": text_queries.q_ann_cosine_np,
-    "ann_cosine_topk_lsh": text_queries.q_ann_cosine_lsh,
-    "ann_cosine_topk_ivf": text_queries.q_ann_cosine_ivf,
     # relational breadth: outer-join histogram (TPC-H Q13 shape)
     "customer_order_distribution": relational.customer_order_distribution,
     # streaming batch twins (same F.window/F.session_window operators the
@@ -150,22 +154,29 @@ QUERIES: dict[str, QueryFn] = {
     "customer_running_revenue": windowed.customer_running_revenue,
     "nation_top_customers": windowed.nation_top_customers,
     "priority_revenue_share": windowed.priority_revenue_share,
-    # conditional-aggregation ratio (TPC-H Q8 shape), grouping sets,
     # time-series gap fill
-    "tpch_q8_market_share": tpch.tpch_q8_market_share,
-    "revenue_grouping_sets": relational.revenue_grouping_sets,
     "user_hourly_gapfill": events.user_hourly_gapfill,
     # advanced join shapes (as-of, banded range, EXISTS, correlated agg)
     "asof_click_attribution": advanced_joins.asof_click_attribution,
     "error_burst_context": advanced_joins.error_burst_context,
     "late_shipment_priority": advanced_joins.late_shipment_priority,
     "small_quantity_part_revenue": advanced_joins.small_quantity_part_revenue,
+    # ---- no-oracle (approximate-by-design) variants: past the window ----
+    "top_products_approx": marts.top_products_approx,
+    "event_value_stats_approx": relational.event_value_stats_approx,
+    # default embedding near-dup name routes to the SRP-LSH scale path
+    # (the exact all-pairs form lives in tests only — see
+    # similarity.embedding_near_dup_pairs, the oracle/recall denominator)
+    "dedup_embedding_cosine": text_queries.q_embedding_near_dup_lsh,
+    "ann_cosine_topk_np": text_queries.q_ann_cosine_np,
+    "ann_cosine_topk_lsh": text_queries.q_ann_cosine_lsh,
+    "ann_cosine_topk_ivf": text_queries.q_ann_cosine_ivf,
 }
 
 
-#: Queries intentionally WITHOUT a SQL oracle (driver records a weaker
-#: rows-only check): approximate by design, or execution-order-dependent
-#: float accumulation. Every other query MUST have an oracle.
+#: Queries intentionally WITHOUT a SQL oracle (rows-only check when the
+#: driver reaches them): approximate by design, or execution-order-
+#: dependent float accumulation. Every other query MUST have an oracle.
 NON_ORACLE_QUERIES: frozenset[str] = frozenset(
     {
         "top_products_approx",  # HLL distinct count
@@ -173,7 +184,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "ann_cosine_topk_lsh",  # single-probe LSH: recall < 1 by design
         "ann_cosine_topk_ivf",  # n_probe-cell IVF: recall < 1 by design
         "event_value_stats_approx",  # t-digest percentiles
-        "dedup_embedding_cosine_lsh",  # LSH candidates: recall < 1 by design
+        "dedup_embedding_cosine",  # SRP-LSH candidates: recall < 1 by design
     }
 )
 
@@ -330,7 +341,7 @@ ORACLES: dict[str, str] = {
     "lang_id": text_queries.ORACLE_LANG_ID,
     "doc_fingerprint": text_queries.ORACLE_FINGERPRINT,
     "dedup_exact": text_queries.ORACLE_DEDUP_EXACT,
-    "dedup_ngram_jaccard": text_queries.ORACLE_NGRAM_JACCARD,
+    "dedup_ngram_jaccard_exact": text_queries.ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": text_queries.ORACLE_MINHASH_LSH,
     "ann_cosine_topk": text_queries.ORACLE_ANN_COSINE,
     # ann_cosine_topk_np: GEMM float-sum order differs ⇒ rows-only check
@@ -345,7 +356,9 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2
     """,
     "dedup_simhash": text_queries.ORACLE_SIMHASH,
-    "dedup_embedding_cosine": text_queries.ORACLE_EMBEDDING_NEAR_DUP,
+    # dedup_embedding_cosine: SRP-LSH scale path ⇒ rows-only check; the
+    # exact all-pairs oracle (ORACLE_EMBEDDING_NEAR_DUP) is exercised in
+    # tests/test_training_ops.py against the exact form directly.
     "clean_corpus": text_queries.ORACLE_CLEAN_CORPUS,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
@@ -689,3 +702,19 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
     """,
 }
+
+
+# Ordering contract guard (import-time, so any regression fails fast and
+# loudly in every test run AND in the driver itself): the first
+# DRIVER_WINDOW queries are exactly the oracle-backed set.
+_window = list(QUERIES)[:DRIVER_WINDOW]
+_unverified = [q for q in _window if q not in ORACLES]
+assert not _unverified, (
+    f"oracle-backed window violated: {_unverified} sit inside the driver's "
+    f"first-{DRIVER_WINDOW} verification window without an oracle"
+)
+_outside = [q for q in list(QUERIES)[DRIVER_WINDOW:] if q in ORACLES]
+assert not _outside, (
+    f"oracle-backed queries pushed past the driver's {DRIVER_WINDOW}-entry "
+    f"verification window (would silently lose correctness rows): {_outside}"
+)

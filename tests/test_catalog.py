@@ -34,6 +34,17 @@ def test_all_queries_have_oracles_or_are_declared_approx():
     )
 
 
+def test_every_oracle_backed_query_inside_driver_window():
+    """The driver verifies only the first DRIVER_WINDOW queries() entries;
+    an oracle-backed query past that point silently loses its correctness
+    row (the exact regression of round 2)."""
+    from lakehouse_adventureworks2022_spark.plans.catalog import DRIVER_WINDOW
+
+    window = list(QUERIES)[:DRIVER_WINDOW]
+    assert all(name in ORACLES for name in window)
+    assert set(window) == set(ORACLES)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     spark_pdf = normalize_pandas(QUERIES[name](spark, SF).toPandas())

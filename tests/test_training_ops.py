@@ -129,7 +129,7 @@ def sparkref(spark):
     fps=st.lists(
         st.integers(min_value=0, max_value=2**32 - 1), min_size=2, max_size=16
     ),
-    d=st.integers(min_value=0, max_value=6),
+    d=st.integers(min_value=0, max_value=9),
 )
 def test_simhash_fingerprint_pairs_equal_naive_property(sparkref, fps, d):
     """Pigeonhole exactness on ARBITRARY 32-bit fingerprints: the
@@ -148,6 +148,63 @@ def test_simhash_fingerprint_pairs_equal_naive_property(sparkref, fps, d):
         if a < b and bin(fa ^ fb).count("1") <= d
     }
     assert got == want
+
+
+def test_simhash_blocks_cover_high_bits_at_large_hamming(spark):
+    """max_hamming >= 8 must still bucket on real fingerprint bits: two
+    fingerprints differing ONLY in the high bits (28-31) with Hamming
+    distance > d must NOT pair, and close ones must. A fixed ceil-width
+    block layout put every block past bit 31 at constant zero, silently
+    degrading to an all-pairs cross product."""
+    rows = [(0, 0x0000_0001), (1, 0xF000_0001), (2, 0x0000_0003)]
+    sh = spark.createDataFrame(rows, "doc_id int, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_fingerprint_pairs(sh, max_hamming=8).collect()
+    }
+    assert got == {(0, 1, 4), (0, 2, 1), (1, 2, 5)}
+    # and the distance-9 pair is excluded at d=3 even though it shares
+    # low-bit blocks
+    got3 = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_fingerprint_pairs(sh, max_hamming=3).collect()
+    }
+    assert (0, 1) not in got3 and (0, 2) in got3
+
+
+def test_simhash_and_minhash_input_guards(spark):
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_fingerprint_pairs(
+            spark.createDataFrame([(0, 1)], "doc_id int, simhash long"),
+            max_hamming=32,
+        )
+    with pytest.raises(ValueError, match="df or shingles"):
+        dedup.minhash_lsh_pairs()
+
+
+def test_embedding_near_dup_exact_matches_duckdb_oracle(spark):
+    """The exact all-pairs form left the query catalog (the SRP-LSH path
+    owns the ``dedup_embedding_cosine`` name now), so its DuckDB
+    differential check lives here instead."""
+    import duckdb
+
+    from lakehouse_adventureworks2022_spark.plans.text_queries import (
+        ORACLE_EMBEDDING_NEAR_DUP,
+    )
+
+    emb = read_table(spark, SF, "embeddings")
+    got = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = {tuple(r) for r in con.sql(ORACLE_EMBEDDING_NEAR_DUP).fetchall()}
+    con.close()
+    assert got == want and len(want) > 0
 
 
 def test_embedding_near_dup_lsh_subset_with_recall(spark):
