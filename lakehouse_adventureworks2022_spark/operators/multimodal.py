@@ -4,13 +4,15 @@ stages (beyond-reference scope, BASELINE.json north star).
 
 What is REAL here (and tested): the Spark-side architecture — the typed
 asset schema, the mapInPandas batch contract (iterator of pandas frames,
-bounded batch memory), partition-count preservation, and deterministic
-feature extraction used as the stand-in "model". What is STUBBED: the
-actual image/audio codecs (PIL/ffmpeg/torchvision are not in this
-container) — each decode function dispatches to a clearly-marked
-``NotImplementedError`` unless ``fake=True``, which produces
-deterministic bytes/features derived from md5 so tests and oracles are
-stable.
+bounded batch memory), partition-count preservation — AND two actual
+codecs that need nothing beyond numpy/stdlib: **PPM (P6) image decode /
+nearest-neighbor resize / channel+grid features** and **WAV (PCM16)
+audio decode / envelope features** (``wave`` is stdlib). ``fake=False``
+dispatches on the content's magic bytes and runs those for real. What
+remains STUBBED: compressed codecs (JPEG/PNG/MP4 — PIL/ffmpeg are not in
+this container), which raise a clearly-marked ``NotImplementedError``
+identifying the format. ``fake=True`` keeps the md5-derived
+deterministic stand-in features for fixtures without real assets.
 
 Scale notes: binary payloads never pass through the driver; each Arrow
 batch holds ``spark.sql.execution.arrow.maxRecordsPerBatch`` assets, so
@@ -64,6 +66,147 @@ FEATURE_DIM = 16
 _FEATURE_SCHEMA = "asset_id long, n_bytes int, content_md5 string, features array<float>"
 
 
+# ---- real codecs (numpy + stdlib only — no PIL/ffmpeg) ---------------
+#
+# Driver-side reference implementations; the mapInPandas closures carry
+# identical nested copies (worker-shipped closures must not reference
+# module globals — pickled by reference, breaks on workers that can't
+# import this package; see tests/test_worker_portability.py).
+
+def encode_ppm(arr) -> bytes:
+    """uint8 (h, w, 3) array → binary PPM (P6)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(data: bytes):
+    """Binary PPM (P6) → uint8 (h, w, 3). Raises ValueError on a
+    malformed header (magic already dispatched before calling)."""
+    import numpy as np
+
+    fields: list[bytes] = []
+    pos = 2  # past b"P6"
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(data[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3)
+
+
+def resize_nearest(arr, max_px: int):
+    """Nearest-neighbor downscale so max(h, w) <= max_px (aspect kept);
+    no-op when already small enough. Pure index arithmetic — identical
+    results on any platform."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    if max(h, w) <= max_px:
+        return arr
+    scale = max_px / max(h, w)
+    nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
+    rows = (np.arange(nh) * (h / nh)).astype(int)
+    cols = (np.arange(nw) * (w / nw)).astype(int)
+    return arr[rows][:, cols]
+
+
+def image_features(arr) -> list[float]:
+    """FEATURE_DIM floats in [-1, 1) from a decoded image: per-channel
+    mean and std (6), 3×3 grayscale grid means (9), aspect (1)."""
+    import numpy as np
+
+    a = arr.astype(np.float64)
+    h, w, _ = a.shape
+    out = [m / 127.5 - 1.0 for m in a.mean(axis=(0, 1))]
+    out += [min(s / 128.0, 0.9999) * 2 - 1.0 for s in a.std(axis=(0, 1))]
+    gray = a.mean(axis=2)
+    for i in range(3):
+        for j in range(3):
+            cell = gray[
+                i * h // 3 : max((i + 1) * h // 3, i * h // 3 + 1),
+                j * w // 3 : max((j + 1) * w // 3, j * w // 3 + 1),
+            ]
+            out.append(float(cell.mean()) / 127.5 - 1.0)
+    out.append(w / (w + h) * 2 - 1.0)
+    return [min(max(v, -1.0), 0.9999999) for v in out]
+
+
+def decode_wav(data: bytes):
+    """WAV (PCM) bytes → (float64 mono samples in [-1, 1], rate, channels,
+    duration_ms). Stdlib ``wave`` + numpy — no external audio lib."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data), "rb") as f:
+        rate, nch, sw = f.getframerate(), f.getnchannels(), f.getsampwidth()
+        frames = f.readframes(f.getnframes())
+    if sw != 2:
+        raise ValueError(f"only PCM16 WAV supported, sampwidth={sw}")
+    x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate, nch, int(len(x) * 1000 / rate)
+
+
+def audio_features(samples, rate: int, nch: int) -> list[float]:
+    """FEATURE_DIM floats in [-1, 1): 12-segment RMS envelope, overall
+    RMS, peak, zero-crossing rate, channel count."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) == 0:
+        x = np.zeros(1)
+    segs = np.array_split(x, 12)
+    out = [float(np.sqrt((s**2).mean())) * 2 - 1.0 for s in segs]
+    out.append(float(np.sqrt((x**2).mean())) * 2 - 1.0)
+    out.append(float(np.abs(x).max()) * 2 - 1.0)
+    out.append(float((np.diff(np.signbit(x)) != 0).mean()) * 2 - 1.0)
+    out.append(min(nch / 8.0, 0.9999) * 2 - 1.0)
+    return [min(max(v, -1.0), 0.9999999) for v in out]
+
+
+def synth_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic test image: hash-seeded gradient + pattern."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:height, 0:width]
+    r = (xx * 255 // max(width - 1, 1)).astype(np.uint8)
+    g = (yy * 255 // max(height - 1, 1)).astype(np.uint8)
+    b = ((xx * 7 + yy * 13 + seed) % 256).astype(np.uint8)
+    return encode_ppm(np.stack([r, g, b], axis=2))
+
+
+def synth_wav(duration_ms: int, rate: int = 8000, freq: float = 440.0) -> bytes:
+    """Deterministic test audio: PCM16 mono sine."""
+    import io
+    import wave
+
+    import numpy as np
+
+    n = int(rate * duration_ms / 1000)
+    t = np.arange(n) / rate
+    pcm = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def _fake_features(content: bytes) -> list[float]:
     """Deterministic pseudo-embedding: FEATURE_DIM floats in [-1, 1) from
     the md5 stream of the content (stands in for a CNN/CLIP encoder).
@@ -86,10 +229,12 @@ def _fake_features(content: bytes) -> list[float]:
 def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + feature-extract each asset in Arrow batches.
 
-    ``fake=False`` is the seam for a real encoder (PIL + model forward
-    per batch) — unavailable in this container, so it raises with a
-    clear message; the plumbing (batching, schema, memory shape) is
-    identical either way.
+    ``fake=False`` dispatches on magic bytes: PPM (``P6``) and WAV
+    (``RIFF..WAVE``) decode for REAL (numpy/stdlib codecs — see module
+    doc); compressed formats raise ``NotImplementedError`` naming the
+    format (PIL/ffmpeg not in container). ``fake=True`` is the
+    md5-derived stand-in encoder for text-backed fixtures. Plumbing
+    (batching, schema, memory shape) is identical either way.
     """
 
     feature_dim = FEATURE_DIM
@@ -99,10 +244,16 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
         # cloudpickle serializes those BY REFERENCE, which breaks on
         # Python workers whose cwd/path can't import this package (e.g.
         # a driver running from another directory) — see
-        # tests/test_worker_portability.py.
+        # tests/test_worker_portability.py. The codec bodies mirror the
+        # module-level reference implementations, which the tests assert
+        # equal.
         import hashlib as _hl
+        import io as _io
+        import wave as _wave
 
-        def feats(content: bytes) -> list[float]:
+        import numpy as _np
+
+        def fake_feats(content: bytes) -> list[float]:
             out: list[float] = []
             seed = content
             while len(out) < feature_dim:
@@ -114,12 +265,74 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
                     out.append((v / 2**31) - 1.0)
             return out
 
-        for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/torch (not in container); "
-                    "use fake=True for the deterministic stand-in encoder"
+        def ppm_feats(data: bytes) -> list[float]:
+            fields: list[bytes] = []
+            pos = 2
+            while len(fields) < 3:
+                while pos < len(data) and data[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(data) and not data[pos : pos + 1].isspace():
+                    pos += 1
+                fields.append(data[start:pos])
+            pos += 1
+            w, h, maxval = (int(f) for f in fields)
+            if maxval != 255:
+                raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+            a = (
+                _np.frombuffer(data, dtype=_np.uint8, count=w * h * 3, offset=pos)
+                .reshape(h, w, 3)
+                .astype(_np.float64)
+            )
+            out = [m / 127.5 - 1.0 for m in a.mean(axis=(0, 1))]
+            out += [min(s / 128.0, 0.9999) * 2 - 1.0 for s in a.std(axis=(0, 1))]
+            gray = a.mean(axis=2)
+            for i in range(3):
+                for j in range(3):
+                    cell = gray[
+                        i * h // 3 : max((i + 1) * h // 3, i * h // 3 + 1),
+                        j * w // 3 : max((j + 1) * w // 3, j * w // 3 + 1),
+                    ]
+                    out.append(float(cell.mean()) / 127.5 - 1.0)
+            out.append(w / (w + h) * 2 - 1.0)
+            return [min(max(v, -1.0), 0.9999999) for v in out]
+
+        def wav_feats(data: bytes) -> list[float]:
+            with _wave.open(_io.BytesIO(data), "rb") as f:
+                rate, nch, sw = (
+                    f.getframerate(),
+                    f.getnchannels(),
+                    f.getsampwidth(),
                 )
+                frames = f.readframes(f.getnframes())
+            if sw != 2:
+                raise ValueError(f"only PCM16 WAV supported, sampwidth={sw}")
+            x = _np.frombuffer(frames, dtype="<i2").astype(_np.float64) / 32768.0
+            if nch > 1:
+                x = x.reshape(-1, nch).mean(axis=1)
+            if len(x) == 0:
+                x = _np.zeros(1)
+            segs = _np.array_split(x, 12)
+            out = [float(_np.sqrt((s**2).mean())) * 2 - 1.0 for s in segs]
+            out.append(float(_np.sqrt((x**2).mean())) * 2 - 1.0)
+            out.append(float(_np.abs(x).max()) * 2 - 1.0)
+            out.append(float((_np.diff(_np.signbit(x)) != 0).mean()) * 2 - 1.0)
+            out.append(min(nch / 8.0, 0.9999) * 2 - 1.0)
+            return [min(max(v, -1.0), 0.9999999) for v in out]
+
+        def real_feats(content: bytes) -> list[float]:
+            if content[:2] == b"P6":
+                return ppm_feats(content)
+            if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+                return wav_feats(content)
+            raise NotImplementedError(
+                f"no codec for content starting {content[:4]!r}: only PPM "
+                "and PCM16 WAV decode in-container (compressed formats "
+                "need PIL/ffmpeg); use fake=True for the stand-in encoder"
+            )
+
+        feats = fake_feats if fake else real_feats
+        for pdf in batches:
             contents = pdf["content"]
             yield pd.DataFrame(
                 {
@@ -136,21 +349,73 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def resize_images(assets: DataFrame, max_px: int = 512, fake: bool = True) -> DataFrame:
-    """Resize stage: metadata-only transform in fake mode (the real stage
-    would re-encode content; the metadata math and plumbing are real)."""
-    if not fake:
-        raise NotImplementedError("real resize requires an image codec")
-    scale = F.when(
-        F.greatest("width", "height") > max_px,
-        max_px / F.greatest("width", "height").cast("double"),
-    ).otherwise(F.lit(1.0))
-    # one projection: chaining withColumn would re-derive the scale from
-    # the already-resized width
-    return assets.select(
-        *[c for c in assets.columns if c not in ("width", "height")],
-        (F.col("width") * scale).cast("int").alias("width"),
-        (F.col("height") * scale).cast("int").alias("height"),
-    )
+    """Resize stage. Fake mode: metadata-only projection (content
+    untouched — the metadata math and plumbing are what's exercised).
+    Real mode: nearest-neighbor PPM resize in Arrow batches — content is
+    re-encoded and width/height updated from the actual decoded pixels;
+    non-PPM content raises (compressed codecs not in container)."""
+    if fake:
+        scale = F.when(
+            F.greatest("width", "height") > max_px,
+            max_px / F.greatest("width", "height").cast("double"),
+        ).otherwise(F.lit(1.0))
+        # one projection: chaining withColumn would re-derive the scale
+        # from the already-resized width
+        return assets.select(
+            *[c for c in assets.columns if c not in ("width", "height")],
+            (F.col("width") * scale).cast("int").alias("width"),
+            (F.col("height") * scale).cast("int").alias("height"),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained for worker portability (see extract_features)
+        import numpy as _np
+
+        def decode(data: bytes):
+            fields: list[bytes] = []
+            pos = 2
+            while len(fields) < 3:
+                while pos < len(data) and data[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(data) and not data[pos : pos + 1].isspace():
+                    pos += 1
+                fields.append(data[start:pos])
+            pos += 1
+            w, h, maxval = (int(f) for f in fields)
+            if maxval != 255:
+                raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+            return (
+                _np.frombuffer(data, dtype=_np.uint8, count=w * h * 3, offset=pos)
+                .reshape(h, w, 3)
+            )
+
+        def shrink(data: bytes) -> tuple[bytes, int, int]:
+            if data[:2] != b"P6":
+                raise NotImplementedError(
+                    f"no resize codec for content starting {data[:2]!r}: "
+                    "only PPM decodes in-container"
+                )
+            a = decode(data)
+            h, w, _ = a.shape
+            if max(h, w) > max_px:
+                s = max_px / max(h, w)
+                nh, nw = max(int(h * s), 1), max(int(w * s), 1)
+                rows = (_np.arange(nh) * (h / nh)).astype(int)
+                cols = (_np.arange(nw) * (w / nw)).astype(int)
+                a = a[rows][:, cols]
+                h, w = nh, nw
+            return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes(), h, w
+
+        for pdf in batches:
+            out = pdf.copy()
+            resized = out["content"].map(lambda b: shrink(bytes(b)))
+            out["content"] = resized.map(lambda t: t[0])
+            out["height"] = resized.map(lambda t: t[1]).astype("int32")
+            out["width"] = resized.map(lambda t: t[2]).astype("int32")
+            yield out[[f.name for f in ASSET_SCHEMA.fields]]
+
+    return assets.mapInPandas(run, schema=ASSET_SCHEMA)
 
 
 def sample_frames(assets: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
