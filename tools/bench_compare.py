@@ -1,0 +1,56 @@
+"""Compare two bench JSON lines (e.g. BENCH_r02.json vs a fresh run):
+per-query delta, ratio, and a regression flag at the >2× budget the
+round verdicts grade against.
+
+Usage: python tools/bench_compare.py BASE.json NEW.json [--budget 2.0]
+Exit code 1 if any query regresses past the budget (CI-able).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+
+def load(path: str) -> dict:
+    # bench output may be a bare JSON object or a file whose last line is
+    # the JSON (driver logs sometimes prepend noise)
+    text = Path(path).read_text().strip()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        return json.loads(text.splitlines()[-1])
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    budget = 2.0
+    for a in sys.argv[1:]:
+        if a.startswith("--budget"):
+            budget = float(a.split("=", 1)[1])
+    base, new = load(args[0]), load(args[1])
+    bq, nq = base.get("queries", {}), new.get("queries", {})
+    regressed = []
+    print(f"{'query':32} {'base':>8} {'new':>8} {'delta':>8} {'ratio':>6}")
+    for name in nq:
+        b, n = bq.get(name), nq[name]
+        if b is None:
+            print(f"{name:32} {'—':>8} {n:8.3f} {'new':>8}")
+            continue
+        ratio = n / b if b else float("inf")
+        flag = " <-- REGRESSION" if ratio > budget else ""
+        if ratio > budget:
+            regressed.append(name)
+        print(f"{name:32} {b:8.3f} {n:8.3f} {n - b:+8.3f} {ratio:5.2f}x{flag}")
+    dropped = sorted(set(bq) - set(nq))
+    if dropped:
+        print(f"dropped from headline: {', '.join(dropped)}")
+    print(
+        f"{'TOTAL':32} {base.get('value', 0):8.3f} {new.get('value', 0):8.3f}"
+    )
+    return 1 if regressed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
