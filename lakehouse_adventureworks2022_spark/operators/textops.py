@@ -155,3 +155,92 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             sub > 0, F.length(F.col(text_col)).cast("double") / sub
         ).alias("chars_per_subword"),
     )
+
+
+#: PII-shaped patterns for corpus scrubbing. Deliberately conservative
+#: (high-precision regexes a training pipeline runs before anything else;
+#: entity-model scrubbing plugs in via the same projection seam). Order
+#: matters: e-mail before phone so the local-part digits aren't eaten.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub PII-shaped spans and count what was removed.
+
+    One chained ``regexp_replace`` projection per pattern — zero-shuffle,
+    codegen'd, linear over a 100 TB corpus. Adds ``<name>_hits`` counts
+    (from the PRE-redaction text) and replaces ``text`` with the redacted
+    form, so downstream dedup/quality stages see the scrubbed corpus and
+    auditors see what left.
+    """
+    out = df
+    redacted = F.col(text_col)
+    for name, pat, _tag in PII_PATTERNS:
+        out = out.withColumn(
+            f"{name}_hits",
+            F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0))),
+        )
+    for name, pat, tag in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, tag)
+    return out.withColumn(text_col, redacted)
+
+
+def tf_idf(
+    df: DataFrame, text_col: str = "text", min_df: int = 1, top_k: int = 5
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the rare-term profile a curation
+    pipeline uses for topic skew and boilerplate detection.
+
+    Shape: explode distinct-per-doc tokens → document frequency per term
+    (one shuffle on the uniform token key) → broadcast-join idf back to
+    the (doc, term, tf) rows keyed on token — the DF table is vocabulary-
+    sized (≪ corpus; at 100 TB cap it with ``min_df`` so the join side
+    stays broadcastable or falls back to a shuffle join AQE picks) →
+    per-doc top-k via window rank on the doc-keyed shuffle.
+
+    idf = ln((N + 1) / (df + 1)) + 1 (smoothed, sklearn-style);
+    tf = term count / doc token count.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    doc_len = tf.groupBy("doc_id").agg(F.sum("n").alias("doc_len"))
+    n_docs = df.select(F.countDistinct("doc_id").alias("n_docs"))
+    doc_freq = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    idf = doc_freq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        (
+            F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("n") / F.col("doc_len")) * F.col("idf")
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )

@@ -1,0 +1,91 @@
+"""PII redaction + TF-IDF operators (pytest-only coverage: the driver's
+50-slot oracle window is fully occupied — see plans/catalog.py guard)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from lakehouse_adventureworks2022_spark.operators import textops
+from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "contact me at jane.doe+x@example.org or 192.168.1.17 today"),
+        (2, "call +1 (415) 555-0199 about the invoice"),
+        (3, "clean text with no identifiers at all"),
+        (4, "two mails a@b.io c@d.net and host 10.0.0.1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_redact_pii_counts_and_scrubs(pii_docs):
+    out = {r["doc_id"]: r for r in textops.redact_pii(pii_docs).collect()}
+    assert out[1]["email_hits"] == 1 and out[1]["ipv4_hits"] == 1
+    assert "<EMAIL>" in out[1]["text"] and "<IP>" in out[1]["text"]
+    assert "jane.doe" not in out[1]["text"] and "192.168" not in out[1]["text"]
+    assert out[2]["phone_hits"] == 1 and "<PHONE>" in out[2]["text"]
+    assert "555" not in out[2]["text"]
+    assert out[3]["text"] == "clean text with no identifiers at all"
+    assert out[3]["email_hits"] == out[3]["ipv4_hits"] == out[3]["phone_hits"] == 0
+    assert out[4]["email_hits"] == 2 and out[4]["text"].count("<EMAIL>") == 2
+
+
+def test_redact_pii_preserves_rows_and_schema(spark):
+    docs = read_table(spark, SF, "documents")
+    out = textops.redact_pii(docs)
+    assert out.count() == docs.count()
+    assert set(docs.columns) <= set(out.columns)
+
+
+def test_tf_idf_hand_computed(spark):
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "durian durian durian durian"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in textops.tf_idf(docs, top_k=10).collect()
+    }
+
+    def idf(df_count):
+        return math.log((3 + 1) / (df_count + 1)) + 1.0
+
+    assert got[(1, "apple")] == pytest.approx((2 / 3) * idf(1))
+    assert got[(1, "banana")] == pytest.approx((1 / 3) * idf(2))
+    assert got[(2, "cherry")] == pytest.approx((1 / 2) * idf(1))
+    assert got[(3, "durian")] == pytest.approx(1.0 * idf(1))
+    # rarer term outranks commoner term at equal tf
+    assert got[(2, "cherry")] > got[(2, "banana")]
+
+
+def test_tf_idf_top_k_and_rank_determinism(spark):
+    docs = read_table(spark, SF, "documents")
+    out = textops.tf_idf(docs, top_k=3)
+    rows = out.collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) <= 3 for v in per_doc.values())
+    for v in per_doc.values():
+        ranks = sorted(r["rank"] for r in v)
+        assert ranks == list(range(1, len(v) + 1))
+    # deterministic across runs (ties broken by term)
+    again = {(r["doc_id"], r["rank"]): r["term"] for r in out.collect()}
+    first = {(r["doc_id"], r["rank"]): r["term"] for r in rows}
+    assert again == first
+
+
+def test_tf_idf_min_df_prunes_vocabulary(spark):
+    rows = [(1, "common rare1"), (2, "common rare2"), (3, "common rare3")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = textops.tf_idf(docs, min_df=2, top_k=10)
+    terms = {r["term"] for r in out.collect()}
+    assert terms == {"common"}
