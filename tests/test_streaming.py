@@ -135,3 +135,59 @@ def test_watermark_drops_late_event(spark, tmp_path):
         r["ws"].hour: r["n"] for r in spark.table("t_late_drop").collect()
     }
     assert got[10] == 3  # late event 5 dropped, count unrevised
+
+
+def test_stream_dedup_drops_replayed_copies(spark, tmp_path):
+    """A re-delivered batch (same event_ids, later arrival inside the
+    watermark horizon) must contribute zero extra rows; result equals the
+    exact batch dedup of the replayed input."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.streaming.dedup import (
+        dedup_batch,
+        stream_dedup,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click", 1.0),
+        (2, "2024-01-01 10:05:00", 7, "view", 2.0),
+        (3, "2024-01-01 10:10:00", 8, "click", 3.0),
+    ]
+    base = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # batch 1: originals; batch 2: replay of ids 1-2 (5 min later arrival)
+    # + one genuinely new event
+    replay = base.filter("event_id <= 2").withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+    )
+    fresh = spark.createDataFrame(
+        [(4, "2024-01-01 10:20:00", 8, "purchase", 4.0)],
+        "event_id bigint, ts string, user_id bigint, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src_dir = str(tmp_path / "stream_src")
+    base.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    shutil.rmtree(src_dir + "/_spark_metadata", ignore_errors=True)
+    replay.unionByName(fresh).coalesce(1).write.mode("append").parquet(src_dir)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    stream = stream_dedup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    got = spark.table("t_dedup").select("event_id").collect()
+    q.stop()
+    ids = sorted(r["event_id"] for r in got)
+    assert ids == [1, 2, 3, 4]  # each id exactly once, replay dropped
+    all_rows = spark.read.parquet(src_dir)
+    assert dedup_batch(all_rows).count() == 4
