@@ -78,3 +78,35 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     )
     assert n_after <= 8
     assert tm.read("t").count() == 10_000
+
+def test_clustered_write_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Range clustering must leave each parquet file with a tight,
+    non-overlapping key range (verified from the actual footers), so
+    min/max pruning skips whole files for a selective predicate."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    tm = TableManager(spark, str(tmp_path))
+    orders = read_table(spark, sf_dir, "orders")
+    tm.write_clustered(orders, "orders_clustered", "o_custkey", n_files=8)
+
+    ranges = []
+    for f in Path(tm.path("orders_clustered")).glob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["o_custkey"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4  # actually split into multiple files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: a point predicate hits ONE file
+
+    # row fidelity: clustering is a rewrite, not a filter
+    assert tm.read("orders_clustered").count() == orders.count()
