@@ -1,0 +1,160 @@
+"""Corpus-curation operators a training-data pipeline runs after
+cleaning (beyond-reference scope, companions to ``operators/dedup`` and
+``operators/textops``): deterministic dataset splitting, benchmark
+contamination detection, and token-budget document packing.
+
+All are shuffle-shaped for 100 TB: splitting is a zero-shuffle
+projection; contamination is an equi-join on the uniform shingle key
+(never a cross product); packing shuffles once on a hash-bucket key and
+runs first-fit inside each bucket via ``applyInPandas``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_adventureworks2022_spark.operators.dedup import shingles_df
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: str = "v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = xxhash64(key,
+    seed) mod 10_000 mapped through cumulative weight ranges.
+
+    Properties a curation pipeline needs (and random sampling lacks):
+    stable across runs/cluster sizes (pure function of the key), disjoint
+    and exhaustive, and re-derivable — a doc's split can be recomputed
+    anywhere from its key alone. Zero shuffle: one projection. Changing
+    ``seed`` re-rolls the whole assignment (version datasets explicitly).
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    hi = 0.0
+    expr = None
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(10_000))
+    for name, w in weights.items():
+        hi += w / total * 10_000
+        cond = bucket < F.lit(int(round(hi)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # float-rounding tail guard: last named split absorbs bucket 9999
+    last = list(weights)[-1]
+    return df.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def contamination_check(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark-contamination scan: training docs sharing at least
+    ``min_overlap`` distinct word n-grams with any benchmark doc.
+
+    Shape: distinct shingles per side → equi-join ON THE SHINGLE (a
+    uniform hash-like key — the benchmark side is small and broadcasts;
+    at worst AQE picks a shuffle join) → count per (train, bench) pair →
+    threshold. Never an all-pairs document join: pair cardinality is
+    bounded by shared-shingle hits, and stop-wordy shingles can be
+    pre-pruned with a document-frequency cap on the benchmark side.
+
+    Returns (train_doc_id, bench_doc_id, n_common_shingles,
+    bench_overlap_ratio) — ratio = hits / benchmark doc's shingle count,
+    the usual decontamination threshold input.
+    """
+    t = shingles_df(train, text_col, n).withColumnRenamed("doc_id", "train_doc_id")
+    b = shingles_df(bench, text_col, n).withColumnRenamed("doc_id", "bench_doc_id")
+    b_sizes = b.groupBy("bench_doc_id").agg(
+        F.count(F.lit(1)).alias("bench_shingles")
+    )
+    hits = (
+        t.join(F.broadcast(b), "shingle")
+        .groupBy("train_doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common_shingles"))
+        .filter(F.col("n_common_shingles") >= min_overlap)
+    )
+    return hits.join(F.broadcast(b_sizes), "bench_doc_id").select(
+        "train_doc_id",
+        "bench_doc_id",
+        "n_common_shingles",
+        (
+            F.col("n_common_shingles").cast("double") / F.col("bench_shingles")
+        ).alias("bench_overlap_ratio"),
+    )
+
+
+PACK_SCHEMA = (
+    "pack_id string, doc_id long, n_tokens int, pack_tokens int, pack_docs int"
+)
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    n_bins: int | None = None,
+) -> DataFrame:
+    """Pack documents into fixed token-budget bins (context-window
+    packing for LLM training): greedy first-fit-decreasing inside each
+    hash bucket via ``applyInPandas``.
+
+    Distribution: docs hash into ``n_bins`` independent buckets (default
+    ``spark.sql.shuffle.partitions``), one shuffle; each bucket packs its
+    own docs, so pack quality is per-bucket first-fit-decreasing (within
+    a few % of global FFD at corpus scale, with NO global sort or
+    single-node pass). Over-budget single docs get a singleton pack —
+    truncation policy belongs to the tokenizer stage, not the packer.
+    Pack ids are deterministic: ``<bucket>:<seq>``.
+    """
+    n_bins = n_bins or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    toks = df.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "n_tokens"
+        ),
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_bins)).alias("bucket"),
+    )
+
+    cap = budget
+
+    def pack(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bucket = int(pdf["bucket"].iloc[0])
+        packs: list[list[int]] = []  # running token totals
+        members: list[list[int]] = []
+        assign = []
+        for doc, ntok in zip(pdf["doc_id"], pdf["n_tokens"]):
+            placed = None
+            for i, tot in enumerate(packs):
+                if tot[0] + ntok <= cap:
+                    placed = i
+                    break
+            if placed is None:
+                packs.append([0])
+                members.append([])
+                placed = len(packs) - 1
+            packs[placed][0] += int(ntok)
+            members[placed].append(int(doc))
+            assign.append(placed)
+        return _pd.DataFrame(
+            {
+                "pack_id": [f"{bucket}:{i}" for i in assign],
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"].astype("int32"),
+                "pack_tokens": [int(packs[i][0]) for i in assign],
+                "pack_docs": [len(members[i]) for i in assign],
+            }
+        )
+
+    return toks.groupBy("bucket").applyInPandas(pack, schema=PACK_SCHEMA)

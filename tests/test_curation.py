@@ -1,0 +1,103 @@
+"""Curation operators: deterministic splitting, contamination detection,
+token-budget packing (pytest-only: driver's 50-slot oracle window is
+full — see plans/catalog.py guard)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakehouse_adventureworks2022_spark.operators import curation
+from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF, "documents").cache()
+
+
+def test_split_deterministic_disjoint_exhaustive(docs):
+    out = curation.split_by_hash(docs)
+    rows = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    assert len(rows) == docs.count()  # exhaustive, one split per doc
+    assert set(rows.values()) <= {"train", "val", "test"}
+    # deterministic: recompute on a differently-partitioned frame
+    again = {
+        r["doc_id"]: r["split"]
+        for r in curation.split_by_hash(docs.repartition(7))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert again == rows
+    # 98/1/1 weights: train dominates on 500 docs
+    n_train = sum(1 for s in rows.values() if s == "train")
+    assert n_train / len(rows) > 0.9
+
+
+def test_split_custom_weights_balance(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    out = curation.split_by_hash(df, weights={"a": 0.5, "b": 0.5}, seed="w")
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()
+    }
+    assert abs(counts["a"] - counts["b"]) / 20_000 < 0.05
+    # a different seed re-rolls the assignment
+    other = curation.split_by_hash(df, weights={"a": 0.5, "b": 0.5}, seed="x")
+    moved = (
+        out.withColumnRenamed("split", "s1")
+        .join(other.withColumnRenamed("split", "s2"), "doc_id")
+        .filter("s1 <> s2")
+        .count()
+    )
+    assert moved > 1000
+
+
+def test_contamination_finds_copied_doc(spark, docs):
+    bench_rows = [
+        (9001, "totally novel benchmark question with unique phrasing here"),
+    ]
+    # plant one training doc's text as a benchmark item
+    leaked = docs.limit(1).collect()[0]
+    bench = spark.createDataFrame(
+        bench_rows + [(9002, leaked["text"])], "doc_id long, text string"
+    )
+    hits = curation.contamination_check(docs, bench, min_overlap=2).collect()
+    pairs = {(r["train_doc_id"], r["bench_doc_id"]) for r in hits}
+    assert (leaked["doc_id"], 9002) in pairs
+    full = {r["bench_doc_id"]: r for r in hits if r["train_doc_id"] == leaked["doc_id"]}
+    assert full[9002]["bench_overlap_ratio"] == 1.0  # exact copy: every shingle shared
+    assert all(r["bench_doc_id"] != 9001 for r in hits)  # novel text is clean
+
+
+def test_packing_respects_budget_and_partitions_docs(docs):
+    budget = 400
+    out = curation.pack_documents(docs, budget=budget).collect()
+    assert len(out) == docs.count()  # every doc packed exactly once
+    by_pack: dict[str, list] = {}
+    for r in out:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pid, members in by_pack.items():
+        tot = sum(r["n_tokens"] for r in members)
+        assert all(r["pack_tokens"] == tot for r in members)
+        assert all(r["pack_docs"] == len(members) for r in members)
+        # budget holds unless the pack is a single over-budget doc
+        assert tot <= budget or len(members) == 1
+    # packing is effective: fewer packs than docs, high fill on multi-doc packs
+    assert len(by_pack) < len(out)
+    fills = [
+        sum(r["n_tokens"] for r in m) / budget
+        for m in by_pack.values()
+        if len(m) > 1
+    ]
+    assert fills and sum(fills) / len(fills) > 0.5
+
+
+def test_packing_deterministic(docs):
+    a = {(r["doc_id"], r["pack_id"]) for r in curation.pack_documents(docs, 400).collect()}
+    b = {
+        (r["doc_id"], r["pack_id"])
+        for r in curation.pack_documents(docs.repartition(11), 400).collect()
+    }
+    assert a == b
