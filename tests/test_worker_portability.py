@@ -25,6 +25,19 @@ assets = multimodal.attach_fake_assets(
     read_table(spark, "/root/testdata/sf0.001", "documents").limit(5))
 rows = multimodal.extract_features(assets).collect()
 assert len(rows) == 5 and len(rows[0]["features"]) == multimodal.FEATURE_DIM
+# real-codec path (PPM/WAV decode closures)
+media = spark.createDataFrame(
+    [(1, bytearray(multimodal.synth_ppm(32, 16, seed=1)),
+      "image/x-portable-pixmap", 32, 16, None),
+     (2, bytearray(multimodal.synth_wav(50)), "audio/wav", None, None, 50)],
+    schema=multimodal.ASSET_SCHEMA)
+real = multimodal.extract_features(media, fake=False).collect()
+assert len(real) == 2 and all(len(r["features"]) == 16 for r in real)
+# applyInPandas packing closure
+from lakehouse_adventureworks2022_spark.operators import curation
+docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+packed = curation.pack_documents(docs, budget=300).collect()
+assert len(packed) == 20
 print("PORTABLE-OK")
 spark.stop()
 """
