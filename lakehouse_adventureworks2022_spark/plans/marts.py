@@ -98,13 +98,33 @@ def sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
     region = read_table(spark, sf_dir, "region")
-    # Exact two-phase distinct (no expand): phase 1 groups by
-    # (wide key, o_orderkey) with partial sums — map-side combine shrinks
-    # the shuffle to ≤ one row per (order, flag-combo); phase 2 counts the
-    # pre-aggregated rows for order_count and totals the partial sums.
-    # Identical results to COUNT(DISTINCT o_orderkey) + direct sums.
+    # Exact two-phase distinct (no expand) with EAGER AGGREGATION pushed
+    # below the join: phase 1 groups the raw fact by (l_orderkey,
+    # flag-combo) — order/customer attributes are functionally dependent
+    # on the order key, so grouping BEFORE the join yields exactly the
+    # rows the old join-then-group plan produced, but the big
+    # fact ⋈ orders join now processes ≤ one row per (order, flag-combo)
+    # (~4× fewer at TPC-H line counts) and the aggregation shuffle
+    # carries the narrow measure projection instead of the joined row.
+    # The join on o_orderkey then REUSES the aggregation's partitioning
+    # (no extra exchange on the fact side). Phase 2 counts pre-aggregated
+    # rows for order_count. Identical results to
+    # COUNT(DISTINCT o_orderkey) + direct sums.
+    li_per_order = lineitem.groupBy(
+        F.col("l_orderkey"),
+        F.col("l_returnflag").alias("return_flag"),
+        F.col("l_linestatus").alias("line_status"),
+    ).agg(
+        F.count(F.lit(1)).alias("_lines"),
+        F.sum("l_quantity").alias("_qty"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("_disc"),
+        F.sum("l_extendedprice").alias("_price"),
+    )
     per_order = (
-        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"], "inner")
+        li_per_order.join(
+            orders, li_per_order["l_orderkey"] == orders["o_orderkey"], "inner"
+        )
         .join(
             F.broadcast(customer),
             orders["o_custkey"] == customer["c_custkey"],
@@ -116,22 +136,19 @@ def sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "inner"
         )
-        .groupBy(
+        .select(
             F.year("o_orderdate").cast("int").alias("order_year"),
             F.col("o_orderpriority").alias("order_priority"),
             F.col("r_name").alias("region_name"),
             F.col("n_name").alias("nation_name"),
             F.col("c_mktsegment").alias("market_segment"),
-            F.col("l_returnflag").alias("return_flag"),
-            F.col("l_linestatus").alias("line_status"),
-            F.col("o_orderkey"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("_lines"),
-            F.sum("l_quantity").alias("_qty"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("_disc"),
-            F.sum("l_extendedprice").alias("_price"),
+            "return_flag",
+            "line_status",
+            "_lines",
+            "_qty",
+            "_rev",
+            "_disc",
+            "_price",
         )
     )
     return (
