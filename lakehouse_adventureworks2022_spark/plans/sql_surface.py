@@ -87,6 +87,64 @@ SQL_CATALOG: dict[str, str] = {
         JOIN region r   ON n.n_regionkey = r.r_regionkey
         GROUP BY 1, 2, 3, 4, 5, 6, 7
     """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 6) AS DOUBLE)
+                 AS sum_charge,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(28,6))), 2) AS DOUBLE) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q5": """
+        SELECT n.n_name AS nation_name,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+    """,
+    "sales_rollup": """
+        SELECT r.r_name AS region_name,
+               n.n_name AS nation_name,
+               c.c_mktsegment AS market_segment,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_revenue,
+               CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_qty,
+               COUNT(*) AS line_count,
+               CAST((CASE WHEN grouping(r.r_name) = 1 THEN 4 ELSE 0 END
+                   + CASE WHEN grouping(n.n_name) = 1 THEN 2 ELSE 0 END
+                   + CASE WHEN grouping(c.c_mktsegment) = 1 THEN 1 ELSE 0 END) AS INT)
+                 AS grouping_level
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name, c.c_mktsegment)
+    """,
+    "customers_without_orders": """
+        SELECT c.c_custkey AS customer_key,
+               c.c_name AS customer_name,
+               c.c_mktsegment AS market_segment
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+    """,
 }
 
 
