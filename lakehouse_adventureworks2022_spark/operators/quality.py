@@ -69,3 +69,46 @@ def uniqueness_violations(df: DataFrame, keys: list[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)
     )
+
+
+def accepted_values_violations(
+    df: DataFrame, col: str, allowed: list[str]
+) -> DataFrame:
+    """Rows whose ``col`` holds a value outside the accepted set (the
+    dbt-style accepted_values test). NULL is reported too — use
+    ``null_profile`` to budget nulls separately, then allow them here by
+    including None in ``allowed``."""
+    allow_null = any(v is None for v in allowed)
+    vals = [v for v in allowed if v is not None]
+    cond = ~F.col(col).isin(*vals) if vals else F.lit(True)
+    if allow_null:
+        cond = cond & F.col(col).isNotNull()
+    else:
+        cond = cond | F.col(col).isNull()
+    return df.filter(cond)
+
+
+def freshness_check(
+    df: DataFrame, ts_col: str, max_age: str, now: str | None = None
+) -> DataFrame:
+    """One-row freshness gate: is the latest ``ts_col`` within the age
+    budget? ``max_age`` is an INTERVAL body (e.g. ``'2 hours'``).
+
+    Single global-max aggregate — the same one-row shape as the
+    watermark read, no collect. ``now`` (an ISO timestamp string) pins
+    the reference clock for deterministic tests; defaults to
+    ``current_timestamp()``.
+    """
+    now_col = (
+        F.to_timestamp(F.lit(now)) if now is not None else F.current_timestamp()
+    )
+    return df.agg(F.max(ts_col).alias("latest_ts")).select(
+        "latest_ts",
+        now_col.alias("checked_at"),
+        (F.col("latest_ts") >= now_col - F.expr(f"INTERVAL {max_age}")).alias(
+            "is_fresh"
+        ),
+        (
+            F.unix_timestamp(now_col) - F.unix_timestamp(F.col("latest_ts"))
+        ).alias("age_seconds"),
+    )

@@ -38,3 +38,39 @@ def test_uniqueness_violations(spark):
     df = spark.createDataFrame([(1, 1), (1, 1), (1, 2)], ["a", "b"])
     rows = uniqueness_violations(df, ["a", "b"]).collect()
     assert len(rows) == 1 and rows[0]["dup_count"] == 2
+
+
+def test_accepted_values_violations(spark):
+    from lakehouse_adventureworks2022_spark.operators.quality import (
+        accepted_values_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "O"), (2, "F"), (3, "X"), (4, None)], "id int, status string"
+    )
+    bad = {r["id"] for r in accepted_values_violations(df, "status", ["O", "F"]).collect()}
+    assert bad == {3, 4}  # unknown value AND null flagged
+    bad_null_ok = {
+        r["id"]
+        for r in accepted_values_violations(df, "status", ["O", "F", None]).collect()
+    }
+    assert bad_null_ok == {3}  # null explicitly allowed
+
+
+def test_freshness_check_deterministic_clock(spark, sf_dir):
+    from lakehouse_adventureworks2022_spark.operators.quality import freshness_check
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    latest = events.agg({"ts": "max"}).collect()[0][0]
+    # clock 1 hour after latest event: fresh within '2 hours', stale within '30 minutes'
+    now = (latest.replace(microsecond=0)).isoformat(sep=" ")
+    fresh = freshness_check(events, "ts", "2 hours", now=now).collect()[0]
+    assert fresh["is_fresh"] is True
+    assert 0 <= fresh["age_seconds"] <= 1
+    import datetime
+
+    later = (latest + datetime.timedelta(hours=1)).isoformat(sep=" ")
+    stale = freshness_check(events, "ts", "30 minutes", now=later).collect()[0]
+    assert stale["is_fresh"] is False
+    assert stale["age_seconds"] >= 3600 - 1
