@@ -105,11 +105,16 @@ def simhash_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """32-bit SimHash per document (Charikar): each distinct token votes
     ±1 on every bit of its 32-bit hash; the fingerprint keeps the sign.
 
-    Fully declarative: explode tokens × bit positions, two hash
-    aggregations — both shuffles keyed on doc_id (uniform). The token
-    hash is the first 8 md5 hex digits parsed as an integer, identical in
-    the SQL oracle (``CAST('0x'||substr(md5(t),1,8) AS BIGINT)``). A zero
-    vote sum yields bit 0 in both engines (strict ``> 0``).
+    Fully declarative, ONE doc_id-keyed aggregation: bit j's vote sum is
+    ``2·ones_j − n`` (ones_j = tokens with bit j set, n = distinct
+    tokens), so the 32 vote sums are 32 aggregate columns over the
+    (doc_id, token-hash) rows — no token × 32 bit-position explosion and
+    one shuffle instead of two (the r2 form exploded 32× the token
+    volume through a (doc_id, j) shuffle, then shuffled again). The
+    token hash is the first 8 md5 hex digits parsed as an integer,
+    identical in the SQL oracle (``CAST('0x'||substr(md5(t),1,8) AS
+    BIGINT)``). Bit set iff vote sum strictly ``> 0`` (⇔ 2·ones_j > n)
+    in both engines.
     """
     toks = (
         df.withColumn("__toks__", tokens_col(F.col(text_col)))
@@ -119,25 +124,21 @@ def simhash_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint"),
         )
     )
-    votes = (
-        toks.select(
-            "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
-        )
-        .withColumn(
-            "contrib",
-            F.when(F.expr("(shiftright(h, j) & 1) = 1"), F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("s"))
+    ones = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n__"),
+        *[
+            F.sum(F.expr(f"shiftright(h, {j}) & 1")).alias(f"__ones_{j:02d}")
+            for j in range(32)
+        ],
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("simhash")
+    fingerprint = None
+    for j in range(32):
+        bit = F.when(
+            2 * F.col(f"__ones_{j:02d}") > F.col("__n__"), F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return ones.select(
+        "doc_id", fingerprint.cast("bigint").alias("simhash")
     )
 
 
