@@ -94,6 +94,28 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def latest_event_per_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for :func:`latest_event_per_user` (tested equal): one
+    ``max_by`` aggregation keyed on (ts, event_id) struct order.
+
+    The window form sorts every event inside each user partition after a
+    full shuffle; this form pre-reduces map-side — each input partition
+    forwards ONE candidate row per user through the exchange — so the
+    shuffle volume is #users × #partitions rows instead of #events. At
+    extreme per-user event counts (the 100 TB case) that is the
+    difference between a skew hazard and a bounded combine.
+    """
+    events = read_table(spark, sf_dir, "events").drop("props")
+    others = [c for c in events.columns if c != "user_id"]
+    picked = events.groupBy("user_id").agg(
+        F.max_by(F.struct(*others), F.struct("ts", "event_id")).alias("r")
+    )
+    # same column order as the window form: events schema minus props
+    return picked.select(
+        *[F.col(f"r.{c}").alias(c) if c != "user_id" else F.col(c) for c in events.columns]
+    )
+
+
 def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed aggregate per event type — batch twin of
     the Structured Streaming query (``streaming/events.py``); same

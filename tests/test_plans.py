@@ -110,3 +110,22 @@ def test_distinct_marts_plan_no_expand(spark, sf_dir):
     for q in (marts.sales_summary, marts.top_products):
         plan = plan_of(q(spark, sf_dir))
         assert "Expand" not in plan, q.__name__
+
+
+def test_latest_event_agg_equals_window_form(spark, sf_dir):
+    """The max_by scale path must match the row_number window form
+    row-for-row (same deterministic (ts, event_id) tiebreak)."""
+    from lakehouse_adventureworks2022_spark.plans.events import (
+        latest_event_per_user,
+        latest_event_per_user_agg,
+    )
+
+    a = latest_event_per_user(spark, sf_dir)
+    b = latest_event_per_user_agg(spark, sf_dir)
+    assert a.columns == b.columns
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    # the agg plan must carry partial aggregation (map-side combine),
+    # not a window sort
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
