@@ -54,12 +54,6 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_near_dup_pairs(
-        read_table(spark, sf_dir, "embeddings"), threshold=0.45
-    )
-
-
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs_lsh(
         read_table(spark, sf_dir, "embeddings"), threshold=0.45
