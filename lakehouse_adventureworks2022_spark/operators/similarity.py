@@ -243,48 +243,41 @@ def cosine_topk_lsh(
     )
 
 
-def cosine_topk_ivf(
-    queries: DataFrame,
-    candidates: DataFrame,
-    k: int = 10,
-    n_cells: int = 16,
-    n_probe: int = 4,
-    train_cap: int = 2048,
-) -> DataFrame:
-    """Approximate top-k: IVF (inverted-file) coarse quantization.
+def _safe_norms_np(m):
+    """Row norms with zero-norm rows treated as unit (a zero vector
+    would divide to NaN and silently corrupt every assignment)."""
+    import numpy as np
 
-    Classic two-stage ANN (the standard alternative to LSH bucketing):
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return n
 
-    1. *Train* — a deterministic sample of candidates (the ``train_cap``
-       lowest ``xxhash64(vec_id)`` values — a seedless pseudo-random
-       draw that needs no pre-count, works with sparse/offset ids, and
-       compiles to TakeOrderedAndProject: per-partition top-k then one
-       driver merge, never a full scan job of its own) is Lloyd-iterated
-       into ``n_cells`` spherical centroids. Init is the first
-       ``n_cells`` sample vectors in hash order — re-runs agree
-       bit-for-bit.
-    2. *Assign + probe* — every candidate joins its nearest cell (one
-       Arrow-batched argmax per batch, broadcast centroid matrix); each
-       query probes its ``n_probe`` nearest cells. Scoring happens only
-       inside probed cells via an equi-join on ``cell`` — the corpus
-       shuffles once, keyed by cell id.
 
-    Scale shape: the centroid matrix is O(n_cells × dim) — kilobytes —
-    broadcast inside the closure; the corpus never cross-joins. At 100 TB
-    raise ``n_cells`` ~ sqrt(corpus) so cells stay executor-sized; recall
-    is tunable via ``n_probe``. Approximate by design ⇒ rows-only check;
-    the recall floor is asserted in tests.
+def ivf_build(
+    candidates: DataFrame, n_cells: int = 16, train_cap: int = 2048
+) -> tuple[DataFrame, DataFrame]:
+    """Build a persistable IVF index: ``(centroids, cells)``.
+
+    - *Train* — a deterministic sample of candidates (the ``train_cap``
+      lowest ``xxhash64(vec_id)`` values — a seedless pseudo-random draw
+      that needs no pre-count, works with sparse/offset ids, and
+      compiles to TakeOrderedAndProject: per-partition top-k then one
+      driver merge, never a full scan job of its own) is Lloyd-iterated
+      into ``n_cells`` spherical centroids. Init is the first
+      ``n_cells`` sample vectors in hash order — rebuilds agree
+      bit-for-bit.
+    - *Assign* — every candidate joins its nearest cell (one
+      Arrow-batched argmax per batch, broadcast centroid matrix).
+
+    Both returns are plain DataFrames, so the index PERSISTS like any
+    table: write ``cells`` with ``TableManager.write_clustered(...,
+    cluster_by='cell')`` (probing then scans only the probed cells'
+    files) and ``centroids`` (kilobytes) next to it; reload and search
+    without re-training — the build cost amortizes over every query
+    batch, which is the point of IVF at 100 TB.
     """
     import numpy as np
 
-    def _safe_norms(m: "np.ndarray") -> "np.ndarray":
-        # zero-norm vectors would divide to NaN and silently corrupt every
-        # cell assignment they touch; treat them as unit-norm instead
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        return n
-
-    # --- train (driver-side, bounded; single top-k job, no pre-count) ---
     sample = (
         candidates.select("vec_id", "embedding")
         .orderBy(F.xxhash64("vec_id"), "vec_id")
@@ -292,7 +285,7 @@ def cosine_topk_ivf(
         .collect()
     )
     tm = np.array([r["embedding"] for r in sample], dtype=np.float64)
-    tm /= _safe_norms(tm)
+    tm /= _safe_norms_np(tm)
     cents = tm[: min(n_cells, len(tm))].copy()
     for _ in range(8):  # Lloyd on the unit sphere (cosine k-means)
         assign = np.argmax(tm @ cents.T, axis=1)
@@ -305,20 +298,21 @@ def cosine_topk_ivf(
                     cents[c] = m / norm
     cm = cents  # (n_cells, dim), unit rows
 
-    # --- assign candidates to cells (Arrow batches, one argmax each) ----
     def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
         for pdf in batches:
-            em = np.array(list(pdf["embedding"]), dtype=np.float64)
+            em = _np.array(list(pdf["embedding"]), dtype=_np.float64)
             if em.size == 0:
                 continue
-            norms = np.linalg.norm(em, axis=1, keepdims=True)
+            norms = _np.linalg.norm(em, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             em_n = em / norms
             yield pd.DataFrame(
                 {
                     "cand_id": pdf["vec_id"],
                     "embedding": pdf["embedding"],
-                    "cell": np.argmax(em_n @ cm.T, axis=1).astype("int32"),
+                    "cell": _np.argmax(em_n @ cm.T, axis=1).astype("int32"),
                 }
             )
 
@@ -326,11 +320,33 @@ def cosine_topk_ivf(
     cells = candidates.select("vec_id", "embedding").mapInPandas(
         assign_cells, schema=f"cand_id long, embedding {emb_type}, cell int"
     )
+    centroids = candidates.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cm)],
+        "cell int, centroid array<double>",
+    )
+    return centroids, cells
 
-    # --- probe: n_probe nearest cells per query (query side is small) ---
+
+def ivf_search(
+    queries: DataFrame,
+    centroids: DataFrame,
+    cells: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a built (possibly reloaded) IVF index: each query scores
+    only its ``n_probe`` nearest cells via an equi-join on ``cell`` —
+    the corpus shuffles once, keyed by cell id (zero times if ``cells``
+    was written clustered on ``cell``: file pruning serves the probes).
+    """
+    import numpy as np
+
+    crows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    cm = np.array([r["centroid"] for r in crows], dtype=np.float64)
+
     qrows = queries.select("vec_id", "embedding").collect()
     qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qm_n = qm / _safe_norms(qm)
+    qm_n = qm / _safe_norms_np(qm)
     probe_idx = np.argsort(-(qm_n @ cm.T), axis=1)[:, :n_probe]
     probes = queries.sparkSession.createDataFrame(
         [
@@ -359,6 +375,30 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cosine")
     )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_cap: int = 2048,
+) -> DataFrame:
+    """Approximate top-k: IVF (inverted-file) coarse quantization —
+    :func:`ivf_build` + :func:`ivf_search` in one shot (the one-off
+    query-time form; long-lived deployments build once, persist the
+    cells table clustered on ``cell``, and call ``ivf_search`` per
+    batch).
+
+    Scale shape: the centroid matrix is O(n_cells × dim) — kilobytes —
+    broadcast inside the closures; the corpus never cross-joins. At
+    100 TB raise ``n_cells`` ~ sqrt(corpus) so cells stay
+    executor-sized; recall is tunable via ``n_probe``. Approximate by
+    design ⇒ rows-only check; the recall floor is asserted in tests.
+    """
+    centroids, cells = ivf_build(candidates, n_cells=n_cells, train_cap=train_cap)
+    return ivf_search(queries, centroids, cells, k=k, n_probe=n_probe)
 
 
 def embedding_near_dup_pairs(

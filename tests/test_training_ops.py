@@ -241,3 +241,27 @@ def test_ivf_topk_recall_and_determinism(spark):
         for r in similarity.cosine_topk_ivf(q, c, k=10).collect()
     }
     assert again == pairs
+
+
+def test_ivf_index_persist_reload_search(spark, tmp_path):
+    """The IVF index must survive a write/reload cycle: search over the
+    reloaded clustered cells table equals the direct one-shot form."""
+    from lakehouse_adventureworks2022_spark.storage.tables import TableManager
+
+    q, c = similarity.embedding_queries(spark, SF)
+    direct = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in similarity.cosine_topk_ivf(q, c, k=10).collect()
+    }
+
+    centroids, cells = similarity.ivf_build(c)
+    tm = TableManager(spark, str(tmp_path))
+    tm.write_clustered(cells, "ivf_cells", "cell", n_files=4)
+    tm.overwrite(centroids, "ivf_centroids")
+    reloaded = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in similarity.ivf_search(
+            q, tm.read("ivf_centroids"), tm.read("ivf_cells"), k=10
+        ).collect()
+    }
+    assert reloaded == direct and len(direct) == 50
