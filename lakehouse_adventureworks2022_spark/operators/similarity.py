@@ -432,9 +432,10 @@ def embedding_near_dup_pairs(
 def embedding_near_dup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.45,
-    n_planes: int = 4,
-    n_tables: int = 8,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     dim: int = 64,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP-LSH bucket candidates —
     the 100 TB path for :func:`embedding_near_dup_pairs`.
@@ -443,14 +444,37 @@ def embedding_near_dup_pairs_lsh(
     equi-join on the uniform (tbl, bkt) key, L small shuffles instead of
     the quadratic theta join — then the exact cosine predicate verifies
     only candidates. Output ⊆ the exact form with recall
-    1-(1-p^n_planes)^n_tables, p = 1-θ/π (≈0.8 at θ=63°/defaults, higher
-    for truer duplicates; the floor is asserted in tests). Approximate by
-    design ⇒ rows-only correctness check.
+    1-(1-p^n_planes)^n_tables, p = 1-θ/π (the floor is asserted in
+    tests). Approximate by design ⇒ rows-only correctness check.
+
+    **Bucket count must GROW with the corpus** (defaults do, from one
+    count): candidate volume per table is Σ_bucket |bucket|²/2 ≈
+    N²/2^(planes+1), quadratic at fixed planes — a 20k-vector corpus at
+    the old fixed 4 planes/16 buckets generates ~100M candidate pairs
+    and never finishes. With planes = log2(N/target_bucket) the volume
+    is ~n_tables × N × target_bucket/2 — LINEAR in N. More planes lower
+    per-table collision probability, so tables scale up alongside
+    (recall then concentrates on true duplicates — the decontamination
+    regime — while borderline-cosine pairs need more tables: pass
+    explicit ``n_planes``/``n_tables`` to trade cost for recall).
+    Exact duplicates always collide in every table regardless of plane
+    count; run :func:`~..dedup.dedup_exact` first so they don't bloat
+    buckets.
     """
+    if n_planes is None:
+        import math
+
+        n = embeddings.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket)) if n > target_bucket else 4)
+    if n_tables is None:
+        n_tables = 8 + 2 * (n_planes - 4)
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     b = _srp_with_buckets(e, "v", n_planes=n_planes, n_tables=n_tables, dim=dim)
+    # candidate pairs carry ONLY ids through the distinct shuffle (a
+    # 16-byte row; dragging both dim-double vectors through it multiplies
+    # the shuffle ~60×); vectors re-join by id for the verify stage
     candidates = (
         b.alias("a")
         .join(b.alias("b"), ["tbl", "bkt"])
@@ -458,13 +482,13 @@ def embedding_near_dup_pairs_lsh(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
+        .distinct()
     )
     return (
-        candidates.select(
+        candidates.join(e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
+        .join(e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
+        .select(
             "vec_a", "vec_b", _cosine(F.col("va"), F.col("vb")).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)

@@ -1,0 +1,91 @@
+"""Scale stress: run the dedup/ANN scale paths on a corpus replicated
+well past bench SF (documents ×REP with perturbed ids, embeddings ×REP)
+and print per-op wall times as one JSON line.
+
+The interesting part is not the absolute time but the SHAPE: replicated
+docs are exact duplicates — the documented hazard for LSH band buckets —
+so this exercises the exact-dedup-first mitigation and the skew behavior
+of every bucketed join at ~10-20× the bench volume.
+
+Usage: python tools/stress_scale.py [rep] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lakehouse_adventureworks2022_spark.operators import dedup, similarity  # noqa: E402
+from lakehouse_adventureworks2022_spark.session import get_spark  # noqa: E402
+from lakehouse_adventureworks2022_spark.sources.readers import read_table  # noqa: E402
+
+
+def main() -> None:
+    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("stress")
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    # rep copies; ids offset so every copy is a distinct doc_id with
+    # IDENTICAL text (worst case for band-bucket skew)
+    reps = spark.range(rep).withColumnRenamed("id", "rep")
+    big_docs = (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
+        .drop("rep")
+    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    big_emb = (
+        emb.crossJoin(F.broadcast(reps))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * F.lit(10_000_000))
+        .drop("rep")
+    )
+
+    timings: dict[str, float] = {}
+
+    def run(name, df_fn):
+        t = time.perf_counter()
+        df_fn().write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t, 2)
+
+    run("exact_dedup", lambda: dedup.dedup_exact(big_docs))
+    run("clean_corpus", lambda: dedup.clean_corpus(big_docs))
+    run("simhash_pairs_uniques", lambda: dedup.simhash_pairs(
+        # dedup first (the documented mitigation), then pair uniques
+        big_docs.join(
+            dedup.dedup_exact(big_docs).select(
+                F.col("keeper_doc_id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        )
+    ))
+    run("embedding_lsh_uniques", lambda: similarity.embedding_near_dup_pairs_lsh(
+        big_emb.dropDuplicates(["embedding"])
+    ))
+    q = big_emb.filter(F.col("vec_id") % 1000 == 0)
+    run("ann_ivf", lambda: similarity.cosine_topk_ivf(q, big_emb, k=10))
+
+    print(
+        json.dumps(
+            {
+                "rep": rep,
+                "docs": n_docs * rep,
+                "vectors": big_emb.count(),
+                "timings_sec": timings,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
