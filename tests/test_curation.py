@@ -101,3 +101,33 @@ def test_packing_deterministic(docs):
         for r in curation.pack_documents(docs.repartition(11), 400).collect()
     }
     assert a == b
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=40),
+    budget=st.integers(min_value=10, max_value=120),
+)
+def test_packing_invariants_property(spark, lengths, budget):
+    """For ANY corpus and budget: every doc packed exactly once, pack
+    totals consistent, budget respected except singleton over-budget
+    docs, and assignment deterministic."""
+    rows = [(i, "w " * n) for i, n in enumerate(lengths)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.pack_documents(docs, budget=budget, n_bins=4).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(range(len(lengths)))
+    packs: dict[str, list] = {}
+    for r in out:
+        packs.setdefault(r["pack_id"], []).append(r)
+    for members in packs.values():
+        tot = sum(r["n_tokens"] for r in members)
+        assert all(r["pack_tokens"] == tot for r in members)
+        assert tot <= budget or len(members) == 1

@@ -191,3 +191,64 @@ def test_stream_dedup_drops_replayed_copies(spark, tmp_path):
     assert ids == [1, 2, 3, 4]  # each id exactly once, replay dropped
     all_rows = spark.read.parquet(src_dir)
     assert dedup_batch(all_rows).count() == 4
+
+
+def test_stream_clean_corpus_gate_and_dedup(spark, tmp_path):
+    """Streaming corpus ingestion: low-quality docs filtered by the SAME
+    thresholds as batch token_stats, replayed duplicates dropped on the
+    normalized content hash."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators import textops
+    from lakehouse_adventureworks2022_spark.streaming.corpus import (
+        stream_clean_corpus,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    rows1 = [
+        (1, good, "2024-01-01 10:00:00"),
+        (2, "short", "2024-01-01 10:01:00"),  # fails min-token gate
+        (3, "a! b? c. d, e; f: g! h? i. j,", "2024-01-01 10:02:00"),  # punct
+    ]
+    rows2 = [
+        (4, "  THE  quick brown fox jumps over the lazy dog again and again ",
+         "2024-01-01 10:10:00"),  # normalized duplicate of doc 1
+        (5, good + " with a genuinely new ending", "2024-01-01 10:11:00"),
+    ]
+    schema = "doc_id bigint, text string, ingest_ts string"
+    src_dir = str(tmp_path / "docs_stream")
+    b1 = spark.createDataFrame(rows1, schema).withColumn(
+        "ingest_ts", F.col("ingest_ts").cast("timestamp")
+    )
+    b2 = spark.createDataFrame(rows2, schema).withColumn(
+        "ingest_ts", F.col("ingest_ts").cast("timestamp")
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    shutil.rmtree(src_dir + "/_spark_metadata", ignore_errors=True)
+    b2.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = stream_clean_corpus(
+        spark.readStream.schema(
+            "doc_id bigint, text string, ingest_ts timestamp"
+        ).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_corpus")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    got = sorted(r["doc_id"] for r in spark.table("t_corpus").collect())
+    q.stop()
+    # 2/3 fail the gate, 4 is a replayed duplicate of 1 ⇒ survivors 1, 5
+    assert got == [1, 5]
+    # gate agrees with the batch quality flag
+    batch_flags = {
+        r["doc_id"]: r["is_quality"]
+        for r in textops.token_stats(b1.unionByName(b2)).collect()
+    }
+    assert batch_flags[1] and batch_flags[5] and not batch_flags[2]
