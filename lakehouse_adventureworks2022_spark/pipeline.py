@@ -112,13 +112,23 @@ class MedallionPipeline:
         self.tables.overwrite(snapshot, "gold.dim_part")
 
     # ---- mart -------------------------------------------------------
-    def build_mart(self) -> None:
+    def build_mart(self, via_sql_ddl: bool = False) -> None:
+        """Path-table marts (default), optionally ALSO through the
+        metastore DDL surface (W7/W10: CREATE SCHEMA + CTAS as spark.sql,
+        the reference's Trino flow — ``storage/ddl.py``) so the marts are
+        addressable by catalog name."""
         self.tables.overwrite(
             marts.sales_summary(self.spark, self.sf_dir), "mart.sales_summary"
         )
         self.tables.overwrite(
             marts.top_products(self.spark, self.sf_dir), "mart.top_products"
         )
+        if via_sql_ddl:
+            from lakehouse_adventureworks2022_spark.storage.ddl import (
+                build_marts_ddl,
+            )
+
+            build_marts_ddl(self.spark, self.sf_dir, str(self.tables.root / "_catalog"))
 
     def run(self) -> PipelineResult:
         res = PipelineResult()

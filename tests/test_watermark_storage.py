@@ -101,3 +101,28 @@ def test_pipeline_end_to_end_and_incremental_idempotency(spark, sf_dir, tmp_path
     assert p.tables.read("gold.fact_sales").count() == 6000
     # SCD2 dim unchanged (same batch, same attributes ⇒ no new versions)
     assert p.tables.read("gold.dim_part").count() == 200
+
+
+def test_pipeline_mart_via_sql_ddl(spark, sf_dir, tmp_path):
+    """Routing the mart stage through the DDL surface yields catalog
+    tables equal to the path-table marts."""
+    from lakehouse_adventureworks2022_spark.pipeline import MedallionPipeline
+    from lakehouse_adventureworks2022_spark.storage.ddl import (
+        MEDALLION_SCHEMAS,
+        CatalogDDL,
+    )
+
+    p = MedallionPipeline(spark, str(tmp_path), sf_dir)
+    try:
+        p.ingest_snapshots()
+        p.build_mart(via_sql_ddl=True)
+        named = {
+            tuple(r)
+            for r in spark.table("mart.business_top_products").collect()
+        }
+        path = {tuple(r) for r in p.tables.read("mart.top_products").collect()}
+        assert named == path and len(path) == 10
+    finally:
+        ddl = CatalogDDL(spark, str(tmp_path))
+        for s in MEDALLION_SCHEMAS:
+            ddl.drop_schema(s)
