@@ -110,3 +110,32 @@ def test_clustered_write_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
 
     # row fidelity: clustering is a rewrite, not a filter
     assert tm.read("orders_clustered").count() == orders.count()
+
+
+def test_maintenance_job_compacts_and_clusters(spark, sf_dir, tmp_path):
+    from pathlib import Path
+
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+    from lakehouse_adventureworks2022_spark.storage.maintenance import (
+        MaintenancePlan,
+        run_maintenance,
+    )
+
+    tm = TableManager(spark, str(tmp_path))
+    orders = read_table(spark, sf_dir, "orders")
+    # simulate fragmented appends: many tiny files
+    tm.overwrite(orders.repartition(24), "gold.orders_frag")
+    assert len(list(Path(tm.path("gold.orders_frag")).glob("*.parquet"))) >= 24
+
+    done = run_maintenance(
+        tm,
+        [
+            MaintenancePlan(
+                "gold.orders_frag", target_files=4, cluster_by="o_custkey"
+            )
+        ],
+    )
+    assert done["gold.orders_frag"] == ["cluster"]
+    files = list(Path(tm.path("gold.orders_frag")).glob("*.parquet"))
+    assert len(files) <= 6  # compacted
+    assert tm.read("gold.orders_frag").count() == orders.count()
