@@ -261,7 +261,11 @@ def minhash_signatures(
 
 
 def _signatures_from_shingles(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    # n_shingles rides along in the SAME aggregation: the verify stage
+    # needs per-doc shingle counts, and computing them here saves a whole
+    # second pass (shuffle) over the shingle set
     return sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
         *[
             F.min(
                 F.md5(F.concat(F.lit(f"{i:02d}|"), F.col("shingle")))
@@ -338,9 +342,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify ONLY the candidate pairs (never the corpus cross-product):
-    # candidate ⋈ shingles on each side, equi on shingle, count overlap
+    # candidate ⋈ shingles on each side, equi on shingle, count overlap;
+    # per-doc sizes come from the signature aggregation (no second pass)
     sh = shingles
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = sig.select("doc_id", "n_shingles")
     common = (
         candidates.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
