@@ -101,3 +101,29 @@ def click_purchase_join_batch(events: DataFrame) -> DataFrame:
         "click_id",
         "click_ts",
     )
+
+
+def stream_enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    dim_cols: list[str],
+) -> DataFrame:
+    """Stream-static dimension enrichment: the streaming twin of the
+    silver-layer snowflake joins (J1-J3) — each micro-batch inner-joins
+    the (static, broadcastable) dimension snapshot.
+
+    Stream-static joins need NO watermark and hold NO state: the static
+    side is re-planned per micro-batch, so a dim refresh (overwrite by
+    the batch pipeline) is picked up on the next trigger — the standard
+    slowly-refreshing-dimension pattern. At scale the dim broadcasts
+    (or AQE picks SMJ for a huge one); the stream side never shuffles
+    for a broadcast join.
+    """
+    d = dim.select(
+        F.col(dim_key).alias("__dk"), *[F.col(c) for c in dim_cols]
+    )
+    return stream.join(
+        F.broadcast(d), stream[stream_key] == F.col("__dk"), "inner"
+    ).drop("__dk")

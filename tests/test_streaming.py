@@ -252,3 +252,41 @@ def test_stream_clean_corpus_gate_and_dedup(spark, tmp_path):
         for r in textops.token_stats(b1.unionByName(b2)).collect()
     }
     assert batch_flags[1] and batch_flags[5] and not batch_flags[2]
+
+
+def test_stream_static_dim_enrichment(spark, sf_dir):
+    """Stream-static join: streaming events enriched with the (static)
+    customer-geo dim equal the batch join, no watermark required."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.plans import dims
+    from lakehouse_adventureworks2022_spark.streaming.events import (
+        run_stream_once,
+        stream_events_source,
+    )
+    from lakehouse_adventureworks2022_spark.streaming.joins import (
+        stream_enrich_with_dim,
+    )
+
+    geo = dims.build_dim_customer_geo(spark, sf_dir)
+    src = stream_events_source(spark, sf_dir)
+    # user_id keys into the customer dimension on this fixture family
+    enriched = stream_enrich_with_dim(
+        src.filter(F.col("event_type") == "purchase"),
+        geo,
+        "user_id",
+        "customer_key",
+        ["nation_name", "region_name"],
+    )
+    assert enriched.isStreaming
+    got = run_stream_once(enriched, "t_enrich", output_mode="append")
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    want = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(geo, events["user_id"] == geo["customer_key"])
+        .select(*got.columns)
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    assert got.count() > 0
