@@ -139,3 +139,63 @@ def test_maintenance_job_compacts_and_clusters(spark, sf_dir, tmp_path):
     files = list(Path(tm.path("gold.orders_frag")).glob("*.parquet"))
     assert len(files) <= 6  # compacted
     assert tm.read("gold.orders_frag").count() == orders.count()
+
+
+def test_zorder_localizes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files must have LOCALIZED footer ranges in both columns:
+    a selective predicate on either column overlaps only a fraction of
+    the files, where single-column clustering prunes nothing on the
+    second column."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+    from lakehouse_adventureworks2022_spark.storage.zorder import (
+        morton_key,
+        write_zordered,
+        zorder_frame,
+    )
+
+    tm = TableManager(spark, str(tmp_path))
+    orders = read_table(spark, sf_dir, "orders")
+    n_files = 16
+    write_zordered(tm, orders, "orders_z", "o_custkey", "o_totalprice", n_files)
+
+    def file_ranges(table, col):
+        out = []
+        for f in Path(tm.path(table)).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    # row fidelity
+    assert tm.read("orders_z").count() == orders.count()
+    files = len(file_ranges("orders_z", "o_custkey"))
+    assert files >= 8
+
+    # a mid-domain point predicate on EITHER column overlaps < 100% of
+    # files (single-key clustering would leave the other column's ranges
+    # spanning the whole domain in every file)
+    for col in ("o_custkey", "o_totalprice"):
+        ranges = file_ranges("orders_z", col)
+        domain_lo = min(lo for lo, _ in ranges)
+        domain_hi = max(hi for _, hi in ranges)
+        point = (domain_lo + domain_hi) / 2
+        overlapping = sum(1 for lo, hi in ranges if lo <= point <= hi)
+        assert overlapping < files, f"{col}: no locality at all"
+        assert overlapping <= files * 0.75, f"{col}: weak locality ({overlapping}/{files})"
+
+    # morton key is deterministic and monotone-safe on corners
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 3)], "a long, b long"
+    ).select(morton_key(F.col("a"), F.col("b"), bits=2).alias("k"))
+    assert [r["k"] for r in df.collect()] == [0, 1, 2, 15]
