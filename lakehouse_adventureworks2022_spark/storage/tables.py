@@ -158,9 +158,9 @@ class TableManager:
 
         At 100 TB this is the difference between scanning one file and
         scanning all of them for a selective key predicate; re-run it
-        after heavy appends (like OPTIMIZE). Multi-dimension skipping
-        needs a space-filling curve (true Z-order) or Delta clustering —
-        out of scope for path tables, noted in SCALE.md.
+        after heavy appends (like OPTIMIZE). Two-dimension skipping is
+        implemented as a Morton curve in ``storage/zorder.py``
+        (``write_zordered``); beyond that, Delta clustering.
         """
         cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
         parted = (
