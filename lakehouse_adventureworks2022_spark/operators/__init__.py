@@ -1,1 +1,23 @@
+from lakehouse_adventureworks2022_spark.operators.curation import (  # noqa: F401
+    contamination_check,
+    pack_documents,
+    split_by_hash,
+)
+from lakehouse_adventureworks2022_spark.operators.dedup import (  # noqa: F401
+    clean_corpus,
+    dedup_exact,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
 from lakehouse_adventureworks2022_spark.operators.scd2 import scd2_apply  # noqa: F401
+from lakehouse_adventureworks2022_spark.operators.similarity import (  # noqa: F401
+    cosine_topk,
+    cosine_topk_ivf,
+    ivf_build,
+    ivf_search,
+)
+from lakehouse_adventureworks2022_spark.operators.textops import (  # noqa: F401
+    redact_pii,
+    tf_idf,
+    token_stats,
+)
