@@ -158,3 +158,28 @@ def pack_documents(
         )
 
     return toks.groupBy("bucket").applyInPandas(pack, schema=PACK_SCHEMA)
+
+
+def sample_mixture(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "mix1",
+) -> DataFrame:
+    """Deterministic per-group downsampling to target mixture rates
+    (data mixing: web 10%, books 100%, code 50%, ...).
+
+    Same machinery as :func:`split_by_hash` — keep a row iff
+    ``xxhash64(key, seed) mod 10_000 < rate × 10_000`` for its group's
+    rate — so the sample is stable across runs and partitionings,
+    re-derivable per key, and zero-shuffle (one filter projection).
+    Groups absent from ``rates`` are kept whole (rate 1.0).
+    """
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(10_000))
+    rate_col = F.lit(1.0)
+    for grp, r in rates.items():
+        rate_col = F.when(F.col(group_col) == grp, F.lit(float(r))).otherwise(
+            rate_col
+        )
+    return df.filter(bucket < rate_col * 10_000)

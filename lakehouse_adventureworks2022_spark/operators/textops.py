@@ -244,3 +244,41 @@ def tf_idf(
         .filter(F.col("rank") <= top_k)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition profile (the Gopher/RefinedWeb-style
+    boilerplate signals): line counts, distinct-line ratio, and the
+    repeated-character-run flag — zero-shuffle projections.
+
+    ``dup_line_ratio`` near 1 means heavy boilerplate (headers, nav,
+    templated text); a training pipeline gates or de-boilerplates such
+    docs before tokenization.
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    return df.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_distinct.alias("n_distinct_lines"),
+        F.when(n_lines > 0, 1.0 - n_distinct.cast("double") / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_ratio"),
+        F.col(text_col).rlike(r"(.)\1{19,}").alias("has_char_run"),
+    )
+
+
+def dedup_lines_within_doc(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Remove repeated lines inside each document, keeping first
+    occurrences in order (``array_distinct`` preserves encounter order)
+    — the cheap declarative de-boilerplate pass. Empty/whitespace lines
+    collapse away with the duplicates."""
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    return df.withColumn(
+        text_col, F.concat_ws("\n", F.array_distinct(lines))
+    )

@@ -131,3 +131,45 @@ def test_packing_invariants_property(spark, lengths, budget):
         tot = sum(r["n_tokens"] for r in members)
         assert all(r["pack_tokens"] == tot for r in members)
         assert tot <= budget or len(members) == 1
+
+
+def test_sample_mixture_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(30_000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 3 == 0, "web")
+            .when(F.col("doc_id") % 3 == 1, "books")
+            .otherwise("code"),
+        )
+    )
+    out = curation.sample_mixture(df, {"web": 0.1, "code": 0.5})
+    counts = {
+        r["source"]: r["count"]
+        for r in out.groupBy("source").count().collect()
+    }
+    assert counts["books"] == 10_000  # unlisted group kept whole
+    assert abs(counts["web"] - 1_000) < 150  # ~10% of 10k
+    assert abs(counts["code"] - 5_000) < 350  # ~50% of 10k
+    # deterministic and subset-stable across partitionings
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in curation.sample_mixture(
+            df.repartition(13), {"web": 0.1, "code": 0.5}
+        ).select("doc_id").collect()
+    }
+    assert a == b
+    # lowering a rate yields a strict subset (nested samples)
+    smaller = {
+        r["doc_id"]
+        for r in curation.sample_mixture(df, {"web": 0.05, "code": 0.5})
+        .filter("source = 'web'")
+        .select("doc_id")
+        .collect()
+    }
+    web_a = {r["doc_id"] for r in out.filter("source = 'web'").select("doc_id").collect()}
+    assert smaller < web_a

@@ -89,3 +89,30 @@ def test_tf_idf_min_df_prunes_vocabulary(spark):
     out = textops.tf_idf(docs, min_df=2, top_k=10)
     terms = {r["term"] for r in out.collect()}
     assert terms == {"common"}
+
+
+def test_repetition_stats_and_line_dedup(spark):
+    boiler = "MENU | HOME | ABOUT\n" * 8 + "actual unique content here"
+    clean = "line one\nline two\nline three"
+    docs = spark.createDataFrame(
+        [(1, boiler), (2, clean), (3, "")], "doc_id int, text string"
+    )
+    stats = {r["doc_id"]: r for r in textops.repetition_stats(docs).collect()}
+    assert stats[1]["n_lines"] == 9 and stats[1]["n_distinct_lines"] == 2
+    assert stats[1]["dup_line_ratio"] == pytest.approx(7 / 9)
+    assert stats[2]["dup_line_ratio"] == 0.0
+    assert stats[3]["n_lines"] == 0 and stats[3]["dup_line_ratio"] == 0.0
+
+    out = {r["doc_id"]: r["text"] for r in
+           textops.dedup_lines_within_doc(docs).collect()}
+    assert out[1] == "MENU | HOME | ABOUT\nactual unique content here"
+    assert out[2] == clean  # no repeats untouched
+
+
+def test_char_run_flag(spark):
+    docs = spark.createDataFrame(
+        [(1, "normal text"), (2, "spam" + "!" * 25)], "doc_id int, text string"
+    )
+    flags = {r["doc_id"]: r["has_char_run"] for r in
+             textops.repetition_stats(docs).collect()}
+    assert flags == {1: False, 2: True}
