@@ -98,6 +98,7 @@ def pack_documents(
     budget: int,
     text_col: str = "text",
     n_bins: int | None = None,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Pack documents into fixed token-budget bins (context-window
     packing for LLM training): greedy first-fit-decreasing inside each
@@ -110,15 +111,22 @@ def pack_documents(
     single-node pass). Over-budget single docs get a singleton pack —
     truncation policy belongs to the tokenizer stage, not the packer.
     Pack ids are deterministic: ``<bucket>:<seq>``.
+
+    Counts come from ``n_tokens_col`` when the corpus already carries
+    real tokenizer counts (``textops.token_counts`` or a BPE stage);
+    otherwise the whitespace count of ``text_col`` stands in.
     """
     n_bins = n_bins or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    count_col = (
+        F.col(n_tokens_col).cast("int")
+        if n_tokens_col
+        else F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    )
     toks = df.select(
         "doc_id",
-        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
-            "n_tokens"
-        ),
+        count_col.alias("n_tokens"),
         F.pmod(F.xxhash64("doc_id"), F.lit(n_bins)).alias("bucket"),
     )
 
@@ -183,3 +191,37 @@ def sample_mixture(
             rate_col
         )
     return df.filter(bucket < rate_col * 10_000)
+
+
+def prepare_training_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    near_dup_threshold: float = 0.2,
+    mixture_rates: dict[str, float] | None = None,
+    split_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """The end-to-end corpus preparation a training run actually needs,
+    composed from the tested stages:
+
+    1. PII redaction (``textops.redact_pii`` — scrub BEFORE anything is
+       persisted downstream);
+    2. within-document de-boilerplate (``dedup_lines_within_doc``);
+    3. quality gate + exact dedup + MinHash-LSH near-dup removal
+       (``dedup.clean_corpus`` over the scrubbed text);
+    4. optional per-source mixture downsampling (:func:`sample_mixture`);
+    5. deterministic train/val/test assignment (:func:`split_by_hash`).
+
+    Returns surviving (doc_id, source, lang, n_chars, split) rows. Every
+    stage only shrinks data or adds a column; total shuffle budget is
+    clean_corpus's (the redaction/de-boilerplate/split stages are
+    zero-shuffle projections).
+    """
+    from lakehouse_adventureworks2022_spark.operators import dedup, textops
+
+    scrubbed = textops.dedup_lines_within_doc(
+        textops.redact_pii(df, text_col), text_col
+    )
+    cleaned = dedup.clean_corpus(scrubbed, text_col, threshold=near_dup_threshold)
+    if mixture_rates:
+        cleaned = sample_mixture(cleaned, mixture_rates)
+    return split_by_hash(cleaned, weights=split_weights)

@@ -173,3 +173,42 @@ def test_sample_mixture_rates_and_determinism(spark):
     }
     web_a = {r["doc_id"] for r in out.filter("source = 'web'").select("doc_id").collect()}
     assert smaller < web_a
+
+
+def test_prepare_training_corpus_composite(spark, docs):
+    out = curation.prepare_training_corpus(
+        docs, mixture_rates={"web": 0.5}, split_weights={"train": 0.9, "val": 0.1}
+    )
+    rows = out.collect()
+    assert rows and set(out.columns) == {"doc_id", "source", "lang", "n_chars", "split"}
+    assert {r["split"] for r in rows} <= {"train", "val"}
+    # composite only shrinks: survivors are a subset of clean_corpus alone
+    from lakehouse_adventureworks2022_spark.operators import dedup, textops
+
+    base = {
+        r["doc_id"]
+        for r in dedup.clean_corpus(
+            textops.dedup_lines_within_doc(textops.redact_pii(docs))
+        ).collect()
+    }
+    assert {r["doc_id"] for r in rows} <= base
+    # deterministic end-to-end
+    again = {(r["doc_id"], r["split"]) for r in
+             curation.prepare_training_corpus(
+                 docs, mixture_rates={"web": 0.5},
+                 split_weights={"train": 0.9, "val": 0.1},
+             ).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
+
+
+def test_pack_documents_with_precomputed_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "ignored text", 100), (2, "x", 250), (3, "y", 260)],
+        "doc_id long, text string, bpe_count int",
+    )
+    out = curation.pack_documents(
+        docs, budget=360, n_bins=1, n_tokens_col="bpe_count"
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_tokens"] == 100  # uses the provided counts
+    assert rows[2]["pack_tokens"] + rows[3]["pack_tokens"] >= 510
