@@ -287,3 +287,45 @@ EXTRA_ORACLES = {
         GROUP BY 1
     """,
 }
+
+
+def user_value_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame window aggregates (the frame spec the main catalog
+    doesn't exercise): per-user 4-event moving average and peak over
+    ``ROWS BETWEEN 3 PRECEDING AND CURRENT ROW``, deterministically
+    ordered by (ts, event_id).
+
+    Scale shape: one hash shuffle on user_id + per-partition sort; the
+    bounded frame keeps O(frame) state per row (an unbounded frame would
+    too via running aggregation, but bounded frames generalize to
+    percentile-over-window where running forms don't exist).
+    """
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg_4"),
+        F.max("value").over(w).alias("moving_max_4"),
+        F.count(F.lit(1)).over(w).cast("int").alias("frame_size"),
+    )
+
+
+EXTRA_QUERIES["user_value_moving_stats"] = user_value_moving_stats
+EXTRA_ORACLES["user_value_moving_stats"] = """
+    SELECT user_id, event_id, ts, value,
+           ROUND(AVG(value) OVER w, 6) AS moving_avg_4,
+           MAX(value) OVER w AS moving_max_4,
+           CAST(COUNT(*) OVER w AS INT) AS frame_size
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
