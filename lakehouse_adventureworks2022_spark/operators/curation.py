@@ -52,6 +52,7 @@ def contamination_check(
     text_col: str = "text",
     n: int = 3,
     min_overlap: int = 2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Benchmark-contamination scan: training docs sharing at least
     ``min_overlap`` distinct word n-grams with any benchmark doc.
@@ -60,8 +61,11 @@ def contamination_check(
     uniform hash-like key — the benchmark side is small and broadcasts;
     at worst AQE picks a shuffle join) → count per (train, bench) pair →
     threshold. Never an all-pairs document join: pair cardinality is
-    bounded by shared-shingle hits, and stop-wordy shingles can be
-    pre-pruned with a document-frequency cap on the benchmark side.
+    bounded by shared-shingle hits; ``max_shingle_df`` prunes stop-wordy
+    shingles appearing in more than that many BENCHMARK docs before the
+    join (such shingles produce the hot join keys and carry no
+    contamination signal — the ratio denominator still counts them, so
+    thresholds keep their meaning).
 
     Returns (train_doc_id, bench_doc_id, n_common_shingles,
     bench_overlap_ratio) — ratio = hits / benchmark doc's shingle count,
@@ -72,6 +76,14 @@ def contamination_check(
     b_sizes = b.groupBy("bench_doc_id").agg(
         F.count(F.lit(1)).alias("bench_shingles")
     )
+    if max_shingle_df is not None:
+        rare = (
+            b.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        b = b.join(F.broadcast(rare), "shingle", "left_semi")
     hits = (
         t.join(F.broadcast(b), "shingle")
         .groupBy("train_doc_id", "bench_doc_id")

@@ -212,3 +212,40 @@ def test_pack_documents_with_precomputed_counts(spark):
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows[1]["n_tokens"] == 100  # uses the provided counts
     assert rows[2]["pack_tokens"] + rows[3]["pack_tokens"] >= 510
+
+
+def test_contamination_df_cap_prunes_common_shingles(spark):
+    """With a benchmark-side document-frequency cap, shingles shared by
+    every benchmark doc stop generating hits, while unique leak evidence
+    survives."""
+    common = "the quick brown fox jumps over the lazy dog"
+    bench = spark.createDataFrame(
+        [
+            (1, common + " alpha beta gamma delta epsilon"),
+            (2, common + " zeta eta theta iota kappa"),
+            (3, common + " lam mu nu xi omicron"),
+        ],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (100, common + " totally different ending one two three"),
+            (200, "unrelated text alpha beta gamma delta epsilon payload"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r["train_doc_id"], r["bench_doc_id"])
+        for r in curation.contamination_check(train, bench, min_overlap=2).collect()
+    }
+    # the boilerplate prefix matches every bench doc for train 100
+    assert {(100, 1), (100, 2), (100, 3)} <= uncapped
+    capped = {
+        (r["train_doc_id"], r["bench_doc_id"])
+        for r in curation.contamination_check(
+            train, bench, min_overlap=2, max_shingle_df=1
+        ).collect()
+    }
+    # boilerplate (df=3) pruned; the real unique-tail leak remains
+    assert (200, 1) in capped
+    assert not any(t == 100 for t, _ in capped)
