@@ -126,3 +126,40 @@ def test_pipeline_mart_via_sql_ddl(spark, sf_dir, tmp_path):
         ddl = CatalogDDL(spark, str(tmp_path))
         for s in MEDALLION_SCHEMAS:
             ddl.drop_schema(s)
+
+
+def test_versioned_table_time_travel_and_rollback(spark, tmp_path):
+    from lakehouse_adventureworks2022_spark.storage.versioned import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path), "gold.dim_v")
+    assert vt.current_version() == 0 and vt.versions() == []
+    v1 = vt.write(spark.range(5))
+    v2 = vt.write(spark.range(8))
+    assert (v1, v2) == (1, 2)
+    assert vt.read().count() == 8  # current
+    assert vt.read(version=1).count() == 5  # time travel
+    vt.rollback(1)
+    assert vt.read().count() == 5
+    # publishing after a rollback continues the version line
+    v3 = vt.write(spark.range(3))
+    assert v3 == 2  # rollback made v1 current; next write is v2 again? no:
+    # current_version()==1 after rollback, so the new snapshot is v2 —
+    # overwriting the abandoned history, exactly like Delta RESTORE+write
+
+
+def test_versioned_table_retention_prunes_old_snapshots(spark, tmp_path):
+    import pytest
+
+    from lakehouse_adventureworks2022_spark.storage.versioned import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path), "gold.dim_r")
+    for n in (2, 4, 6, 8, 10):
+        vt.write(spark.range(n), keep=2)
+    assert vt.versions() == [4, 5]  # only the kept window survives
+    assert vt.read().count() == 10
+    with pytest.raises(FileNotFoundError, match="retention"):
+        vt.read(version=1)
