@@ -49,6 +49,8 @@ def test_python_udf_queries_run_with_foreign_cwd():
         cwd="/tmp",
         capture_output=True,
         text=True,
-        timeout=300,
+        # generous: the subprocess cold-starts its own JVM and competes
+        # with the rest of the suite for cores on a loaded host
+        timeout=600,
     )
     assert "PORTABLE-OK" in proc.stdout, proc.stderr[-2000:]
