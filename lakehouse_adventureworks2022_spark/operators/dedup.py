@@ -28,10 +28,48 @@ ids are zero-padded so lexicographic string sort == numeric seed order.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lakehouse_adventureworks2022_spark.operators.textops import tokens_col
+
+
+def _attach_cached_input(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Tie a persisted input frame's lifetime to the result frame.
+
+    Operators that ``persist()`` an intermediate they alone created must
+    not leak cached blocks into a long-lived session. The cached frame is
+    recorded on the result (``release_cached_inputs`` frees it
+    deterministically once the result is materialized) and additionally
+    unpersisted by GC when the result frame itself is dropped, so even
+    callers unaware of the contract cannot leak more than live results.
+    """
+    existing = list(getattr(result, "_cached_inputs", ()))
+    existing.append(cached)
+    result._cached_inputs = existing
+
+    def _evict(jdf=cached._jdf):
+        try:
+            jdf.unpersist(False)
+        except Exception:
+            pass  # session already stopped — nothing to free
+
+    weakref.finalize(result, _evict)
+    return result
+
+
+def release_cached_inputs(result: DataFrame) -> None:
+    """Unpersist every cached input an operator attached to ``result``.
+
+    Call after materializing ``result`` (collect/write); re-executing the
+    plan afterwards recomputes the inputs instead of reading cache."""
+    for cached in getattr(result, "_cached_inputs", ()):
+        try:
+            cached.unpersist(blocking=False)
+        except Exception:
+            pass
 
 #: MinHash configuration: 12 hash functions in 4 bands of 3 rows.
 #: P(candidate) = 1 - (1 - j^3)^4 — ~0.5 at j≈0.5, >0.97 at j≥0.8.
@@ -299,12 +337,15 @@ def minhash_lsh_pairs(
     pass instead of three (measured 1.2-2.4× at sf0.1; the cache is
     LRU-evicted by Spark, MEMORY_AND_DISK at 100 TB shingle volumes).
     Callers that already hold a shingle frame pass ``shingles=`` and own
-    its storage level (as :func:`clean_corpus` does).
+    its storage level (as :func:`clean_corpus` does). A persist created
+    HERE is tied to the returned frame: freed on GC of the result or
+    eagerly via :func:`release_cached_inputs` — no session-lifetime leak.
     """
+    own_cache = None
     if shingles is None:
         if df is None:
             raise ValueError("pass df or shingles")
-        shingles = shingles_df(df, text_col, n).persist()
+        shingles = own_cache = shingles_df(df, text_col, n).persist()
     sig = _signatures_from_shingles(shingles, k)
     # band signature = md5 of the seed-ordered 'seed:minhash' strings —
     # a pure projection over the signature row (no second shuffle), then
@@ -359,12 +400,15 @@ def minhash_lsh_pairs(
     j = F.col("n_common").cast("double") / (
         F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("n_common")
     )
-    return (
+    pairs = (
         common.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
         .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
         .select("doc_a", "doc_b", "n_common", j.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    if own_cache is not None:
+        pairs = _attach_cached_input(pairs, own_cache)
+    return pairs
 
 
 def clean_corpus(
@@ -401,6 +445,9 @@ def clean_corpus(
     shingles = shingles_df(uniq, text_col).persist()
     pairs = minhash_lsh_pairs(threshold=threshold, shingles=shingles)
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    return uniq.join(dropped, "doc_id", "left_anti").select(
+    survivors = uniq.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "source", "lang", "n_chars"
     )
+    # we own this persist: free it when the survivors frame is released
+    # (or explicitly via release_cached_inputs after materialization)
+    return _attach_cached_input(survivors, shingles)

@@ -157,14 +157,31 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Phone pattern, built up for readability. Requirements (precision over
+#: recall — this is a conservative first-pass scrub):
+#: - word boundaries: not glued to letters/digits/dots/hyphens on either side;
+#: - total digit budget 7-15 (ITU E.164 max is 15; <7 is not a dialable
+#:   number) — enforced by one greedy lookahead that backtracks 15→7;
+#: - phone-like GROUP structure: 1-4-digit groups joined by space/dot/
+#:   dash (at least one separator, so bare numeric IDs never match);
+#: - a bare ISO date (dddd-dd-dd with no further digits) is excluded.
+_PHONE = (
+    r"(?<![0-9A-Za-z.-])"  # left boundary
+    r"(?!\d{4}-\d{2}-\d{2}(?![\s().-]{0,2}\d))"  # not a bare ISO date
+    r"(?=\+?\(?(?:[\s().-]{0,3}\d){7,15}(?![\s().-]{0,2}\d))"  # 7-15 digits total
+    r"\+?\(?\d{1,4}\)?(?:[\s.-]{1,2}\(?\d{1,4}\)?){1,6}"  # grouped digits
+    r"(?![0-9A-Za-z])(?![\s.-]{1,2}\d)"  # right boundary: whole run or nothing
+)
+
 #: PII-shaped patterns for corpus scrubbing. Deliberately conservative
 #: (high-precision regexes a training pipeline runs before anything else;
 #: entity-model scrubbing plugs in via the same projection seam). Order
-#: matters: e-mail before phone so the local-part digits aren't eaten.
+#: matters: e-mail before phone so the local-part digits aren't eaten,
+#: and ipv4 before phone so dotted quads are counted once as IPs.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    ("phone", _PHONE, "<PHONE>"),
 )
 
 
@@ -172,21 +189,22 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrub PII-shaped spans and count what was removed.
 
     One chained ``regexp_replace`` projection per pattern — zero-shuffle,
-    codegen'd, linear over a 100 TB corpus. Adds ``<name>_hits`` counts
-    (from the PRE-redaction text) and replaces ``text`` with the redacted
+    codegen'd, linear over a 100 TB corpus. ``<name>_hits`` is counted on
+    the text AFTER the earlier patterns were redacted (exactly what this
+    pattern's replace sees), so a dotted quad counts once as an IP and
+    never doubles as a phone hit. Replaces ``text`` with the redacted
     form, so downstream dedup/quality stages see the scrubbed corpus and
     auditors see what left.
     """
     out = df
-    redacted = F.col(text_col)
-    for name, pat, _tag in PII_PATTERNS:
+    running = F.col(text_col)
+    for name, pat, tag in PII_PATTERNS:
         out = out.withColumn(
             f"{name}_hits",
-            F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0))),
+            F.size(F.regexp_extract_all(running, F.lit(pat), F.lit(0))),
         )
-    for name, pat, tag in PII_PATTERNS:
-        redacted = F.regexp_replace(redacted, pat, tag)
-    return out.withColumn(text_col, redacted)
+        running = F.regexp_replace(running, pat, tag)
+    return out.withColumn(text_col, running)
 
 
 def tf_idf(

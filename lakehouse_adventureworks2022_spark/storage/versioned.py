@@ -59,7 +59,11 @@ class VersionedTable:
         crash mid-write leaves the previous version current and a
         garbage ``_v`` dir that the next retention pass removes.
         """
-        version = self.current_version() + 1
+        # Never reuse a snapshot directory: after rollback() the pointer
+        # is behind the highest on-disk version, and current+1 would
+        # overwrite a historical snapshot in place (non-atomic). Allocate
+        # past everything that exists instead.
+        version = max(self.versions() + [self.current_version()]) + 1
         snap = self._snapshot_dir(version)
         df.write.format(self.fmt).mode("overwrite").save(str(snap))
         tmp = self.dir / "_CURRENT.tmp"
@@ -83,9 +87,17 @@ class VersionedTable:
             )
         return self.spark.read.format(self.fmt).load(str(snap))
 
-    def rollback(self, version: int) -> None:
-        """Re-point current to an existing older snapshot (the Delta
-        ``RESTORE`` analog)."""
+    def rollback(self, version: int, prune_newer: bool = True) -> None:
+        """Re-point current to an existing older snapshot.
+
+        Unlike Delta ``RESTORE`` (which appends a new version whose
+        content equals the old one), this re-points and — by default —
+        prunes the now-abandoned newer snapshots, so ``versions()`` and
+        ``read(version=...)`` only ever expose the single live timeline.
+        Pass ``prune_newer=False`` to keep the abandoned snapshots
+        readable for forensics; the next ``write()`` still never reuses
+        their directories (it allocates past the on-disk maximum).
+        """
         if version not in self.versions():
             raise FileNotFoundError(
                 f"cannot roll back to missing version {version} "
@@ -94,3 +106,7 @@ class VersionedTable:
         tmp = self.dir / "_CURRENT.tmp"
         tmp.write_text(str(version))
         os.replace(tmp, self._pointer())
+        if prune_newer:
+            for v in self.versions():
+                if v > version:
+                    shutil.rmtree(self._snapshot_dir(v), ignore_errors=True)

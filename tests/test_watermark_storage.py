@@ -142,11 +142,31 @@ def test_versioned_table_time_travel_and_rollback(spark, tmp_path):
     assert vt.read(version=1).count() == 5  # time travel
     vt.rollback(1)
     assert vt.read().count() == 5
-    # publishing after a rollback continues the version line
+    # default rollback prunes the abandoned v2 — one live timeline
+    assert vt.versions() == [1]
+    # publishing after a rollback never reuses a snapshot directory
     v3 = vt.write(spark.range(3))
-    assert v3 == 2  # rollback made v1 current; next write is v2 again? no:
-    # current_version()==1 after rollback, so the new snapshot is v2 —
-    # overwriting the abandoned history, exactly like Delta RESTORE+write
+    assert v3 == 2 and vt.read().count() == 3
+    assert vt.read(version=1).count() == 5  # history intact
+
+
+def test_versioned_rollback_keep_forensics_then_write_skips(spark, tmp_path):
+    """With prune_newer=False the abandoned snapshot stays readable and
+    the next write allocates PAST it (no in-place overwrite of history)."""
+    from lakehouse_adventureworks2022_spark.storage.versioned import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path), "gold.dim_f")
+    vt.write(spark.range(5))
+    vt.write(spark.range(8))
+    vt.rollback(1, prune_newer=False)
+    assert vt.versions() == [1, 2]
+    assert vt.read(version=2).count() == 8  # forensics read still works
+    v3 = vt.write(spark.range(3))
+    assert v3 == 3  # allocated past the abandoned v2, not on top of it
+    assert vt.read().count() == 3
+    assert vt.read(version=2).count() == 8  # v2 untouched by the write
 
 
 def test_versioned_table_retention_prunes_old_snapshots(spark, tmp_path):
