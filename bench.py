@@ -3,16 +3,27 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"top_products": sec, ...}, "sf": 0.1}
+     "queries": {"top_products": sec, ...}, "errors": {...}, "sf": 0.1}
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect, no disk write skew).
+
+Robustness contract (round-4 lesson: one broken query aborted the whole
+run and erased the round's bench evidence):
+
+- every query rep runs under try/except — a failure lands in ``errors``
+  (exception class + first line) and the JSON line is ALWAYS printed;
+- each query runs ``$SPARK_GRAFT_BENCH_REPS`` times (default 3) and
+  reports the per-query MEDIAN, so a single GC pause / host-load spike
+  can't masquerade as a plan regression (the round-3 "uniform 44%
+  regression" and round-4's noisy IVF number were both host noise).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -53,21 +64,39 @@ HEADLINE = [
 ]
 
 
+def _run_once(spark, sf_dir: str, name: str) -> float:
+    start = time.perf_counter()
+    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark("bench")
     # warm the JVM + parquet footers once so per-query numbers measure the
     # plans, not first-touch JIT/IO noise
-    QUERIES["top_products"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        _run_once(spark, sf_dir, "top_products")
+    except Exception:
+        pass  # a broken warm-up query must not kill the run either
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        start = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        samples: list[float] = []
+        for _ in range(reps):
+            try:
+                samples.append(_run_once(spark, sf_dir, name))
+            except Exception as e:  # noqa: BLE001 - bench must always report
+                first = str(e).strip().splitlines()[0] if str(e).strip() else ""
+                errors[name] = f"{type(e).__name__}: {first[:200]}"
+                break  # same plan fails identically; don't retry the reps
+        if samples:
+            timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -77,6 +106,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
+                "reps": reps,
                 "sf": sf,
             }
         )

@@ -59,16 +59,32 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table, normalizing physical quirks to engine types.
 
-    ``events.ts`` arrives as nanoseconds-since-epoch (long, via
-    ``nanosAsLong``); convert to a microsecond timestamp with *truncation*
-    (``div 1000`` — integer division, no double rounding) to match how
-    µs-native engines (DuckDB, Spark's own TimestampType) read the same
-    file.
+    The engine-facing contract is ``events.ts: timestamp`` (TIMESTAMP_LTZ,
+    session TZ pinned UTC) regardless of how the fixture stores it; the
+    physical encoding has drifted across fixture generations, so every
+    known case is normalized HERE — downstream plans may rely on
+    ``ts.cast("long")`` etc. being legal:
+
+    - ``bigint`` — nanoseconds-since-epoch (read via ``nanosAsLong``);
+      truncate to µs (``div 1000`` — integer division, no double
+      rounding) to match µs-native engines (DuckDB, TimestampType).
+    - ``timestamp_ntz`` — plain ``timestamp[us]`` parquet, which Spark 4
+      reads as TIMESTAMP_NTZ; with the session TZ pinned UTC the
+      NTZ→LTZ cast is value-preserving.
+    - ``timestamp`` — already the engine type; pass through.
+
+    ``tests/test_fixture_contract.py`` pins the post-read dtypes of every
+    fixture table so the NEXT physical drift fails one readable test
+    instead of scattering failures downstream.
     """
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -18,7 +18,8 @@ Design:
   bounded by the watermark horizon.
 
 The parquet fixture stands in for a Kafka/file stream: ``readStream``
-over the same files (ns-timestamp fixup identical to the batch reader).
+over the same files, with the same ts normalization contract as the
+batch reader (schema-adaptive — see :func:`stream_events_source`).
 """
 
 from __future__ import annotations
@@ -29,37 +30,90 @@ from pyspark.sql import functions as F
 from lakehouse_adventureworks2022_spark.functions.dialect import money
 from lakehouse_adventureworks2022_spark.sources.readers import read_table
 
-#: Schema for the streaming source (ts arrives as raw ns-epoch long —
-#: the nanosAsLong representation the batch reader uses).
-EVENTS_RAW_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string,"
+#: Streaming-source schema templates by the fixture's physical ts type
+#: (the readStream file source requires an explicit schema — no
+#: inference). The physical type is probed from the parquet footer at
+#: stream-build time so fixture drift (ns-long ↔ µs-timestamp, seen
+#: between rounds) cannot silently corrupt the stream.
+_EVENTS_SCHEMA_TEMPLATE = (
+    "event_id bigint, ts {ts_type}, user_id bigint, event_type string,"
     " value double, props string"
 )
 
 
+def _events_ts_physical_type(spark: SparkSession, path: str) -> str:
+    """Spark dtype of the raw ``ts`` column in the parquet file (footer
+    read only — no job)."""
+    return dict(spark.read.parquet(path).dtypes)["ts"]
+
+
 def stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet with the ns→µs fixup.
+    """File-source stream over the events parquet, normalized to the same
+    engine-facing ``ts: timestamp`` contract as the batch reader
+    (``sources/readers.read_table``) — schema-adaptive, so batch and
+    stream always agree on values whatever the fixture's physical type.
 
     The file source requires a *directory* (it watches for new files — a
     real deployment points at a landing dir or Kafka); the read-only
     single-file fixture is exposed through a symlink staging dir.
     """
+    import datetime
     import hashlib
     import os
     import tempfile
 
+    import pyarrow.parquet as pq
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    src = os.path.join(sf_dir, "events.parquet")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(src, link)
 
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = _events_ts_physical_type(spark, src)
+    if ts_type == "bigint":
+        # ns-since-epoch long (nanosAsLong) → µs timestamp, truncating
+        raw = spark.readStream.schema(
+            _EVENTS_SCHEMA_TEMPLATE.format(ts_type="bigint")
+        ).parquet(stage)
+        out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type in ("timestamp_ntz", "timestamp"):
+        # plain timestamp[us]; NTZ→LTZ cast is value-preserving under the
+        # pinned-UTC session TZ
+        raw = spark.readStream.schema(
+            _EVENTS_SCHEMA_TEMPLATE.format(ts_type=ts_type)
+        ).parquet(stage)
+        out = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:  # pragma: no cover - fails loudly on the NEXT fixture drift
+        raise TypeError(
+            f"events.ts physical type {ts_type!r} is not one the streaming "
+            "source knows how to normalize (expected bigint ns-epoch or a "
+            "µs timestamp); teach stream_events_source the new encoding"
+        )
+
+    # drift guard: footer stats, no Spark job. A mis-scaled conversion
+    # (e.g. dividing real µs values by 1000 — the silent round-4 failure
+    # mode) lands decades before 2000; fail loudly instead.
+    meta = pq.ParquetFile(src).metadata
+    ts_idx = next(
+        i for i in range(meta.num_columns)
+        if meta.row_group(0).column(i).path_in_schema == "ts"
+    )
+    stats_min = meta.row_group(0).column(ts_idx).statistics.min
+    if isinstance(stats_min, int):  # ns-epoch long
+        stats_min = datetime.datetime.utcfromtimestamp(stats_min / 1e9)
+    if isinstance(stats_min, datetime.datetime) and stats_min.year < 2000:
+        raise ValueError(
+            f"events.ts minimum {stats_min} predates 2000-01-01 — fixture "
+            "timestamp encoding drifted; refusing to stream silently-wrong "
+            "timestamps"
+        )
+    return out
 
 
 def stream_tumbling_counts(

@@ -81,7 +81,15 @@ def main() -> int:
     failures = []
     for name in names:
         fn = QUERIES[name]
-        spark_pdf = normalize_pandas(fn(spark, sf_dir).toPandas())
+        try:
+            spark_pdf = normalize_pandas(fn(spark, sf_dir).toPandas())
+        except Exception as e:  # noqa: BLE001 - diagnostic harness
+            # keep class + first line up front: a truncated plan dump with
+            # the exception class cut off cost a round of diagnosis once
+            first = str(e).strip().splitlines()[0] if str(e).strip() else ""
+            print(f"  {name:28s} FAIL err={type(e).__name__}: {first[:160]}")
+            failures.append(name)
+            continue
         n_s, cols_s, h_s = canonical_hash(spark_pdf)
         if name not in ORACLES:
             print(f"  {name:28s} rows={n_s:>7}  (no oracle — rows-only check)")
