@@ -227,6 +227,13 @@ def prepare_training_corpus(
     stage only shrinks data or adds a column; total shuffle budget is
     clean_corpus's (the redaction/de-boilerplate/split stages are
     zero-shuffle projections).
+
+    clean_corpus's shingle persist is handed to the RETURNED frame
+    (``dedup.transfer_cached_inputs``) — derived frames don't keep the
+    intermediate alive, so without the transfer the cache would be
+    GC-evicted before the caller materializes anything. Callers free it
+    eagerly with ``dedup.release_cached_inputs(result)`` after their
+    write/collect.
     """
     from lakehouse_adventureworks2022_spark.operators import dedup, textops
 
@@ -234,6 +241,8 @@ def prepare_training_corpus(
         textops.redact_pii(df, text_col), text_col
     )
     cleaned = dedup.clean_corpus(scrubbed, text_col, threshold=near_dup_threshold)
+    out = cleaned
     if mixture_rates:
-        cleaned = sample_mixture(cleaned, mixture_rates)
-    return split_by_hash(cleaned, weights=split_weights)
+        out = sample_mixture(out, mixture_rates)
+    out = split_by_hash(out, weights=split_weights)
+    return dedup.transfer_cached_inputs(cleaned, out)

@@ -36,28 +36,56 @@ from pyspark.sql import functions as F
 from lakehouse_adventureworks2022_spark.operators.textops import tokens_col
 
 
+def _safe_unpersist(cached: DataFrame) -> None:
+    # Python-level unpersist (NOT cached._jdf — Connect sessions have no
+    # JVM handle); a stopped session just raises and there is nothing to
+    # free anyway.
+    try:
+        cached.unpersist(False)
+    except Exception:
+        pass
+
+
 def _attach_cached_input(result: DataFrame, cached: DataFrame) -> DataFrame:
     """Tie a persisted input frame's lifetime to the result frame.
 
     Operators that ``persist()`` an intermediate they alone created must
     not leak cached blocks into a long-lived session. The cached frame is
-    recorded on the result (``release_cached_inputs`` frees it
-    deterministically once the result is materialized) and additionally
-    unpersisted by GC when the result frame itself is dropped, so even
-    callers unaware of the contract cannot leak more than live results.
+    recorded on the result; the PRIMARY release path is explicit —
+    :func:`release_cached_inputs` after the result is materialized. A GC
+    finalizer on the result frame is kept only as a last resort for
+    callers unaware of the contract, and composites that derive further
+    frames from the result must move ownership with
+    :func:`transfer_cached_inputs` FIRST — derived frames hold no Python
+    reference to their parent, so rebinding the intermediate would
+    otherwise fire the finalizer and evict the cache before anything
+    materializes (GC-timing-dependent loss of the persist win).
     """
     existing = list(getattr(result, "_cached_inputs", ()))
     existing.append(cached)
     result._cached_inputs = existing
-
-    def _evict(jdf=cached._jdf):
-        try:
-            jdf.unpersist(False)
-        except Exception:
-            pass  # session already stopped — nothing to free
-
-    weakref.finalize(result, _evict)
+    fins = list(getattr(result, "_cached_input_finalizers", ()))
+    fins.append(weakref.finalize(result, _safe_unpersist, cached))
+    result._cached_input_finalizers = fins
     return result
+
+
+def transfer_cached_inputs(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """Move cache ownership from an intermediate frame to the frame the
+    caller actually holds.
+
+    Detaches ``src``'s last-resort GC finalizers before re-attaching to
+    ``dst`` so the intermediate can be rebound/scoped out freely; the
+    cache now lives exactly as long as ``dst`` (or until
+    :func:`release_cached_inputs`)."""
+    for fin in getattr(src, "_cached_input_finalizers", ()):
+        fin.detach()
+    src._cached_input_finalizers = []
+    cached_list = list(getattr(src, "_cached_inputs", ()))
+    src._cached_inputs = []
+    for cached in cached_list:
+        _attach_cached_input(dst, cached)
+    return dst
 
 
 def release_cached_inputs(result: DataFrame) -> None:
@@ -65,11 +93,12 @@ def release_cached_inputs(result: DataFrame) -> None:
 
     Call after materializing ``result`` (collect/write); re-executing the
     plan afterwards recomputes the inputs instead of reading cache."""
+    for fin in getattr(result, "_cached_input_finalizers", ()):
+        fin.detach()
+    result._cached_input_finalizers = []
     for cached in getattr(result, "_cached_inputs", ()):
-        try:
-            cached.unpersist(blocking=False)
-        except Exception:
-            pass
+        _safe_unpersist(cached)
+    result._cached_inputs = []
 
 #: MinHash configuration: 12 hash functions in 4 bands of 3 rows.
 #: P(candidate) = 1 - (1 - j^3)^4 — ~0.5 at j≈0.5, >0.97 at j≥0.8.

@@ -164,10 +164,17 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 #:   number) — enforced by one greedy lookahead that backtracks 15→7;
 #: - phone-like GROUP structure: 1-4-digit groups joined by space/dot/
 #:   dash (at least one separator, so bare numeric IDs never match);
-#: - a bare ISO date (dddd-dd-dd with no further digits) is excluded.
+#: - ISO dates are excluded, bare (dddd-dd-dd with no further digits) or
+#:   with a time tail (dddd-dd-dd[ T]hh: …) — otherwise a timestamp like
+#:   "2024-01-15 12:30" would be half-eaten as "<PHONE>:30";
+#: - dotted-identifier-shaped runs (version strings "1.2.3.4000",
+#:   European dates "15.01.2024") are excluded by rejecting a LEADING
+#:   1-2-digit dot-group; dotted phones keep matching because their
+#:   leading group is a 3+-digit area/country code (or starts with "+").
 _PHONE = (
     r"(?<![0-9A-Za-z.-])"  # left boundary
-    r"(?!\d{4}-\d{2}-\d{2}(?![\s().-]{0,2}\d))"  # not a bare ISO date
+    r"(?!\d{4}-\d{2}-\d{2}(?:[ T]\d{1,2}:|(?![\s().-]{0,2}\d)))"  # not ISO date/datetime
+    r"(?!\d{1,2}\.\d)"  # not a dotted identifier / d.m.yyyy date
     r"(?=\+?\(?(?:[\s().-]{0,3}\d){7,15}(?![\s().-]{0,2}\d))"  # 7-15 digits total
     r"\+?\(?\d{1,4}\)?(?:[\s.-]{1,2}\(?\d{1,4}\)?){1,6}"  # grouped digits
     r"(?![0-9A-Za-z])(?![\s.-]{1,2}\d)"  # right boundary: whole run or nothing

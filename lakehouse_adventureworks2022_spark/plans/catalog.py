@@ -103,6 +103,9 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_read": events.incremental_read,
     "watermark_state": events.watermark_state,
     "flatten_props": events.flatten_props,
+    # dedup-latest default: the window form — measured FASTER than the
+    # max_by scale path at bench scale (sf0.1 A/B in SCALE.md); max_by
+    # stays exported (tested row-equal) for extreme per-key skew.
     "latest_event_per_user": events.latest_event_per_user,
     "event_windows": events.event_windows,
     # SCD2 composite (O5: F1, J5/J6, P9-P11, WF1/WF2, W4/W5)

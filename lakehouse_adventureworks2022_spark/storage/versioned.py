@@ -54,10 +54,12 @@ class VersionedTable:
     def write(self, df: DataFrame, keep: int = 3) -> int:
         """Publish a new snapshot atomically; returns its version.
 
-        The snapshot is fully written before the pointer moves (pointer
-        update = write-temp + ``os.replace``, atomic on POSIX), so a
-        crash mid-write leaves the previous version current and a
-        garbage ``_v`` dir that the next retention pass removes.
+        The snapshot lands in a ``_tmp_v`` staging dir and is renamed
+        into place only after the save completes, THEN the pointer moves
+        (write-temp + ``os.replace``, atomic on POSIX). A crash mid-write
+        therefore leaves the previous version current and only a
+        ``_tmp_v`` dir that ``versions()``/``read()`` never see — no
+        window where a half-written snapshot is listed as valid history.
         """
         # Never reuse a snapshot directory: after rollback() the pointer
         # is behind the highest on-disk version, and current+1 would
@@ -65,7 +67,10 @@ class VersionedTable:
         # past everything that exists instead.
         version = max(self.versions() + [self.current_version()]) + 1
         snap = self._snapshot_dir(version)
-        df.write.format(self.fmt).mode("overwrite").save(str(snap))
+        staging = self.dir / f"_tmp_v{version:05d}"
+        shutil.rmtree(staging, ignore_errors=True)  # stale crash debris
+        df.write.format(self.fmt).mode("overwrite").save(str(staging))
+        os.replace(staging, snap)
         tmp = self.dir / "_CURRENT.tmp"
         tmp.write_text(str(version))
         os.replace(tmp, self._pointer())
@@ -87,16 +92,16 @@ class VersionedTable:
             )
         return self.spark.read.format(self.fmt).load(str(snap))
 
-    def rollback(self, version: int, prune_newer: bool = True) -> None:
+    def rollback(self, version: int, prune_newer: bool = False) -> None:
         """Re-point current to an existing older snapshot.
 
-        Unlike Delta ``RESTORE`` (which appends a new version whose
-        content equals the old one), this re-points and — by default —
-        prunes the now-abandoned newer snapshots, so ``versions()`` and
-        ``read(version=...)`` only ever expose the single live timeline.
-        Pass ``prune_newer=False`` to keep the abandoned snapshots
-        readable for forensics; the next ``write()`` still never reuses
-        their directories (it allocates past the on-disk maximum).
+        Like Delta ``RESTORE``, history is PRESERVED by default: the
+        newer snapshots stay readable (``read(version=...)``) until
+        retention ages them out — a rollback to the wrong version during
+        an incident must never destroy the good snapshots, and
+        ``write()`` never reuses their directories (it allocates past
+        the on-disk maximum). Pass ``prune_newer=True`` to explicitly
+        discard the abandoned timeline once the rollback is confirmed.
         """
         if version not in self.versions():
             raise FileNotFoundError(

@@ -201,6 +201,28 @@ def test_prepare_training_corpus_composite(spark, docs):
     assert again == {(r["doc_id"], r["split"]) for r in rows}
 
 
+def test_prepare_training_corpus_cache_survives_gc(spark, docs):
+    """clean_corpus's shingle persist must survive the intermediate frame
+    being rebound/GC'd inside prepare_training_corpus (derived frames
+    hold no Python ref to their parent): ownership transfers to the
+    returned frame, then releases explicitly."""
+    import gc
+
+    from lakehouse_adventureworks2022_spark.operators import dedup
+
+    out = curation.prepare_training_corpus(docs)
+    gc.collect()  # would have fired the old intermediate-bound finalizer
+    cached = list(getattr(out, "_cached_inputs", ()))
+    assert cached, "cache ownership was not transferred to the result"
+    assert all(c.is_cached for c in cached), (
+        "shingle cache evicted before materialization — persist win lost"
+    )
+    assert out.count() > 0  # materialize WITH the cache alive
+    dedup.release_cached_inputs(out)
+    assert all(not c.is_cached for c in cached)
+    assert not out._cached_inputs  # release is idempotent/terminal
+
+
 def test_pack_documents_with_precomputed_counts(spark):
     docs = spark.createDataFrame(
         [(1, "ignored text", 100), (2, "x", 250), (3, "y", 260)],

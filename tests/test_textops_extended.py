@@ -36,6 +36,25 @@ def test_redact_pii_counts_and_scrubs(pii_docs):
     assert out[4]["email_hits"] == 2 and out[4]["text"].count("<EMAIL>") == 2
 
 
+def test_redact_pii_phone_precision_exclusions(spark):
+    """Timestamps and dotted identifiers must survive the phone scrub
+    intact (precision-over-recall contract); real phones still go."""
+    rows = [
+        (1, "logged 2024-01-15 12:30 by the batch job"),  # ISO datetime
+        (2, "released version 1.2.3.4000 yesterday"),  # dotted identifier
+        (3, "due 2024-01-15 sharp"),  # bare ISO date
+        (4, "call 415.555.0199 or +1 (415) 555-0199"),  # dotted + intl phone
+        (5, "meeting on 15.01.2024 at noon"),  # d.m.yyyy date
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in textops.redact_pii(docs).collect()}
+    assert out[1]["phone_hits"] == 0 and "2024-01-15 12:30" in out[1]["text"]
+    assert out[2]["phone_hits"] == 0 and "1.2.3.4000" in out[2]["text"]
+    assert out[3]["phone_hits"] == 0 and "2024-01-15" in out[3]["text"]
+    assert out[4]["phone_hits"] == 2 and "555" not in out[4]["text"]
+    assert out[5]["phone_hits"] == 0 and "15.01.2024" in out[5]["text"]
+
+
 def test_redact_pii_preserves_rows_and_schema(spark):
     docs = read_table(spark, SF, "documents")
     out = textops.redact_pii(docs)

@@ -142,7 +142,12 @@ def test_versioned_table_time_travel_and_rollback(spark, tmp_path):
     assert vt.read(version=1).count() == 5  # time travel
     vt.rollback(1)
     assert vt.read().count() == 5
-    # default rollback prunes the abandoned v2 — one live timeline
+    # default rollback PRESERVES the abandoned v2 (Delta RESTORE
+    # semantics — a wrong rollback must not destroy good snapshots)
+    assert vt.versions() == [1, 2]
+    assert vt.read(version=2).count() == 8
+    # pruning the abandoned timeline is an explicit opt-in
+    vt.rollback(1, prune_newer=True)
     assert vt.versions() == [1]
     # publishing after a rollback never reuses a snapshot directory
     v3 = vt.write(spark.range(3))
@@ -167,6 +172,22 @@ def test_versioned_rollback_keep_forensics_then_write_skips(spark, tmp_path):
     assert v3 == 3  # allocated past the abandoned v2, not on top of it
     assert vt.read().count() == 3
     assert vt.read(version=2).count() == 8  # v2 untouched by the write
+
+
+def test_versioned_partial_write_never_listed(spark, tmp_path):
+    """A crash mid-write leaves only a _tmp_v staging dir — versions()
+    and read() must never expose it as apparently-valid history."""
+    from lakehouse_adventureworks2022_spark.storage.versioned import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path), "gold.dim_c")
+    vt.write(spark.range(5))
+    (vt.dir / "_tmp_v00002").mkdir()  # simulated crash debris
+    assert vt.versions() == [1]
+    assert vt.read().count() == 5
+    v2 = vt.write(spark.range(7))  # stale staging debris is cleared
+    assert v2 == 2 and vt.read().count() == 7
 
 
 def test_versioned_table_retention_prunes_old_snapshots(spark, tmp_path):
