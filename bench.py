@@ -59,6 +59,10 @@ HEADLINE = [
     "small_quantity_part_revenue",
     "customer_order_distribution",
     "ann_cosine_topk_ivf",
+    # deployed-IVF twin: builds+persists the index on the first rep, so
+    # the median-of-3 reports the amortized (search-only) cost — the
+    # build/search split the one-shot form can't show
+    "ann_cosine_topk_ivf_amortized",
     "sales_rollup",
     "clean_corpus",
 ]

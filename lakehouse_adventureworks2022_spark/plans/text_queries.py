@@ -80,6 +80,34 @@ def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_ivf(q, c, k=10)
 
 
+def ivf_index_dir_for(sf_dir: str) -> str:
+    """Deterministic per-corpus-version index location: keyed to the
+    embeddings file's identity (size + mtime), so a regenerated fixture
+    gets a fresh index instead of stale cells."""
+    import hashlib
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+
+
+def q_ann_cosine_ivf_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployed-IVF shape: index built+persisted (clustered on cell)
+    on first use per corpus version, every later call pays search only —
+    this is the steady-state ANN cost a serving pipeline sees, vs
+    ``q_ann_cosine_ivf`` which re-trains per call (the one-shot form).
+    Results are identical to the one-shot form (build is deterministic).
+    """
+    q, c = similarity.embedding_queries(spark, sf_dir)
+    return similarity.cosine_topk_ivf_amortized(
+        q, c, ivf_index_dir_for(sf_dir), k=10
+    )
+
+
 # ---- oracles ---------------------------------------------------------
 
 _TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"

@@ -265,3 +265,42 @@ def test_ivf_index_persist_reload_search(spark, tmp_path):
         ).collect()
     }
     assert reloaded == direct and len(direct) == 50
+
+
+def test_ivf_amortized_builds_once_then_searches(spark, tmp_path):
+    """cosine_topk_ivf_amortized: first call builds + persists the
+    clustered index, later calls reuse it (no rebuild — verified via the
+    index dir's mtime) and return the identical result."""
+    import os
+
+    q, c = similarity.embedding_queries(spark, SF)
+    idx = str(tmp_path / "ivf_idx")
+    one_shot = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in similarity.cosine_topk_ivf(q, c, k=10).collect()
+    }
+    first = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in similarity.cosine_topk_ivf_amortized(q, c, idx, k=10).collect()
+    }
+    assert first == one_shot  # deterministic build ⇒ same answer
+    stamp = os.path.getmtime(f"{idx}/centroids/_SUCCESS")
+    again = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in similarity.cosine_topk_ivf_amortized(q, c, idx, k=10).collect()
+    }
+    assert again == first
+    assert os.path.getmtime(f"{idx}/centroids/_SUCCESS") == stamp  # reused
+
+
+def test_ivf_search_prunes_unprobed_cells(spark, tmp_path):
+    """Against a PERSISTED clustered index, the driver-known probe set
+    must reach the parquet scan as a pushed IN filter (file/row-group
+    pruning) — the scan reads ~n_probe/n_cells of the corpus, not all
+    of it."""
+    q, c = similarity.embedding_queries(spark, SF)
+    idx = str(tmp_path / "ivf_idx")
+    cents, cells = similarity.ivf_index_ensure(spark, c, idx)
+    df = similarity.ivf_search(q.limit(1), cents, cells, k=10, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(cell" in plan, plan[:2000]
