@@ -62,8 +62,6 @@ def stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    import pyarrow.parquet as pq
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -98,13 +96,11 @@ def stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # drift guard: footer stats, no Spark job. A mis-scaled conversion
     # (e.g. dividing real µs values by 1000 — the silent round-4 failure
-    # mode) lands decades before 2000; fail loudly instead.
-    meta = pq.ParquetFile(src).metadata
-    ts_idx = next(
-        i for i in range(meta.num_columns)
-        if meta.row_group(0).column(i).path_in_schema == "ts"
-    )
-    stats_min = meta.row_group(0).column(ts_idx).statistics.min
+    # mode) lands decades before 2000; fail loudly instead. The fixture
+    # is a single file; a Spark-written events source is a directory —
+    # probe its part files until one has a non-empty row group (any
+    # part's stats serve the sanity check).
+    stats_min = _ts_stats_min(src)
     if isinstance(stats_min, int):  # ns-epoch long
         stats_min = datetime.datetime.utcfromtimestamp(stats_min / 1e9)
     if isinstance(stats_min, datetime.datetime) and stats_min.year < 2000:
@@ -114,6 +110,33 @@ def stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timestamps"
         )
     return out
+
+
+def _ts_stats_min(src: str):
+    """Min ``ts`` from parquet footer statistics (no Spark job); None if
+    no part carries stats."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(
+            os.path.join(src, n)
+            for n in os.listdir(src)
+            if n.endswith(".parquet")
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            row_group = meta.row_group(rg)
+            for i in range(row_group.num_columns):
+                col = row_group.column(i)
+                if col.path_in_schema == "ts" and col.statistics is not None:
+                    return col.statistics.min
+    return None
 
 
 def stream_tumbling_counts(

@@ -290,3 +290,48 @@ def test_stream_static_dim_enrichment(spark, sf_dir):
     )
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
     assert got.count() > 0
+
+
+def test_stream_source_rejects_unknown_ts_encoding(spark, tmp_path):
+    """An events fixture with a ts encoding the normalizer doesn't know
+    must fail LOUDLY at stream-build time (round-4 lesson: a silent
+    mis-scaled conversion corrupted every streaming timestamp)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    spark.range(5).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 1.5).alias("ts"),  # double: not a known encoding
+        F.col("id").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    with pytest.raises(TypeError, match="physical type"):
+        stream_events_source(spark, str(tmp_path))
+
+
+def test_stream_source_rejects_prehistoric_timestamps(spark, tmp_path):
+    """Footer-stats drift guard: ts values decades before 2000 mean a
+    mis-scaled encoding — refuse rather than stream wrong values."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    # Spark's default INT96 timestamps carry no footer min/max (guard
+    # is best-effort there); µs output — the fixture's actual physical
+    # type — does, which is what the guard reads
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        spark.createDataFrame(
+            [(1, datetime.datetime(1971, 3, 1, 12), 7, "click", 1.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(str(tmp_path / "events.parquet"))
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    with pytest.raises(ValueError, match="predates"):
+        stream_events_source(spark, str(tmp_path))
