@@ -297,34 +297,11 @@ def ivf_build(
                 if norm > 0:
                     cents[c] = m / norm
     cm = cents  # (n_cells, dim), unit rows
-
-    def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as _np
-
-        for pdf in batches:
-            em = _np.array(list(pdf["embedding"]), dtype=_np.float64)
-            if em.size == 0:
-                continue
-            norms = _np.linalg.norm(em, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            em_n = em / norms
-            yield pd.DataFrame(
-                {
-                    "cand_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
-                    "cell": _np.argmax(em_n @ cm.T, axis=1).astype("int32"),
-                }
-            )
-
-    emb_type = dict(candidates.dtypes)["embedding"]
-    cells = candidates.select("vec_id", "embedding").mapInPandas(
-        assign_cells, schema=f"cand_id long, embedding {emb_type}, cell int"
-    )
     centroids = candidates.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cm)],
         "cell int, centroid array<double>",
     )
-    return centroids, cells
+    return centroids, _assign_cells_df(candidates, cm)
 
 
 def ivf_search(
@@ -407,6 +384,97 @@ def cosine_topk_ivf(
     """
     centroids, cells = ivf_build(candidates, n_cells=n_cells, train_cap=train_cap)
     return ivf_search(queries, centroids, cells, k=k, n_probe=n_probe)
+
+
+def ivf_build_distributed(
+    candidates: DataFrame,
+    n_cells: int = 16,
+    seed: int = 7,
+    max_iter: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF build with DISTRIBUTED training — no driver-side sample at
+    all: normalize on the executors (pure Catalyst array expressions),
+    train ``pyspark.ml`` KMeans (scalable k-means|| init, Lloyd
+    iterations as Spark jobs), then reuse the standard Arrow assignment
+    pass.
+
+    Trade vs :func:`ivf_build`: the sampled driver trainer is O(1) on
+    the driver and bit-deterministic, but its centroids only see
+    ``train_cap`` vectors; this trainer sees the WHOLE corpus (better
+    cell balance on skewed distributions) at the cost of cluster jobs
+    per Lloyd iteration and partitioning-dependent (seeded, but not
+    layout-independent) results. Same (centroids, cells) contract, so
+    index persistence and :func:`ivf_search` compose unchanged.
+
+    Training on *normalized* vectors makes Euclidean k-means equivalent
+    to spherical (cosine) k-means up to the centroid norm, matching the
+    sampled trainer's objective; centroids are re-normalized after.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    unit = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: x / F.when(F.col("__norm__") != 0, F.col("__norm__")).otherwise(
+            F.lit(1.0)
+        ),
+    )
+    train = (
+        candidates.select("vec_id", "embedding")
+        .withColumn("__norm__", norm.cast("double"))
+        .select(array_to_vector(unit).alias("features"))
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    cm = np.array([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
+    cm /= _safe_norms_np(cm)
+
+    # centroid order is model-internal; canonicalize by first vector
+    # component so saved indexes are comparable across rebuilds
+    order = np.lexsort(cm.T[::-1])
+    cm = cm[order]
+
+    centroids = candidates.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cm)],
+        "cell int, centroid array<double>",
+    )
+    cells = _assign_cells_df(candidates, cm)
+    return centroids, cells
+
+
+def _assign_cells_df(candidates: DataFrame, cm) -> DataFrame:
+    """Nearest-centroid assignment: one Arrow pass, centroid matrix
+    closed over (kilobytes)."""
+
+    def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            em = _np.array(list(pdf["embedding"]), dtype=_np.float64)
+            if em.size == 0:
+                continue
+            norms = _np.linalg.norm(em, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            yield pd.DataFrame(
+                {
+                    "cand_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": _np.argmax((em / norms) @ cm.T, axis=1).astype("int32"),
+                }
+            )
+
+    emb_type = dict(candidates.dtypes)["embedding"]
+    return candidates.select("vec_id", "embedding").mapInPandas(
+        assign_cells, schema=f"cand_id long, embedding {emb_type}, cell int"
+    )
 
 
 def ivf_index_save(

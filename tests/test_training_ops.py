@@ -304,3 +304,29 @@ def test_ivf_search_prunes_unprobed_cells(spark, tmp_path):
     df = similarity.ivf_search(q.limit(1), cents, cells, k=10, n_probe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(cell" in plan, plan[:2000]
+
+
+def test_ivf_distributed_training_recall_and_compose(spark, tmp_path):
+    """ivf_build_distributed trains on the WHOLE corpus via pyspark.ml
+    KMeans (no driver-side sample) yet keeps the (centroids, cells)
+    contract: search recall holds and the index persists/reloads through
+    the same machinery as the sampled builder."""
+    q, c = similarity.embedding_queries(spark, SF)
+    cents, cells = similarity.ivf_build_distributed(c, n_cells=16)
+    assert dict(cents.dtypes) == {"cell": "int", "centroid": "array<double>"}
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.cosine_topk(q, c, k=10).collect()
+    }
+    pairs = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.ivf_search(q, cents, cells, k=10).collect()
+    }
+    assert len(pairs & exact) / len(exact) >= 0.5  # 4 of 16 cells probed
+    similarity.ivf_index_save(cents, cells, str(tmp_path / "idx"))
+    c2, l2 = similarity.ivf_index_load(spark, str(tmp_path / "idx"))
+    again = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.ivf_search(q, c2, l2, k=10).collect()
+    }
+    assert again == pairs
