@@ -30,6 +30,7 @@ from lakehouse_adventureworks2022_spark.plans import (
     semistructured,
     text_queries,
     tpch,
+    tpch_extra,
     windowed,
 )
 
@@ -178,12 +179,25 @@ QUERIES: dict[str, QueryFn] = {
     # steady state (bench medians show the amortized cost; results are
     # identical to the one-shot form — build is deterministic)
     "ann_cosine_topk_ivf_amortized": text_queries.q_ann_cosine_ivf_amortized,
+    # ---- exact TPC-H-extra shapes, past the window because the 50
+    # oracle slots are full: their DuckDB differential checks (same
+    # hash-diff rigor as the window) run in tests/test_tpch_extra.py;
+    # the driver records rows-only here ----
+    "tpch_q6_forecast_revenue": tpch_extra.q6_forecast_revenue,
+    "tpch_q7_nation_volume": tpch_extra.q7_nation_volume,
+    "tpch_q10_returned_items": tpch_extra.q10_returned_items,
+    "tpch_q14_promo_revenue_ratio": tpch_extra.q14_promo_revenue_ratio,
+    "tpch_q19_disjunctive_revenue": tpch_extra.q19_disjunctive_revenue,
+    "tpch_q22_idle_balances": tpch_extra.q22_idle_balances,
+    "user_value_moving_stats": tpch_extra.user_value_moving_stats,
 }
 
 
-#: Queries intentionally WITHOUT a SQL oracle (rows-only check when the
-#: driver reaches them): approximate by design, or execution-order-
-#: dependent float accumulation. Every other query MUST have an oracle.
+#: Queries intentionally WITHOUT a SQL oracle in THIS catalog (rows-only
+#: check when the driver reaches them). Two legitimate reasons, noted
+#: per entry: approximate/float-order-dependent by design, or exact but
+#: past the full 50-slot window with the DuckDB differential check
+#: living in pytest instead. Every other query MUST have an oracle.
 NON_ORACLE_QUERIES: frozenset[str] = frozenset(
     {
         "top_products_approx",  # HLL distinct count
@@ -193,6 +207,14 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "ann_cosine_topk_ivf_amortized",  # same IVF result via persisted index
         "event_value_stats_approx",  # t-digest percentiles
         "dedup_embedding_cosine",  # SRP-LSH candidates: recall < 1 by design
+        # exact, window-full: DuckDB-diffed in tests/test_tpch_extra.py
+        "tpch_q6_forecast_revenue",
+        "tpch_q7_nation_volume",
+        "tpch_q10_returned_items",
+        "tpch_q14_promo_revenue_ratio",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q22_idle_balances",
+        "user_value_moving_stats",
     }
 )
 
