@@ -126,3 +126,37 @@ def test_events_ts_values_sane(spark, sf_dir):
     )
     assert row.lo > datetime.datetime(2000, 1, 1), row
     assert row.hi < datetime.datetime(2100, 1, 1), row
+
+
+def test_read_table_normalizes_legacy_ns_epoch_bigint(spark, tmp_path):
+    """The pre-round-4 fixture encoding (ts = ns-since-epoch int64) must
+    keep working even though current fixtures are timestamp[us] — the
+    driver has regenerated encodings in both directions."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in µs
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(
+                    [base_us * 1000 + 1500, base_us * 1000],  # ns (+1.5µs)
+                    pa.int64(),
+                ),
+                "user_id": pa.array([7, 8], pa.int64()),
+                "event_type": pa.array(["click", "view"]),
+                "value": pa.array([1.0, 2.0]),
+                "props": pa.array(["{}", "{}"]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    df = read_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = {r["event_id"]: r["ts"] for r in df.collect()}
+    want = datetime.datetime(2023, 11, 14, 22, 13, 20)
+    assert got[2] == want
+    assert got[1] == want + datetime.timedelta(microseconds=1)  # truncated
