@@ -100,6 +100,65 @@ def contamination_check(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-window chunks — the
+    step between corpus cleaning and sequence packing (long documents
+    must become context-window-sized pieces; the overlap preserves
+    continuity across chunk boundaries for training).
+
+    Pure Catalyst: tokenize → compute window starts with ``sequence``
+    (stride = chunk − overlap) → ``posexplode`` → ``slice`` each window
+    back to text. Zero shuffle (one projection + generator over the
+    corpus scan — plan-asserted), linear at any corpus size, and chunk
+    ids are deterministic (``doc_id`` + window ordinal).
+
+    Boundary semantics: the final window may be shorter than
+    ``chunk_tokens`` (never empty); a start past ``n − overlap`` would
+    only repeat tokens the previous window already covers, so starts
+    run while ``s == 0 OR s < n − overlap``. Empty/whitespace-only docs
+    produce no chunks.
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap_tokens < chunk_tokens, got "
+            f"{overlap_tokens=} {chunk_tokens=}"
+        )
+    from lakehouse_adventureworks2022_spark.operators.textops import tokens_col
+
+    step = chunk_tokens - overlap_tokens
+    toks = df.withColumn("__toks__", tokens_col(F.col(text_col))).withColumn(
+        "__n__", F.size(F.filter("__toks__", lambda t: t != ""))
+    )
+    starts = F.when(F.col("__n__") > 0, F.sequence(
+        F.lit(0),
+        F.greatest(F.lit(0), F.col("__n__") - F.lit(overlap_tokens) - F.lit(1)),
+        F.lit(step),
+    )).otherwise(F.array())
+    return (
+        toks.select(
+            "doc_id",
+            "__toks__",
+            "__n__",
+            F.posexplode(starts).alias("chunk_id", "__start__"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice("__toks__", F.col("__start__") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.col("__n__") - F.col("__start__")
+            ).alias("n_tokens"),
+        )
+    )
+
+
 PACK_SCHEMA = (
     "pack_id string, doc_id long, n_tokens int, pack_tokens int, pack_docs int"
 )

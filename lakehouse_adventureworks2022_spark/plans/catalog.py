@@ -190,6 +190,9 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q19_disjunctive_revenue": tpch_extra.q19_disjunctive_revenue,
     "tpch_q22_idle_balances": tpch_extra.q22_idle_balances,
     "user_value_moving_stats": tpch_extra.user_value_moving_stats,
+    # context-window chunking (exact; Python-reference differential in
+    # tests/test_curation.py — window full)
+    "chunk_documents": text_queries.q_chunk_documents,
 }
 
 
@@ -215,6 +218,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "tpch_q19_disjunctive_revenue",
         "tpch_q22_idle_balances",
         "user_value_moving_stats",
+        "chunk_documents",  # exact; Python-reference diffed in pytest
     }
 )
 

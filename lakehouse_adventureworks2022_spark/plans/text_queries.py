@@ -95,6 +95,18 @@ def ivf_index_dir_for(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking of the documents corpus (256-token
+    windows, 32-token overlap) — zero-shuffle projection+generate;
+    Python-reference differential + boundary semantics in
+    tests/test_curation.py."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    return chunk_documents(read_table(spark, sf_dir, "documents"))
+
+
 def q_ann_cosine_ivf_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deployed-IVF shape: index built+persisted (clustered on cell)
     on first use per corpus version, every later call pays search only —

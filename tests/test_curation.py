@@ -271,3 +271,63 @@ def test_contamination_df_cap_prunes_common_shingles(spark):
     # boilerplate (df=3) pruned; the real unique-tail leak remains
     assert (200, 1) in capped
     assert not any(t == 100 for t, _ in capped)
+
+
+def _ref_chunks(text: str, chunk: int, overlap: int):
+    toks = [t for t in text.strip().lower().split() if t]
+    n, step, out, s = len(toks), chunk - overlap, [], 0
+    while s == 0 or s < n - overlap:
+        if n == 0:
+            break
+        out.append((" ".join(toks[s : s + chunk]), min(chunk, n - s)))
+        s += step
+    return out
+
+
+def test_chunk_documents_matches_python_reference(spark, docs):
+    got = {}
+    for r in curation.chunk_documents(docs, chunk_tokens=64, overlap_tokens=16).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        )
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, text in texts.items():
+        want = [
+            (i, t, n) for i, (t, n) in enumerate(_ref_chunks(text, 64, 16))
+        ]
+        have = sorted(got.get(doc_id, []))
+        assert have == want, f"doc {doc_id}: {have[:2]} != {want[:2]}"
+
+
+def test_chunk_documents_edges(spark):
+    rows = [
+        (1, ""),  # empty: no chunks
+        (2, "   "),  # whitespace only: no chunks
+        (3, "a b c"),  # shorter than one chunk: single chunk
+        (4, " ".join(f"t{i}" for i in range(8))),  # exact two windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in curation.chunk_documents(df, chunk_tokens=5, overlap_tokens=2).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in out and 2 not in out
+    assert len(out[3]) == 1 and out[3][0]["n_tokens"] == 3
+    [c0, c1] = sorted(out[4], key=lambda r: r["chunk_id"])
+    assert c0["chunk_text"] == "t0 t1 t2 t3 t4" and c0["n_tokens"] == 5
+    assert c1["chunk_text"] == "t3 t4 t5 t6 t7" and c1["n_tokens"] == 5
+    # overlap contract: last 2 tokens of chunk k = first 2 of chunk k+1
+    assert c0["chunk_text"].split()[-2:] == c1["chunk_text"].split()[:2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap_tokens"):
+        curation.chunk_documents(df, chunk_tokens=5, overlap_tokens=5)
+
+
+def test_chunk_documents_zero_shuffle(spark, docs):
+    plan = (
+        curation.chunk_documents(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # projection + generate only
