@@ -440,6 +440,88 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Canonicalize near-dup pairs into clusters: (doc_id, component)
+    where ``component`` is the MIN doc_id reachable through the pair
+    graph — the standard upgrade over one-sided pair dropping when dup
+    chains matter (a~b, b~c ⇒ one cluster {a,b,c} even though a~c was
+    never a candidate pair).
+
+    Algorithm: min-label propagation — every node repeatedly adopts the
+    smallest label among itself and its neighbors until no label
+    changes. Each iteration is ONE equi-shuffle join on doc_id plus a
+    doc-keyed aggregation; iterations needed = graph diameter, and LSH
+    candidate graphs have tiny components (near-dup chains), so this
+    converges in a handful of rounds at any corpus size. Lineage is cut
+    every iteration with ``localCheckpoint`` (eager) — without it the
+    plan doubles per round and the driver re-optimizes an exponentially
+    growing tree. Deterministic: labels are min doc_ids, independent of
+    partitioning.
+
+    Raises if not converged within ``max_iter`` (a pair graph with a
+    longer diameter than that is not a near-dup graph — investigate).
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["doc_b"] == labels["doc_id"])
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("neigh_min", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "— the pair graph has pathologically long chains for a near-dup "
+        "candidate graph"
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Cluster-canonical dedup: keep exactly one document (the min
+    doc_id) per connected near-dup cluster, plus every document in no
+    pair at all. Strictly stronger than the one-sided rule
+    :func:`clean_corpus` uses — chains collapse to ONE keeper instead
+    of one-per-edge-direction — at the cost of the iterative label
+    propagation."""
+    comp = connected_components(pairs, max_iter)
+    drop = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return df.join(drop, "doc_id", "left_anti")
+
+
 def clean_corpus(
     df: DataFrame, text_col: str = "text", threshold: float = 0.2
 ) -> DataFrame:

@@ -193,6 +193,9 @@ QUERIES: dict[str, QueryFn] = {
     # context-window chunking (exact; Python-reference differential in
     # tests/test_curation.py — window full)
     "chunk_documents": text_queries.q_chunk_documents,
+    # near-dup cluster canonicalization (exact; union-find differential
+    # in tests/test_training_ops.py — window full)
+    "dedup_clusters": text_queries.q_dedup_clusters,
 }
 
 
@@ -219,6 +222,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "tpch_q22_idle_balances",
         "user_value_moving_stats",
         "chunk_documents",  # exact; Python-reference diffed in pytest
+        "dedup_clusters",  # exact; union-find diffed in pytest
     }
 )
 

@@ -95,6 +95,20 @@ def ivf_index_dir_for(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: MinHash-LSH pairs → connected
+    components via min-label propagation (component = min reachable
+    doc_id). Exact given the deterministic LSH pairs; union-find
+    differential in tests/test_training_ops.py."""
+    from lakehouse_adventureworks2022_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return connected_components(minhash_lsh_pairs(docs, threshold=0.2))
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking of the documents corpus (256-token
     windows, 32-token overlap) — zero-shuffle projection+generate;

@@ -331,3 +331,23 @@ def test_chunk_documents_zero_shuffle(spark, docs):
         .toString()
     )
     assert "Exchange" not in plan  # projection + generate only
+
+
+def test_chunk_then_pack_composite(spark, docs):
+    """The pipeline chain the ops are built for: chunk long docs into
+    context windows, then pack chunks to a token budget using the
+    chunk-level counts."""
+    from pyspark.sql import functions as F
+
+    chunks = curation.chunk_documents(docs, chunk_tokens=64, overlap_tokens=8)
+    keyed = chunks.select(
+        (F.col("doc_id") * 10_000 + F.col("chunk_id")).alias("doc_id"),
+        "n_tokens",
+    )
+    packed = curation.pack_documents(keyed, budget=256, n_tokens_col="n_tokens")
+    rows = packed.collect()
+    assert len(rows) == chunks.count()  # every chunk packed exactly once
+    by_pack: dict[str, int] = {}
+    for r in rows:
+        by_pack[r["pack_id"]] = by_pack.get(r["pack_id"], 0) + r["n_tokens"]
+    assert all(tot <= 256 for tot in by_pack.values())  # chunks ≤ 64 ≤ budget

@@ -330,3 +330,64 @@ def test_ivf_distributed_training_recall_and_compose(spark, tmp_path):
         for r in similarity.ivf_search(q, c2, l2, k=10).collect()
     }
     assert again == pairs
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark, docs):
+    """Min-label propagation over the REAL LSH candidate graph equals a
+    Python union-find reference (component = min reachable doc_id)."""
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2)
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert edges
+    want = _union_find_components(edges)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_chain_and_determinism(spark):
+    """A 12-node path (worst diameter per edge count) converges to one
+    component; result is partitioning-independent."""
+    chain = [(i, i + 1) for i in range(100, 112)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert set(comp.values()) == {100} and len(comp) == 13
+    again = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(pairs.repartition(7)).collect()
+    }
+    assert again == comp
+
+
+def test_dedup_keep_canonical_collapses_chains(spark):
+    """a~b, b~c (a~c never a pair): canonical dedup keeps ONE of the
+    chain; untouched docs survive."""
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (9, "solo")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    kept = {r["doc_id"] for r in dedup.dedup_keep_canonical(docs, pairs).collect()}
+    assert kept == {1, 9}
