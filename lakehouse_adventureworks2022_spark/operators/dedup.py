@@ -342,6 +342,41 @@ def _signatures_from_shingles(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
+def bands_from_signatures(
+    sig: DataFrame, k: int = MINHASH_K, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """(doc_id, band, band_sig) from a minhash-signature frame — a pure
+    projection + explode (no shuffle). Band signature = md5 of the
+    seed-ordered 'seed:minhash' strings, so the same signature row
+    always produces the same buckets (batch, incremental-state, and
+    oracle paths all agree)."""
+    n_bands = k // band_rows
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.concat(
+                                F.lit(f"{i:02d}:"), F.col(f"mh_{i:02d}")
+                            )
+                            for i in range(b * band_rows, (b + 1) * band_rows)
+                        ],
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id",
+        F.col("bs.band").alias("band"),
+        F.col("bs.band_sig").alias("band_sig"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame | None = None,
     text_col: str = "text",
@@ -376,32 +411,7 @@ def minhash_lsh_pairs(
             raise ValueError("pass df or shingles")
         shingles = own_cache = shingles_df(df, text_col, n).persist()
     sig = _signatures_from_shingles(shingles, k)
-    # band signature = md5 of the seed-ordered 'seed:minhash' strings —
-    # a pure projection over the signature row (no second shuffle), then
-    # one explode into (doc_id, band, band_sig)
-    n_bands = k // band_rows
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.concat(
-                                F.lit(f"{i:02d}:"), F.col(f"mh_{i:02d}")
-                            )
-                            for i in range(b * band_rows, (b + 1) * band_rows)
-                        ],
-                    )
-                ).alias("band_sig"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.explode(band_structs).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    bands = bands_from_signatures(sig, k, band_rows)
     candidates = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_sig"])
@@ -562,3 +572,131 @@ def clean_corpus(
     # we own this persist: free it when the survivors frame is released
     # (or explicitly via release_cached_inputs after materialization)
     return _attach_cached_input(survivors, shingles)
+
+
+# ---- incremental dedup against historical state ----------------------
+#
+# A production corpus is not re-deduplicated from scratch per ingest:
+# the daily batch (small) is checked against persisted state tables
+# from everything ingested before (huge). The 100 TB shape is therefore
+# "broadcast the batch, stream the state": the historical side never
+# shuffles and is scanned at most once per ingest.
+
+
+def content_hash_col(text_col: str = "text"):
+    """The engine-wide exact-dup content hash (same normalization as
+    :func:`dedup_exact`)."""
+    return F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+
+
+def dedup_state(
+    df: DataFrame, text_col: str = "text", n: int = 3, k: int = MINHASH_K
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable dedup state of a corpus:
+    ``(content_hashes, minhash_signatures)``.
+
+    - ``content_hashes``: distinct normalized-content md5s — the exact-
+      dup membership table.
+    - ``minhash_signatures``: (doc_id, n_shingles, mh_00..mh_<k-1>) —
+      enough to re-derive band buckets (:func:`bands_from_signatures`,
+      a projection) AND estimate Jaccard against new docs WITHOUT
+      storing shingles (state is O(docs), not O(tokens)).
+
+    Write both with ``TableManager`` and APPEND each ingest's accepted
+    batch — state grows monotonically with the corpus.
+    """
+    hashes = df.select(content_hash_col(text_col).alias("content_hash")).distinct()
+    return hashes, minhash_signatures(df, text_col, n, k)
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    state_hashes: DataFrame,
+    state_sigs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = MINHASH_K,
+    band_rows: int = BAND_ROWS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Surviving rows of ``new_df`` after dedup against BOTH the
+    historical state and the batch itself:
+
+    1. exact vs history — matched hashes found by streaming the state
+       once against the BROADCAST batch hash set (left-semi), then the
+       small match set broadcasts back into a left-anti on the batch:
+       the big side never shuffles (plan-asserted in tests);
+    2. exact within batch — :func:`dedup_exact` keeper rule;
+    3. near-dup vs history — historical band buckets re-derived from
+       the signature state (projection) joined against the broadcast
+       batch bands; candidates verified by SIGNATURE-ESTIMATED Jaccard
+       (fraction of agreeing minhashes — unbiased, ±~1/sqrt(k); exact
+       shingle verification would require storing shingles in state).
+       Identical copies agree on all k hashes ⇒ estimate 1.0, so true
+       duplicates never slip the estimator;
+    4. near-dup within batch — :func:`minhash_lsh_pairs` (exact-Jaccard
+       verified; the batch's own shingles are at hand), lower-id keeper.
+    """
+    new_hashed = new_df.withColumn("__hash__", content_hash_col(text_col))
+    batch_hashes = new_hashed.select(
+        F.col("__hash__").alias("content_hash")
+    ).distinct()
+    # stream the big state past the broadcast batch set; ship the small
+    # intersection back
+    matched = state_hashes.join(
+        F.broadcast(batch_hashes), "content_hash", "left_semi"
+    )
+    fresh = new_hashed.join(
+        F.broadcast(matched),
+        new_hashed["__hash__"] == matched["content_hash"],
+        "left_anti",
+    )
+    # exact within batch
+    keepers = dedup_exact(fresh, text_col).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    fresh = fresh.join(keepers, "doc_id", "left_semi")
+
+    # near-dup vs history: batch signatures (small) broadcast against
+    # the state's re-derived band buckets
+    new_sigs = minhash_signatures(fresh, text_col, n, k)
+    new_bands = bands_from_signatures(new_sigs, k, band_rows)
+    state_bands = bands_from_signatures(state_sigs, k, band_rows)
+    cand = (
+        state_bands.withColumnRenamed("doc_id", "old_id")
+        .join(
+            F.broadcast(new_bands.withColumnRenamed("doc_id", "new_id")),
+            ["band", "band_sig"],
+        )
+        .select("old_id", "new_id")
+        .distinct()
+    )
+    est = F.col("n_agree").cast("double") / F.lit(k)
+    agree = sum(
+        F.when(
+            F.col(f"o.mh_{i:02d}") == F.col(f"nw.mh_{i:02d}"), 1
+        ).otherwise(0)
+        for i in range(k)
+    )
+    near_old = (
+        cand.join(state_sigs.alias("o"), cand["old_id"] == F.col("o.doc_id"))
+        .join(
+            F.broadcast(new_sigs.alias("nw")),
+            cand["new_id"] == F.col("nw.doc_id"),
+        )
+        .withColumn("n_agree", agree)
+        .filter(est >= threshold)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    fresh = fresh.join(near_old, "doc_id", "left_anti")
+
+    # near-dup within batch (exact verification — shingles available)
+    batch_pairs = minhash_lsh_pairs(
+        fresh, text_col, n, k, band_rows, threshold=threshold
+    )
+    dropped = batch_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    out = fresh.join(dropped, "doc_id", "left_anti").drop("__hash__")
+    return transfer_cached_inputs(batch_pairs, out)

@@ -196,6 +196,9 @@ QUERIES: dict[str, QueryFn] = {
     # near-dup cluster canonicalization (exact; union-find differential
     # in tests/test_training_ops.py — window full)
     "dedup_clusters": text_queries.q_dedup_clusters,
+    # daily-ingest dedup vs historical state (signature-estimated
+    # near-dup verify ⇒ approximate by design)
+    "incremental_dedup": text_queries.q_incremental_dedup,
 }
 
 
@@ -223,6 +226,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "user_value_moving_stats",
         "chunk_documents",  # exact; Python-reference diffed in pytest
         "dedup_clusters",  # exact; union-find diffed in pytest
+        "incremental_dedup",  # signature-estimated verify: approx by design
     }
 )
 

@@ -95,6 +95,26 @@ def ivf_index_dir_for(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup shape: 90% of the corpus is the historical
+    state (hash + signature tables), the other 10% arrives as the new
+    batch and is deduped against history + itself without shuffling the
+    historical side. Planted-scenario + plan-shape tests in
+    tests/test_training_ops.py."""
+    from lakehouse_adventureworks2022_spark.operators.dedup import (
+        dedup_state,
+        incremental_dedup,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    hist = docs.filter("doc_id % 10 != 0")
+    batch = docs.filter("doc_id % 10 == 0")
+    hashes, sigs = dedup_state(hist)
+    return incremental_dedup(batch, hashes, sigs).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster canonicalization: MinHash-LSH pairs → connected
     components via min-label propagation (component = min reachable

@@ -391,3 +391,56 @@ def test_dedup_keep_canonical_collapses_chains(spark):
     )
     kept = {r["doc_id"] for r in dedup.dedup_keep_canonical(docs, pairs).collect()}
     assert kept == {1, 9}
+
+
+def test_incremental_dedup_against_history(spark, docs, tmp_path):
+    """Daily-ingest dedup: the new batch is checked against persisted
+    state (exact + signature-estimated near-dup) and against itself —
+    without ever re-scanning or shuffling the historical corpus."""
+    hist = docs
+    hashes, sigs = dedup.dedup_state(hist)
+    # persist the state as real tables (the deployment shape)
+    hashes.write.mode("overwrite").parquet(str(tmp_path / "hashes"))
+    sigs.write.mode("overwrite").parquet(str(tmp_path / "sigs"))
+    state_hashes = spark.read.parquet(str(tmp_path / "hashes"))
+    state_sigs = spark.read.parquet(str(tmp_path / "sigs"))
+
+    donor = hist.orderBy(F.desc("n_chars")).limit(1).collect()[0]
+    fresh_a = "completely novel benchmark prose about quasar navigation " * 4
+    fresh_b = "another unique passage regarding tidal basin cartography " * 4
+    new_rows = [
+        (10001, donor["text"]),  # exact copy of history -> drop
+        (10002, donor["text"] + " trailingnovelty"),  # near copy -> drop
+        (10003, fresh_a),  # novel -> keep
+        (10004, fresh_b),  # batch-dup pair: min id keeps
+        (10005, fresh_b),  # exact batch dup -> drop
+        (10006, fresh_a + " smalltail"),  # near-dup of 10003 -> drop
+    ]
+    new_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+    out = dedup.incremental_dedup(new_df, state_hashes, state_sigs)
+    survivors = {r["doc_id"] for r in out.collect()}
+    dedup.release_cached_inputs(out)
+    assert survivors == {10003, 10004}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # history-facing joins build on the broadcast (batch) side — the
+    # state is streamed, never shuffled wholesale
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_batch_equals_full_for_fresh_batch(spark, docs):
+    """A batch with NO relation to history must reduce exactly like the
+    standalone batch pipeline (exact keeper + LSH lower-id rule)."""
+    new_rows = [
+        (20001, "alpha beta gamma delta epsilon zeta eta theta " * 5),
+        (20002, "alpha beta gamma delta epsilon zeta eta theta " * 5),
+        (20003, "unrelated solitary content about glacier moraines " * 5),
+    ]
+    new_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+    hashes, sigs = dedup.dedup_state(docs)
+    out = {
+        r["doc_id"]
+        for r in dedup.incremental_dedup(new_df, hashes, sigs).collect()
+    }
+    assert out == {20001, 20003}
