@@ -494,6 +494,34 @@ def ivf_index_save(
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
 
+def ivf_index_append(
+    spark, new_vectors: DataFrame, index_dir: str, n_files: int = 4
+) -> None:
+    """Add a batch of vectors to a persisted IVF index WITHOUT
+    retraining: assign them to the existing (frozen) centroids and
+    append the new cell rows as additional clustered files.
+
+    This is how IVF grows under daily ingest — centroids stay fixed (so
+    existing cell files never rewrite and old results stay stable) and
+    only drift-retraining (a rebuild) moves them. Appended files are
+    range-clustered among themselves, so footer min-max pruning keeps
+    working per file; run a maintenance re-cluster when small appended
+    files accumulate (same policy as any clustered table).
+    """
+    import numpy as np
+
+    centroids, _ = ivf_index_load(spark, index_dir)
+    crows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    cm = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    (
+        _assign_cells_df(new_vectors, cm)
+        .repartitionByRange(n_files, "cell")
+        .sortWithinPartitions("cell")
+        .write.mode("append")
+        .parquet(f"{index_dir}/cells")
+    )
+
+
 def ivf_index_load(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
     """(centroids, cells) from a saved index — hand straight to
     :func:`ivf_search`."""

@@ -444,3 +444,39 @@ def test_incremental_dedup_batch_equals_full_for_fresh_batch(spark, docs):
         for r in dedup.incremental_dedup(new_df, hashes, sigs).collect()
     }
     assert out == {20001, 20003}
+
+
+def test_ivf_index_append_equals_same_centroid_assignment(spark, tmp_path):
+    """Appending a batch to a persisted index (frozen centroids) must
+    equal assigning ALL vectors under those same centroids — and search
+    must see the appended vectors."""
+    emb = read_table(spark, SF, "embeddings")
+    hist = emb.filter("vec_id % 10 != 0")
+    batch = emb.filter("vec_id % 10 == 0")
+    q, _ = similarity.embedding_queries(spark, SF)
+
+    idx = str(tmp_path / "idx")
+    centroids, hist_cells = similarity.ivf_build(hist)
+    similarity.ivf_index_save(centroids, hist_cells, idx)
+    similarity.ivf_index_append(spark, batch, idx)
+
+    c2, cells2 = similarity.ivf_index_load(spark, idx)
+    appended = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in similarity.ivf_search(q, c2, cells2, k=10).collect()
+    }
+    # reference: same frozen centroids, all vectors assigned in one pass
+    all_cells = similarity._assign_cells_df(
+        emb,
+        __import__("numpy").array(
+            [r["centroid"] for r in sorted(centroids.collect(), key=lambda r: r["cell"])]
+        ),
+    )
+    want = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in similarity.ivf_search(q, centroids, all_cells, k=10).collect()
+    }
+    assert appended == want
+    # appended vectors are findable: every batch vec appears in the index
+    n_index = cells2.count()
+    assert n_index == emb.count()
