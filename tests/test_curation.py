@@ -351,3 +351,32 @@ def test_chunk_then_pack_composite(spark, docs):
     for r in rows:
         by_pack[r["pack_id"]] = by_pack.get(r["pack_id"], 0) + r["n_tokens"]
     assert all(tot <= 256 for tot in by_pack.values())  # chunks ≤ 64 ≤ budget
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.integers(min_value=0, max_value=60),
+    chunk=st.integers(min_value=2, max_value=20),
+    data=st.data(),
+)
+def test_chunk_documents_property(spark, n_tokens, chunk, data):
+    """For ANY (doc length, chunk size, overlap): Spark chunking equals
+    the Python reference — full coverage, overlap stitching, no phantom
+    trailing windows."""
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in curation.chunk_documents(
+            df, chunk_tokens=chunk, overlap_tokens=overlap
+        ).collect()
+    )
+    want = [
+        (i, t, n) for i, (t, n) in enumerate(_ref_chunks(text, chunk, overlap))
+    ]
+    assert got == want
