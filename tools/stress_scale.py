@@ -74,6 +74,34 @@ def main() -> None:
     q = big_emb.filter(F.col("vec_id") % 1000 == 0)
     run("ann_ivf", lambda: similarity.cosine_topk_ivf(q, big_emb, k=10))
 
+    # connected components over the unique-doc LSH pair graph (dedup
+    # first per the standing rule: replicated docs would make the pair
+    # graph quadratic in copy count)
+    uniques = big_docs.join(
+        dedup.dedup_exact(big_docs).select(
+            F.col("keeper_doc_id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    run(
+        "connected_components_uniques",
+        lambda: dedup.connected_components(
+            dedup.minhash_lsh_pairs(uniques, threshold=0.2)
+        ),
+    )
+
+    # incremental ingest shape: reps>0 are history, rep 0 is the day's
+    # batch — every batch doc is an exact copy of history, the worst
+    # case for the broadcast-batch membership joins
+    hist = big_docs.filter(F.col("doc_id") >= 10_000_000)
+    batch = big_docs.filter(F.col("doc_id") < 10_000_000)
+    hashes, sigs = dedup.dedup_state(hist)
+    run(
+        "incremental_dedup_batch",
+        lambda: dedup.incremental_dedup(batch, hashes, sigs),
+    )
+
     print(
         json.dumps(
             {
