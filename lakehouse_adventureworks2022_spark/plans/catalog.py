@@ -199,6 +199,9 @@ QUERIES: dict[str, QueryFn] = {
     # daily-ingest dedup vs historical state (signature-estimated
     # near-dup verify ⇒ approximate by design)
     "incremental_dedup": text_queries.q_incremental_dedup,
+    # snapshot drift monitoring (exact; DuckDB differential in
+    # tests/test_monitoring.py — window full)
+    "corpus_drift": text_queries.q_corpus_drift,
 }
 
 
@@ -227,6 +230,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "chunk_documents",  # exact; Python-reference diffed in pytest
         "dedup_clusters",  # exact; union-find diffed in pytest
         "incremental_dedup",  # signature-estimated verify: approx by design
+        "corpus_drift",  # exact; DuckDB-diffed in pytest
     }
 )
 

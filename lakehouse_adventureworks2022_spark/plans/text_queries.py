@@ -95,6 +95,20 @@ def ivf_index_dir_for(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus drift (even/odd doc_id halves stand
+    in for before/after ingests): per-source count/share/token deltas.
+    DuckDB differential on the profile in tests/test_monitoring.py."""
+    from lakehouse_adventureworks2022_spark.operators.monitoring import (
+        corpus_drift,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_drift(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest dedup shape: 90% of the corpus is the historical
     state (hash + signature tables), the other 10% arrives as the new

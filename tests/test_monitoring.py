@@ -1,0 +1,91 @@
+"""Corpus drift monitoring: DuckDB differential on the per-source
+profile and planted-drift scenarios (pytest-only: the driver's oracle
+window is full)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from lakehouse_adventureworks2022_spark.operators import monitoring
+from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_corpus_profile_matches_duckdb(spark):
+    docs = read_table(spark, SF, "documents")
+    got = {r["source"]: r for r in monitoring.corpus_profile(docs).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.sql(
+        """
+        WITH t AS (
+          SELECT source,
+                 CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) AS n
+          FROM documents
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(*) * 1.0 / (SELECT COUNT(*) FROM t) AS share,
+               AVG(n) AS mean_tokens,
+               quantile_cont(n, 0.5) AS p50_tokens
+        FROM t GROUP BY source
+        """
+    ).fetchall()
+    con.close()
+    assert len(want) == len(got) > 1
+    for source, n_docs, share, mean_t, p50 in want:
+        row = got[source]
+        assert row["n_docs"] == n_docs
+        assert row["share"] == pytest.approx(share, rel=1e-12)
+        assert row["mean_tokens"] == pytest.approx(mean_t, rel=1e-12)
+        assert row["p50_tokens"] == pytest.approx(p50, rel=1e-12)
+
+
+def test_corpus_drift_planted_shift(spark):
+    """Snapshot b drops one source entirely, doubles another, and
+    truncates its texts — each must surface in the right delta."""
+    a_rows = (
+        [(i, "alpha " * 20, "web") for i in range(10)]
+        + [(100 + i, "beta " * 20, "books") for i in range(10)]
+        + [(200 + i, "gamma " * 20, "code") for i in range(10)]
+    )
+    b_rows = (
+        [(i, "alpha " * 20, "web") for i in range(20)]  # doubled
+        + [(300 + i, "beta " * 5, "books") for i in range(10)]  # truncated
+        # code vanished
+    )
+    a = spark.createDataFrame(a_rows, "doc_id long, text string, source string")
+    b = spark.createDataFrame(b_rows, "doc_id long, text string, source string")
+    drift = {r["source"]: r for r in monitoring.corpus_drift(a, b).collect()}
+
+    assert set(drift) == {"web", "books", "code"}
+    assert drift["code"]["n_docs_b"] == 0 and drift["code"]["share_delta"] < 0
+    assert drift["code"]["mean_tokens_b"] is None  # vanished: no stats
+    assert drift["web"]["n_docs_b"] == 2 * drift["web"]["n_docs_a"]
+    assert drift["web"]["share_delta"] > 0
+    assert drift["books"]["mean_tokens_delta"] == pytest.approx(-15.0)
+    assert drift["books"]["p50_tokens_delta"] == pytest.approx(-15.0)
+    # shares sum to 1 on each populated side
+    assert sum(r["share_a"] for r in drift.values()) == pytest.approx(1.0)
+    assert sum(r["share_b"] for r in drift.values()) == pytest.approx(1.0)
+
+
+def test_corpus_drift_approx_mode_close_to_exact(spark):
+    docs = read_table(spark, SF, "documents")
+    half_a = docs.filter("doc_id % 2 = 0")
+    half_b = docs.filter("doc_id % 2 = 1")
+    exact = {r["source"]: r for r in monitoring.corpus_drift(half_a, half_b).collect()}
+    approx = {
+        r["source"]: r
+        for r in monitoring.corpus_drift(half_a, half_b, exact=False).collect()
+    }
+    for source, row in exact.items():
+        # counts identical; medians within a tolerant band (t-digest)
+        assert approx[source]["n_docs_b"] == row["n_docs_b"]
+        assert approx[source]["p50_tokens_b"] == pytest.approx(
+            row["p50_tokens_b"], rel=0.15
+        )
