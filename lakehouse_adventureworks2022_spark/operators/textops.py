@@ -296,6 +296,76 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def ngram_repetition_stats(
+    df: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3, 4)
+) -> DataFrame:
+    """Repeated-n-gram character fractions per document — the published
+    repetition filters (Gopher / MassiveText / RefinedWeb family) that
+    catch templated spam :func:`repetition_stats`' line signals miss
+    (repetition WITHIN a line, no newlines to split on).
+
+    For each n in ``ns``:
+
+    - ``dup_{n}gram_frac`` — characters in occurrences BEYOND the first
+      of each repeated word n-gram, over the document's non-space char
+      count: ``Σ_g (c_g − 1)·len(g) / n_chars``;
+    - ``top_{n}gram_frac`` — characters covered by the single
+      highest-coverage n-gram: ``max_g c_g·len(g) / n_chars`` (a pure
+      max over values — deterministic with no tie-break needed).
+
+    Sliding-window n-grams overlap, so raw sums can exceed the doc's
+    char count; both fractions are clamped to 1.0 (an upper bound of
+    the union-coverage form, which would need interval merging — a
+    clamped score ≥ the published thresholds still gates correctly).
+
+    Shape: one explode + one (doc_id, gram) aggregation + one doc_id
+    aggregation PER n — uniform keys, no quadratic step; docs shorter
+    than n tokens report 0.0. Entirely Catalyst (no UDFs).
+    """
+    toks = tokens_col(F.col(text_col))
+    base = df.select(
+        "doc_id",
+        F.col(text_col).alias("__text__"),
+        toks.alias("__toks__"),
+        F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).cast(
+            "double"
+        ).alias("__chars__"),
+    )
+    out = df.select("doc_id")
+    for n in ns:
+        grams = F.expr(
+            f"CASE WHEN size(__toks__) >= {n} THEN"
+            f" transform(sequence(0, size(__toks__) - {n}),"
+            f"   i -> concat_ws(' ', {', '.join(f'__toks__[i+{j}]' for j in range(n))}))"
+            f" ELSE array() END"
+        )
+        counts = (
+            base.select(
+                "doc_id", "__chars__", F.explode(grams).alias("gram")
+            )
+            .groupBy("doc_id", "gram")
+            .agg(
+                F.first("__chars__").alias("__chars__"),
+                F.count(F.lit(1)).alias("c"),
+            )
+        )
+        glen = F.length(F.regexp_replace(F.col("gram"), r"\s+", ""))
+        per_doc = counts.groupBy("doc_id").agg(
+            F.least(
+                F.lit(1.0),
+                F.sum((F.col("c") - 1) * glen) / F.first("__chars__"),
+            ).alias(f"dup_{n}gram_frac"),
+            F.least(
+                F.lit(1.0),
+                F.max(F.col("c") * glen) / F.first("__chars__"),
+            ).alias(f"top_{n}gram_frac"),
+        )
+        out = out.join(per_doc, "doc_id", "left")
+    fill = {f"dup_{n}gram_frac": 0.0 for n in ns}
+    fill.update({f"top_{n}gram_frac": 0.0 for n in ns})
+    return out.fillna(fill)
+
+
 def dedup_lines_within_doc(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Remove repeated lines inside each document, keeping first
     occurrences in order (``array_distinct`` preserves encounter order)

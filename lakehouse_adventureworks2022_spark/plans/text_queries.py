@@ -95,6 +95,13 @@ def ivf_index_dir_for(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
 
 
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repeated-n-gram character fractions over the
+    corpus (hand-computed + planted-spam tests in
+    tests/test_textops_extended.py)."""
+    return textops.ngram_repetition_stats(read_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-snapshot corpus drift (even/odd doc_id halves stand
     in for before/after ingests): per-source count/share/token deltas.

@@ -135,3 +135,54 @@ def test_char_run_flag(spark):
     flags = {r["doc_id"]: r["has_char_run"] for r in
              textops.repetition_stats(docs).collect()}
     assert flags == {1: False, 2: True}
+
+
+def test_ngram_repetition_hand_computed(spark):
+    """'spam ham spam ham spam' (18 non-space chars): 2-grams are
+    ['spam ham', 'ham spam'] ×2 each (7 non-space chars per gram) →
+    dup chars = 7 + 7 = 14/18, top coverage = 2·7 = 14/18. 3-gram
+    'spam ham spam' (11 chars) repeats → dup 11/18; its raw coverage
+    2·11 = 22 > 18 exercises the overlap clamp. A no-repeat doc
+    scores 0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam"),
+            (2, "all tokens here fully unique"),
+            (3, "xy"),  # shorter than any n: all zeros
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.ngram_repetition_stats(docs).collect()}
+    assert out[1]["dup_2gram_frac"] == pytest.approx(14 / 18)
+    assert out[1]["top_2gram_frac"] == pytest.approx(14 / 18)
+    assert out[1]["dup_3gram_frac"] == pytest.approx(11 / 18)
+    assert out[1]["top_3gram_frac"] == 1.0  # clamped from 22/18
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[2]["top_2gram_frac"] > 0.0  # every gram covers once
+    assert out[3]["dup_2gram_frac"] == 0.0 and out[3]["top_4gram_frac"] == 0.0
+    assert out[4]["dup_2gram_frac"] == 0.0
+
+
+def test_ngram_repetition_flags_templated_spam(spark):
+    """Repetition INSIDE one line (no newlines) — invisible to the
+    line-based repetition_stats, caught by the n-gram fractions."""
+    spammy = "buy cheap stuff now " * 25  # one long line
+    clean = " ".join(f"tok{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, spammy), (2, clean)], "doc_id long, text string"
+    )
+    line_stats = {r["doc_id"]: r for r in textops.repetition_stats(docs).collect()}
+    assert line_stats[1]["dup_line_ratio"] == 0.0  # line signal blind here
+    ngram = {r["doc_id"]: r for r in textops.ngram_repetition_stats(docs).collect()}
+    assert ngram[1]["dup_4gram_frac"] > 0.8
+    assert ngram[2]["dup_4gram_frac"] == 0.0
+    assert ngram[1]["top_4gram_frac"] > 0.5
+
+
+def test_ngram_repetition_covers_all_docs(spark):
+    docs = read_table(spark, SF, "documents")
+    out = textops.ngram_repetition_stats(docs)
+    assert out.count() == docs.count()
+    row = out.agg({"dup_2gram_frac": "max"}).collect()[0]
+    assert 0.0 <= row[0] <= 1.0
