@@ -59,6 +59,87 @@ def content_hash_col(text_col: str = "text"):
     )
 
 
+def init_dedup_state(hist: DataFrame, state_dir: str, text_col: str = "text") -> None:
+    """Seed the persisted dedup state (hash + signature tables) from the
+    existing corpus — run once before :func:`stream_ingest_with_history`."""
+    from lakehouse_adventureworks2022_spark.operators import dedup
+
+    hashes, sigs = dedup.dedup_state(hist, text_col)
+    hashes.write.mode("overwrite").parquet(f"{state_dir}/hashes")
+    sigs.write.mode("overwrite").parquet(f"{state_dir}/sigs")
+
+
+def stream_ingest_with_history(
+    docs: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+):
+    """Streaming corpus ingestion deduped against PERSISTED history —
+    the streaming face of ``dedup.incremental_dedup`` (where
+    :func:`stream_clean_corpus` bounds state by a watermark, this one
+    remembers EVERYTHING ingested, in O(docs) state tables):
+
+    each micro-batch is quality-gated, deduped against the historical
+    hash/signature tables AND itself, the survivors land in a per-batch
+    output directory, and their state rows append — so the next batch
+    (and any other reader) sees them as history.
+
+    Idempotence on re-delivery: a replayed batch id is skipped once
+    recorded; before recording, the per-batch output dir is written
+    with ``overwrite`` (a crash between output and state writes replays
+    into the SAME dir — no duplicate landed rows) and duplicate state
+    rows from a partial replay are harmless (hash membership is a set;
+    candidate pairs are ``.distinct()``-ed).
+
+    Scale: everything inherits incremental_dedup's broadcast-batch /
+    stream-state shape; the driver touches only the applied-batch set.
+    """
+    import json
+    from pathlib import Path
+
+    from lakehouse_adventureworks2022_spark.operators import dedup
+
+    applied_path = Path(checkpoint_dir) / "_applied_batches.json"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        applied: set[int] = set()
+        if applied_path.exists():
+            applied = set(json.loads(applied_path.read_text()))
+        if batch_id in applied:
+            return
+        spark = batch_df.sparkSession
+        state_hashes = spark.read.parquet(f"{state_dir}/hashes")
+        state_sigs = spark.read.parquet(f"{state_dir}/sigs")
+        gated = quality_gate(batch_df, text_col)
+        accepted = dedup.incremental_dedup(
+            gated, state_hashes, state_sigs, text_col, threshold=threshold
+        )
+        accepted.persist()
+        accepted.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+        new_hashes, new_sigs = dedup.dedup_state(accepted, text_col)
+        new_hashes.write.mode("append").parquet(f"{state_dir}/hashes")
+        new_sigs.write.mode("append").parquet(f"{state_dir}/sigs")
+        dedup.release_cached_inputs(accepted)
+        accepted.unpersist()
+        applied.add(batch_id)
+        applied_path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = applied_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(sorted(applied)))
+        tmp.rename(applied_path)
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_clean_corpus(
     docs: DataFrame,
     text_col: str = "text",

@@ -335,3 +335,59 @@ def test_stream_source_rejects_prehistoric_timestamps(spark, tmp_path):
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
     with pytest.raises(ValueError, match="predates"):
         stream_events_source(spark, str(tmp_path))
+
+
+def test_stream_ingest_with_history_matches_batch(spark, tmp_path):
+    """Streamed ingestion deduped against persisted history equals the
+    batch-mode incremental_dedup of the same (gated) batch, and a
+    restart with the same checkpoint re-delivers nothing."""
+    from lakehouse_adventureworks2022_spark.operators import dedup
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+    from lakehouse_adventureworks2022_spark.streaming.corpus import (
+        init_dedup_state,
+        quality_gate,
+        stream_ingest_with_history,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    hist = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    init_dedup_state(hist, state_dir)
+
+    # batch-mode expectation against the SEEDED state (read before the
+    # stream appends to it)
+    want = {
+        r["doc_id"]
+        for r in dedup.incremental_dedup(
+            quality_gate(batch),
+            spark.read.parquet(f"{state_dir}/hashes"),
+            spark.read.parquet(f"{state_dir}/sigs"),
+        ).collect()
+    }
+
+    src_dir = str(tmp_path / "src")
+    batch.coalesce(1).write.parquet(src_dir)  # one file -> one micro-batch
+    stream_src = spark.readStream.schema(batch.schema).parquet(src_dir)
+    q = stream_ingest_with_history(stream_src, state_dir, out_dir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == want and got  # non-trivial survivors
+    # accepted docs entered history
+    n_hashes = spark.read.parquet(f"{state_dir}/hashes").distinct().count()
+    assert n_hashes > hist.count() - 10  # grew past the seeded state
+
+    # restart: same checkpoint, no new files -> nothing re-applied
+    q2 = stream_ingest_with_history(
+        spark.readStream.schema(batch.schema).parquet(src_dir),
+        state_dir, out_dir, ckpt,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    again = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert again == got
