@@ -50,13 +50,19 @@ def quality_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def content_hash_col(text_col: str = "text"):
-    """Normalized content hash — same normalization as
-    ``dedup.dedup_exact`` so stream and batch agree on what counts as a
-    duplicate."""
-    return F.md5(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    )
+# one source of truth: stream and batch agree on what counts as a
+# duplicate because they share the literal same hash expression
+from lakehouse_adventureworks2022_spark.operators.dedup import (  # noqa: E402
+    content_hash_col,
+)
+
+__all__ = [
+    "quality_gate",
+    "content_hash_col",
+    "init_dedup_state",
+    "stream_ingest_with_history",
+    "stream_clean_corpus",
+]
 
 
 def init_dedup_state(hist: DataFrame, state_dir: str, text_col: str = "text") -> None:
