@@ -19,6 +19,14 @@ Scale design (the whole point of each variant):
   Broder; same shape as Spark MLlib's MinHashLSH but pure SQL
   expressions, so it is portable to the DuckDB oracle and needs no ML
   pipeline objects).
+- **cluster canonicalization** (:func:`connected_components` /
+  :func:`dedup_keep_canonical`): min-label propagation over the pair
+  graph — one doc per near-dup CLUSTER instead of one per pair edge.
+- **incremental ingest** (:func:`dedup_state` /
+  :func:`incremental_dedup`): dedup a new batch against O(docs)
+  persisted state (hashes + signatures) with broadcast-batch /
+  stream-state joins — history is never re-shuffled; the streaming face
+  is ``streaming/corpus.stream_ingest_with_history``.
 
 Hash portability contract (shared with ``plans/text_queries.py`` oracles):
 every hash is a *string* md5 — min() over hex strings is byte-wise

@@ -480,3 +480,60 @@ def test_ivf_index_append_equals_same_centroid_assignment(spark, tmp_path):
     # appended vectors are findable: every batch vec appears in the index
     n_index = cells2.count()
     assert n_index == emb.count()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hist_texts=st.lists(
+        st.sampled_from(["aa bb cc dd ee", "ff gg hh ii jj", "kk ll mm nn oo"]),
+        min_size=1,
+        max_size=5,
+    ),
+    batch_spec=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), st.booleans()),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_incremental_dedup_invariants_property(spark, hist_texts, batch_spec):
+    """For ANY history/batch mix: survivors are a subset of the batch,
+    no survivor's content hash exists in history, at most one survivor
+    per distinct batch text, and the result is deterministic."""
+    pool = [
+        "aa bb cc dd ee",
+        "ff gg hh ii jj",
+        "kk ll mm nn oo",
+        "pp qq rr ss tt",  # index 3: never in history
+    ]
+    hist = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(hist_texts)], "doc_id long, text string"
+    )
+    batch_rows = [
+        (1000 + i, pool[idx] + (" uniquetail%d" % i if fresh else ""))
+        for i, (idx, fresh) in enumerate(batch_spec)
+    ]
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    hashes, sigs = dedup.dedup_state(hist)
+    out = dedup.incremental_dedup(batch, hashes, sigs)
+    survivors = {(r["doc_id"], r["text"]) for r in out.collect()}
+    dedup.release_cached_inputs(out)
+
+    batch_set = set(batch_rows)
+    assert survivors <= batch_set
+    hist_norms = {" ".join(t.lower().split()) for t in hist_texts}
+    surv_norms = [" ".join(t.lower().split()) for _, t in survivors]
+    assert not (set(surv_norms) & hist_norms)  # exact history dups gone
+    assert len(surv_norms) == len(set(surv_norms))  # ≤1 per batch text
+    again = {
+        (r["doc_id"], r["text"])
+        for r in dedup.incremental_dedup(
+            spark.createDataFrame(batch_rows, "doc_id long, text string"),
+            hashes,
+            sigs,
+        ).collect()
+    }
+    assert again == survivors
