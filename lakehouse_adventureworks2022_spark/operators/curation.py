@@ -264,6 +264,99 @@ def sample_mixture(
     return df.filter(bucket < rate_col * 10_000)
 
 
+#: Chunk-ordinal capacity of the packed-corpus surrogate key: supports
+#: docs up to 1M chunks (≈256M tokens at the default window) — guarded
+#: at runtime, not assumed.
+_MAX_CHUNKS_PER_DOC = 1_000_000
+
+
+def prepare_packed_corpus(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+    near_dup_threshold: float = 0.2,
+    mixture_rates: dict[str, float] | None = None,
+    split_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """The full corpus-to-training-batches pipeline: PII scrub →
+    de-boilerplate → quality gate + exact/near dedup → optional mixture
+    sampling → deterministic split → context-window chunking → token-
+    budget packing, packed PER SPLIT (a pack must never mix train and
+    val — that is leakage at batch granularity).
+
+    Returns one row per (split, pack) chunk membership:
+    ``(split, pack_id, doc_id, chunk_id, n_tokens, pack_tokens,
+    pack_docs)`` — pack ids are namespaced ``<split>/<bucket>:<seq>``.
+    Chunk identity rides through the packer as a decodable surrogate
+    (``doc_id·1e6 + chunk_id``; a doc exceeding 1M chunks raises rather
+    than silently colliding). The only driver-side data is the distinct
+    split-name list (bounded by ``split_weights``, ≤ a handful).
+
+    Shuffle budget: clean_corpus's LSH passes + one doc-keyed join to
+    carry the split onto chunks + the packer's one bucket shuffle per
+    split — everything else is projections.
+    """
+    from functools import reduce as _reduce
+
+    from lakehouse_adventureworks2022_spark.operators import dedup, textops
+
+    scrubbed = textops.dedup_lines_within_doc(
+        textops.redact_pii(df, text_col), text_col
+    )
+    cleaned = dedup.clean_corpus(scrubbed, text_col, threshold=near_dup_threshold)
+    kept = cleaned
+    if mixture_rates:
+        kept = sample_mixture(kept, mixture_rates)
+    kept = split_by_hash(kept, weights=split_weights)
+
+    survivors = scrubbed.join(kept.select("doc_id", "split"), "doc_id")
+    chunks = chunk_documents(
+        survivors, text_col, chunk_tokens, overlap_tokens
+    ).join(kept.select("doc_id", "split"), "doc_id")
+
+    max_chunk = chunks.agg(F.max("chunk_id")).first()[0]
+    if max_chunk is not None and max_chunk >= _MAX_CHUNKS_PER_DOC:
+        raise ValueError(
+            f"a document produced {max_chunk + 1} chunks — past the "
+            f"{_MAX_CHUNKS_PER_DOC}-chunk surrogate capacity; raise "
+            "chunk_tokens or split the document upstream"
+        )
+    keyed = chunks.select(
+        (F.col("doc_id") * _MAX_CHUNKS_PER_DOC + F.col("chunk_id")).alias(
+            "doc_id"
+        ),
+        "split",
+        "n_tokens",
+    )
+    splits = sorted(r["split"] for r in keyed.select("split").distinct().collect())
+    parts = []
+    for name in splits:
+        packed = pack_documents(
+            keyed.filter(F.col("split") == name).select("doc_id", "n_tokens"),
+            budget=budget,
+            n_tokens_col="n_tokens",
+        )
+        parts.append(
+            packed.select(
+                F.lit(name).alias("split"),
+                F.concat(F.lit(f"{name}/"), "pack_id").alias("pack_id"),
+                F.floor(F.col("doc_id") / _MAX_CHUNKS_PER_DOC)
+                .cast("long")
+                .alias("doc_id"),
+                F.pmod(F.col("doc_id"), F.lit(_MAX_CHUNKS_PER_DOC))
+                .cast("int")
+                .alias("chunk_id"),
+                "n_tokens",
+                "pack_tokens",
+                "pack_docs",
+            )
+        )
+    out = _reduce(DataFrame.unionByName, parts)
+    return dedup.transfer_cached_inputs(cleaned, out)
+
+
 def prepare_training_corpus(
     df: DataFrame,
     text_col: str = "text",

@@ -205,6 +205,9 @@ QUERIES: dict[str, QueryFn] = {
     # Gopher-family repeated-n-gram quality fractions (exact;
     # hand-computed differentials in pytest — window full)
     "ngram_repetition": text_queries.q_ngram_repetition,
+    # full corpus→training-batches chain (exact; end-to-end invariant
+    # tests in pytest — window full)
+    "packed_corpus": text_queries.q_packed_corpus,
 }
 
 
@@ -235,6 +238,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "incremental_dedup",  # signature-estimated verify: approx by design
         "corpus_drift",  # exact; DuckDB-diffed in pytest
         "ngram_repetition",  # exact; hand-computed differentials in pytest
+        "packed_corpus",  # exact; end-to-end invariants in pytest
     }
 )
 

@@ -95,6 +95,23 @@ def ivf_index_dir_for(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
 
 
+def q_packed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus→training-batches chain (scrub → clean → split →
+    chunk → split-aware pack); invariants tested end-to-end in
+    tests/test_curation.py."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        prepare_packed_corpus,
+    )
+
+    return prepare_packed_corpus(
+        read_table(spark, sf_dir, "documents"),
+        budget=512,
+        chunk_tokens=64,
+        overlap_tokens=8,
+        split_weights={"train": 0.9, "val": 0.1},
+    )
+
+
 def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-family repeated-n-gram character fractions over the
     corpus (hand-computed + planted-spam tests in

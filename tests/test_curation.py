@@ -380,3 +380,56 @@ def test_chunk_documents_property(spark, n_tokens, chunk, data):
         (i, t, n) for i, (t, n) in enumerate(_ref_chunks(text, chunk, overlap))
     ]
     assert got == want
+
+
+def test_prepare_packed_corpus_end_to_end(spark, docs):
+    """Full chain: survivors' chunks packed once each, packs never mix
+    splits, budget respected, chunk identity decodes, deterministic."""
+    out = curation.prepare_packed_corpus(
+        docs, budget=512, chunk_tokens=64, overlap_tokens=8,
+        split_weights={"train": 0.8, "val": 0.2},
+    )
+    rows = out.collect()
+    from lakehouse_adventureworks2022_spark.operators import dedup
+
+    dedup.release_cached_inputs(out)
+    assert rows
+    # pack ids are split-namespaced and packs never mix splits
+    by_pack: dict[str, list] = {}
+    for r in rows:
+        assert r["pack_id"].startswith(r["split"] + "/")
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for members in by_pack.values():
+        assert len({m["split"] for m in members}) == 1
+        tot = sum(m["n_tokens"] for m in members)
+        assert all(m["pack_tokens"] == tot for m in members)
+        assert tot <= 512 or len(members) == 1
+
+    # chunk membership equals chunking of the surviving scrubbed docs
+    from lakehouse_adventureworks2022_spark.operators import textops
+
+    scrubbed = textops.dedup_lines_within_doc(textops.redact_pii(docs))
+    survivors = curation.split_by_hash(
+        dedup.clean_corpus(scrubbed, threshold=0.2),
+        weights={"train": 0.8, "val": 0.2},
+    )
+    want_chunks = {
+        (r["doc_id"], r["chunk_id"])
+        for r in curation.chunk_documents(
+            scrubbed.join(survivors.select("doc_id"), "doc_id"),
+            chunk_tokens=64,
+            overlap_tokens=8,
+        ).collect()
+    }
+    got_chunks = {(r["doc_id"], r["chunk_id"]) for r in rows}
+    assert got_chunks == want_chunks  # every chunk packed exactly once
+    assert len(rows) == len(got_chunks)
+
+    again = {
+        (r["doc_id"], r["chunk_id"], r["pack_id"])
+        for r in curation.prepare_packed_corpus(
+            docs, budget=512, chunk_tokens=64, overlap_tokens=8,
+            split_weights={"train": 0.8, "val": 0.2},
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["chunk_id"], r["pack_id"]) for r in rows}
