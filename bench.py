@@ -65,6 +65,10 @@ HEADLINE = [
     "ann_cosine_topk_ivf_amortized",
     "sales_rollup",
     "clean_corpus",
+    # round-5 additions (kept AFTER the stable r1-comparable set so
+    # historical per-query comparisons stay aligned)
+    "chunk_documents",
+    "incremental_dedup",
 ]
 
 
