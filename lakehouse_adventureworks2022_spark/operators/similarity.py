@@ -522,6 +522,36 @@ def ivf_index_append(
     )
 
 
+def ivf_index_recluster(spark, index_dir: str, n_files: int = 16) -> None:
+    """Maintenance rewrite of a persisted index's cells table: after
+    many :func:`ivf_index_append` batches the per-append file sets
+    accumulate (each clustered within itself, but probe pruning reads
+    one file per probed cell PER APPEND). Rewrite the whole table
+    range-clustered once — same OPTIMIZE-style policy as any clustered
+    table; centroids are untouched so results cannot change.
+
+    Staged next to the live dir and swapped in (directory rename), so a
+    crash mid-rewrite leaves the old cells intact.
+    """
+    import os
+    import shutil
+
+    cells = spark.read.parquet(f"{index_dir}/cells")
+    staging = f"{index_dir}/_tmp_cells"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        cells.repartitionByRange(n_files, "cell")
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    old = f"{index_dir}/_old_cells"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(f"{index_dir}/cells", old)
+    os.rename(staging, f"{index_dir}/cells")
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def ivf_index_load(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
     """(centroids, cells) from a saved index — hand straight to
     :func:`ivf_search`."""

@@ -60,6 +60,7 @@ __all__ = [
     "quality_gate",
     "content_hash_col",
     "init_dedup_state",
+    "append_dedup_state",
     "stream_ingest_with_history",
     "stream_clean_corpus",
 ]
@@ -73,6 +74,20 @@ def init_dedup_state(hist: DataFrame, state_dir: str, text_col: str = "text") ->
     hashes, sigs = dedup.dedup_state(hist, text_col)
     hashes.write.mode("overwrite").parquet(f"{state_dir}/hashes")
     sigs.write.mode("overwrite").parquet(f"{state_dir}/sigs")
+
+
+def append_dedup_state(
+    accepted: DataFrame, state_dir: str, text_col: str = "text"
+) -> None:
+    """Grow the persisted state with an accepted batch — the other half
+    of every ingest loop (streaming or batch): after
+    ``incremental_dedup`` says what survives, the survivors' hashes and
+    signatures become history for the next batch."""
+    from lakehouse_adventureworks2022_spark.operators import dedup
+
+    new_hashes, new_sigs = dedup.dedup_state(accepted, text_col)
+    new_hashes.write.mode("append").parquet(f"{state_dir}/hashes")
+    new_sigs.write.mode("append").parquet(f"{state_dir}/sigs")
 
 
 def stream_ingest_with_history(
@@ -127,9 +142,7 @@ def stream_ingest_with_history(
         accepted.write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}"
         )
-        new_hashes, new_sigs = dedup.dedup_state(accepted, text_col)
-        new_hashes.write.mode("append").parquet(f"{state_dir}/hashes")
-        new_sigs.write.mode("append").parquet(f"{state_dir}/sigs")
+        append_dedup_state(accepted, state_dir, text_col)
         dedup.release_cached_inputs(accepted)
         accepted.unpersist()
         applied.add(batch_id)

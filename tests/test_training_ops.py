@@ -537,3 +537,37 @@ def test_incremental_dedup_invariants_property(spark, hist_texts, batch_spec):
         ).collect()
     }
     assert again == survivors
+
+
+def test_ivf_index_recluster_compacts_without_changing_results(spark, tmp_path):
+    """After several appends the cells table fragments; maintenance
+    re-clustering must shrink the file count and leave search results
+    bit-identical (centroids untouched)."""
+    import os
+
+    emb = read_table(spark, SF, "embeddings")
+    q, _ = similarity.embedding_queries(spark, SF)
+    idx = str(tmp_path / "idx")
+    centroids, cells = similarity.ivf_build(emb.filter("vec_id % 4 = 0"))
+    similarity.ivf_index_save(centroids, cells, idx, n_files=4)
+    for m in (1, 2, 3):  # three append batches -> fragmented files
+        similarity.ivf_index_append(
+            spark, emb.filter(f"vec_id % 4 = {m}"), idx, n_files=4
+        )
+
+    def n_files():
+        return sum(
+            1 for f in os.listdir(f"{idx}/cells") if f.endswith(".parquet")
+        )
+
+    def search():
+        c, l = similarity.ivf_index_load(spark, idx)
+        return {
+            (r["query_id"], r["cand_id"], r["rank"], r["cosine"])
+            for r in similarity.ivf_search(q, c, l, k=10).collect()
+        }
+
+    before_files, before = n_files(), search()
+    similarity.ivf_index_recluster(spark, idx, n_files=4)
+    assert n_files() < before_files  # 16 fragmented -> 4 clustered
+    assert search() == before  # results bit-identical
