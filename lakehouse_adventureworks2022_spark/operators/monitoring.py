@@ -48,6 +48,94 @@ def corpus_profile(
     )
 
 
+def embedding_profile(
+    df: DataFrame, vec_col: str = "embedding", group_col: str = "label"
+) -> DataFrame:
+    """Per-group embedding-space profile: count, mean vector norm, and
+    the group CENTROID (per-dimension mean, dimension-ordered).
+
+    Shape: one (group, dim)-keyed aggregation for the centroid (uniform
+    key, rows = vectors × dims — linear) + one group-keyed aggregation
+    for the scalars; centroids are |groups| × dim rows of output, tiny.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    base = df.select(F.col(group_col).alias("grp"), v.alias("v"), norm.alias("nrm"))
+    scalars = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg("nrm").alias("mean_norm"),
+    )
+    centroids = (
+        base.select("grp", F.posexplode("v").alias("dim", "val"))
+        .groupBy("grp", "dim")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("grp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    return scalars.join(centroids, "grp").select(
+        F.col("grp").alias(group_col), "n_vecs", "mean_norm", "centroid"
+    )
+
+
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Per-group embedding-space drift between snapshots ``a`` and
+    ``b`` — the signal that catches a silently swapped/retrained
+    embedding model or a shifted upstream distribution before training:
+    count and mean-norm deltas plus the COSINE between the group
+    centroids (1.0 = direction unchanged; a rotated space shows up here
+    even when norms match). Groups present on only one side carry null
+    stats for the missing side — appearing/vanishing groups ARE drift.
+    """
+    def _cos(x, y):
+        dot = F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, t: s + t
+        )
+        nx = F.sqrt(
+            F.aggregate(F.transform(x, lambda p: p * p), F.lit(0.0), lambda s, t: s + t)
+        )
+        ny = F.sqrt(
+            F.aggregate(F.transform(y, lambda p: p * p), F.lit(0.0), lambda s, t: s + t)
+        )
+        return dot / (nx * ny)
+
+    pa = embedding_profile(a, vec_col, group_col).select(
+        group_col,
+        F.col("n_vecs").alias("n_a"),
+        F.col("mean_norm").alias("mean_norm_a"),
+        F.col("centroid").alias("centroid_a"),
+    )
+    pb = embedding_profile(b, vec_col, group_col).select(
+        group_col,
+        F.col("n_vecs").alias("n_b"),
+        F.col("mean_norm").alias("mean_norm_b"),
+        F.col("centroid").alias("centroid_b"),
+    )
+    return pa.join(pb, group_col, "full_outer").select(
+        group_col,
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        "mean_norm_a",
+        "mean_norm_b",
+        (F.col("mean_norm_b") - F.col("mean_norm_a")).alias("mean_norm_delta"),
+        F.when(
+            F.col("centroid_a").isNotNull() & F.col("centroid_b").isNotNull(),
+            _cos(F.col("centroid_a"), F.col("centroid_b")),
+        ).alias("centroid_cosine"),
+    )
+
+
 def corpus_drift(
     a: DataFrame,
     b: DataFrame,

@@ -202,6 +202,9 @@ QUERIES: dict[str, QueryFn] = {
     # snapshot drift monitoring (exact; DuckDB differential in
     # tests/test_monitoring.py — window full)
     "corpus_drift": text_queries.q_corpus_drift,
+    # embedding-space drift (exact; identity/planted-shift tests in
+    # pytest — window full)
+    "embedding_drift": text_queries.q_embedding_drift,
     # Gopher-family repeated-n-gram quality fractions (exact;
     # hand-computed differentials in pytest — window full)
     "ngram_repetition": text_queries.q_ngram_repetition,
@@ -237,6 +240,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "dedup_clusters",  # exact; union-find diffed in pytest
         "incremental_dedup",  # signature-estimated verify: approx by design
         "corpus_drift",  # exact; DuckDB-diffed in pytest
+        "embedding_drift",  # exact; identity/planted-shift tests in pytest
         "ngram_repetition",  # exact; hand-computed differentials in pytest
         "packed_corpus",  # exact; end-to-end invariants in pytest
     }

@@ -148,6 +148,20 @@ def _dedup_state_dir_for(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"dedup_state_{tag}")
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between snapshot halves (even/odd vec_id):
+    per-label count/norm deltas + centroid cosine. Identity and
+    planted-shift tests in tests/test_monitoring.py."""
+    from lakehouse_adventureworks2022_spark.operators.monitoring import (
+        embedding_drift,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest dedup shape: 90% of the corpus is the historical
     state (hash + signature tables, PERSISTED once per corpus version —

@@ -89,3 +89,48 @@ def test_corpus_drift_approx_mode_close_to_exact(spark):
         assert approx[source]["p50_tokens_b"] == pytest.approx(
             row["p50_tokens_b"], rel=0.15
         )
+
+
+def test_embedding_drift_identity_and_planted_shift(spark):
+    """Identical snapshots: cosine 1, deltas 0. Planted shift: scaling
+    one label moves its norm (cosine stays 1 — direction unchanged);
+    negating half the dims of another rotates its centroid (cosine < 1
+    with the norm untouched); a vanished label surfaces with n_b=0."""
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, SF, "embeddings")
+    same = {r["label"]: r for r in monitoring.embedding_drift(emb, emb).collect()}
+    assert same
+    for r in same.values():
+        assert r["centroid_cosine"] == pytest.approx(1.0, abs=1e-9)
+        assert r["mean_norm_delta"] == pytest.approx(0.0, abs=1e-9)
+        assert r["n_a"] == r["n_b"] > 0
+
+    labels = sorted(same)
+    scaled_l, rotated_l, gone_l = labels[0], labels[1], labels[2]
+    dim = len(emb.first()["embedding"])
+    half = dim // 2
+    flip = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x, i: F.when(i < half, -x).otherwise(x),
+    )
+    b = (
+        emb.filter(F.col("label") != gone_l)
+        .withColumn(
+            "embedding",
+            F.when(
+                F.col("label") == scaled_l,
+                F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 2.0),
+            )
+            .when(F.col("label") == rotated_l, flip)
+            .otherwise(F.col("embedding").cast("array<double>")),
+        )
+    )
+    drift = {r["label"]: r for r in monitoring.embedding_drift(emb, b).collect()}
+    assert drift[scaled_l]["mean_norm_delta"] == pytest.approx(
+        drift[scaled_l]["mean_norm_a"], rel=1e-6
+    )  # doubled norm -> delta == original norm
+    assert drift[scaled_l]["centroid_cosine"] == pytest.approx(1.0, abs=1e-9)
+    assert drift[rotated_l]["centroid_cosine"] < 0.9  # rotated space
+    assert drift[rotated_l]["mean_norm_delta"] == pytest.approx(0.0, abs=1e-9)
+    assert drift[gone_l]["n_b"] == 0 and drift[gone_l]["centroid_cosine"] is None
