@@ -482,11 +482,14 @@ def connected_components(
     longer diameter than that is not a near-dup graph — investigate).
     """
     edges = pairs.select("doc_a", "doc_b")
+    # materialize the symmetric edge list ONCE: every iteration joins
+    # against it (plus the convergence count), and `pairs` is typically
+    # an expensive LSH plan that must not re-execute per round
     sym = edges.union(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
