@@ -1,0 +1,170 @@
+"""Distributed n-gram language model for perplexity-based quality
+scoring (beyond-reference scope — the CCNet / Wikipedia-LM family
+filter: score each document's fluency under a reference corpus model and
+gate or bucket on perplexity).
+
+The reference lakehouse has nothing like this (SURVEY.md §2 is pure
+warehouse ELT); in a training-data pipeline it is the standard
+model-based quality signal next to the heuristic gates
+(``operators.quality``/``textops``). The published pipelines use KenLM;
+that is a C library, so the engine trains its own count-based add-k
+model entirely in Catalyst — no UDFs, no driver-side corpus state.
+
+Model = a plain DataFrame of smoothed conditional counts, so it
+persists/reloads through ``storage.TableManager`` like any other table
+and scoring is ordinary equi-joins:
+
+- train: one explode over padded token n-grams + one uniform-key
+  aggregation → ``(context, word, c)``; context totals derive from a
+  second (smaller) aggregation. Linear in corpus size at any scale.
+- score: explode the scored docs the same way, two left equi-joins
+  against the model (on ``(context, word)`` and ``context``), one
+  per-doc aggregation. The hot keys (``<s>`` contexts, stopword
+  contexts) are skewed but fan nothing out — the model side is one row
+  per key; AQE skew-split covers the shuffle imbalance.
+
+Smoothing: add-k (Lidstone). ``P(w|ctx) = (c(ctx,w) + k) / (c(ctx) +
+k·V)`` with V = training vocabulary size (+1 for ``</s>``; unseen words
+fall into the same additive mass — P = k/(c(ctx)+k·V), and a fully
+unseen context degrades to the uniform 1/V). Kneser-Ney would be the
+published choice for a real LM; for a *relative* quality gate the add-k
+ranking is the accepted cheap stand-in and keeps training one
+aggregation.
+
+Perplexity: ``ppl = exp(−(1/T)·Σ log P)`` over a doc's T = n_tokens+1
+transitions (the ``</s>`` transition included, so empty docs still get
+a finite score).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_adventureworks2022_spark.operators.textops import tokens_col
+
+#: Sentinel tokens. BOS pads contexts for a doc's first transitions; EOS
+#: models document end (real words never collide — the tokenizer
+#: lowercases and splits on whitespace, so "<s>" survives as-is only if
+#: a doc literally contains it, and then counting it as the sentinel is
+#: the standard degenerate case every text LM accepts).
+BOS = "<s>"
+EOS = "</s>"
+
+
+def _padded_tokens(text: Column, n: int) -> Column:
+    """Tokens with n−1 BOS markers in front and one EOS appended; an
+    empty/whitespace doc contributes just the ``<s>…</s>`` transition."""
+    toks = F.filter(tokens_col(text), lambda t: F.length(t) > 0)
+    return F.concat(
+        F.array_repeat(F.lit(BOS), n - 1), toks, F.array(F.lit(EOS))
+    )
+
+
+def _gram_pairs(text: Column, n: int) -> Column:
+    """Array of ``struct(context, word)`` for every n-gram transition in
+    the padded token stream (size = token_count + 1, ≥ 1 always)."""
+    toks = _padded_tokens(text, n)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.struct(
+            (
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + j - 1) for j in range(1, n)]
+                )
+                if n > 1
+                else F.lit("")
+            ).alias("context"),
+            F.element_at(toks, i + n - 1).alias("word"),
+        ),
+    )
+
+
+def train_ngram_lm(
+    docs: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Count-model training: ``(context, word, c)`` over the corpus.
+
+    One explode + one aggregation on the uniform ``(context, word)``
+    key. The returned frame IS the model — persist it as a table for
+    reuse (``storage.TableManager.overwrite``), or feed it straight to
+    :func:`score_perplexity`.
+    """
+    grams = docs.select(
+        F.explode(_gram_pairs(F.col(text_col), n)).alias("g")
+    ).select("g.context", "g.word")
+    return grams.groupBy("context", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def lm_vocab_size(lm: DataFrame) -> int:
+    """Training vocabulary size V (distinct predicted words, EOS
+    included) — the one scalar the smoothing formula needs; a bounded
+    single-row collect."""
+    return lm.select(F.countDistinct("word").alias("v")).collect()[0]["v"]
+
+
+def score_perplexity(
+    docs: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: float = 0.5,
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """Per-document add-k perplexity under a trained model:
+    ``(doc_id, n_transitions, avg_nll, ppl)`` — lower = more fluent
+    under the training corpus; pipelines gate on a ppl threshold or
+    bucket into quality tiers.
+
+    ``vocab_size`` skips the V-collect when the caller already knows it
+    (e.g. scoring many batches under one persisted model).
+    """
+    v = float(vocab_size if vocab_size is not None else lm_vocab_size(lm))
+    ctx_totals = lm.groupBy("context").agg(F.sum("c").alias("ctx_c"))
+    grams = docs.select(
+        "doc_id", F.explode(_gram_pairs(F.col(text_col), n)).alias("g")
+    ).select("doc_id", "g.context", "g.word")
+    joined = (
+        grams.join(lm, ["context", "word"], "left")
+        .join(ctx_totals, ["context"], "left")
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(k))
+                    / (F.coalesce(F.col("ctx_c"), F.lit(0)) + F.lit(k) * v)
+                )
+            ).alias("logp"),
+        )
+    )
+    nll = -F.avg("logp")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            nll.alias("avg_nll"),
+            F.exp(nll).alias("ppl"),
+        )
+    )
+
+
+def doc_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: float = 0.5,
+) -> DataFrame:
+    """Self-scored corpus perplexity (train on the corpus, score the
+    corpus) — the one-frame form a pipeline uses to FIND its outliers:
+    templated spam and non-text garbage sit far above the corpus's own
+    typical ppl even under a self-trained model.
+
+    For the deployment shape (train on a trusted reference corpus,
+    score candidate data), call :func:`train_ngram_lm` on the reference
+    and :func:`score_perplexity` on the candidates with the persisted
+    model.
+    """
+    lm = train_ngram_lm(docs, text_col, n)
+    return score_perplexity(docs, lm, text_col, n, k)

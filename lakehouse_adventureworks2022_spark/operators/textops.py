@@ -377,3 +377,90 @@ def dedup_lines_within_doc(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         text_col, F.concat_ws("\n", F.array_distinct(lines))
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 3,
+    min_line_chars: int = 6,
+) -> DataFrame:
+    """Corpus-wide boilerplate inventory: ``(bp_line, doc_count)`` for
+    every trimmed line appearing in ≥ ``min_docs`` DISTINCT documents
+    (the C4 / RefinedWeb corpus-level line filter — nav bars, cookie
+    banners, templated footers repeat across pages, not within one).
+
+    Lines shorter than ``min_line_chars`` after trimming are never
+    counted (protects blank lines, list bullets, code indentation).
+
+    Shape: per-doc ``array_distinct`` of trimmed lines BEFORE the
+    explode makes ``count(1)`` an exact distinct-doc count with no
+    ``count(distinct)`` expansion — one explode + one uniform-key
+    aggregation, linear at any corpus size.
+    """
+    keys = df.select(
+        F.explode(
+            F.array_distinct(
+                F.transform(F.split(F.col(text_col), r"\n"), F.trim)
+            )
+        ).alias("bp_line")
+    ).where(F.length("bp_line") >= min_line_chars)
+    return (
+        keys.groupBy("bp_line")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .where(F.col("doc_count") >= min_docs)
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 3,
+    min_line_chars: int = 6,
+) -> DataFrame:
+    """Strip corpus-wide boilerplate lines from every document (the
+    cross-document companion of :func:`dedup_lines_within_doc`): any
+    line whose trimmed form appears in ≥ ``min_docs`` distinct docs is
+    removed from all of them, surviving lines keep their original order,
+    and ``n_boilerplate_removed`` counts the lines dropped per doc.
+
+    Docs whose every line is boilerplate come back with empty text (the
+    caller's quality gate drops them — this operator never drops rows).
+
+    Shape: the line inventory (:func:`boilerplate_lines`) is one
+    aggregation; removal is a ``left_anti`` equi-join of exploded lines
+    against it, then one per-doc rebuild aggregation
+    (``sort_array(collect_list(struct(pos, line)))`` restores order —
+    no window, no global sort). Popular boilerplate lines skew the
+    anti-join's shuffle keys; the join fans nothing out (the inventory
+    side is one row per key) and AQE skew-split handles the rest. All
+    other columns of ``df`` pass through untouched.
+    """
+    bp = boilerplate_lines(df, text_col, min_docs, min_line_chars)
+    parts = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    )
+    kept = parts.join(
+        bp, F.trim(parts["line"]) == bp["bp_line"], "left_anti"
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("__clean__"),
+        F.count(F.lit(1)).alias("__kept__"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), r"\n"))
+    return (
+        df.join(rebuilt, "doc_id", "left")
+        .withColumn(
+            "n_boilerplate_removed",
+            (n_lines - F.coalesce(F.col("__kept__"), F.lit(0))).cast("int"),
+        )
+        .withColumn(text_col, F.coalesce(F.col("__clean__"), F.lit("")))
+        .drop("__clean__", "__kept__")
+    )

@@ -211,6 +211,12 @@ QUERIES: dict[str, QueryFn] = {
     # full corpus→training-batches chain (exact; end-to-end invariant
     # tests in pytest — window full)
     "packed_corpus": text_queries.q_packed_corpus,
+    # corpus-wide C4-style boilerplate-line removal (exact;
+    # Python-reference differential in pytest — window full)
+    "clean_boilerplate": text_queries.q_clean_boilerplate,
+    # n-gram-LM perplexity quality scoring (float-fold order in the
+    # log-prob mean ⇒ rows-only; math differential in tests/test_lm.py)
+    "doc_perplexity": text_queries.q_doc_perplexity,
 }
 
 
@@ -243,6 +249,8 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "embedding_drift",  # exact; identity/planted-shift tests in pytest
         "ngram_repetition",  # exact; hand-computed differentials in pytest
         "packed_corpus",  # exact; end-to-end invariants in pytest
+        "clean_boilerplate",  # exact; Python-reference diffed in pytest
+        "doc_perplexity",  # float-fold order in mean log-prob
     }
 )
 

@@ -148,6 +148,27 @@ def _dedup_state_dir_for(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"dedup_state_{tag}")
 
 
+def q_clean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide C4/RefinedWeb boilerplate-line removal over the
+    documents table (lines in ≥3 distinct docs stripped everywhere,
+    order preserved). Python-reference differential + semantics tests
+    in tests/test_textops_extended.py."""
+    return textops.remove_boilerplate_lines(
+        read_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text", "n_boilerplate_removed")
+
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-scored bigram add-k perplexity over the documents corpus
+    (the CCNet-family model-based quality signal). Python-reference
+    math differential + ranking/determinism tests in tests/test_lm.py.
+    ``ppl`` is float-fold order-dependent in the 12th decimal, hence
+    rows-only in the driver window."""
+    from lakehouse_adventureworks2022_spark.operators.lm import doc_perplexity
+
+    return doc_perplexity(read_table(spark, sf_dir, "documents"))
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift between snapshot halves (even/odd vec_id):
     per-label count/norm deltas + centroid cosine. Identity and

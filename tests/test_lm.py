@@ -1,0 +1,145 @@
+"""n-gram LM perplexity scoring — exact-math differential against a
+pure-Python reference plus the ranking/determinism properties a quality
+gate depends on (pytest-only: the driver's 50-slot oracle window is
+full, and the mean-log-prob fold is float-order-dependent anyway)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from lakehouse_adventureworks2022_spark.operators import lm
+from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_perplexity(texts: dict[int, str], n: int = 2, k: float = 0.5):
+    """Driver-side reference: identical tokenizer (lower/split-ws),
+    identical padding and add-k smoothing, Kahan-free sequential sums
+    (math.fsum for exactness)."""
+    def toks(t):
+        return [w for w in t.lower().strip().split() if w]
+
+    def grams(t):
+        padded = [lm.BOS] * (n - 1) + toks(t) + [lm.EOS]
+        return [
+            (" ".join(padded[i : i + n - 1]), padded[i + n - 1])
+            for i in range(len(padded) - n + 1)
+        ]
+
+    counts = Counter(g for t in texts.values() for g in grams(t))
+    ctx_totals = Counter()
+    for (ctx, _), c in counts.items():
+        ctx_totals[ctx] += c
+    vocab = {w for (_, w) in counts}
+    v = float(len(vocab))
+
+    out = {}
+    for doc_id, t in texts.items():
+        logps = [
+            math.log(
+                (counts.get(g, 0) + k) / (ctx_totals.get(g[0], 0) + k * v)
+            )
+            for g in grams(t)
+        ]
+        nll = -math.fsum(logps) / len(logps)
+        out[doc_id] = (len(logps), nll, math.exp(nll))
+    return out
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "the dog ran in the park"),
+        (4, "zxqv glorp fnord wibble"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string"), dict(rows)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_matches_python_reference(spark, tiny_corpus, n):
+    docs, texts = tiny_corpus
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["avg_nll"], r["ppl"])
+        for r in lm.doc_perplexity(docs, n=n).collect()
+    }
+    want = _ref_perplexity(texts, n=n)
+    assert set(got) == set(want)
+    for doc_id in want:
+        assert got[doc_id][0] == want[doc_id][0], doc_id
+        assert got[doc_id][1] == pytest.approx(want[doc_id][1], rel=1e-9)
+        assert got[doc_id][2] == pytest.approx(want[doc_id][2], rel=1e-9)
+
+
+def test_garbage_scores_above_fluent(spark, tiny_corpus):
+    docs, _ = tiny_corpus
+    ppl = {r["doc_id"]: r["ppl"] for r in lm.doc_perplexity(docs).collect()}
+    # doc 4 shares no vocabulary with the rest — worst score by far
+    assert ppl[4] > max(ppl[1], ppl[2], ppl[3])
+
+
+def test_empty_doc_scores_finite(spark, tiny_corpus):
+    docs, _ = tiny_corpus
+    row = {
+        r["doc_id"]: r for r in lm.doc_perplexity(docs).collect()
+    }[5]
+    # one <s>→</s> transition; finite, positive
+    assert row["n_transitions"] == 1
+    assert math.isfinite(row["ppl"]) and row["ppl"] > 0
+
+
+def test_score_under_persisted_model_and_vocab_shortcut(spark, tiny_corpus):
+    """Deployment shape: train once, score a different batch; passing a
+    precomputed vocab_size must not change results."""
+    docs, _ = tiny_corpus
+    model = lm.train_ngram_lm(docs)
+    v = lm.lm_vocab_size(model)
+    batch = spark.createDataFrame(
+        [(10, "the cat sat on the mat"), (11, "entirely novel words here")],
+        "doc_id int, text string",
+    )
+    a = {r["doc_id"]: r["ppl"] for r in lm.score_perplexity(batch, model).collect()}
+    b = {
+        r["doc_id"]: r["ppl"]
+        for r in lm.score_perplexity(batch, model, vocab_size=v).collect()
+    }
+    assert a == b
+    assert a[11] > a[10]  # unseen text scores worse under the model
+
+
+def test_partitioning_invariance(spark, tiny_corpus):
+    """Perplexity must not depend on the physical layout (tolerance for
+    the float fold order)."""
+    docs, _ = tiny_corpus
+    base = {r["doc_id"]: r["ppl"] for r in lm.doc_perplexity(docs).collect()}
+    shuffled = {
+        r["doc_id"]: r["ppl"]
+        for r in lm.doc_perplexity(docs.repartition(7)).collect()
+    }
+    for doc_id, p in base.items():
+        assert shuffled[doc_id] == pytest.approx(p, rel=1e-9)
+
+
+def test_fixture_corpus_scores_every_doc(spark):
+    docs = read_table(spark, SF, "documents")
+    out = lm.doc_perplexity(docs)
+    assert out.count() == docs.count()
+    bad = out.filter("ppl <= 0 OR isnan(ppl) OR ppl IS NULL").count()
+    assert bad == 0
+
+
+def test_no_python_udfs_in_plan(spark, tiny_corpus):
+    docs, _ = tiny_corpus
+    plan = (
+        lm.doc_perplexity(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

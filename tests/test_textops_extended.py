@@ -186,3 +186,100 @@ def test_ngram_repetition_covers_all_docs(spark):
     assert out.count() == docs.count()
     row = out.agg({"dup_2gram_frac": "max"}).collect()[0]
     assert 0.0 <= row[0] <= 1.0
+
+
+# ---- corpus-wide boilerplate-line removal ----------------------------
+
+def _ref_remove_boilerplate(texts, min_docs=3, min_line_chars=6):
+    """Pure-Python reference of the C4-style filter: trimmed lines in
+    >= min_docs distinct docs are removed everywhere; shorter lines are
+    protected; surviving lines keep order."""
+    from collections import Counter
+
+    doc_lines = {
+        d: [ln for ln in t.split("\n")] for d, t in texts.items()
+    }
+    counts = Counter()
+    for d, lines in doc_lines.items():
+        seen = {
+            ln.strip()
+            for ln in lines
+            if len(ln.strip()) >= min_line_chars
+        }
+        counts.update(seen)
+    bp = {ln for ln, c in counts.items() if c >= min_docs}
+    out = {}
+    for d, lines in doc_lines.items():
+        kept = [ln for ln in lines if ln.strip() not in bp]
+        out[d] = ("\n".join(kept), len(lines) - len(kept))
+    return out
+
+
+def test_boilerplate_matches_python_reference(spark):
+    docs = read_table(spark, SF, "documents")
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    want = _ref_remove_boilerplate(texts)
+    got = {
+        r["doc_id"]: (r["text"], r["n_boilerplate_removed"])
+        for r in textops.remove_boilerplate_lines(docs)
+        .select("doc_id", "text", "n_boilerplate_removed")
+        .collect()
+    }
+    assert got == want
+    assert sum(n for _, n in want.values()) >= 0  # sanity: ref ran
+
+
+def test_boilerplate_semantics(spark):
+    rows = [
+        (1, "Accept cookies to continue\nreal insight one\nshort"),
+        (2, "Accept cookies to continue\nreal insight two"),
+        (3, "  Accept cookies to continue \nreal insight three"),  # ws-trim match
+        (4, "Accept cookies to continue"),  # becomes empty, row kept
+        (5, "short\nshort\nshort"),  # under min_line_chars: protected
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textops.remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    for d in (1, 2, 3):
+        assert "Accept cookies" not in out[d]["text"]
+        assert out[d]["n_boilerplate_removed"] == 1
+    assert out[1]["text"] == "real insight one\nshort"  # order preserved
+    assert out[4]["text"] == "" and out[4]["n_boilerplate_removed"] == 1
+    assert out[5]["text"] == "short\nshort\nshort"
+    assert out[5]["n_boilerplate_removed"] == 0
+
+
+def test_boilerplate_counts_distinct_docs_not_occurrences(spark):
+    """A line repeated 10x inside ONE doc is within-doc repetition, not
+    corpus boilerplate — must survive (dedup_lines_within_doc's job)."""
+    rows = [(1, "\n".join(["repeated inside one doc"] * 10) + "\nunique")]
+    rows += [(2, "other text entirely\nmore here")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textops.remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert out[1]["n_boilerplate_removed"] == 0
+    assert "repeated inside one doc" in out[1]["text"]
+
+
+def test_boilerplate_passthrough_columns_and_rowcount(spark):
+    docs = read_table(spark, SF, "documents")
+    out = textops.remove_boilerplate_lines(docs)
+    assert out.count() == docs.count()
+    assert set(docs.columns) | {"n_boilerplate_removed"} == set(out.columns)
+
+
+def test_boilerplate_plan_has_no_udf_or_cartesian(spark):
+    docs = read_table(spark, SF, "documents")
+    plan = (
+        textops.remove_boilerplate_lines(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
