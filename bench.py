@@ -69,6 +69,9 @@ HEADLINE = [
     # historical per-query comparisons stay aligned)
     "chunk_documents",
     "incremental_dedup",
+    "clean_boilerplate",
+    "doc_perplexity",
+    "quality_classifier",
 ]
 
 

@@ -264,6 +264,37 @@ def sample_mixture(
     return df.filter(bucket < rate_col * 10_000)
 
 
+def shuffle_corpus(
+    df: DataFrame,
+    seed: str = "shuf1",
+    key_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle of the corpus into training order
+    (epoch randomization): total order by ``xxhash64(key, seed)``, so
+    the order is a pure function of (keys, seed) — re-derivable, stable
+    across cluster sizes and input layouts, and a new ``seed`` per epoch
+    gives an independent permutation without materializing anything.
+
+    Shape: ONE range-partitioned sort shuffle (what ``orderBy`` compiles
+    to — sampled range boundaries, no driver-side data); the returned
+    frame keeps ``__shuffle_key__`` so a sharded writer
+    (``sources.jsonl.write_sharded``) or downstream ``foreachBatch``
+    preserves the global order across output files. At 100 TB this is
+    the one unavoidable full shuffle of corpus prep — pay it once, last,
+    after every size-reducing stage.
+    """
+    key = F.xxhash64(F.col(key_col).cast("string"), F.lit(seed))
+    out = df.withColumn("__shuffle_key__", key)
+    if num_partitions is not None:
+        out = out.repartitionByRange(
+            num_partitions, "__shuffle_key__"
+        ).sortWithinPartitions("__shuffle_key__")
+    else:
+        out = out.orderBy("__shuffle_key__")
+    return out
+
+
 #: Chunk-ordinal capacity of the packed-corpus surrogate key: supports
 #: docs up to 1M chunks (≈256M tokens at the default window) — guarded
 #: at runtime, not assumed.

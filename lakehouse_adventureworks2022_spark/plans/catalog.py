@@ -217,6 +217,12 @@ QUERIES: dict[str, QueryFn] = {
     # n-gram-LM perplexity quality scoring (float-fold order in the
     # log-prob mean ⇒ rows-only; math differential in tests/test_lm.py)
     "doc_perplexity": text_queries.q_doc_perplexity,
+    # learned quality gate (pyspark.ml logistic over engine features;
+    # model-based scores — not SQL-oracle territory)
+    "quality_classifier": text_queries.q_quality_classifier,
+    # deterministic seeded epoch shuffle (exact permutation; xxhash64
+    # has no DuckDB twin — permutation/stability tests in pytest)
+    "shuffle_corpus": text_queries.q_shuffle_corpus,
 }
 
 
@@ -251,6 +257,8 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "packed_corpus",  # exact; end-to-end invariants in pytest
         "clean_boilerplate",  # exact; Python-reference diffed in pytest
         "doc_perplexity",  # float-fold order in mean log-prob
+        "quality_classifier",  # learned scores: no SQL twin
+        "shuffle_corpus",  # exact; xxhash64 has no DuckDB twin
     }
 )
 

@@ -169,6 +169,40 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_perplexity(read_table(spark, sf_dir, "documents"))
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality gate, self-supervised demo shape: train the
+    pyspark.ml logistic model on the corpus's own heuristic labels,
+    then score every doc (deployment trains on a trusted seed set
+    instead — same operators). Separation/calibration/save-load tests
+    in tests/test_classifier.py."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators import classifier
+
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = docs.join(
+        textops.token_stats(docs).select(
+            "doc_id", F.col("is_quality").cast("int").alias("label")
+        ),
+        "doc_id",
+    )
+    model = classifier.train_quality_classifier(labeled)
+    return classifier.score_quality(docs, model)
+
+
+def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded epoch shuffle of the corpus (training-order
+    randomization): returns ``(doc_id, __shuffle_key__)`` in global
+    order. Permutation/stability/plan tests in tests/test_curation.py."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        shuffle_corpus,
+    )
+
+    return shuffle_corpus(
+        read_table(spark, sf_dir, "documents"), seed="epoch0"
+    ).select("doc_id", "__shuffle_key__")
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift between snapshot halves (even/odd vec_id):
     per-label count/norm deltas + centroid cosine. Identity and

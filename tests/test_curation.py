@@ -433,3 +433,47 @@ def test_prepare_packed_corpus_end_to_end(spark, docs):
         ).collect()
     }
     assert again == {(r["doc_id"], r["chunk_id"], r["pack_id"]) for r in rows}
+
+
+# ---- deterministic corpus shuffle ------------------------------------
+
+def test_shuffle_corpus_is_a_seeded_permutation(spark):
+    docs = read_table(spark, SF, "documents")
+    a = [r["doc_id"] for r in curation.shuffle_corpus(docs, seed="e1").collect()]
+    assert sorted(a) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )  # permutation: nothing lost or duplicated
+    # same seed, different physical layout → identical order
+    b = [
+        r["doc_id"]
+        for r in curation.shuffle_corpus(docs.repartition(13), seed="e1").collect()
+    ]
+    assert a == b
+    # new seed (next epoch) → a different permutation of the same rows
+    c = [r["doc_id"] for r in curation.shuffle_corpus(docs, seed="e2").collect()]
+    assert a != c and sorted(a) == sorted(c)
+
+
+def test_shuffle_corpus_key_is_globally_sorted(spark):
+    docs = read_table(spark, SF, "documents")
+    keys = [
+        r["__shuffle_key__"]
+        for r in curation.shuffle_corpus(docs, seed="e1").collect()
+    ]
+    assert keys == sorted(keys)
+    # explicit-partition form preserves the same global order
+    ranged = curation.shuffle_corpus(docs, seed="e1", num_partitions=5)
+    keys2 = [r["__shuffle_key__"] for r in ranged.collect()]
+    assert keys2 == keys
+
+
+def test_shuffle_corpus_single_exchange(spark):
+    docs = read_table(spark, SF, "documents")
+    plan = (
+        curation.shuffle_corpus(docs, seed="e1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert "CartesianProduct" not in plan
