@@ -394,15 +394,24 @@ def prepare_training_corpus(
     near_dup_threshold: float = 0.2,
     mixture_rates: dict[str, float] | None = None,
     split_weights: dict[str, float] | None = None,
+    boilerplate_min_docs: int | None = None,
+    max_ppl: float | None = None,
 ) -> DataFrame:
     """The end-to-end corpus preparation a training run actually needs,
     composed from the tested stages:
 
     1. PII redaction (``textops.redact_pii`` — scrub BEFORE anything is
        persisted downstream);
-    2. within-document de-boilerplate (``dedup_lines_within_doc``);
+    2. within-document de-boilerplate (``dedup_lines_within_doc``),
+       plus — when ``boilerplate_min_docs`` is set — the corpus-wide
+       C4-style pass (``remove_boilerplate_lines``: lines in ≥N
+       distinct docs stripped everywhere);
     3. quality gate + exact dedup + MinHash-LSH near-dup removal
        (``dedup.clean_corpus`` over the scrubbed text);
+    3b. when ``max_ppl`` is set: the CCNet-style model-based gate —
+       self-trained bigram-LM perplexity over the cleaned survivors,
+       dropping docs with ``ppl > max_ppl`` (templated spam and
+       non-text garbage score far above the corpus's typical ppl);
     4. optional per-source mixture downsampling (:func:`sample_mixture`);
     5. deterministic train/val/test assignment (:func:`split_by_hash`).
 
@@ -423,9 +432,28 @@ def prepare_training_corpus(
     scrubbed = textops.dedup_lines_within_doc(
         textops.redact_pii(df, text_col), text_col
     )
+    if boilerplate_min_docs is not None:
+        scrubbed = textops.remove_boilerplate_lines(
+            scrubbed, text_col, min_docs=boilerplate_min_docs
+        ).drop("n_boilerplate_removed")
     cleaned = dedup.clean_corpus(scrubbed, text_col, threshold=near_dup_threshold)
     out = cleaned
+    scores = None
+    if max_ppl is not None:
+        from lakehouse_adventureworks2022_spark.operators import lm
+
+        survivors_text = scrubbed.select("doc_id", text_col).join(
+            out.select("doc_id"), "doc_id"
+        )
+        scores = lm.doc_perplexity(survivors_text, text_col)
+        out = out.join(
+            scores.filter(F.col("ppl") <= max_ppl).select("doc_id"), "doc_id"
+        )
     if mixture_rates:
         out = sample_mixture(out, mixture_rates)
     out = split_by_hash(out, weights=split_weights)
+    # cache ownership moves to the frame the caller actually holds —
+    # transferring onto any intermediate would GC-evict on rebind
+    if scores is not None:
+        dedup.transfer_cached_inputs(scores, out)
     return dedup.transfer_cached_inputs(cleaned, out)

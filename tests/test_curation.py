@@ -477,3 +477,42 @@ def test_shuffle_corpus_single_exchange(spark):
     )
     assert plan.count("Exchange rangepartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_prepare_training_corpus_with_model_gates(spark):
+    """Extended composite: corpus-wide boilerplate pass + perplexity
+    gate compose with the existing stages; default args unchanged."""
+    from lakehouse_adventureworks2022_spark.operators import dedup
+
+    base = [
+        (
+            i,
+            "web",
+            "en",
+            "subscribe to our newsletter today\n"
+            "the quiet river bent softly around the old stone mill "
+            f"and the miller waved at boat number {i} passing by in the "
+            "warm afternoon light while children played along the bank",
+            200,
+        )
+        for i in range(12)
+    ]
+    garbage = [
+        (100, "web", "en", "zxq " * 80, 300),  # fluency outlier
+    ]
+    docs = spark.createDataFrame(
+        base + garbage, "doc_id long, source string, lang string, text string, n_chars long"
+    )
+
+    gated = curation.prepare_training_corpus(
+        docs,
+        near_dup_threshold=0.9,
+        boilerplate_min_docs=3,
+        max_ppl=50.0,
+    )
+    rows = gated.collect()
+    dedup.release_cached_inputs(gated)
+    ids = {r["doc_id"] for r in rows}
+    assert 100 not in ids  # perplexity gate dropped the garbage doc
+    assert len(ids) >= 1  # fluent docs survive
+    assert {"split"} <= set(gated.columns)
