@@ -132,6 +132,7 @@ def score_perplexity(
     n: int = 2,
     k: float = 0.5,
     vocab_size: int | None = None,
+    manage_cache: bool = True,
 ) -> DataFrame:
     """Per-document add-k perplexity under a trained model:
     ``(doc_id, n_transitions, avg_nll, ppl)`` — lower = more fluent
@@ -149,12 +150,18 @@ def score_perplexity(
     (``dedup._attach_cached_input``): released explicitly via
     ``dedup.release_cached_inputs(result)`` after materialization, GC
     as last resort.
+
+    ``manage_cache=False`` skips the persist/ownership handling for
+    callers that hold the model persisted themselves (e.g. a streaming
+    gate scoring every micro-batch under one long-lived model — per-call
+    attach would churn the shared cache entry as batch frames die).
     """
     from lakehouse_adventureworks2022_spark.operators.dedup import (
         _attach_cached_input,
     )
 
-    lm = lm.persist()
+    if manage_cache:
+        lm = lm.persist()
     v = float(vocab_size if vocab_size is not None else lm_vocab_size(lm))
     ctx_totals = lm.groupBy("context").agg(F.sum("c").alias("ctx_c"))
     grams = _gram_frame(docs, text_col, n, with_doc_id=True)
@@ -180,7 +187,7 @@ def score_perplexity(
             F.exp(nll).alias("ppl"),
         )
     )
-    return _attach_cached_input(out, lm)
+    return _attach_cached_input(out, lm) if manage_cache else out
 
 
 def doc_perplexity(

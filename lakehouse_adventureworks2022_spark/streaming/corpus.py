@@ -58,12 +58,74 @@ from lakehouse_adventureworks2022_spark.operators.dedup import (  # noqa: E402
 
 __all__ = [
     "quality_gate",
+    "classifier_gate",
+    "perplexity_gate",
     "content_hash_col",
     "init_dedup_state",
     "append_dedup_state",
     "stream_ingest_with_history",
     "stream_clean_corpus",
 ]
+
+
+def classifier_gate(model, threshold: float = 0.5, text_col: str = "text"):
+    """Model-based gate for the ingest stream: keep docs the fitted
+    quality classifier (``operators.classifier``) scores ≥ threshold.
+    Returns a per-micro-batch callable for
+    :func:`stream_ingest_with_history`'s ``extra_gate`` — the model
+    transform is stateless row-wise scoring, so it streams safely; the
+    (8-dim) model lives on the driver for the stream's lifetime.
+    """
+    from lakehouse_adventureworks2022_spark.operators.classifier import (
+        score_quality,
+    )
+
+    def gate(batch_df: DataFrame) -> DataFrame:
+        keep = (
+            score_quality(batch_df, model, text_col, threshold)
+            .filter("is_quality_pred")
+            .select("doc_id")
+        )
+        return batch_df.join(keep, "doc_id")
+
+    return gate
+
+
+def perplexity_gate(
+    lm_model: DataFrame,
+    max_ppl: float,
+    vocab_size: int,
+    text_col: str = "text",
+    n: int = 2,
+    k: float = 0.5,
+):
+    """LM-based gate for the ingest stream: keep docs whose perplexity
+    under a PERSISTED reference model stays ≤ ``max_ppl`` (the CCNet
+    deployment shape: train once on the trusted corpus, gate the feed).
+
+    The caller owns the model's lifetime: pass a persisted/loaded
+    ``train_ngram_lm`` frame and its precomputed ``vocab_size`` —
+    per-batch cache management is disabled so scoring every micro-batch
+    reuses one cache entry instead of churning it.
+    """
+    from lakehouse_adventureworks2022_spark.operators.lm import (
+        score_perplexity,
+    )
+
+    def gate(batch_df: DataFrame) -> DataFrame:
+        scores = score_perplexity(
+            batch_df,
+            lm_model,
+            text_col,
+            n,
+            k,
+            vocab_size=vocab_size,
+            manage_cache=False,
+        )
+        keep = scores.filter(F.col("ppl") <= max_ppl).select("doc_id")
+        return batch_df.join(keep, "doc_id")
+
+    return gate
 
 
 def init_dedup_state(hist: DataFrame, state_dir: str, text_col: str = "text") -> None:
@@ -97,6 +159,7 @@ def stream_ingest_with_history(
     checkpoint_dir: str,
     text_col: str = "text",
     threshold: float = 0.5,
+    extra_gate=None,
 ):
     """Streaming corpus ingestion deduped against PERSISTED history —
     the streaming face of ``dedup.incremental_dedup`` (where
@@ -135,6 +198,11 @@ def stream_ingest_with_history(
         state_hashes = spark.read.parquet(f"{state_dir}/hashes")
         state_sigs = spark.read.parquet(f"{state_dir}/sigs")
         gated = quality_gate(batch_df, text_col)
+        if extra_gate is not None:
+            # model-based gate (classifier_gate / perplexity_gate):
+            # runs with batch semantics inside the micro-batch, so any
+            # join-backed scorer is legal here
+            gated = extra_gate(gated)
         accepted = dedup.incremental_dedup(
             gated, state_hashes, state_sigs, text_col, threshold=threshold
         )

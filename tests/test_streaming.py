@@ -391,3 +391,61 @@ def test_stream_ingest_with_history_matches_batch(spark, tmp_path):
     q2.stop()
     again = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert again == got
+
+
+def test_stream_ingest_with_model_gates(spark, tmp_path):
+    """The pluggable model gates (classifier / LM-perplexity) filter the
+    stream exactly as their batch forms filter the same micro-batch."""
+    from lakehouse_adventureworks2022_spark.operators import lm
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+    from lakehouse_adventureworks2022_spark.streaming.corpus import (
+        init_dedup_state,
+        perplexity_gate,
+        stream_ingest_with_history,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    hist = docs.filter("doc_id % 5 = 0")
+    batch = docs.filter("doc_id % 5 != 0")
+
+    # reference model trained on history, persisted for the stream
+    model = lm.train_ngram_lm(hist).persist()
+    vocab = lm.lm_vocab_size(model)
+    # pick a threshold that keeps SOME but not ALL of the batch so the
+    # gate's effect is observable
+    ppls = sorted(
+        r["ppl"]
+        for r in lm.score_perplexity(
+            batch, model, vocab_size=vocab, manage_cache=False
+        ).collect()
+    )
+    max_ppl = ppls[len(ppls) // 2]  # median: gate drops roughly half
+
+    state_dir = str(tmp_path / "state")
+    init_dedup_state(hist, state_dir)
+    src_dir = str(tmp_path / "src")
+    batch.coalesce(1).write.parquet(src_dir)
+    q = stream_ingest_with_history(
+        spark.readStream.schema(batch.schema).parquet(src_dir),
+        state_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        extra_gate=perplexity_gate(model, max_ppl, vocab),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    kept_ids = {
+        r["doc_id"]
+        for r in lm.score_perplexity(
+            batch, model, vocab_size=vocab, manage_cache=False
+        )
+        .filter(f"ppl <= {max_ppl}")
+        .collect()
+    }
+    model.unpersist()
+    assert got  # gate kept something
+    assert got <= kept_ids  # nothing above the threshold landed
+    # every gated-out doc is absent even though it passed quality+dedup
+    assert len(kept_ids - got) < len(kept_ids)  # most survivors landed

@@ -102,6 +102,43 @@ def main() -> None:
         lambda: dedup.incremental_dedup(batch, hashes, sigs),
     )
 
+    # round-5 model-based ops: boilerplate inventory join, LM train+score
+    # (gram explode ∝ corpus tokens), classifier train+score — all on the
+    # replicated corpus (identical texts multiply every gram/line count
+    # by rep, the worst case for the uniform-key aggs)
+    from lakehouse_adventureworks2022_spark.operators import (  # noqa: E402
+        classifier,
+        lm,
+        textops,
+    )
+
+    run(
+        "boilerplate_removal",
+        lambda: textops.remove_boilerplate_lines(big_docs),
+    )
+
+    def _ppl():
+        out = lm.doc_perplexity(big_docs)
+        return out
+
+    t = time.perf_counter()
+    ppl_out = _ppl()
+    ppl_out.write.format("noop").mode("overwrite").save()
+    dedup.release_cached_inputs(ppl_out)
+    timings["lm_perplexity"] = round(time.perf_counter() - t, 2)
+
+    def _clf():
+        labeled = big_docs.join(
+            textops.token_stats(big_docs).select(
+                "doc_id", F.col("is_quality").cast("int").alias("label")
+            ),
+            "doc_id",
+        )
+        model = classifier.train_quality_classifier(labeled)
+        return classifier.score_quality(big_docs, model)
+
+    run("quality_classifier", _clf)
+
     print(
         json.dumps(
             {
