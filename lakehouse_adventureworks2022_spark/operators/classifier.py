@@ -73,6 +73,7 @@ def train_quality_classifier(
     text_col: str = "text",
     max_iter: int = 50,
     reg_param: float = 0.01,
+    features: DataFrame | None = None,
 ):
     """Fit the linear quality model on a labeled seed frame
     (``doc_id``, ``text_col``, binary ``label_col``); returns a
@@ -82,12 +83,18 @@ def train_quality_classifier(
     Distributed end-to-end: feature build is Catalyst, standardization
     and L-BFGS are ``pyspark.ml`` aggregations over executors — the
     driver holds only the (8-dim) coefficient vector.
+
+    Pass ``features`` (a :func:`quality_features` frame) to reuse an
+    already-built feature frame — e.g. when the same docs are scored
+    right after training, build features once and hand them to both.
     """
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
-    feats = quality_features(labeled, text_col).join(
+    if features is None:
+        features = quality_features(labeled, text_col)
+    feats = features.join(
         labeled.select("doc_id", F.col(label_col).cast("double").alias("label")),
         "doc_id",
     )
@@ -111,15 +118,24 @@ def train_quality_classifier(
 
 
 def score_quality(
-    df: DataFrame, model, text_col: str = "text", threshold: float = 0.5
+    df: DataFrame,
+    model,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Score every doc under a fitted model:
     ``(doc_id, quality_prob, is_quality_pred)`` — the probability is the
     calibrated gate a pipeline thresholds or buckets on (FineWeb keeps
-    score tiers rather than a hard gate; both come from this frame)."""
+    score tiers rather than a hard gate; both come from this frame).
+
+    ``features`` reuses a prebuilt :func:`quality_features` frame (skip
+    the rebuild when training and scoring share one corpus)."""
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(quality_features(df, text_col))
+    if features is None:
+        features = quality_features(df, text_col)
+    scored = model.transform(features)
     prob = F.element_at(vector_to_array(F.col("probability")), 2)
     return scored.select(
         "doc_id",

@@ -190,6 +190,65 @@ def score_perplexity(
     return _attach_cached_input(out, lm) if manage_cache else out
 
 
+def score_perplexity_interpolated(
+    docs: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: float = 0.5,
+    lam: float = 0.7,
+    vocab_size: int | None = None,
+    manage_cache: bool = True,
+) -> DataFrame:
+    """Jelinek-Mercer interpolated perplexity: ``P = λ·P_n(w|ctx) +
+    (1−λ)·P_1(w)`` — the standard backoff that keeps rare-context
+    transitions from collapsing to the uniform floor (an add-k-only
+    bigram over-penalizes fluent text whose exact contexts are sparse
+    in the reference corpus; mixing in the unigram keeps the signal
+    proportional to how plausible the WORD is at all).
+
+    Same join shape as :func:`score_perplexity` plus one more
+    broadcast-size join: the unigram table derives from the model by
+    summing counts per word (|vocab| rows). Both component
+    probabilities use add-k smoothing over the same vocabulary.
+    """
+    from lakehouse_adventureworks2022_spark.operators.dedup import (
+        _attach_cached_input,
+    )
+
+    if manage_cache:
+        lm = lm.persist()
+    v = float(vocab_size if vocab_size is not None else lm_vocab_size(lm))
+    ctx_totals = lm.groupBy("context").agg(F.sum("c").alias("ctx_c"))
+    uni = lm.groupBy("word").agg(F.sum("c").alias("uc"))
+    total_tokens = float(
+        lm.agg(F.sum("c").alias("t")).collect()[0]["t"] or 0
+    )
+    grams = _gram_frame(docs, text_col, n, with_doc_id=True)
+    p_n = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(k)) / (
+        F.coalesce(F.col("ctx_c"), F.lit(0)) + F.lit(k) * v
+    )
+    p_1 = (F.coalesce(F.col("uc"), F.lit(0)) + F.lit(k)) / (
+        F.lit(total_tokens) + F.lit(k) * v
+    )
+    joined = (
+        grams.join(lm, ["context", "word"], "left")
+        .join(ctx_totals, ["context"], "left")
+        .join(uni, ["word"], "left")
+        .select(
+            "doc_id",
+            F.log(F.lit(lam) * p_n + F.lit(1.0 - lam) * p_1).alias("logp"),
+        )
+    )
+    nll = -F.avg("logp")
+    out = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        nll.alias("avg_nll"),
+        F.exp(nll).alias("ppl"),
+    )
+    return _attach_cached_input(out, lm) if manage_cache else out
+
+
 def doc_perplexity(
     docs: DataFrame,
     text_col: str = "text",

@@ -178,6 +178,9 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from lakehouse_adventureworks2022_spark.operators import classifier
+    from lakehouse_adventureworks2022_spark.operators.dedup import (
+        _attach_cached_input,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
     labeled = docs.join(
@@ -186,8 +189,13 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
-    model = classifier.train_quality_classifier(labeled)
-    return classifier.score_quality(docs, model)
+    # one feature build serves both training (L-BFGS materializes it
+    # once) and scoring — persisted across the two, released with the
+    # result per the engine cache contract
+    feats = classifier.quality_features(docs).persist()
+    model = classifier.train_quality_classifier(labeled, features=feats)
+    out = classifier.score_quality(docs, model, features=feats)
+    return _attach_cached_input(out, feats)
 
 
 def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -143,3 +143,64 @@ def test_no_python_udfs_in_plan(spark, tiny_corpus):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_interpolated_matches_python_reference(spark, tiny_corpus):
+    docs, texts = tiny_corpus
+    n, k, lam = 2, 0.5, 0.7
+
+    def toks(t):
+        return [w for w in t.lower().strip().split() if w]
+
+    def grams(t):
+        padded = [lm.BOS] * (n - 1) + toks(t) + [lm.EOS]
+        return [
+            (" ".join(padded[i : i + n - 1]), padded[i + n - 1])
+            for i in range(len(padded) - n + 1)
+        ]
+
+    from collections import Counter
+
+    counts = Counter(g for t in texts.values() for g in grams(t))
+    ctx_totals = Counter()
+    uni = Counter()
+    for (ctx, w), c in counts.items():
+        ctx_totals[ctx] += c
+        uni[w] += c
+    v = float(len({w for (_, w) in counts}))
+    total = float(sum(counts.values()))
+
+    model = lm.train_ngram_lm(docs, n=n)
+    got = {
+        r["doc_id"]: r["ppl"]
+        for r in lm.score_perplexity_interpolated(
+            docs, model, n=n, k=k, lam=lam
+        ).collect()
+    }
+    for doc_id, t in texts.items():
+        logps = [
+            math.log(
+                lam
+                * (counts.get(g, 0) + k)
+                / (ctx_totals.get(g[0], 0) + k * v)
+                + (1 - lam) * (uni.get(g[1], 0) + k) / (total + k * v)
+            )
+            for g in grams(t)
+        ]
+        want = math.exp(-math.fsum(logps) / len(logps))
+        assert got[doc_id] == pytest.approx(want, rel=1e-9), doc_id
+
+
+def test_interpolated_softens_rare_context_penalty(spark, tiny_corpus):
+    """A fluent doc with unseen CONTEXTS but common WORDS must score
+    better interpolated than pure-bigram (the backoff's whole point)."""
+    docs, _ = tiny_corpus
+    model = lm.train_ngram_lm(docs)
+    probe = docs.sparkSession.createDataFrame(
+        # words all seen in training, bigram contexts mostly novel
+        [(50, "dog the mat cat the sat on")],
+        "doc_id int, text string",
+    )
+    pure = lm.score_perplexity(probe, model).collect()[0]["ppl"]
+    interp = lm.score_perplexity_interpolated(probe, model).collect()[0]["ppl"]
+    assert interp < pure
