@@ -72,6 +72,7 @@ HEADLINE = [
     "clean_boilerplate",
     "doc_perplexity",
     "quality_classifier",
+    "ann_cosine_topk_pq",
 ]
 
 

@@ -223,6 +223,8 @@ QUERIES: dict[str, QueryFn] = {
     # deterministic seeded epoch shuffle (exact permutation; xxhash64
     # has no DuckDB twin — permutation/stability tests in pytest)
     "shuffle_corpus": text_queries.q_shuffle_corpus,
+    # PQ-compressed ANN with exact re-rank (approximate by design)
+    "ann_cosine_topk_pq": text_queries.q_ann_cosine_pq,
 }
 
 
@@ -259,6 +261,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "doc_perplexity",  # float-fold order in mean log-prob
         "quality_classifier",  # learned scores: no SQL twin
         "shuffle_corpus",  # exact; xxhash64 has no DuckDB twin
+        "ann_cosine_topk_pq",  # PQ quantization: recall < 1 by design
     }
 )
 

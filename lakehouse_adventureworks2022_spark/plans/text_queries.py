@@ -80,6 +80,14 @@ def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_ivf(q, c, k=10)
 
 
+def q_ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN with exact re-rank (ADC over 16-int codes, raw
+    vectors touched only for the shortlist). Recall floor + codebook
+    determinism tests in tests/test_training_ops.py."""
+    q, c = similarity.embedding_queries(spark, sf_dir)
+    return similarity.cosine_topk_pq(q, c, k=10)
+
+
 def ivf_index_dir_for(sf_dir: str) -> str:
     """Deterministic per-corpus-version index location: keyed to the
     embeddings file's identity (size + mtime), so a regenerated fixture

@@ -571,3 +571,78 @@ def test_ivf_index_recluster_compacts_without_changing_results(spark, tmp_path):
     similarity.ivf_index_recluster(spark, idx, n_files=4)
     assert n_files() < before_files  # 16 fragmented -> 4 clustered
     assert search() == before  # results bit-identical
+
+
+# ---- product quantization ---------------------------------------------
+
+def test_pq_recall_floor_and_contract(spark):
+    """PQ + exact re-rank must recover most of the true top-k (recall
+    1.0 at the defaults on the fixture; floor set lower for headroom),
+    and ADC alone must be strictly weaker than the re-ranked form."""
+    q, cand = similarity.embedding_queries(spark, SF)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.cosine_topk(q, cand, k=10).collect()
+    }
+    pq_rows = similarity.cosine_topk_pq(q, cand, k=10).collect()
+    pq = {(r["query_id"], r["cand_id"]) for r in pq_rows}
+    assert len(exact & pq) / len(exact) >= 0.9
+    # contract: k per query, ranks contiguous, exact cosines attached
+    per_q = {}
+    for r in pq_rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    codebooks = similarity.pq_train(cand)
+    encoded = similarity.pq_encode(codebooks, cand)
+    adc = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.pq_adc_topk(q, encoded, codebooks, k=10).collect()
+    }
+    assert len(exact & adc) <= len(exact & pq)
+
+
+def test_pq_codebooks_deterministic_and_persistable(spark, tmp_path):
+    q, cand = similarity.embedding_queries(spark, SF)
+    cb1 = similarity.pq_train(cand)
+    cb2 = similarity.pq_train(cand.repartition(7))
+    a = sorted(map(tuple, cb1.collect()))
+    b = sorted(map(tuple, cb2.collect()))
+    assert a == b  # hash-order sample + fixed init → bit-identical
+    path = str(tmp_path / "codebooks")
+    cb1.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    enc1 = sorted(map(tuple, similarity.pq_encode(cb1, cand).collect()))
+    enc2 = sorted(map(tuple, similarity.pq_encode(reloaded, cand).collect()))
+    assert enc1 == enc2
+
+
+def test_pq_codes_shape_and_compression(spark):
+    _, cand = similarity.embedding_queries(spark, SF)
+    codebooks = similarity.pq_train(cand, m=16, n_codes=32)
+    encoded = similarity.pq_encode(codebooks, cand)
+    rows = encoded.collect()
+    assert len(rows) == cand.count()
+    for r in rows[:20]:
+        assert len(r["codes"]) == 16
+        assert all(0 <= c < 32 for c in r["codes"])
+        assert r["vnorm"] > 0
+    # codebook table is kilobytes: 16 subspaces x 32 codes
+    assert codebooks.count() == 16 * 32
+
+
+def test_pq_adc_scan_reads_codes_not_vectors(spark):
+    """The ADC stage's scan of the encoded frame must not drag the raw
+    embedding column through the plan (the compression win)."""
+    q, cand = similarity.embedding_queries(spark, SF)
+    codebooks = similarity.pq_train(cand)
+    encoded = similarity.pq_encode(codebooks, cand)
+    plan = (
+        similarity.pq_adc_topk(q, encoded, codebooks, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "adc_cosine" in plan
+    assert "BatchEvalPython" not in plan  # scoring itself is codegen'd
