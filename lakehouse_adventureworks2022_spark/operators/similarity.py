@@ -926,3 +926,111 @@ def cosine_topk_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cosine")
     )
+
+
+def cosine_topk_ivf_pq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 32,
+    rerank: int = 8,
+    train_cap: int = 2048,
+) -> DataFrame:
+    """The full IVF-PQ deployment shape: coarse cells prune WHICH rows
+    are scored (each query touches ``n_probe`` of ``n_cells`` cells),
+    PQ codes shrink WHAT is read per row (~16× vs raw vectors), ADC
+    scores the survivors as a codegen'd LUT sum, and only the
+    ``rerank × k`` shortlist re-joins its raw vectors for exact
+    cosines. At 100 TB: scan volume ≈ corpus × (n_probe/n_cells) ×
+    (code_bytes/vector_bytes) — two multiplicative prunings the flat
+    forms pay separately (:func:`cosine_topk_ivf` reads raw vectors in
+    probed cells; :func:`cosine_topk_pq` reads all codes).
+
+    Index parts (centroids, codebooks, encoded codes) are all plain
+    persistable DataFrames — the amortized layout mirrors
+    ``ivf_index_save``; this one-shot form builds per call.
+    """
+    import numpy as np
+
+    centroids, cells = ivf_build(candidates, n_cells=n_cells, train_cap=train_cap)
+    codebooks = pq_train(candidates, m=m, n_codes=n_codes, train_cap=train_cap)
+    encoded = pq_encode(codebooks, cells)  # keeps the cell column
+
+    cb = sorted(codebooks.collect(), key=lambda r: (r["sub"], r["code"]))
+    n_codes_eff = max(r["code"] for r in cb) + 1
+    sub_d = len(cb[0]["centroid"])
+    tensor = np.zeros((m, n_codes_eff, sub_d), dtype=np.float64)
+    for r in cb:
+        tensor[r["sub"], r["code"]] = r["centroid"]
+
+    crows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    cm = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    qrows = queries.select("vec_id", "embedding").collect()
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qm_n = qm / _safe_norms_np(qm)
+    probe_idx = np.argsort(-(qm_n @ cm.T), axis=1)[:, :n_probe]
+
+    probes = []
+    for qi, q in enumerate(qm_n):
+        flat = []
+        for s in range(m):
+            flat += list(tensor[s] @ q[s * sub_d : (s + 1) * sub_d])
+        for c in probe_idx[qi]:
+            probes.append(
+                (int(qrows[qi]["vec_id"]), int(c), [float(x) for x in flat])
+            )
+    probes_df = queries.sparkSession.createDataFrame(
+        probes, "query_id long, cell int, lut array<double>"
+    )
+    probed = sorted({int(c) for row in probe_idx for c in row})
+
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("lut"),
+            (
+                F.lit(s * n_codes_eff) + F.element_at(F.col("codes"), s + 1) + 1
+            ).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    shortlist_w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("cand_id")
+    )
+    shortlist = (
+        F.broadcast(probes_df)
+        .join(encoded.filter(F.col("cell").isin(probed)), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (adc / F.when(F.col("vnorm") > 0, F.col("vnorm")).otherwise(1.0)).alias(
+                "adc_cosine"
+            ),
+        )
+        .withColumn("r", F.row_number().over(shortlist_w))
+        .filter(F.col("r") <= rerank * k)
+        .select("query_id", "cand_id")
+    )
+
+    e = candidates.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    qdf = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        shortlist.join(e, "cand_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id", "cand_id", _cosine(F.col("qv"), F.col("cv")).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )

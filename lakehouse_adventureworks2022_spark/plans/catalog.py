@@ -225,6 +225,8 @@ QUERIES: dict[str, QueryFn] = {
     "shuffle_corpus": text_queries.q_shuffle_corpus,
     # PQ-compressed ANN with exact re-rank (approximate by design)
     "ann_cosine_topk_pq": text_queries.q_ann_cosine_pq,
+    # combined IVF-PQ (probe pruning × code compression × re-rank)
+    "ann_cosine_topk_ivf_pq": text_queries.q_ann_cosine_ivf_pq,
 }
 
 
@@ -262,6 +264,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "quality_classifier",  # learned scores: no SQL twin
         "shuffle_corpus",  # exact; xxhash64 has no DuckDB twin
         "ann_cosine_topk_pq",  # PQ quantization: recall < 1 by design
+        "ann_cosine_topk_ivf_pq",  # probe-pruned IVF-PQ: recall < 1
     }
 )
 

@@ -88,6 +88,15 @@ def q_ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_pq(q, c, k=10)
 
 
+def q_ann_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ: probe-pruned cells × compressed codes × exact
+    re-rank — the multiplicative-pruning deployment shape. Recall
+    parity-with-IVF and probe-monotonicity tests in
+    tests/test_training_ops.py."""
+    q, c = similarity.embedding_queries(spark, sf_dir)
+    return similarity.cosine_topk_ivf_pq(q, c, k=10)
+
+
 def ivf_index_dir_for(sf_dir: str) -> str:
     """Deterministic per-corpus-version index location: keyed to the
     embeddings file's identity (size + mtime), so a regenerated fixture

@@ -646,3 +646,47 @@ def test_pq_adc_scan_reads_codes_not_vectors(spark):
     )
     assert "adc_cosine" in plan
     assert "BatchEvalPython" not in plan  # scoring itself is codegen'd
+
+
+def test_ivf_pq_recall_not_below_plain_ivf(spark):
+    """The PQ layer under IVF must cost nothing after exact re-rank:
+    recall at identical cell settings ≥ plain IVF's (the loss budget is
+    the coarse pruning, not the quantization)."""
+    q, cand = similarity.embedding_queries(spark, SF)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.cosine_topk(q, cand, k=10).collect()
+    }
+    ivf = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.cosine_topk_ivf(q, cand, k=10).collect()
+    }
+    ivfpq_rows = similarity.cosine_topk_ivf_pq(q, cand, k=10).collect()
+    ivfpq = {(r["query_id"], r["cand_id"]) for r in ivfpq_rows}
+    assert len(exact & ivfpq) >= len(exact & ivf)
+    per_q = {}
+    for r in ivfpq_rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_pq_recall_grows_with_probes(spark):
+    q, cand = similarity.embedding_queries(spark, SF)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.cosine_topk(q, cand, k=10).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["query_id"], r["cand_id"])
+            for r in similarity.cosine_topk_ivf_pq(
+                q, cand, k=10, n_probe=n_probe
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    lo, hi = recall(2), recall(12)
+    assert hi >= lo  # monotone knob
+    assert hi >= 0.8  # near-exhaustive probing recovers most of top-k
