@@ -1,7 +1,16 @@
+from lakehouse_adventureworks2022_spark.operators.classifier import (  # noqa: F401
+    score_quality,
+    train_quality_classifier,
+)
 from lakehouse_adventureworks2022_spark.operators.curation import (  # noqa: F401
     contamination_check,
     pack_documents,
+    shuffle_corpus,
     split_by_hash,
+)
+from lakehouse_adventureworks2022_spark.operators.lm import (  # noqa: F401
+    score_perplexity,
+    train_ngram_lm,
 )
 from lakehouse_adventureworks2022_spark.operators.dedup import (  # noqa: F401
     clean_corpus,
@@ -13,11 +22,14 @@ from lakehouse_adventureworks2022_spark.operators.scd2 import scd2_apply  # noqa
 from lakehouse_adventureworks2022_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     cosine_topk_ivf,
+    cosine_topk_ivf_pq,
+    cosine_topk_pq,
     ivf_build,
     ivf_search,
 )
 from lakehouse_adventureworks2022_spark.operators.textops import (  # noqa: F401
     redact_pii,
+    remove_boilerplate_lines,
     tf_idf,
     token_stats,
 )
