@@ -73,6 +73,9 @@ HEADLINE = [
     "doc_perplexity",
     "quality_classifier",
     "ann_cosine_topk_pq",
+    # deployed-PQ twin: builds+persists the codes index on the first
+    # rep, so the median reports the amortized (ADC+re-rank) cost
+    "ann_cosine_topk_pq_amortized",
 ]
 
 

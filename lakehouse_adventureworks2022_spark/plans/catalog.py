@@ -227,6 +227,8 @@ QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk_pq": text_queries.q_ann_cosine_pq,
     # combined IVF-PQ (probe pruning × code compression × re-rank)
     "ann_cosine_topk_ivf_pq": text_queries.q_ann_cosine_ivf_pq,
+    # deployed-PQ steady state (persisted codes index, ADC+re-rank only)
+    "ann_cosine_topk_pq_amortized": text_queries.q_ann_cosine_pq_amortized,
 }
 
 
@@ -265,6 +267,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "shuffle_corpus",  # exact; xxhash64 has no DuckDB twin
         "ann_cosine_topk_pq",  # PQ quantization: recall < 1 by design
         "ann_cosine_topk_ivf_pq",  # probe-pruned IVF-PQ: recall < 1
+        "ann_cosine_topk_pq_amortized",  # ≡ one-shot PQ via saved index
     }
 )
 

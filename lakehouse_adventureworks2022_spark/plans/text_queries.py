@@ -88,6 +88,18 @@ def q_ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_pq(q, c, k=10)
 
 
+def q_ann_cosine_pq_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployed-PQ shape: codes index built+persisted on first use per
+    corpus version, later calls pay the compressed ADC scan + re-rank
+    only. Identical results to the one-shot form (tested)."""
+    import os
+
+    q, c = similarity.embedding_queries(spark, sf_dir)
+    idx = ivf_index_dir_for(sf_dir).replace("ivf_index_", "pq_index_")
+    os.makedirs(idx, exist_ok=True)
+    return similarity.cosine_topk_pq_amortized(q, c, idx, k=10)
+
+
 def q_ann_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF-PQ: probe-pruned cells × compressed codes × exact
     re-rank — the multiplicative-pruning deployment shape. Recall

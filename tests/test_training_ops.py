@@ -690,3 +690,31 @@ def test_ivf_pq_recall_grows_with_probes(spark):
     lo, hi = recall(2), recall(12)
     assert hi >= lo  # monotone knob
     assert hi >= 0.8  # near-exhaustive probing recovers most of top-k
+
+
+def test_pq_amortized_matches_one_shot(spark, tmp_path):
+    """The persisted-index PQ form must return exactly the one-shot
+    result (deterministic train/encode), and the second call must reuse
+    the saved index (no re-encode: codes dir mtime stable)."""
+    import os
+
+    q, cand = similarity.embedding_queries(spark, SF)
+    idx = str(tmp_path / "pq_idx")
+    one_shot = sorted(
+        map(tuple, similarity.cosine_topk_pq(q, cand, k=10).collect())
+    )
+    a = sorted(
+        map(
+            tuple,
+            similarity.cosine_topk_pq_amortized(q, cand, idx, k=10).collect(),
+        )
+    )
+    stamp = os.path.getmtime(f"{idx}/codes/_SUCCESS")
+    b = sorted(
+        map(
+            tuple,
+            similarity.cosine_topk_pq_amortized(q, cand, idx, k=10).collect(),
+        )
+    )
+    assert a == one_shot and b == a
+    assert os.path.getmtime(f"{idx}/codes/_SUCCESS") == stamp
