@@ -449,3 +449,53 @@ def test_stream_ingest_with_model_gates(spark, tmp_path):
     assert got <= kept_ids  # nothing above the threshold landed
     # every gated-out doc is absent even though it passed quality+dedup
     assert len(kept_ids - got) < len(kept_ids)  # most survivors landed
+
+
+def test_stream_classifier_gate_matches_batch_predictions(spark, tmp_path):
+    """The classifier gate keeps exactly the docs the batch-mode
+    classifier predicts as quality."""
+    from lakehouse_adventureworks2022_spark.operators import classifier
+    from lakehouse_adventureworks2022_spark.operators import textops
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+    from lakehouse_adventureworks2022_spark.streaming.corpus import (
+        classifier_gate,
+        init_dedup_state,
+        quality_gate,
+        stream_ingest_with_history,
+    )
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    hist = docs.filter("doc_id % 5 = 0")
+    batch = docs.filter("doc_id % 5 != 0")
+    labeled = docs.join(
+        textops.token_stats(docs).select(
+            "doc_id", F.col("is_quality").cast("int").alias("label")
+        ),
+        "doc_id",
+    )
+    model = classifier.train_quality_classifier(labeled)
+
+    state_dir = str(tmp_path / "state")
+    init_dedup_state(hist, state_dir)
+    src_dir = str(tmp_path / "src")
+    batch.coalesce(1).write.parquet(src_dir)
+    q = stream_ingest_with_history(
+        spark.readStream.schema(batch.schema).parquet(src_dir),
+        state_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        extra_gate=classifier_gate(model, threshold=0.5),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    batch_pred = {
+        r["doc_id"]
+        for r in classifier.score_quality(quality_gate(batch), model)
+        .filter("is_quality_pred")
+        .collect()
+    }
+    assert got  # stream landed something
+    assert got <= batch_pred  # nothing the model rejects got through
