@@ -73,6 +73,11 @@ def main() -> None:
     ))
     q = big_emb.filter(F.col("vec_id") % 1000 == 0)
     run("ann_ivf", lambda: similarity.cosine_topk_ivf(q, big_emb, k=10))
+    run("ann_pq", lambda: similarity.cosine_topk_pq(q, big_emb, k=10))
+    run(
+        "ann_ivf_pq",
+        lambda: similarity.cosine_topk_ivf_pq(q, big_emb, k=10),
+    )
 
     # connected components over the unique-doc LSH pair graph (dedup
     # first per the standing rule: replicated docs would make the pair
