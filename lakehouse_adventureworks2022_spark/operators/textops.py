@@ -464,3 +464,37 @@ def remove_boilerplate_lines(
         .withColumn(text_col, F.coalesce(F.col("__clean__"), F.lit("")))
         .drop("__clean__", "__kept__")
     )
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", top_n: int = 1000
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` terms by total frequency with
+    ``(term, term_freq, doc_freq)`` — the vocab-building / stopword-
+    discovery pass a tokenizer pipeline runs first (terms in nearly
+    every doc are stopword candidates; the tail sets the OOV budget).
+
+    Shape: one explode + a (doc_id, term) pre-aggregation (map-side
+    combine collapses within-doc repeats before the shuffle), then a
+    term aggregation where ``count(1)`` over the pre-agg IS the exact
+    distinct-doc count — no ``count(distinct)`` expand. Top-n compiles
+    to TakeOrderedAndProject. Ties break on the term string so the cut
+    is deterministic.
+    """
+    toks = F.filter(
+        tokens_col(F.col(text_col)), lambda t: F.length(t) > 0
+    )
+    per_doc = (
+        df.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.sum("tf").alias("term_freq"),
+            F.count(F.lit(1)).alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), F.asc("term"))
+        .limit(top_n)
+    )

@@ -229,6 +229,9 @@ QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk_ivf_pq": text_queries.q_ann_cosine_ivf_pq,
     # deployed-PQ steady state (persisted codes index, ADC+re-rank only)
     "ann_cosine_topk_pq_amortized": text_queries.q_ann_cosine_pq_amortized,
+    # corpus vocabulary (exact; DuckDB hash differential in pytest —
+    # window full)
+    "corpus_vocabulary": text_queries.q_corpus_vocabulary,
 }
 
 
@@ -268,6 +271,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "ann_cosine_topk_pq",  # PQ quantization: recall < 1 by design
         "ann_cosine_topk_ivf_pq",  # probe-pruned IVF-PQ: recall < 1
         "ann_cosine_topk_pq_amortized",  # ≡ one-shot PQ via saved index
+        "corpus_vocabulary",  # exact; DuckDB hash-diffed in pytest
     }
 )
 

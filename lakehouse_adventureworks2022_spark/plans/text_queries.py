@@ -198,6 +198,13 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_perplexity(read_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (top terms by frequency with doc frequencies)
+    — the vocab/stopword-discovery pass. Exact; DuckDB hash differential
+    in tests/test_textops_extended.py (oracle window full)."""
+    return textops.vocabulary(read_table(spark, sf_dir, "documents"))
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality gate, self-supervised demo shape: train the
     pyspark.ml logistic model on the corpus's own heuristic labels,

@@ -283,3 +283,69 @@ def test_boilerplate_plan_has_no_udf_or_cartesian(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---- corpus vocabulary -----------------------------------------------
+
+def test_vocabulary_matches_duckdb(spark):
+    """Exact differential vs DuckDB using the shared tokenizer contract
+    (same hash-diff rigor as the driver window; the oracle slots are
+    full so this runs here)."""
+    import duckdb
+
+    from tools.check_oracles import canonical_hash, normalize_pandas
+
+    docs = read_table(spark, SF, "documents")
+    got = normalize_pandas(textops.vocabulary(docs, top_n=200).toPandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = normalize_pandas(
+        con.sql(
+            """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                    t -> len(t) > 0)) AS term
+          FROM documents
+        ), per_doc AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        )
+        SELECT term, CAST(SUM(tf) AS BIGINT) AS term_freq,
+               COUNT(*) AS doc_freq
+        FROM per_doc GROUP BY term
+        ORDER BY term_freq DESC, term ASC LIMIT 200
+        """
+        ).df()
+    )
+    con.close()
+    assert canonical_hash(got) == canonical_hash(want)
+    # the synthetic corpus has a small vocabulary; the point is the
+    # exact hash match, plus a non-vacuity floor
+    assert len(got) == len(want) and len(got) > 20
+
+
+def test_vocabulary_counts_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "banana banana banana"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["term"]: r for r in textops.vocabulary(docs, top_n=10).collect()}
+    assert rows["banana"]["term_freq"] == 4 and rows["banana"]["doc_freq"] == 2
+    assert rows["apple"]["term_freq"] == 3 and rows["apple"]["doc_freq"] == 2
+    assert rows["cherry"]["term_freq"] == 1 and rows["cherry"]["doc_freq"] == 1
+
+
+def test_vocabulary_top_n_cut_is_deterministic(spark):
+    docs = read_table(spark, SF, "documents")
+    a = [r["term"] for r in textops.vocabulary(docs, top_n=50).collect()]
+    b = [
+        r["term"]
+        for r in textops.vocabulary(docs.repartition(11), top_n=50).collect()
+    ]
+    assert a == b
