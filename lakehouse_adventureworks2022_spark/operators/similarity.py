@@ -821,7 +821,14 @@ def pq_adc_topk(
     ``dot(q, x) ≈ Σ_sub LUT[sub][codes[sub]]`` — the scored scan reads
     ONLY the codes column (column pruning skips the raw vectors
     entirely) and the scoring expression is a codegen'd fixed-length
-    sum of ``element_at`` lookups, no UDF, no explode.
+    sum of ``element_at`` lookups, no UDF.
+
+    The query LUTs are kilobyte-scale driver data, so they ship as plan
+    LITERALS fanned out with ``posexplode`` — a Generate inside one
+    whole-stage-codegen span, not a join. (The earlier
+    ``broadcast(luts).crossJoin(codes)`` form compiled to a
+    BroadcastNestedLoopJoin; same data volume, but the NL-join operator
+    blocks codegen and trips the no-cartesian plan audit.)
 
     Approximate cosine = ADC-dot / vnorm (queries are normalized into
     the LUT). Rank ties break on cand_id like every ANN path here.
@@ -839,15 +846,18 @@ def pq_adc_topk(
     qrows = queries.select("vec_id", "embedding").collect()
     qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qm = qm / _safe_norms_np(qm)
-    luts = []
+    qids: list[int] = []
+    luts: list[list[float]] = []
     for qi, q in enumerate(qm):
         flat = []
         for s in range(m):
             flat += list(tensor[s] @ q[s * sub_d : (s + 1) * sub_d])
-        luts.append((int(qrows[qi]["vec_id"]), [float(x) for x in flat]))
-    probes = queries.sparkSession.createDataFrame(
-        luts, "query_id long, lut array<double>"
-    )
+        qids.append(int(qrows[qi]["vec_id"]))
+        luts.append([float(x) for x in flat])
+    if not qids:  # degenerate: literal array<void> would fail analysis
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, cand_id long, rank int, adc_cosine double"
+        )
 
     # Σ_sub lut[sub*n_codes + codes[sub]] — generated fixed-length sum
     adc = None
@@ -860,8 +870,15 @@ def pq_adc_topk(
         )
         adc = term if adc is None else adc + term
     scored = (
-        F.broadcast(probes)
-        .crossJoin(encoded)
+        encoded.select(
+            "cand_id",
+            "codes",
+            "vnorm",
+            F.posexplode(F.lit(qids).cast("array<long>")).alias(
+                "pos", "query_id"
+            ),
+        )
+        .withColumn("lut", F.element_at(F.lit(luts), F.col("pos") + 1))
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
