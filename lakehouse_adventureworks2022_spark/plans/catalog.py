@@ -97,7 +97,12 @@ QUERIES: dict[str, QueryFn] = {
     # dims (S6, F4-F8, P12, J2)
     "dim_date": lambda spark, sf_dir: dims.build_dim_date(spark),
     "dim_customer_geo": dims.build_dim_customer_geo,
-    "dim_supplier_geo": dims.build_dim_supplier_geo,
+    # temperature-weighted mixture sampling (deterministic md5-threshold
+    # membership with data-derived per-stratum rates — oracle-exact);
+    # occupies the window slot dim_supplier_geo held in r1-r4: the geo
+    # chain join stays evidenced by dim_customer_geo (same J2/P1 shape)
+    # and dim_supplier_geo keeps a pytest DuckDB differential
+    "temperature_mixture": text_queries.q_temperature_mixture,
     # facts (J4, F3)
     "fact_sales": facts.build_fact_sales,
     # events (S2-S4, A1/A2, F9, WF1, windows)
@@ -232,6 +237,14 @@ QUERIES: dict[str, QueryFn] = {
     # corpus vocabulary (exact; DuckDB hash differential in pytest —
     # window full)
     "corpus_vocabulary": text_queries.q_corpus_vocabulary,
+    # geo chain join twin of dim_customer_geo (rotated past the window
+    # for temperature_mixture in r5; DuckDB-diffed in tests/test_sampling.py)
+    "dim_supplier_geo": dims.build_dim_supplier_geo,
+    # deterministic sampling family (exact; DuckDB-diffed in
+    # tests/test_sampling.py — window full)
+    "docs_hash_sample": text_queries.q_docs_hash_sample,
+    "docs_stratified_sample": text_queries.q_docs_stratified_sample,
+    "docs_sample_exact_n": text_queries.q_docs_sample_exact_n,
 }
 
 
@@ -272,6 +285,11 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "ann_cosine_topk_ivf_pq",  # probe-pruned IVF-PQ: recall < 1
         "ann_cosine_topk_pq_amortized",  # ≡ one-shot PQ via saved index
         "corpus_vocabulary",  # exact; DuckDB hash-diffed in pytest
+        # exact, window-full: DuckDB-diffed in tests/test_sampling.py
+        "dim_supplier_geo",
+        "docs_hash_sample",
+        "docs_stratified_sample",
+        "docs_sample_exact_n",
     }
 )
 
@@ -350,16 +368,7 @@ ORACLES: dict[str, str] = {
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
     """,
-    "dim_supplier_geo": """
-        SELECT s.s_suppkey AS supplier_key,
-               s.s_name AS supplier_name,
-               s.s_acctbal AS account_balance,
-               n.n_name AS nation_name,
-               r.r_name AS region_name
-        FROM supplier s
-        JOIN nation n ON s.s_nationkey = n.n_nationkey
-        JOIN region r ON n.n_regionkey = r.r_regionkey
-    """,
+    "temperature_mixture": text_queries.ORACLE_TEMPERATURE_MIXTURE,
     "fact_sales": """
         SELECT l.l_orderkey AS order_key,
                l.l_linenumber AS line_number,

@@ -631,3 +631,100 @@ ORACLE_CORPUS_REPORT = f"""
     FROM t
     GROUP BY 1, 2
 """
+
+
+# ---- deterministic sampling family (operators/sampling.py) -----------
+#
+# All four are oracle-EXACT even though they sample: membership is a
+# pure function of md5(key || seed) that DuckDB evaluates identically
+# (lowercase hex, byte-wise string comparison). The projected columns
+# drop `text` only to keep the compared payload small — membership is
+# decided before the projection.
+
+_SAMPLE_COLS = ("doc_id", "lang", "source", "n_chars")
+
+
+def q_docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_adventureworks2022_spark.operators import sampling
+
+    return sampling.hash_sample(
+        read_table(spark, sf_dir, "documents"), rate=0.1, seed="v1"
+    ).select(*_SAMPLE_COLS)
+
+
+ORACLE_DOCS_HASH_SAMPLE = """
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 4) < '1999'
+"""
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_adventureworks2022_spark.operators import sampling
+
+    return sampling.hash_sample_stratified(
+        read_table(spark, sf_dir, "documents"),
+        rates={"en": 0.05, "zh": 0.5, "de": 0.25},
+        strata_col="lang",
+        seed="v1",
+        default_rate=0.1,
+    ).select(*_SAMPLE_COLS)
+
+
+ORACLE_DOCS_STRATIFIED_SAMPLE = """
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 4) <
+          CASE lang WHEN 'en' THEN '0ccc'
+                    WHEN 'zh' THEN '8000'
+                    WHEN 'de' THEN '4000'
+                    ELSE '1999' END
+"""
+
+
+def q_docs_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_adventureworks2022_spark.operators import sampling
+
+    return sampling.hash_sample_exact_n(
+        read_table(spark, sf_dir, "documents"), n=100, seed="v1"
+    ).select(*_SAMPLE_COLS)
+
+
+ORACLE_DOCS_SAMPLE_EXACT_N = """
+    SELECT doc_id, lang, source, n_chars FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':v1'), doc_id
+    LIMIT 100
+"""
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_adventureworks2022_spark.operators import sampling
+
+    return sampling.temperature_mixture_sample(
+        read_table(spark, sf_dir, "documents"),
+        temperature=0.7,
+        target_frac=0.3,
+        strata_col="lang",
+        seed="v1",
+    ).select(*_SAMPLE_COLS)
+
+
+ORACLE_TEMPERATURE_MIXTURE = """
+    WITH counts AS (
+      SELECT lang AS stratum, COUNT(*) AS n FROM documents GROUP BY lang
+    ), z AS (
+      SELECT SUM(POW(CAST(n AS DOUBLE), 0.7)) AS z, SUM(n) AS total
+      FROM counts
+    ), thr AS (
+      SELECT stratum,
+             CASE WHEN FLOOR(LEAST(1.0,
+                      0.3 * total * (POW(CAST(n AS DOUBLE), 0.7) / z) / n
+                    ) * 65536.0) >= 65536
+                  THEN 'g'
+                  ELSE lpad(lower(to_hex(CAST(FLOOR(LEAST(1.0,
+                      0.3 * total * (POW(CAST(n AS DOUBLE), 0.7) / z) / n
+                    ) * 65536.0) AS BIGINT))), 4, '0') END AS t
+      FROM counts CROSS JOIN z
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN thr ON d.lang = thr.stratum
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':v1'), 1, 4) < thr.t
+"""

@@ -1,0 +1,181 @@
+"""Deterministic sampling family (operators/sampling.py) vs DuckDB —
+same row/schema/hash comparison the driver applies — plus the
+determinism/scale properties random sampling can't offer. Also hosts
+the dim_supplier_geo differential (rotated past the driver window in
+r5 to make room for temperature_mixture)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from lakehouse_adventureworks2022_spark.operators import sampling
+from lakehouse_adventureworks2022_spark.plans import text_queries
+from lakehouse_adventureworks2022_spark.plans.catalog import ORACLES, QUERIES
+from lakehouse_adventureworks2022_spark.sources.readers import read_table
+from tools.check_oracles import TABLES, canonical_hash, normalize_pandas
+
+SF = "/root/testdata/sf0.001"
+
+DIM_SUPPLIER_GEO_ORACLE = """
+    SELECT s.s_suppkey AS supplier_key,
+           s.s_name AS supplier_name,
+           s.s_acctbal AS account_balance,
+           n.n_name AS nation_name,
+           r.r_name AS region_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+DIFFERENTIALS = {
+    "docs_hash_sample": text_queries.ORACLE_DOCS_HASH_SAMPLE,
+    "docs_stratified_sample": text_queries.ORACLE_DOCS_STRATIFIED_SAMPLE,
+    "docs_sample_exact_n": text_queries.ORACLE_DOCS_SAMPLE_EXACT_N,
+    "temperature_mixture": text_queries.ORACLE_TEMPERATURE_MIXTURE,
+    "dim_supplier_geo": DIM_SUPPLIER_GEO_ORACLE,
+}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_temperature_mixture_oracle_registered_in_window():
+    assert "temperature_mixture" in ORACLES
+
+
+@pytest.mark.parametrize("name", sorted(DIFFERENTIALS))
+def test_query_matches_oracle(spark, duck, name):
+    spark_pdf = normalize_pandas(QUERIES[name](spark, SF).toPandas())
+    duck_pdf = normalize_pandas(duck.sql(DIFFERENTIALS[name]).df())
+    assert canonical_hash(spark_pdf) == canonical_hash(duck_pdf)
+    assert len(spark_pdf) > 0, f"{name} returned no rows — vacuous check"
+
+
+def test_hash_sample_is_partition_layout_independent(spark):
+    """Membership is a pure function of the key: any repartitioning
+    yields the identical sample (the property DataFrame.sample lacks)."""
+    docs = read_table(spark, SF, "documents")
+    base = {r[0] for r in sampling.hash_sample(docs, 0.2).select("doc_id").collect()}
+    shuffled = {
+        r[0]
+        for r in sampling.hash_sample(docs.repartition(17, "lang"), 0.2)
+        .select("doc_id")
+        .collect()
+    }
+    assert base == shuffled and base
+
+
+def test_hash_sample_rate_one_keeps_everything(spark):
+    docs = read_table(spark, SF, "documents")
+    assert sampling.hash_sample(docs, 1.0).count() == docs.count()
+    assert sampling.hash_sample(docs, 0.0).count() == 0
+
+
+def test_hash_sample_rate_is_approximately_honored(spark):
+    docs = read_table(spark, SF, "documents")
+    n = docs.count()
+    kept = sampling.hash_sample(docs, 0.5, seed="rate-check").count()
+    assert abs(kept / n - 0.5) < 0.15  # 500 Bernoulli draws
+
+
+def test_seed_rerolls_membership(spark):
+    docs = read_table(spark, SF, "documents")
+    a = {r[0] for r in sampling.hash_sample(docs, 0.3, seed="a").select("doc_id").collect()}
+    b = {r[0] for r in sampling.hash_sample(docs, 0.3, seed="b").select("doc_id").collect()}
+    assert a != b
+
+
+def test_exact_n_contract(spark):
+    docs = read_table(spark, SF, "documents")
+    s1 = sampling.hash_sample_exact_n(docs, 37)
+    ids1 = sorted(r[0] for r in s1.select("doc_id").collect())
+    ids2 = sorted(
+        r[0]
+        for r in sampling.hash_sample_exact_n(docs.repartition(7), 37)
+        .select("doc_id")
+        .collect()
+    )
+    assert len(ids1) == 37 and ids1 == ids2
+    assert "_sk" not in s1.columns
+
+
+def test_exact_n_plans_topk_not_global_sort(spark):
+    docs = read_table(spark, SF, "documents")
+    plan = (
+        sampling.hash_sample_exact_n(docs, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hash_sample_plans_zero_shuffle(spark):
+    docs = read_table(spark, SF, "documents")
+    plan = (
+        sampling.hash_sample(docs, 0.1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_temperature_one_is_flat_rate(spark):
+    """τ=1 degenerates to natural proportions: every stratum keeps at
+    target_frac, i.e. the plain Bernoulli sample with the same seed."""
+    docs = read_table(spark, SF, "documents")
+    mix = {
+        r[0]
+        for r in sampling.temperature_mixture_sample(
+            docs, temperature=1.0, target_frac=0.3, strata_col="lang", seed="v1"
+        )
+        .select("doc_id")
+        .collect()
+    }
+    flat = {
+        r[0]
+        for r in sampling.hash_sample(docs, 0.3, seed="v1").select("doc_id").collect()
+    }
+    assert mix == flat
+
+
+def test_temperature_flattening_upsamples_small_strata(spark):
+    """τ<1 keeps a HIGHER fraction of small strata than of large ones."""
+    docs = read_table(spark, SF, "documents")
+    n_by = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    small = min(n_by, key=n_by.get)
+    large = max(n_by, key=n_by.get)
+    kept = {
+        r[0]: r[1]
+        for r in sampling.temperature_mixture_sample(
+            docs, temperature=0.3, target_frac=0.4, strata_col="lang", seed="flat"
+        )
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    frac_small = kept.get(small, 0) / n_by[small]
+    frac_large = kept.get(large, 0) / n_by[large]
+    assert frac_small > frac_large
+
+
+def test_stratified_unlisted_strata_use_default_rate(spark):
+    docs = read_table(spark, SF, "documents")
+    out = sampling.hash_sample_stratified(
+        docs, rates={"en": 1.0}, strata_col="lang", default_rate=0.0
+    )
+    langs = {r[0] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    assert out.count() == docs.filter(F.col("lang") == "en").count()
