@@ -18,6 +18,12 @@ from lakehouse_adventureworks2022_spark.operators.dedup import (  # noqa: F401
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from lakehouse_adventureworks2022_spark.operators.sampling import (  # noqa: F401
+    hash_sample,
+    hash_sample_exact_n,
+    hash_sample_stratified,
+    temperature_mixture_sample,
+)
 from lakehouse_adventureworks2022_spark.operators.scd2 import scd2_apply  # noqa: F401
 from lakehouse_adventureworks2022_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
@@ -26,6 +32,7 @@ from lakehouse_adventureworks2022_spark.operators.similarity import (  # noqa: F
     cosine_topk_pq,
     ivf_build,
     ivf_search,
+    semdedup,
 )
 from lakehouse_adventureworks2022_spark.operators.textops import (  # noqa: F401
     redact_pii,

@@ -696,6 +696,53 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    eps: float = 0.05,
+    n_cells: int = 16,
+    train_cap: int = 2048,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, call two corpus
+    members *semantic duplicates* when their cosine ≥ ``1 - eps``
+    WITHIN a cluster, and keep one representative per duplicate group.
+    Returns the SURVIVING rows of ``embeddings`` (a pruned corpus, the
+    third output contract of the dedup family next to pairs
+    (:func:`embedding_near_dup_pairs`) and components
+    (``dedup.connected_components``)).
+
+    Keep policy (deterministic): a row survives iff no smaller-id
+    duplicate exists in its cell — the greedy lowest-id-wins rule, a
+    pure function of (corpus, eps, clustering), so reruns agree exactly.
+
+    Scale shape — the reason this beats LSH for the tight-threshold
+    regime: candidate pairs come from a SELF-EQUI-JOIN ON THE CELL KEY,
+    so volume is Σ|cell|²/2. Growing ``n_cells`` with the corpus keeps
+    E[|cell|] constant, making candidate volume LINEAR in N (the
+    paper's trick); the whole plan is the bounded-collect k-means train
+    (``train_cap`` rows), one Arrow-batched cell assignment, one
+    shuffle on the uniform cell key, and a left-anti join back. Pairs
+    split across a cell boundary are missed by design (recall < 1,
+    like every clustered/LSH candidate generator here) — the planted
+    duplicates the method targets sit deep inside cells.
+    """
+    _, cells = ivf_build(embeddings, n_cells=n_cells, train_cap=train_cap)
+    e = cells.select(
+        "cell",
+        F.col("cand_id").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    dropped = (
+        e.alias("a")
+        .join(e.alias("b"), "cell")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(_cosine(F.col("a.v"), F.col("b.v")) >= F.lit(1.0 - eps))
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return embeddings.join(dropped, "vec_id", "left_anti")
+
+
 def embedding_queries(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Standard query/candidate split over the embeddings fixture: every
     100th vector is a query; all vectors are candidates."""

@@ -245,6 +245,9 @@ QUERIES: dict[str, QueryFn] = {
     "docs_hash_sample": text_queries.q_docs_hash_sample,
     "docs_stratified_sample": text_queries.q_docs_stratified_sample,
     "docs_sample_exact_n": text_queries.q_docs_sample_exact_n,
+    # SemDeDup cluster-bounded semantic dedup (deterministic, not
+    # SQL-expressible - planted-dup differentials in tests)
+    "semdedup_prune": text_queries.q_semdedup,
 }
 
 
@@ -290,6 +293,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "docs_hash_sample",
         "docs_stratified_sample",
         "docs_sample_exact_n",
+        "semdedup_prune",  # k-means clustering: no SQL twin
     }
 )
 

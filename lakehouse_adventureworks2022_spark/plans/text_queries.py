@@ -728,3 +728,14 @@ ORACLE_TEMPERATURE_MIXTURE = """
     FROM documents d JOIN thr ON d.lang = thr.stratum
     WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':v1'), 1, 4) < thr.t
 """
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruned corpus: survivors of cluster-bounded semantic
+    dedup at cosine ≥ 1-eps. Deterministic given the corpus (k-means
+    init is hash-ordered) but not SQL-expressible ⇒ rows-only check;
+    planted-duplicate and greedy-rule differentials in
+    tests/test_sampling.py."""
+    return similarity.semdedup(
+        read_table(spark, sf_dir, "embeddings"), eps=0.55, n_cells=8
+    ).select("vec_id", "label")
