@@ -76,6 +76,8 @@ HEADLINE = [
     # deployed-PQ twin: builds+persists the codes index on the first
     # rep, so the median reports the amortized (ADC+re-rank) cost
     "ann_cosine_topk_pq_amortized",
+    "temperature_mixture",
+    "semdedup_prune",
 ]
 
 
