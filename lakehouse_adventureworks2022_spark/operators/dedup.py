@@ -664,11 +664,16 @@ def incremental_dedup(
         new_hashed["__hash__"] == matched["content_hash"],
         "left_anti",
     )
-    # exact within batch
+    # exact within batch. The exact-deduped batch feeds FOUR downstream
+    # subtrees (signatures, the vs-history anti-join, the within-batch
+    # LSH, and the final output) — persist it once so the hash scan +
+    # two anti-joins + keeper semi-join don't re-execute per reference.
+    # Batch-sized (a daily ingest, not the corpus), released with the
+    # result via the module's cache-lifetime contract.
     keepers = dedup_exact(fresh, text_col).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
-    fresh = fresh.join(keepers, "doc_id", "left_semi")
+    fresh = exact_deduped = fresh.join(keepers, "doc_id", "left_semi").persist()
 
     # near-dup vs history: batch signatures (small) broadcast against
     # the state's re-derived band buckets
@@ -710,4 +715,5 @@ def incremental_dedup(
     )
     dropped = batch_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     out = fresh.join(dropped, "doc_id", "left_anti").drop("__hash__")
+    out = _attach_cached_input(out, exact_deduped)
     return transfer_cached_inputs(batch_pairs, out)
