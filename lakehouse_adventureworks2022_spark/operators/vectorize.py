@@ -1,0 +1,137 @@
+"""Embed-less text vectorization + the end-to-end retrieval composite.
+
+A retrieval/RAG pipeline over a text corpus is chunk → embed → index →
+search. Every stage except *embed* is pure data engineering, and this
+container has no embedding model — so the embed stage here is the
+classical **feature-hashing (hashing-trick) bag-of-words vectorizer**
+(Weinberger et al. 2009, "Feature Hashing for Large Scale Multitask
+Learning"): token → bucket ``md5(token) mod dim``, value ``±1`` by a
+second hash bit, L2-normalized. It is deterministic, vocabulary-free
+(no fit pass, no dictionary to ship), and produces real
+``array<double>`` vectors with meaningful cosine structure (shared
+tokens ⇒ shared buckets), so the whole downstream ANN stack — IVF
+cells, persisted indexes, top-k search — runs EXACTLY as it would under
+a learned model. Swapping in a real encoder is replacing one
+``mapInPandas`` stage; every schema, partition, and index contract
+stays.
+
+Scale: the vectorizer is a zero-shuffle Arrow-batched projection
+(hash + accumulate per token, no vocabulary broadcast, no fit job —
+the hashing trick's point at 100 TB); the composite inherits the IVF
+family's shapes (bounded train collect, cell equi-joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: tokenizer contract shared with ``textops.tokens_col`` (lower → trim →
+#: split on whitespace); re-stated in Python for the Arrow batches.
+VECTORIZE_SCHEMA_SUFFIX = "embedding array<double>"
+
+
+def _hash_embed_batch_fn(text_field: str, dim: int, keep_fields: list[str]):
+    """Build the portable mapInPandas closure (self-contained imports —
+    see tests/test_worker_portability.py)."""
+
+    def embed(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = np.zeros((len(pdf), dim), dtype=np.float64)
+            for i, text in enumerate(pdf[text_field].astype(str)):
+                for tok in text.strip().lower().split():
+                    d = hashlib.md5(tok.encode()).digest()
+                    bucket = int.from_bytes(d[:8], "big") % dim
+                    sign = 1.0 if d[8] & 1 else -1.0
+                    out[i, bucket] += sign
+            norms = np.linalg.norm(out, axis=1)
+            norms[norms == 0] = 1.0
+            out /= norms[:, None]
+            res = pdf[keep_fields].copy()
+            res["embedding"] = [list(v) for v in out]
+            yield res
+
+    return embed
+
+
+def hashing_vectorizer(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Hashing-trick BoW vectors: ``keep_cols + (embedding,)`` — one
+    L2-normalized ``dim``-vector per row, a pure function of the text
+    (identical texts ⇒ identical vectors, cosine 1.0).
+
+    Zero shuffle: one Arrow-batched ``mapInPandas`` projection. No
+    vocabulary, no fit stage, no broadcast — the hashing trick trades a
+    bounded amount of bucket collision for a pipeline with no model
+    state at all, which is what makes it the right *plumbing stand-in*
+    for a learned encoder."""
+    keep = list(keep_cols)
+    schema = ", ".join(
+        f"{c} {t}" for c, t in df.select(*keep).dtypes
+    ) + f", {VECTORIZE_SCHEMA_SUFFIX}"
+    return df.select(*keep, text_col).mapInPandas(
+        _hash_embed_batch_fn(text_col, dim, keep), schema
+    )
+
+
+def build_chunk_index(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 8,
+    dim: int = 64,
+    n_cells: int = 16,
+    train_cap: int = 2048,
+):
+    """Chunk → vectorize → IVF index over a documents table: returns
+    ``(centroids, cells, chunks)`` where cells carry
+    ``cand_id = doc_id·10⁶ + chunk_id`` (chunk ordinals are bounded far
+    below 10⁶ by construction — a chunk covers ≥ chunk−overlap tokens).
+    Both index parts are plain DataFrames: persist with
+    ``ivf_index_save`` and the build amortizes like any IVF index."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        chunk_documents,
+    )
+    from lakehouse_adventureworks2022_spark.operators.similarity import ivf_build
+
+    chunks = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap_tokens=overlap_tokens
+    ).withColumn(
+        "vec_id",
+        (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_id")).cast("long"),
+    )
+    vectors = hashing_vectorizer(
+        chunks, text_col="chunk_text", dim=dim, keep_cols=("vec_id",)
+    )
+    centroids, cells = ivf_build(vectors, n_cells=n_cells, train_cap=train_cap)
+    return centroids, cells, chunks
+
+
+def retrieval_search(
+    queries: DataFrame,
+    centroids: DataFrame,
+    cells: DataFrame,
+    dim: int = 64,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Vectorize free-text queries (``query_id, query_text``) with the
+    SAME hashing vectorizer and probe the chunk index: returns
+    ``(query_id, cand_id, rank, cosine)`` — ``cand_id`` decodes as
+    ``doc_id·10⁶ + chunk_id``."""
+    from lakehouse_adventureworks2022_spark.operators.similarity import ivf_search
+
+    qv = hashing_vectorizer(
+        queries.withColumnRenamed("query_id", "vec_id"),
+        text_col="query_text",
+        dim=dim,
+        keep_cols=("vec_id",),
+    )
+    return ivf_search(qv, centroids, cells, k=k, n_probe=n_probe)

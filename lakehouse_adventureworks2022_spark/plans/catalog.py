@@ -248,6 +248,9 @@ QUERIES: dict[str, QueryFn] = {
     # SemDeDup cluster-bounded semantic dedup (deterministic, not
     # SQL-expressible - planted-dup differentials in tests)
     "semdedup_prune": text_queries.q_semdedup,
+    # end-to-end retrieval composite: chunk -> hashing-trick vectorize ->
+    # IVF index -> free-text top-k (IVF probing: approximate by design)
+    "rag_retrieval": text_queries.q_rag_retrieval,
 }
 
 
@@ -294,6 +297,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "docs_stratified_sample",
         "docs_sample_exact_n",
         "semdedup_prune",  # k-means clustering: no SQL twin
+        "rag_retrieval",  # IVF probe pruning: recall < 1 by design
     }
 )
 

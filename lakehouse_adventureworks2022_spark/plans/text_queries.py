@@ -13,6 +13,7 @@ portability contracts:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from lakehouse_adventureworks2022_spark.operators import dedup, similarity, textops
 from lakehouse_adventureworks2022_spark.sources.readers import read_table
@@ -739,3 +740,23 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(
         read_table(spark, sf_dir, "embeddings"), eps=0.55, n_cells=8
     ).select("vec_id", "label")
+
+
+def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval composite: chunk the documents table,
+    hashing-trick vectorize, IVF-index, then answer every 50th doc's
+    leading text as a free-text query with top-5 chunks. Approximate
+    (IVF probe pruning) ⇒ rows-only; self-retrieval and recall
+    differentials in tests/test_vectorize.py."""
+    from lakehouse_adventureworks2022_spark.operators.vectorize import (
+        build_chunk_index,
+        retrieval_search,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    centroids, cells, _ = build_chunk_index(docs)
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(5_000_000_000)).alias("query_id"),
+        F.substring("text", 1, 200).alias("query_text"),
+    )
+    return retrieval_search(queries, centroids, cells, k=5)

@@ -1,0 +1,125 @@
+"""Hashing-trick vectorizer + retrieval composite (operators/vectorize.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from lakehouse_adventureworks2022_spark.operators.similarity import cosine_topk
+from lakehouse_adventureworks2022_spark.operators.vectorize import (
+    build_chunk_index,
+    hashing_vectorizer,
+    retrieval_search,
+)
+from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _reference_vector(text: str, dim: int = 64) -> np.ndarray:
+    """Literal python statement of the vectorizer contract."""
+    v = np.zeros(dim)
+    for tok in text.strip().lower().split():
+        d = hashlib.md5(tok.encode()).digest()
+        v[int.from_bytes(d[:8], "big") % dim] += 1.0 if d[8] & 1 else -1.0
+    n = np.linalg.norm(v)
+    return v / n if n else v
+
+
+def test_matches_python_reference(spark):
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "the the the repeated token weights add up",
+        "Ünïcode tøkens señor 北京 123",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: np.array(r["embedding"])
+        for r in hashing_vectorizer(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert np.allclose(got[i], _reference_vector(t), atol=1e-12)
+
+
+def test_unit_norm_and_determinism(spark):
+    docs = read_table(spark, SF, "documents")
+    v = hashing_vectorizer(docs)
+    rows = v.select(
+        "doc_id",
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ).alias("sq"),
+    ).collect()
+    assert all(abs(r["sq"] - 1.0) < 1e-9 for r in rows)
+    a = {r["doc_id"]: tuple(r["embedding"]) for r in v.collect()}
+    b = {
+        r["doc_id"]: tuple(r["embedding"])
+        for r in hashing_vectorizer(docs.repartition(11)).collect()
+    }
+    assert a == b
+
+
+def test_identical_texts_have_cosine_one(spark):
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "different words entirely")],
+        "doc_id long, text string",
+    )
+    vecs = {r["doc_id"]: np.array(r["embedding"]) for r in hashing_vectorizer(df).collect()}
+    assert np.allclose(vecs[1] @ vecs[2], 1.0)
+    assert vecs[1] @ vecs[3] < 0.99
+
+
+def test_zero_shuffle_projection(spark):
+    docs = read_table(spark, SF, "documents")
+    plan = (
+        hashing_vectorizer(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_self_retrieval_rank1_brute_force(spark):
+    """A chunk's own text as the query must retrieve that chunk at
+    rank 1 under exact search (cosine 1.0 by construction)."""
+    docs = read_table(spark, SF, "documents").filter(F.col("doc_id") < 40)
+    _, _, chunks = build_chunk_index(docs)
+    cand = hashing_vectorizer(chunks, text_col="chunk_text", keep_cols=("vec_id",))
+    probe = chunks.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000_000)).alias("vec_id"),
+        F.col("chunk_text"),
+    )
+    qv = hashing_vectorizer(probe, text_col="chunk_text", keep_cols=("vec_id",))
+    top = cosine_topk(qv, cand, k=1).collect()
+    assert top, "no queries produced"
+    for r in top:
+        assert r["cand_id"] == r["query_id"] - 10_000_000_000
+        assert r["cosine"] > 1 - 1e-9
+
+
+def test_retrieval_composite_end_to_end(spark):
+    docs = read_table(spark, SF, "documents")
+    centroids, cells, chunks = build_chunk_index(docs)
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(5_000_000_000)).alias("query_id"),
+        F.substring("text", 1, 200).alias("query_text"),
+    )
+    out = retrieval_search(queries, centroids, cells, k=5)
+    rows = out.collect()
+    n_queries = queries.count()
+    assert rows and len(rows) <= 5 * n_queries
+    assert set(out.columns) >= {"query_id", "cand_id", "rank", "cosine"}
+    # the query IS a prefix of its own doc: its top hit should be one of
+    # that doc's chunks for most queries (IVF probing is approximate, so
+    # require a strong majority rather than all)
+    top1 = {r["query_id"]: r["cand_id"] for r in rows if r["rank"] == 1}
+    hits = sum(
+        1 for q, c in top1.items() if c // 1_000_000 == q - 5_000_000_000
+    )
+    assert hits >= 0.7 * len(top1)
