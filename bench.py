@@ -78,6 +78,7 @@ HEADLINE = [
     "ann_cosine_topk_pq_amortized",
     "temperature_mixture",
     "semdedup_prune",
+    "rag_retrieval",
 ]
 
 

@@ -144,6 +144,37 @@ def main() -> None:
 
     run("quality_classifier", _clf)
 
+    # round-5 additions: SemDeDup on the replicated vectors (every copy
+    # is an exact duplicate — the worst case for within-cell pair volume;
+    # auto cell count keeps E[|cell|] at target), temperature mixture
+    # sampling (rates derive in-plan from the replicated counts), and the
+    # retrieval composite (chunk -> hashing-vectorize -> IVF -> search)
+    from lakehouse_adventureworks2022_spark.operators import (  # noqa: E402
+        sampling,
+        vectorize,
+    )
+
+    run(
+        "semdedup_auto_cells",
+        lambda: similarity.semdedup(big_emb, eps=0.05, n_cells=None),
+    )
+    run(
+        "temperature_mixture",
+        lambda: sampling.temperature_mixture_sample(
+            big_docs, temperature=0.7, target_frac=0.3, strata_col="lang"
+        ),
+    )
+
+    def _rag():
+        centroids, cells, _ = vectorize.build_chunk_index(big_docs)
+        queries = big_docs.filter(F.col("doc_id") % 500 == 0).select(
+            (F.col("doc_id") + F.lit(5_000_000_000)).alias("query_id"),
+            F.substring("text", 1, 200).alias("query_text"),
+        )
+        return vectorize.retrieval_search(queries, centroids, cells, k=5)
+
+    run("rag_retrieval", _rag)
+
     print(
         json.dumps(
             {
