@@ -79,6 +79,7 @@ HEADLINE = [
     "temperature_mixture",
     "semdedup_prune",
     "rag_retrieval",
+    "remove_repeated_spans",
 ]
 
 

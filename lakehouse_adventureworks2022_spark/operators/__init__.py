@@ -25,6 +25,10 @@ from lakehouse_adventureworks2022_spark.operators.sampling import (  # noqa: F40
     temperature_mixture_sample,
 )
 from lakehouse_adventureworks2022_spark.operators.scd2 import scd2_apply  # noqa: F401
+from lakehouse_adventureworks2022_spark.operators.substring_dedup import (  # noqa: F401
+    duplicate_spans,
+    remove_duplicate_spans,
+)
 from lakehouse_adventureworks2022_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     cosine_topk_ivf,

@@ -251,6 +251,9 @@ QUERIES: dict[str, QueryFn] = {
     # end-to-end retrieval composite: chunk -> hashing-trick vectorize ->
     # IVF index -> free-text top-k (IVF probing: approximate by design)
     "rag_retrieval": text_queries.q_rag_retrieval,
+    # ExactSubstr repeated-substring removal (exact; Python-reference
+    # diffed in tests/test_substring_dedup.py — window full)
+    "remove_repeated_spans": text_queries.q_remove_repeated_spans,
 }
 
 
@@ -298,6 +301,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "docs_sample_exact_n",
         "semdedup_prune",  # k-means clustering: no SQL twin
         "rag_retrieval",  # IVF probe pruning: recall < 1 by design
+        "remove_repeated_spans",  # exact; Python-ref diffed in pytest
     }
 )
 

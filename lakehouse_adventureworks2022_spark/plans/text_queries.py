@@ -760,3 +760,18 @@ def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 200).alias("query_text"),
     )
     return retrieval_search(queries, centroids, cells, k=5)
+
+
+def q_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-family repeated-substring removal over the documents
+    corpus: every 12-token run occurring twice+ corpus-wide is cut out,
+    keeping the globally first occurrence. Exact; Python-reference
+    differential in tests/test_substring_dedup.py (oracle window full —
+    the span-merge fold has no tractable SQL twin)."""
+    from lakehouse_adventureworks2022_spark.operators.substring_dedup import (
+        remove_duplicate_spans,
+    )
+
+    return remove_duplicate_spans(
+        read_table(spark, sf_dir, "documents"), window=12
+    )
