@@ -80,6 +80,7 @@ HEADLINE = [
     "semdedup_prune",
     "rag_retrieval",
     "remove_repeated_spans",
+    "bpe_tokenize",
 ]
 
 

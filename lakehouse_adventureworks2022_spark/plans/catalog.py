@@ -254,6 +254,9 @@ QUERIES: dict[str, QueryFn] = {
     # ExactSubstr repeated-substring removal (exact; Python-reference
     # diffed in tests/test_substring_dedup.py — window full)
     "remove_repeated_spans": text_queries.q_remove_repeated_spans,
+    # corpus-trained BPE tokenization (exact; worked-example + replay
+    # differentials in tests/test_bpe.py — no SQL twin for the merges)
+    "bpe_tokenize": text_queries.q_bpe_tokenize,
 }
 
 
@@ -302,6 +305,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "semdedup_prune",  # k-means clustering: no SQL twin
         "rag_retrieval",  # IVF probe pruning: recall < 1 by design
         "remove_repeated_spans",  # exact; Python-ref diffed in pytest
+        "bpe_tokenize",  # exact; merge loop has no SQL twin
     }
 )
 

@@ -775,3 +775,26 @@ def q_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(
         read_table(spark, sf_dir, "documents"), window=12
     )
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BPE tokenization of the documents table (200
+    merges learned from the corpus's own word-frequency table, then a
+    distributed encode). Deterministic/exact, but the merge loop has no
+    SQL twin ⇒ rows-only; Sennrich worked-example, replay-equivalence,
+    and round-trip differentials in tests/test_bpe.py."""
+    from lakehouse_adventureworks2022_spark.operators.bpe import (
+        train_and_segment,
+    )
+
+    seg = train_and_segment(
+        read_table(spark, sf_dir, "documents"), num_merges=200
+    )
+    # space-joined token string instead of the raw array: lossless (BPE
+    # symbols come from whitespace-split words, so they never contain a
+    # space) and keeps the driver-facing schema array-free
+    return seg.select(
+        "doc_id",
+        F.array_join("bpe_tokens", " ").alias("bpe_text"),
+        "n_bpe_tokens",
+    )

@@ -32,6 +32,10 @@ TABLES = (
 
 
 def _canon_cell(v) -> str:
+    # array-valued cells (Spark array<…> → numpy array / list) before the
+    # scalar NaN check, whose `v != v` is ambiguous on arrays
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     if v is None or v != v:  # NaN
         return "<null>"
     if isinstance(v, float):
@@ -90,10 +94,14 @@ def main() -> int:
             print(f"  {name:28s} FAIL err={type(e).__name__}: {first[:160]}")
             failures.append(name)
             continue
-        n_s, cols_s, h_s = canonical_hash(spark_pdf)
         if name not in ORACLES:
-            print(f"  {name:28s} rows={n_s:>7}  (no oracle — rows-only check)")
+            # rows-only, like the driver: no value hash (and array-valued
+            # columns only ever appear in rows-only queries)
+            print(
+                f"  {name:28s} rows={len(spark_pdf):>7}  (no oracle — rows-only check)"
+            )
             continue
+        n_s, cols_s, h_s = canonical_hash(spark_pdf)
         duck_pdf = normalize_pandas(con.sql(ORACLES[name]).df())
         n_d, cols_d, h_d = canonical_hash(duck_pdf)
         # dtype parity (datetime resolution normalized away above) — the
