@@ -114,6 +114,43 @@ def build_chunk_index(
     return centroids, cells, chunks
 
 
+def chunk_index_ensure(
+    spark,
+    docs: DataFrame,
+    index_dir: str,
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 8,
+    dim: int = 64,
+    n_cells: int = 16,
+    train_cap: int = 2048,
+):
+    """Load the persisted chunk index at ``index_dir``, building and
+    saving it first if absent — the deployed retrieval shape: chunking,
+    vectorization, and IVF training are paid once per corpus version
+    (the build is deterministic, so rebuilds agree bit-for-bit), and
+    steady-state queries pay probe-pruned search only. Callers key
+    ``index_dir`` to the corpus version, same contract as
+    ``similarity.ivf_index_ensure``."""
+    import os
+
+    from lakehouse_adventureworks2022_spark.operators.similarity import (
+        ivf_index_load,
+        ivf_index_save,
+    )
+
+    if not os.path.exists(f"{index_dir}/centroids/_SUCCESS"):
+        centroids, cells, _ = build_chunk_index(
+            docs,
+            chunk_tokens=chunk_tokens,
+            overlap_tokens=overlap_tokens,
+            dim=dim,
+            n_cells=n_cells,
+            train_cap=train_cap,
+        )
+        ivf_index_save(centroids, cells, index_dir)
+    return ivf_index_load(spark, index_dir)
+
+
 def retrieval_search(
     queries: DataFrame,
     centroids: DataFrame,

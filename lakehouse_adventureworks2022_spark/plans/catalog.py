@@ -257,6 +257,8 @@ QUERIES: dict[str, QueryFn] = {
     # corpus-trained BPE tokenization (exact; worked-example + replay
     # differentials in tests/test_bpe.py — no SQL twin for the merges)
     "bpe_tokenize": text_queries.q_bpe_tokenize,
+    # deployed-retrieval steady state (persisted chunk index, search only)
+    "rag_retrieval_amortized": text_queries.q_rag_retrieval_amortized,
 }
 
 
@@ -306,6 +308,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "rag_retrieval",  # IVF probe pruning: recall < 1 by design
         "remove_repeated_spans",  # exact; Python-ref diffed in pytest
         "bpe_tokenize",  # exact; merge loop has no SQL twin
+        "rag_retrieval_amortized",  # ≡ one-shot retrieval via saved index
     }
 )
 

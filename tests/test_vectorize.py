@@ -123,3 +123,45 @@ def test_retrieval_composite_end_to_end(spark):
         1 for q, c in top1.items() if c // 1_000_000 == q - 5_000_000_000
     )
     assert hits >= 0.7 * len(top1)
+
+
+def test_amortized_retrieval_reuses_index_and_matches_one_shot(spark, tmp_path):
+    import os
+
+    from lakehouse_adventureworks2022_spark.operators.vectorize import (
+        chunk_index_ensure,
+        retrieval_search,
+    )
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents").limit(120)
+    queries = docs.limit(5).selectExpr(
+        "doc_id + 5000000000 AS query_id",
+        "substring(text, 1, 200) AS query_text",
+    )
+    idx = str(tmp_path / "rag_idx")
+    c1, cells1 = chunk_index_ensure(spark, docs, idx)
+    got1 = sorted(
+        (r["query_id"], r["rank"], r["cand_id"])
+        for r in retrieval_search(queries, c1, cells1).collect()
+    )
+    # one-shot form over the same corpus must agree (build deterministic)
+    from lakehouse_adventureworks2022_spark.operators.vectorize import (
+        build_chunk_index,
+    )
+
+    c0, cells0, _ = build_chunk_index(docs)
+    got0 = sorted(
+        (r["query_id"], r["rank"], r["cand_id"])
+        for r in retrieval_search(queries, c0, cells0).collect()
+    )
+    assert got1 == got0
+    # second ensure() must NOT rewrite the index (reuse, not rebuild)
+    mtime = os.path.getmtime(f"{idx}/centroids/_SUCCESS")
+    c2, cells2 = chunk_index_ensure(spark, docs, idx)
+    assert os.path.getmtime(f"{idx}/centroids/_SUCCESS") == mtime
+    got2 = sorted(
+        (r["query_id"], r["rank"], r["cand_id"])
+        for r in retrieval_search(queries, c2, cells2).collect()
+    )
+    assert got2 == got1
