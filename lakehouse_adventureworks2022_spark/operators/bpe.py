@@ -230,6 +230,23 @@ def bpe_segment(
     )
 
 
+def save_tokenizer(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist learned merges as a table artifact ``(rank, left,
+    right)`` — the tokenizer is corpus-derived state and versions like
+    any other table (key ``path`` to the corpus version, same contract
+    as the IVF index dirs). One kilobyte-scale coalesced file."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_tokenizer(spark, path: str) -> list[tuple[str, str]]:
+    """Merges back from :func:`save_tokenizer`, training order restored."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]
+
+
 def train_and_segment(
     df: DataFrame,
     text_col: str = "text",

@@ -146,3 +146,40 @@ def test_word_counts_partitioning_independent(spark):
     a = bpe.word_counts(docs, max_words=50).collect()
     b = bpe.word_counts(docs.repartition(17), max_words=50).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---- tokenizer artifact + downstream packing composition -------------
+
+def test_tokenizer_save_load_roundtrip(spark, tmp_path):
+    merges = bpe.train_bpe(SENNRICH, num_merges=50)
+    path = str(tmp_path / "tok")
+    bpe.save_tokenizer(spark, merges, path)
+    assert bpe.load_tokenizer(spark, path) == merges
+
+
+def test_pack_on_bpe_counts(spark):
+    """The packer consumes real subword counts: budget respected against
+    n_bpe_tokens (not whitespace words), every doc packed exactly once."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        pack_documents,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(100)
+    merges = bpe.train_bpe(bpe.word_counts(docs), num_merges=100)
+    seg = bpe.bpe_segment(docs, merges)
+    packed = pack_documents(
+        seg, budget=4096, n_tokens_col="n_bpe_tokens"
+    ).collect()
+    assert {r["doc_id"] for r in packed} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    by_pack: dict[str, int] = {}
+    n_by_doc = {r["doc_id"]: r["n_bpe_tokens"] for r in seg.collect()}
+    for r in packed:
+        assert r["n_tokens"] == n_by_doc[r["doc_id"]]  # real BPE counts
+        by_pack.setdefault(r["pack_id"], 0)
+        by_pack[r["pack_id"]] += r["n_tokens"]
+    for pid, tot in by_pack.items():
+        assert tot <= 4096 or len(
+            [r for r in packed if r["pack_id"] == pid]
+        ) == 1  # only over-budget singletons may exceed
