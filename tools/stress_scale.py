@@ -175,6 +175,28 @@ def main() -> None:
 
     run("rag_retrieval", _rag)
 
+    # substring dedup on the replicated corpus: every doc's every window
+    # is duplicated rep× — near-total flagged volume, the worst case for
+    # the fingerprint join-back and the per-doc interval folds
+    from lakehouse_adventureworks2022_spark.operators import (  # noqa: E402
+        bpe,
+        substring_dedup,
+    )
+
+    run(
+        "substring_dedup",
+        lambda: substring_dedup.remove_duplicate_spans(big_docs, window=12),
+    )
+
+    # BPE: word counts multiply by rep (same distinct-word table), train
+    # stays bounded, encode is the linear Arrow pass over every copy
+    run(
+        "bpe_tokenize",
+        lambda: bpe.bpe_segment(
+            big_docs, bpe.train_bpe(bpe.word_counts(big_docs), num_merges=200)
+        ),
+    )
+
     print(
         json.dumps(
             {
