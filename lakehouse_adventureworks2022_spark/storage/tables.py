@@ -61,17 +61,35 @@ class TableManager:
         w.save(self.path(name))
 
     def overwrite(
-        self, df: DataFrame, name: str, partition_by: str | list[str] | None = None
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: str | list[str] | None = None,
+        bloom_filter_cols: tuple[str, ...] = (),
+        bloom_ndv: int = 100_000,
     ) -> None:
         """Atomic full rebuild: write to a staging dir, then swap.
 
         On Delta this is a transactional ``mode("overwrite")`` +
         ``overwriteSchema``; on plain parquet a naive overwrite leaves a
         corrupt table if the job dies mid-write, so stage + rename.
+
+        ``bloom_filter_cols`` writes a parquet bloom filter per listed
+        column (sized for ``bloom_ndv`` distinct values per row group):
+        point lookups on a non-sort, non-partition key then skip row
+        groups whose filter rules the key out — the right index for
+        high-cardinality lookup keys (order ids, content hashes) where
+        min-max footer stats are useless because every row group spans
+        the whole key range. Pure write-side metadata: readers that
+        ignore it see a normal parquet table.
         """
         target = Path(self.path(name))
         staging = target.parent / f"._staging_{target.name}_{uuid.uuid4().hex[:8]}"
         w = df.write.format(self.fmt).mode("overwrite")
+        for c in bloom_filter_cols:
+            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
+            )
         if partition_by:
             cols = [partition_by] if isinstance(partition_by, str) else partition_by
             w = w.partitionBy(*cols)
