@@ -253,35 +253,64 @@ def simhash_fingerprint_pairs(
     width would leave every block past bit 31 constant-zero for
     ``max_hamming >= 8``, collapsing all docs into one bucket (an exact
     result, but a silent all-pairs cross product)."""
-    if not 0 <= max_hamming <= 31:
+    return fingerprint_pairs(sh, max_hamming, bits=32)
+
+
+def fingerprint_pairs(
+    sh: DataFrame,
+    max_hamming: int,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """Generalized pigeonhole block-bucket pairing over an
+    ``(id, fingerprint)`` frame of ``bits``-wide hashes — shared by the
+    32-bit text SimHash and the 64-bit image dHash
+    (``multimodal.image_near_dup_pairs``). Semantics and scale shape are
+    those of :func:`simhash_fingerprint_pairs`; the block widths spread
+    the ``bits`` evenly over ``max_hamming + 1`` blocks."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+    if not 0 <= max_hamming <= bits - 1:
         raise ValueError(
-            f"max_hamming must be in [0, 31] for 32-bit fingerprints, "
-            f"got {max_hamming}"
+            f"max_hamming must be in [0, {bits - 1}] for {bits}-bit "
+            f"fingerprints, got {max_hamming}"
         )
     n_blocks = max_hamming + 1
-    base, rem = divmod(32, n_blocks)
+    base, rem = divmod(bits, n_blocks)
     widths = [base + 1] * rem + [base] * (n_blocks - rem)
     offsets = [sum(widths[:b]) for b in range(n_blocks)]
     blocks = sh.select(
-        "doc_id",
-        "simhash",
+        F.col(id_col).alias("doc_id"),
+        F.col(hash_col).alias("__fp__"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("blk"),
+                        # arithmetic shift sign-extends the top block of a
+                        # 64-bit hash; the width mask cuts it back down.
+                        # A full-width (single-)block mask would overflow
+                        # the bigint literal — the raw hash IS the value.
                         F.expr(
-                            f"shiftright(simhash, {offsets[b]})"
+                            f"shiftright({hash_col}, {offsets[b]})"
                             f" & {(1 << widths[b]) - 1}"
+                            if widths[b] < 64
+                            else hash_col
                         ).alias("blk_val"),
                     )
                     for b in range(n_blocks)
                 ]
             )
         ).alias("bv"),
-    ).select("doc_id", "simhash", F.col("bv.blk").alias("blk"), F.col("bv.blk_val").alias("blk_val"))
+    ).select(
+        "doc_id",
+        "__fp__",
+        F.col("bv.blk").alias("blk"),
+        F.col("bv.blk_val").alias("blk_val"),
+    )
     hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        F.col("a.__fp__").bitwiseXOR(F.col("b.__fp__"))
     ).cast("int")
     return (
         blocks.alias("a")

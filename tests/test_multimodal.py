@@ -155,3 +155,128 @@ def test_frame_sampling_explosion(spark):
     offsets = sorted(r["frame_offset_ms"] for r in rows)
     assert offsets == [0, 1000, 2000, 3000]  # 3.5 s → 4 frames
     assert all(r["asset_id"] == 1 for r in rows)  # images filtered out
+
+
+# ---- perceptual-hash image near-dup (round 5) ------------------------
+
+def _ppm_assets(spark, items):
+    from lakehouse_adventureworks2022_spark.operators.multimodal import ASSET_SCHEMA
+
+    rows = [(i, data, "image/x-portable-pixmap", None, None, None) for i, data in items]
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def _structured(h, w, f1=20.0, f2=15.0):
+    """Natural-image stand-in: smooth gradients + sinusoidal texture.
+    (dHash presumes images with STRUCTURE — on pure noise the pooled
+    gradient signs are coin flips, which is correct behavior, not a
+    robustness failure.)"""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    c1 = xx * 255 / w
+    c2 = yy * 255 / h
+    c3 = (np.sin(xx / f1) + np.sin(yy / f2)) * 63 + 128
+    return np.clip(np.stack([c1, c2, c3], axis=2), 0, 255).astype(np.uint8)
+
+
+def test_dhash_invariances():
+    import numpy as np
+
+    from lakehouse_adventureworks2022_spark.operators import multimodal as mm
+
+    base = _structured(96, 128)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h0 = mm.dhash64(base)
+    # resized copy: same structure, few bits flip
+    small = mm.resize_nearest(base, 48)
+    assert ham(h0, mm.dhash64(small)) <= 10
+    # uniform brightness shift: gradient signs unchanged where unclipped
+    brighter = np.clip(base.astype(np.int16) + 25, 0, 255).astype(np.uint8)
+    assert ham(h0, mm.dhash64(brighter)) <= 6
+    # different texture frequencies: ~half the bits differ
+    assert ham(h0, mm.dhash64(_structured(96, 128, f1=7.0, f2=31.0))) >= 16
+
+
+def test_image_hashes_spark_equals_driver(spark):
+    import numpy as np
+
+    from lakehouse_adventureworks2022_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    imgs = {
+        i: rng.integers(0, 255, size=(32 + i, 40, 3), dtype=np.uint8)
+        for i in range(5)
+    }
+    assets = _ppm_assets(
+        spark, [(i, mm.encode_ppm(a)) for i, a in imgs.items()]
+    )
+    got = {
+        r["asset_id"]: r["dhash"]
+        for r in mm.image_hashes(assets, fake=False).collect()
+    }
+    assert got == {i: mm.dhash64(a) for i, a in imgs.items()}
+
+
+def test_image_near_dup_pairs_end_to_end(spark):
+    import numpy as np
+
+    from lakehouse_adventureworks2022_spark.operators import multimodal as mm
+
+    base = _structured(80, 100)
+    resized = mm.resize_nearest(base, 50)
+    brighter = np.clip(base.astype(np.int16) + 20, 0, 255).astype(np.uint8)
+    unrelated = _structured(80, 100, f1=6.0, f2=29.0)
+    assets = _ppm_assets(
+        spark,
+        [
+            (1, mm.encode_ppm(base)),
+            (2, mm.encode_ppm(resized)),
+            (3, mm.encode_ppm(brighter)),
+            (4, mm.encode_ppm(unrelated)),
+        ],
+    )
+    pairs = {
+        (r["asset_a"], r["asset_b"])
+        for r in mm.image_near_dup_pairs(assets, max_hamming=10, fake=False).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_fingerprint_pairs_64bit_equals_naive(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators.dedup import (
+        fingerprint_pairs,
+    )
+
+    rng = random.Random(42)
+    base = rng.getrandbits(63)
+    vals = [base]
+    for _ in range(20):
+        v, flips = base, rng.sample(range(64), rng.randint(1, 12))
+        for b in flips:
+            v ^= 1 << b
+        vals.append(v - (1 << 64) if v >= 1 << 63 else v)
+    vals += [rng.getrandbits(63) for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, simhash long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in fingerprint_pairs(df, max_hamming=8, bits=64).collect()
+    }
+    # naive all-pairs reference
+    want = set()
+    for i, a in enumerate(vals):
+        for j, b in enumerate(vals[i + 1 :], start=i + 1):
+            h = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+            if h <= 8:
+                want.add((i, j, h))
+    assert got == want  # pigeonhole candidates are EXACT, not approximate
