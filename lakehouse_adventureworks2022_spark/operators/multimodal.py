@@ -29,7 +29,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -491,6 +491,178 @@ def image_near_dup_pairs(
         F.col("doc_b").alias("asset_b"),
         "hamming",
     )
+
+
+def audio_fingerprint64(samples, rate: int) -> int:
+    """64-bit robust audio fingerprint (Haitsma-Kalker shape): 9 time
+    frames × 9 log-spaced spectral bands (200-3600 Hz, absolute Hz so
+    the hash survives resampling), bit(t, b) = sign of the time-delta of
+    the band-energy gradient. Log-energy differences cancel any volume
+    scalar, so the hash is amplitude-invariant by construction.
+    Returned signed for LongType storage."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) < 18:
+        x = np.pad(x, (0, 18 - len(x)))
+    frames = np.array_split(x, 9)
+    edges = np.geomspace(200.0, 3600.0, 10)
+    eps = 1e-12
+    logE = np.empty((9, 9))
+    for t, fr in enumerate(frames):
+        spec = np.abs(np.fft.rfft(fr)) ** 2
+        freqs = np.fft.rfftfreq(len(fr), d=1.0 / rate)
+        for b in range(9):
+            m = (freqs >= edges[b]) & (freqs < edges[b + 1])
+            logE[t, b] = np.log(spec[m].sum() + eps)
+    bits = 0
+    for t in range(1, 9):
+        for b in range(8):
+            d = (logE[t, b] - logE[t, b + 1]) - (logE[t - 1, b] - logE[t - 1, b + 1])
+            if d > 0:
+                bits |= 1 << ((t - 1) * 8 + b)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def audio_hashes(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """Robust 64-bit audio fingerprint per asset: ``(asset_id, dhash)``
+    (same column contract as :func:`image_hashes`, so the pairing and
+    canonicalization machinery is shared). Real path decodes PCM16 WAV;
+    compressed audio raises the named error; ``fake=True`` md5-derives a
+    stand-in. Zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        import io as _io
+        import wave as _wave
+
+        import numpy as _np
+
+        def fake_hash(content: bytes) -> int:
+            v = int.from_bytes(_hl.md5(b"audio|" + content).digest()[:8], "big")
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        def wav_fp(data: bytes) -> int:
+            with _wave.open(_io.BytesIO(data), "rb") as f:
+                rate, nch, sw = (
+                    f.getframerate(),
+                    f.getnchannels(),
+                    f.getsampwidth(),
+                )
+                frames_b = f.readframes(f.getnframes())
+            if sw != 2:
+                raise ValueError(f"only PCM16 WAV supported, sampwidth={sw}")
+            x = _np.frombuffer(frames_b, dtype="<i2").astype(_np.float64) / 32768.0
+            if nch > 1:
+                x = x.reshape(-1, nch).mean(axis=1)
+            if len(x) < 18:
+                x = _np.pad(x, (0, 18 - len(x)))
+            frames = _np.array_split(x, 9)
+            edges = _np.geomspace(200.0, 3600.0, 10)
+            logE = _np.empty((9, 9))
+            for t, fr in enumerate(frames):
+                spec = _np.abs(_np.fft.rfft(fr)) ** 2
+                freqs = _np.fft.rfftfreq(len(fr), d=1.0 / rate)
+                for b in range(9):
+                    m = (freqs >= edges[b]) & (freqs < edges[b + 1])
+                    logE[t, b] = _np.log(spec[m].sum() + 1e-12)
+            bits = 0
+            for t in range(1, 9):
+                for b in range(8):
+                    d = (logE[t, b] - logE[t, b + 1]) - (
+                        logE[t - 1, b] - logE[t - 1, b + 1]
+                    )
+                    if d > 0:
+                        bits |= 1 << ((t - 1) * 8 + b)
+            return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+        def real_hash(content: bytes) -> int:
+            if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+                return wav_fp(content)
+            raise NotImplementedError(
+                f"no audio codec for content starting {content[:4]!r}: only "
+                "PCM16 WAV decodes in-container (compressed formats need "
+                "ffmpeg); use fake=True for the stand-in hash"
+            )
+
+        hash_fn = fake_hash if fake else real_hash
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "dhash": pdf["content"]
+                    .map(lambda b: hash_fn(bytes(b)))
+                    .astype("int64"),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=_HASH_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    assets: DataFrame, max_hamming: int = 6, fake: bool = True
+) -> DataFrame:
+    """Audio near-duplicate pairs by fingerprint proximity — the audio
+    face of :func:`image_near_dup_pairs`, same pigeonhole candidate
+    machinery, never an all-pairs join."""
+    from lakehouse_adventureworks2022_spark.operators.dedup import (
+        fingerprint_pairs,
+    )
+
+    hashes = audio_hashes(assets, fake=fake)
+    return fingerprint_pairs(
+        hashes, max_hamming, bits=64, id_col="asset_id", hash_col="dhash"
+    ).select(
+        F.col("doc_a").alias("asset_a"),
+        F.col("doc_b").alias("asset_b"),
+        "hamming",
+    )
+
+
+def clean_assets(
+    assets: DataFrame, max_hamming: int = 6, fake: bool = True
+) -> DataFrame:
+    """End-to-end multimodal asset dedup (the binary-column twin of
+    ``dedup.clean_corpus``):
+
+    1. exact dedup — keep the min-asset_id copy per content md5 (one
+       uniform-key aggregation);
+    2. per-modality perceptual near-dup pairs on the uniques (images by
+       magic/mime through :func:`image_near_dup_pairs`, audio through
+       :func:`audio_near_dup_pairs` — hashes are never compared across
+       modalities);
+    3. connected-components canonicalization — one surviving asset per
+       near-dup cluster (``dedup.dedup_keep_canonical``).
+
+    Returns the surviving asset rows unchanged. Scale: stage 1 shuffles
+    on md5; stage 2 is the pigeonhole equi-join per modality; stage 3 is
+    label propagation over the (small) pair graph — the identical
+    composition discipline as the text pipeline, exact-dedup first so
+    identical bytes never flood a perceptual bucket."""
+    from lakehouse_adventureworks2022_spark.operators.dedup import (
+        dedup_keep_canonical,
+    )
+
+    md5w = Window.partitionBy("__md5__").orderBy("asset_id")
+    uniques = (
+        assets.withColumn("__md5__", F.md5("content"))
+        .withColumn("__rn__", F.row_number().over(md5w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__md5__", "__rn__")
+    )
+    is_image = F.col("mime").startswith("image/")
+    is_audio = F.col("mime").startswith("audio/")
+    pairs = image_near_dup_pairs(
+        uniques.filter(is_image), max_hamming, fake=fake
+    ).unionByName(
+        audio_near_dup_pairs(uniques.filter(is_audio), max_hamming, fake=fake)
+    )
+    return dedup_keep_canonical(
+        uniques.withColumnRenamed("asset_id", "doc_id"),
+        pairs.select(
+            F.col("asset_a").alias("doc_a"), F.col("asset_b").alias("doc_b")
+        ),
+    ).withColumnRenamed("doc_id", "asset_id")
 
 
 def resize_images(assets: DataFrame, max_px: int = 512, fake: bool = True) -> DataFrame:

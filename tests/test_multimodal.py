@@ -280,3 +280,84 @@ def test_fingerprint_pairs_64bit_equals_naive(spark):
             if h <= 8:
                 want.add((i, j, h))
     assert got == want  # pigeonhole candidates are EXACT, not approximate
+
+
+# ---- audio fingerprint near-dup + asset-cleaning composite -----------
+
+def test_audio_fingerprint_invariances():
+    import numpy as np
+
+    from lakehouse_adventureworks2022_spark.operators import multimodal as mm
+
+    def fp_of(wav_bytes):
+        x, rate, _, _ = mm.decode_wav(wav_bytes)
+        return mm.audio_fingerprint64(x, rate)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # a melody (note per frame) — the fingerprint is DELTA-based, so it
+    # needs time-varying content; on a stationary tone the frame deltas
+    # are quantization noise (correct behavior, not a robustness gap)
+    def melody(rate, amp=0.5, notes=(330, 440, 550, 660, 880, 740, 620, 500, 410)):
+        import io
+        import wave
+
+        n_per = int(rate * 900 / 1000 / len(notes))
+        xs = []
+        for f in notes:
+            t = np.arange(n_per) / rate
+            xs.append(np.sin(2 * np.pi * f * t))
+        pcm = (np.concatenate(xs) * amp * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(rate)
+            f.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    h0 = fp_of(melody(8000))
+    # volume-near-invariant (log-energy differences cancel the scalar;
+    # residual bits are PCM16 quantization noise on near-zero deltas)
+    assert ham(h0, fp_of(melody(8000, amp=0.12))) <= 8
+    # resampled rendition of the same content: bands are absolute Hz
+    assert ham(h0, fp_of(melody(16000))) <= 12
+    # different melody: far
+    assert (
+        ham(h0, fp_of(melody(8000, notes=(900, 350, 1500, 450, 2000, 600, 1100, 300, 1700))))
+        >= 20
+    )
+
+
+def test_clean_assets_composite(spark):
+    import numpy as np
+
+    from lakehouse_adventureworks2022_spark.operators import multimodal as mm
+    from lakehouse_adventureworks2022_spark.operators.multimodal import ASSET_SCHEMA
+
+    base = _structured(80, 100)
+    img1 = mm.encode_ppm(base)
+    img1_exact = bytes(img1)  # byte-identical copy
+    img1_resized = mm.encode_ppm(mm.resize_nearest(base, 50))
+    img_other = mm.encode_ppm(_structured(80, 100, f1=6.0, f2=29.0))
+    wav1 = mm.synth_wav(400, rate=8000, freq=440.0)
+    wav1_exact = bytes(wav1)
+    wav_other = mm.synth_wav(400, rate=8000, freq=1800.0)
+    rows = [
+        (1, img1, "image/x-portable-pixmap", None, None, None),
+        (2, img1_exact, "image/x-portable-pixmap", None, None, None),
+        (3, img1_resized, "image/x-portable-pixmap", None, None, None),
+        (4, img_other, "image/x-portable-pixmap", None, None, None),
+        (5, wav1, "audio/wav", None, None, None),
+        (6, wav1_exact, "audio/wav", None, None, None),
+        (7, wav_other, "audio/wav", None, None, None),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    kept = sorted(
+        r["asset_id"]
+        for r in mm.clean_assets(assets, max_hamming=10, fake=False).collect()
+    )
+    # 2 (exact image dup), 3 (perceptual image dup), 6 (exact audio dup)
+    # collapse into asset 1 / 5; the distinct image+audio survive
+    assert kept == [1, 4, 5, 7]
