@@ -259,6 +259,9 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_tokenize": text_queries.q_bpe_tokenize,
     # deployed-retrieval steady state (persisted chunk index, search only)
     "rag_retrieval_amortized": text_queries.q_rag_retrieval_amortized,
+    # multimodal asset dedup composite (exact + perceptual, fake-hash
+    # plumbing over text-backed assets; real codecs proven in pytest)
+    "clean_assets": text_queries.q_clean_assets,
 }
 
 
@@ -309,6 +312,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "remove_repeated_spans",  # exact; Python-ref diffed in pytest
         "bpe_tokenize",  # exact; merge loop has no SQL twin
         "rag_retrieval_amortized",  # ≡ one-shot retrieval via saved index
+        "clean_assets",  # binary assets have no oracle tables
     }
 )
 

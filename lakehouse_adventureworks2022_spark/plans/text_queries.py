@@ -834,3 +834,23 @@ def q_rag_retrieval_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 200).alias("query_text"),
     )
     return retrieval_search(queries, centroids, cells, k=5)
+
+
+def q_clean_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal asset dedup composite over fake assets derived from
+    the documents table (deterministic md5 stand-in hashes — the real
+    decode paths are exercised on synthesized PPM/WAV in pytest): exact
+    md5 dedup → per-modality perceptual near-dup → connected-components
+    canonicalization. Rows-only (binary fixtures don't exist in the
+    oracle tables); planted-dup composite test in
+    tests/test_multimodal.py."""
+    from lakehouse_adventureworks2022_spark.operators.multimodal import (
+        attach_fake_assets,
+        clean_assets,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    assets = attach_fake_assets(docs)
+    return clean_assets(assets, fake=True).select(
+        "asset_id", "mime", "width", "height"
+    )
