@@ -194,6 +194,8 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q14_promo_revenue_ratio": tpch_extra.q14_promo_revenue_ratio,
     "tpch_q19_disjunctive_revenue": tpch_extra.q19_disjunctive_revenue,
     "tpch_q22_idle_balances": tpch_extra.q22_idle_balances,
+    "tpch_q15_top_supplier": tpch_extra.q15_top_supplier,
+    "tpch_q18_large_orders": tpch_extra.q18_large_orders,
     "user_value_moving_stats": tpch_extra.user_value_moving_stats,
     # context-window chunking (exact; Python-reference differential in
     # tests/test_curation.py — window full)
@@ -286,6 +288,8 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "tpch_q14_promo_revenue_ratio",
         "tpch_q19_disjunctive_revenue",
         "tpch_q22_idle_balances",
+        "tpch_q15_top_supplier",
+        "tpch_q18_large_orders",
         "user_value_moving_stats",
         "chunk_documents",  # exact; Python-reference diffed in pytest
         "dedup_clusters",  # exact; union-find diffed in pytest
