@@ -114,6 +114,67 @@ def build_chunk_index(
     return centroids, cells, chunks
 
 
+def mine_hard_negatives(
+    queries: DataFrame,
+    positives: DataFrame,
+    centroids: DataFrame,
+    cells: DataFrame,
+    dim: int = 64,
+    k: int = 20,
+    n_neg: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training data: for each
+    query, the ``n_neg`` highest-ranked retrieved chunks that are NOT
+    labeled positives — the candidates the current encoder confuses with
+    the answer, which is exactly what contrastive training wants.
+
+    ``positives`` is the ground-truth ``(query_id, cand_id)`` table.
+    Returns ``(query_id, cand_id, rank, cosine)`` re-ranked 1..n_neg.
+
+    Shape: one IVF top-k search (probe-pruned clustered scan), a
+    left-anti equi-join against the (small, broadcast) positives, and a
+    per-query window re-rank over ≤ k rows — nothing scales with corpus
+    size beyond the search itself."""
+    from pyspark.sql import Window
+
+    from lakehouse_adventureworks2022_spark.operators.similarity import (
+        ivf_search,
+    )
+
+    hits = ivf_search(
+        hashing_vectorizer(
+            queries.withColumnRenamed("query_id", "vec_id"),
+            text_col="query_text",
+            dim=dim,
+            keep_cols=("vec_id",),
+        ),
+        centroids,
+        cells,
+        k=k,
+        n_probe=n_probe,
+    )
+    negs = hits.join(
+        F.broadcast(
+            positives.select(
+                F.col("query_id").alias("__qid__"),
+                F.col("cand_id").alias("__pid__"),
+            )
+        ),
+        (hits["query_id"] == F.col("__qid__"))
+        & (hits["cand_id"] == F.col("__pid__")),
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_neg)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )
+
+
 def chunk_index_ensure(
     spark,
     docs: DataFrame,

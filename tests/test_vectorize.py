@@ -165,3 +165,60 @@ def test_amortized_retrieval_reuses_index_and_matches_one_shot(spark, tmp_path):
         for r in retrieval_search(queries, c2, cells2).collect()
     )
     assert got2 == got1
+
+
+def test_hard_negative_mining(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators.vectorize import (
+        build_chunk_index,
+        mine_hard_negatives,
+        retrieval_search,
+    )
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents").limit(150)
+    centroids, cells, _ = build_chunk_index(docs)
+    queries = docs.limit(8).selectExpr(
+        "doc_id + 5000000000 AS query_id",
+        "substring(text, 1, 200) AS query_text",
+    )
+    # ground truth: every chunk of the query's own source doc
+    hits = retrieval_search(queries, centroids, cells, k=20)
+    positives = hits.filter(
+        (F.col("cand_id") / 1_000_000).cast("long")
+        == F.col("query_id") - 5_000_000_000
+    ).select("query_id", "cand_id")
+    assert positives.count() > 0  # self-retrieval produces positives
+
+    negs = mine_hard_negatives(
+        queries, positives, centroids, cells, k=20, n_neg=5
+    )
+    rows = negs.collect()
+    # no positive leaks into the negatives
+    pos = {(r["query_id"], r["cand_id"]) for r in positives.collect()}
+    assert all((r["query_id"], r["cand_id"]) not in pos for r in rows)
+    # ranks are 1..n per query, descending cosine
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        cos = [r["cosine"] for r in rs]
+        assert cos == sorted(cos, reverse=True)
+    # negatives are HARD: drawn from the top of the retrieval list
+    # (every negative's cosine is within the query's top-20 hits)
+    top = {
+        (r["query_id"], r["cand_id"]) for r in hits.collect()
+    }
+    assert all((r["query_id"], r["cand_id"]) in top for r in rows)
+    # deterministic
+    again = sorted(
+        (r["query_id"], r["rank"], r["cand_id"])
+        for r in mine_hard_negatives(
+            queries, positives, centroids, cells, k=20, n_neg=5
+        ).collect()
+    )
+    assert again == sorted((r["query_id"], r["rank"], r["cand_id"]) for r in rows)
