@@ -264,6 +264,9 @@ QUERIES: dict[str, QueryFn] = {
     # multimodal asset dedup composite (exact + perceptual, fake-hash
     # plumbing over text-backed assets; real codecs proven in pytest)
     "clean_assets": text_queries.q_clean_assets,
+    # hard-negative mining over the persisted chunk index (contrastive
+    # training data; IVF probing ⇒ approximate)
+    "hard_negatives": text_queries.q_hard_negatives,
 }
 
 
@@ -317,6 +320,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "bpe_tokenize",  # exact; merge loop has no SQL twin
         "rag_retrieval_amortized",  # ≡ one-shot retrieval via saved index
         "clean_assets",  # binary assets have no oracle tables
+        "hard_negatives",  # IVF probing: approximate by design
     }
 )
 

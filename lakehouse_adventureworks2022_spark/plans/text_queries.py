@@ -854,3 +854,33 @@ def q_clean_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_assets(assets, fake=True).select(
         "asset_id", "mime", "width", "height"
     )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval-model training: every 50th
+    doc's leading text queries the persisted chunk index; its own
+    chunks are the positives, and the top non-positive hits come back
+    as (query_id, cand_id, rank, cosine). Approximate (IVF probing) ⇒
+    rows-only; leak/rank/determinism tests in tests/test_vectorize.py."""
+    from lakehouse_adventureworks2022_spark.operators.vectorize import (
+        chunk_index_ensure,
+        mine_hard_negatives,
+        retrieval_search,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    centroids, cells = chunk_index_ensure(
+        spark, docs, rag_index_dir_for(sf_dir)
+    )
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(5_000_000_000)).alias("query_id"),
+        F.substring("text", 1, 200).alias("query_text"),
+    )
+    hits = retrieval_search(queries, centroids, cells, k=20)
+    positives = hits.filter(
+        (F.col("cand_id") / 1_000_000).cast("long")
+        == F.col("query_id") - 5_000_000_000
+    ).select("query_id", "cand_id")
+    return mine_hard_negatives(
+        queries, positives, centroids, cells, k=20, n_neg=5
+    )
