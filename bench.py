@@ -84,6 +84,9 @@ HEADLINE = [
     "rag_retrieval_amortized",
     "remove_repeated_spans",
     "bpe_tokenize",
+    "clean_assets",
+    # steady-state hard-negative mining over the persisted chunk index
+    "hard_negatives",
 ]
 
 
