@@ -175,6 +175,85 @@ def mine_hard_negatives(
     )
 
 
+def retrieval_metrics(
+    hits: DataFrame, positives: DataFrame, ks: tuple[int, ...] = (1, 5, 10)
+) -> DataFrame:
+    """Retrieval quality metrics from a ``(query_id, cand_id, rank)``
+    hits table and a ``(query_id, cand_id)`` ground-truth table: one row
+    per cutoff ``k`` with ``recall_at_k`` (CAPPED recall, the BEIR
+    convention: hits-in-top-k / min(n_positives, k), averaged over
+    queries — a query with more positives than k can still reach 1.0),
+    ``hit_rate_at_k``
+    (fraction of queries with ≥1 positive in the top k), and ``mrr``
+    (mean reciprocal rank of the first positive, cutoff-independent —
+    repeated per row for a rectangular result).
+
+    Shape: one broadcast equi-join of the (small) truth table onto the
+    hits, then two aggregations over |queries| × |ks| rows — evaluation
+    never rescans the corpus. Queries with no positives are excluded
+    from averaging (undefined recall), the standard IR convention."""
+    labeled = hits.join(
+        F.broadcast(positives.withColumn("__pos__", F.lit(1))),
+        ["query_id", "cand_id"],
+        "left",
+    ).withColumn("__pos__", F.coalesce("__pos__", F.lit(0)))
+    n_pos = positives.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_pos")
+    )
+    per_q = (
+        labeled.groupBy("query_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when((F.col("rank") <= k) & (F.col("__pos__") == 1), 1)
+                    .otherwise(0)
+                ).alias(f"__hits_{k}__")
+                for k in ks
+            ],
+            F.min(
+                F.when(F.col("__pos__") == 1, F.col("rank"))
+            ).alias("__first_pos__"),
+        )
+        .join(n_pos, "query_id", "inner")  # only queries WITH positives
+    )
+    rr = F.coalesce(1.0 / F.col("__first_pos__"), F.lit(0.0))
+    agg = per_q.agg(
+        *[
+            F.round(
+                F.avg(
+                    F.col(f"__hits_{k}__")
+                    / F.least(F.col("n_pos"), F.lit(k))
+                ),
+                6,
+            ).alias(f"__r{k}__")
+            for k in ks
+        ],
+        *[
+            F.round(
+                F.avg((F.col(f"__hits_{k}__") > 0).cast("double")), 6
+            ).alias(f"__h{k}__")
+            for k in ks
+        ],
+        F.round(F.avg(rr), 6).alias("__mrr__"),
+        F.count(F.lit(1)).alias("__nq__"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col(f"__r{k}__").alias("recall_at_k"),
+                F.col(f"__h{k}__").alias("hit_rate_at_k"),
+                F.col("__mrr__").alias("mrr"),
+                F.col("__nq__").alias("n_queries"),
+            )
+            for k in ks
+        ]
+    )
+    return agg.select(F.explode(rows).alias("m")).select(
+        "m.k", "m.recall_at_k", "m.hit_rate_at_k", "m.mrr", "m.n_queries"
+    )
+
+
 def chunk_index_ensure(
     spark,
     docs: DataFrame,

@@ -222,3 +222,65 @@ def test_hard_negative_mining(spark):
         ).collect()
     )
     assert again == sorted((r["query_id"], r["rank"], r["cand_id"]) for r in rows)
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    from lakehouse_adventureworks2022_spark.operators.vectorize import (
+        retrieval_metrics,
+    )
+
+    # q1: positives {10, 11} — ranks 1 and 3; q2: positive {20} — rank 2;
+    # q3: positive {30} never retrieved; q4: no positives (excluded)
+    hits = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 99, 2), (1, 11, 3),
+            (2, 98, 1), (2, 20, 2), (2, 97, 3),
+            (3, 96, 1), (3, 95, 2),
+            (4, 94, 1),
+        ],
+        "query_id long, cand_id long, rank int",
+    )
+    positives = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (3, 30)],
+        "query_id long, cand_id long",
+    )
+    m = {r["k"]: r for r in retrieval_metrics(hits, positives, ks=(1, 3)).collect()}
+    assert m[1]["n_queries"] == 3  # q4 excluded (no positives)
+    # capped recall@1: q1 1/1, q2 0/1, q3 0/1 → 1/3
+    assert abs(m[1]["recall_at_k"] - 1 / 3) < 1e-6
+    # recall@3: q1 2/2, q2 1/1, q3 0/1 → 2/3
+    assert abs(m[3]["recall_at_k"] - 2 / 3) < 1e-6
+    assert abs(m[1]["hit_rate_at_k"] - 1 / 3) < 1e-6
+    assert abs(m[3]["hit_rate_at_k"] - 2 / 3) < 1e-6
+    # MRR: q1 1/1, q2 1/2, q3 0 → (1 + 0.5 + 0)/3
+    assert abs(m[1]["mrr"] - 0.5) < 1e-6
+    assert m[1]["mrr"] == m[3]["mrr"]  # cutoff-independent
+
+
+def test_retrieval_metrics_on_real_index(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators.vectorize import (
+        build_chunk_index,
+        retrieval_metrics,
+        retrieval_search,
+    )
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents").limit(100)
+    centroids, cells, chunks = build_chunk_index(docs)
+    queries = docs.limit(10).selectExpr(
+        "doc_id + 5000000000 AS query_id",
+        "substring(text, 1, 200) AS query_text",
+    )
+    hits = retrieval_search(queries, centroids, cells, k=10)
+    positives = chunks.select(
+        (F.col("doc_id") + 5_000_000_000).alias("query_id"),
+        F.col("vec_id").alias("cand_id"),
+    ).join(queries.select("query_id"), "query_id", "left_semi")
+    m = {r["k"]: r for r in retrieval_metrics(hits, positives).collect()}
+    # self-retrieval on this corpus is strong: most queries find their
+    # own chunks near the top
+    assert m[10]["hit_rate_at_k"] >= 0.8
+    assert m[1]["mrr"] >= 0.5
+    assert m[10]["n_queries"] == 10
