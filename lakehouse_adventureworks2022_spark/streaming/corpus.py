@@ -244,3 +244,60 @@ def stream_clean_corpus(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def stream_drift_monitor(
+    docs: DataFrame,
+    reference_profile: DataFrame,
+    alerts_dir: str,
+    checkpoint_dir: str,
+    share_tolerance: float = 0.15,
+    mean_tokens_tolerance: float = 0.25,
+):
+    """Per-micro-batch corpus drift monitoring: every arriving batch is
+    profiled (``monitoring.corpus_profile`` — the SAME aggregation the
+    batch report runs) and compared source-by-source against a
+    persisted REFERENCE profile; out-of-tolerance rows land in
+    ``alerts_dir`` as one parquet append per offending (batch, source).
+
+    Alert predicate: |share − ref_share| > ``share_tolerance`` OR
+    relative mean-token drift > ``mean_tokens_tolerance`` OR the source
+    is absent from the reference entirely (a NEW source is always worth
+    a look). An empty alerts table after a run = the stream stayed in
+    distribution.
+
+    Scale: the reference profile is |sources| rows (broadcast); each
+    batch profiles with one uniform-key aggregation; nothing accumulates
+    in memory across batches — drift STATE is the alerts table itself.
+    """
+    from lakehouse_adventureworks2022_spark.operators.monitoring import (
+        corpus_profile,
+    )
+
+    ref = reference_profile.select(
+        "source",
+        F.col("share").alias("ref_share"),
+        F.col("mean_tokens").alias("ref_mean_tokens"),
+    )
+
+    def check(batch_df: DataFrame, batch_id: int) -> None:
+        prof = corpus_profile(batch_df)
+        joined = prof.join(F.broadcast(ref), "source", "left")
+        alerts = joined.filter(
+            F.col("ref_share").isNull()
+            | (F.abs(F.col("share") - F.col("ref_share")) > share_tolerance)
+            | (
+                F.abs(F.col("mean_tokens") - F.col("ref_mean_tokens"))
+                / F.col("ref_mean_tokens")
+                > mean_tokens_tolerance
+            )
+        ).withColumn("batch_id", F.lit(batch_id))
+        if alerts.limit(1).count() > 0:
+            alerts.write.mode("append").parquet(alerts_dir)
+
+    return (
+        docs.writeStream.foreachBatch(check)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

@@ -134,3 +134,56 @@ def test_embedding_drift_identity_and_planted_shift(spark):
     assert drift[rotated_l]["centroid_cosine"] < 0.9  # rotated space
     assert drift[rotated_l]["mean_norm_delta"] == pytest.approx(0.0, abs=1e-9)
     assert drift[gone_l]["n_b"] == 0 and drift[gone_l]["centroid_cosine"] is None
+
+
+# ---- streaming drift monitor (round 5) --------------------------------
+
+def test_stream_drift_monitor(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators.monitoring import (
+        corpus_profile,
+    )
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+    from lakehouse_adventureworks2022_spark.streaming.corpus import (
+        stream_drift_monitor,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    ref = corpus_profile(docs)
+
+    # in-distribution batch: the corpus itself → NO alerts
+    src_ok = str(tmp_path / "ok")
+    docs.coalesce(1).write.mode("overwrite").parquet(src_ok)
+    alerts1 = str(tmp_path / "alerts1")
+    q = stream_drift_monitor(
+        spark.readStream.schema(docs.schema).parquet(src_ok),
+        ref,
+        alerts1,
+        str(tmp_path / "ck1"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert not os.path.exists(alerts1)  # empty alerts = in distribution
+
+    # drifted batch: one source's docs dropped entirely + a NEW source
+    drifted = docs.filter(F.col("source") != "web").unionByName(
+        docs.limit(20).withColumn("source", F.lit("mystery_feed"))
+    )
+    src_bad = str(tmp_path / "bad")
+    drifted.coalesce(1).write.mode("overwrite").parquet(src_bad)
+    alerts2 = str(tmp_path / "alerts2")
+    q = stream_drift_monitor(
+        spark.readStream.schema(docs.schema).parquet(src_bad),
+        ref,
+        alerts2,
+        str(tmp_path / "ck2"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(alerts2)
+    flagged = {r["source"] for r in got.collect()}
+    assert "mystery_feed" in flagged  # unknown source always alerts
+    assert got.count() >= 1
