@@ -267,6 +267,9 @@ QUERIES: dict[str, QueryFn] = {
     # hard-negative mining over the persisted chunk index (contrastive
     # training data; IVF probing ⇒ approximate)
     "hard_negatives": text_queries.q_hard_negatives,
+    # ordered-funnel conversion (exact; DuckDB differential + chain
+    # semantics in tests/test_funnel.py — window full)
+    "funnel_conversion": relational.funnel_conversion,
 }
 
 
@@ -321,6 +324,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "rag_retrieval_amortized",  # ≡ one-shot retrieval via saved index
         "clean_assets",  # binary assets have no oracle tables
         "hard_negatives",  # IVF probing: approximate by design
+        "funnel_conversion",  # exact; DuckDB-diffed in pytest
     }
 )
 

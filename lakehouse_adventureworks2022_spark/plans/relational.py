@@ -12,7 +12,7 @@ NULL-for-total convention.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_adventureworks2022_spark.sources.readers import read_table
@@ -195,3 +195,65 @@ def event_value_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.9)").alias("p90_approx"),
         F.expr("approx_percentile(value, 0.99)").alias("p99_approx"),
     )
+
+
+def funnel_conversion(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    max_gap_minutes: int = 1440,
+) -> DataFrame:
+    """Ordered-funnel conversion over the events stream: per user, the
+    EARLIEST chain view → click → purchase where each step lands within
+    ``max_gap_minutes`` of the previous one; output is one row per step
+    with the surviving-user count and conversion rate from step 1.
+
+    Earliest-chain semantics (the standard funnel definition): step 1
+    anchors at the user's first step-1 event; step k is the first
+    step-k event after the chosen step-(k−1) time within the gap. A
+    greedy earliest chain can miss a later successful chain — that is
+    the accepted product-analytics semantics, and it is what the SQL
+    twin (tests/test_funnel.py) computes too.
+
+    Plan shape: one filtered scan per step (pushed predicate), each
+    reduced to one row per user BEFORE joining (min_by aggregation), so
+    the k−1 joins are user-keyed equi-joins between |users|-row frames
+    that all reuse one hash partitioning — no events×events join, no
+    window over the whole stream.
+    """
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    gap = F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+    cur = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    counts = [("1_" + steps[0], cur)]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col("event_type") == step)
+            .join(cur.select("user_id", F.col("t").alias("__prev__")), "user_id")
+            .filter((F.col("ts") > F.col("__prev__")) & (F.col("ts") <= F.col("__prev__") + gap))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts.append((f"{i}_{step}", nxt))
+        cur = nxt
+    rows = None
+    for name, df in counts:
+        one = df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(name).alias("step"), "users"
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    # conversion = users / step-1 users, computed over the k-row result
+    # frame itself (no extra driver action)
+    base = F.max(
+        F.when(F.col("step") == "1_" + steps[0], F.col("users"))
+    ).over(Window.partitionBy())
+    return rows.select(
+        "step",
+        "users",
+        F.round(F.col("users") / base, 6).alias("conversion"),
+    ).orderBy("step")
