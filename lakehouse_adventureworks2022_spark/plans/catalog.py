@@ -270,6 +270,9 @@ QUERIES: dict[str, QueryFn] = {
     # ordered-funnel conversion (exact; DuckDB differential + chain
     # semantics in tests/test_funnel.py — window full)
     "funnel_conversion": relational.funnel_conversion,
+    # weekly retention-cohort matrix (exact; DuckDB differential in
+    # tests/test_retention.py — window full)
+    "retention_cohorts": relational.retention_cohorts,
 }
 
 
@@ -325,6 +328,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "clean_assets",  # binary assets have no oracle tables
         "hard_negatives",  # IVF probing: approximate by design
         "funnel_conversion",  # exact; DuckDB-diffed in pytest
+        "retention_cohorts",  # exact; DuckDB-diffed in pytest
     }
 )
 

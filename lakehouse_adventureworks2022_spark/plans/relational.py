@@ -257,3 +257,57 @@ def funnel_conversion(
         "users",
         F.round(F.col("users") / base, 6).alias("conversion"),
     ).orderBy("step")
+
+
+def retention_cohorts(
+    spark: SparkSession,
+    sf_dir: str,
+    max_weeks: int = 8,
+) -> DataFrame:
+    """Weekly retention-cohort matrix over the events stream: users
+    cohort by the Monday of their FIRST event; cell (cohort, week_n) =
+    how many of that cohort were active n weeks later, with the rate
+    against cohort size. Week 0 is the cohort week itself (rate 1.0 by
+    construction — kept as the sanity row).
+
+    Plan shape: one scan → per-user first-event aggregation (one
+    user-keyed shuffle) → join back on user (same partitioning reused)
+    → distinct (cohort, user, week_n) → count. The user⋈user join is
+    |users| × activity rows on a uniform key — never events×events.
+    """
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    firsts = events.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    cells = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.col("cohort").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("wk"), F.col("cohort")) / 7
+            ).cast("int").alias("week_n"),
+        )
+        .filter(F.col("week_n") <= max_weeks)
+        .distinct()
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    sizes = firsts.groupBy(
+        F.col("cohort").cast("date").alias("cohort_week")
+    ).agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        cells.join(sizes, "cohort_week")
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            "week_n",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_n")
+    )
