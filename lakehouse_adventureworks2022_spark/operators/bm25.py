@@ -1,0 +1,170 @@
+"""BM25 lexical retrieval over an inverted-index table, and
+reciprocal-rank-fusion hybrid search combining it with the vector
+(IVF) retriever — the standard two-leg RAG retrieval stack
+(Robertson-Spärck Jones BM25; Cormack et al. RRF).
+
+Beyond-reference scope: the reference lakehouse has no search of any
+kind; a training/RAG pipeline needs the lexical leg because embedding
+retrieval misses exact identifiers, rare terms, and out-of-domain
+vocabulary — which is precisely what BM25's idf weighting catches.
+
+Spark-first design:
+
+- the inverted index IS a DataFrame — ``(term, doc_id, tf)`` postings
+  plus per-doc lengths and per-term document frequencies, built in two
+  uniform-key aggregations over one tokenized scan and persistable via
+  ``TableManager`` like every other index in this engine;
+- scoring is join-shaped, not UDF-shaped: query terms (a kilobyte-scale
+  frame) broadcast against the postings equi-join on ``term``; the BM25
+  formula is a single Catalyst expression over (tf, df, doc_len)
+  columns; per-query top-k is the engine's standard window pattern.
+
+100 TB posture: postings shuffle once on the uniform term key at build;
+a query batch touches only the postings of ITS terms (the broadcast
+join prunes everything else — this is the inverted index doing its
+job), and the score aggregation keys on (query_id, doc_id), which is as
+uniform as the corpus itself. A pathological stop-word query term hits
+a huge posting list — mitigate upstream with a df-ratio cap
+(``max_df_ratio``), the classic stop-list-by-statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_adventureworks2022_spark.operators.textops import tokens_col
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_ratio: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the inverted index: returns ``(postings, stats)``.
+
+    ``postings``: one row per (term, doc_id) — ``(term, doc_id, tf,
+    doc_len, df, n_docs)`` with everything scoring needs denormalized
+    onto the posting row (df/n_docs ride along so search needs no extra
+    join). Terms in more than ``max_df_ratio`` of documents are dropped
+    (statistical stop-listing — their idf ≈ 0 contributes noise and
+    their posting lists are the skew hazard).
+
+    ``stats``: single row ``(n_docs, avg_doc_len)``.
+    """
+    toks = F.filter(tokens_col(F.col(text_col)), lambda t: F.length(t) > 0)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks__")
+    ).withColumn("doc_len", F.size("__toks__"))
+    tf = (
+        base.select("doc_id", "doc_len", F.explode("__toks__").alias("term"))
+        .groupBy("term", "doc_id", "doc_len")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = base.count()  # bounded driver scalar, like every index build
+    postings = (
+        tf.join(
+            df_counts.filter(F.col("df") <= int(max_df_ratio * n_docs)),
+            "term",
+        )
+        .withColumn("n_docs", F.lit(n_docs))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_len").alias("avg_doc_len"),
+    )
+    return postings, stats
+
+
+def bm25_search(
+    queries: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "query_text",
+) -> DataFrame:
+    """BM25 top-k per query: ``(query_id, cand_id, rank, score)``.
+
+    idf is the Robertson-Spärck Jones form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always positive); repeated
+    query terms weight by their query-side count. One broadcast of the
+    query-term frame, one equi-join on ``term``, one (query, doc)
+    aggregation, one window top-k.
+    """
+    avg_len = stats.select("avg_doc_len").collect()[0]["avg_doc_len"]
+    qterms = (
+        queries.select(
+            "query_id",
+            F.explode(
+                F.filter(
+                    tokens_col(F.col(text_col)), lambda t: F.length(t) > 0
+                )
+            ).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    idf = F.log1p(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_sat = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("doc_len") / F.lit(float(avg_len)))
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .select(
+            "query_id",
+            F.col("doc_id").alias("cand_id"),
+            (F.col("qtf") * idf * tf_sat).alias("__s__"),
+        )
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("__s__").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def rrf_fuse(
+    hits_a: DataFrame,
+    hits_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers' ``(query_id, cand_id,
+    rank)`` lists: ``score = Σ_leg 1/(c + rank)``, re-ranked top-k —
+    the standard score-free hybrid (no calibration between BM25 scores
+    and cosines needed, which is RRF's whole point).
+
+    Full-outer on (query, cand): a candidate found by only one leg
+    still scores on that leg. Both inputs are already ≤ |Q|·k rows, so
+    fusion is trivially cheap regardless of corpus size.
+    """
+    a = hits_a.select("query_id", "cand_id", F.col("rank").alias("rank_a"))
+    bdf = hits_b.select("query_id", "cand_id", F.col("rank").alias("rank_b"))
+    fused = (
+        a.join(bdf, ["query_id", "cand_id"], "full_outer")
+        .withColumn(
+            "score",
+            F.coalesce(1.0 / (F.lit(c) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(c) + F.col("rank_b")), F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cand_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", F.round("score", 6).alias("score"))
+    )

@@ -273,6 +273,9 @@ QUERIES: dict[str, QueryFn] = {
     # weekly retention-cohort matrix (exact; DuckDB differential in
     # tests/test_retention.py — window full)
     "retention_cohorts": relational.retention_cohorts,
+    # two-leg hybrid retrieval: BM25 inverted index + IVF vector leg,
+    # reciprocal-rank fused (IVF probing ⇒ approximate)
+    "hybrid_retrieval": text_queries.q_hybrid_retrieval,
 }
 
 
@@ -329,6 +332,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "hard_negatives",  # IVF probing: approximate by design
         "funnel_conversion",  # exact; DuckDB-diffed in pytest
         "retention_cohorts",  # exact; DuckDB-diffed in pytest
+        "hybrid_retrieval",  # IVF leg: approximate by design
     }
 )
 

@@ -884,3 +884,48 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mine_hard_negatives(
         queries, positives, centroids, cells, k=20, n_neg=5
     )
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-leg hybrid retrieval over the chunked documents corpus:
+    BM25 (inverted index over chunk text) and IVF vector search (the
+    persisted chunk index) answer the same free-text queries, fused by
+    reciprocal-rank fusion. Candidate ids share the chunk id space
+    (doc_id·10⁶ + chunk_id), so fusion is a plain (query, cand) outer
+    join. Approximate (IVF leg) ⇒ rows-only; BM25 math and RRF are
+    exactly pinned in tests/test_bm25.py."""
+    from lakehouse_adventureworks2022_spark.operators.bm25 import (
+        bm25_search,
+        build_bm25_index,
+        rrf_fuse,
+    )
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        chunk_documents,
+    )
+    from lakehouse_adventureworks2022_spark.operators.vectorize import (
+        chunk_index_ensure,
+        retrieval_search,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(5_000_000_000)).alias("query_id"),
+        F.substring("text", 1, 200).alias("query_text"),
+    )
+    centroids, cells = chunk_index_ensure(
+        spark, docs, rag_index_dir_for(sf_dir)
+    )
+    vec = retrieval_search(queries, centroids, cells, k=10)
+    chunks = chunk_documents(
+        docs, chunk_tokens=64, overlap_tokens=8
+    ).withColumn(
+        "vec_id",
+        (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_id")).cast("long"),
+    )
+    # fixture vocabulary is tiny and shared — keep all terms (see
+    # tests/test_bm25.py on statistical stop-listing)
+    postings, stats = build_bm25_index(
+        chunks, text_col="chunk_text", id_col="vec_id", max_df_ratio=1.0
+    )
+    lex = bm25_search(queries, postings, stats, k=10)
+    return rrf_fuse(lex, vec, k=5)
