@@ -87,6 +87,8 @@ HEADLINE = [
     "clean_assets",
     # steady-state hard-negative mining over the persisted chunk index
     "hard_negatives",
+    # two-leg hybrid retrieval over persisted BM25 + IVF indexes
+    "hybrid_retrieval",
 ]
 
 

@@ -78,6 +78,47 @@ def build_bm25_index(
     return postings, stats
 
 
+def bm25_index_save(
+    postings: DataFrame, stats: DataFrame, index_dir: str, n_files: int = 16
+) -> None:
+    """Persist the inverted index: postings range-clustered on ``term``
+    (point-term lookups prune files via footer min-max — the same
+    clustered-index discipline as the IVF cells table) + the one-row
+    stats beside it."""
+    (
+        postings.repartitionByRange(n_files, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/postings")
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+
+def bm25_index_ensure(
+    spark,
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_ratio: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Load the persisted inverted index at ``index_dir``, building and
+    saving it first if absent — the deployed lexical-search shape
+    (build once per corpus version; the build is deterministic). Same
+    contract as ``similarity.ivf_index_ensure``."""
+    import os
+
+    if not os.path.exists(f"{index_dir}/stats/_SUCCESS"):
+        postings, stats = build_bm25_index(
+            docs, text_col=text_col, id_col=id_col, max_df_ratio=max_df_ratio
+        )
+        bm25_index_save(postings, stats, index_dir)
+    return (
+        spark.read.parquet(f"{index_dir}/postings"),
+        spark.read.parquet(f"{index_dir}/stats"),
+    )
+
+
 def bm25_search(
     queries: DataFrame,
     postings: DataFrame,

@@ -916,16 +916,25 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs, rag_index_dir_for(sf_dir)
     )
     vec = retrieval_search(queries, centroids, cells, k=10)
+    # BM25 index persisted beside the vector index (built once per
+    # corpus version — the deployed lexical-leg shape). The fixture
+    # vocabulary is tiny and shared, so keep all terms (see
+    # tests/test_bm25.py on statistical stop-listing).
+    from lakehouse_adventureworks2022_spark.operators.bm25 import (
+        bm25_index_ensure,
+    )
+
+    idx = rag_index_dir_for(sf_dir) + "_bm25"
+    # lazy plan — costs nothing when ensure() finds the persisted index
     chunks = chunk_documents(
         docs, chunk_tokens=64, overlap_tokens=8
     ).withColumn(
         "vec_id",
         (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_id")).cast("long"),
     )
-    # fixture vocabulary is tiny and shared — keep all terms (see
-    # tests/test_bm25.py on statistical stop-listing)
-    postings, stats = build_bm25_index(
-        chunks, text_col="chunk_text", id_col="vec_id", max_df_ratio=1.0
+    postings, stats = bm25_index_ensure(
+        spark, chunks, idx, text_col="chunk_text", id_col="vec_id",
+        max_df_ratio=1.0,
     )
     lex = bm25_search(queries, postings, stats, k=10)
     return rrf_fuse(lex, vec, k=5)

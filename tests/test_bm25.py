@@ -144,3 +144,36 @@ def test_fixture_structural_and_hybrid(spark):
     l1 = {(r["query_id"], r["rank"], r["cand_id"]) for r in rows}
     f1 = {(r["query_id"], r["rank"], r["cand_id"]) for r in fused.collect()}
     assert f1 == l1  # fusing a leg with itself cannot reorder
+
+
+def test_bm25_index_persist_reuse(spark, tmp_path):
+    import os
+
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in CORPUS.items()], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "bm25")
+    p1, s1 = bm25.bm25_index_ensure(spark, docs, idx)
+    queries = spark.createDataFrame(
+        [(1, "spark fast")], "query_id long, query_text string"
+    )
+    got1 = sorted(
+        (r["cand_id"], r["score"])
+        for r in bm25.bm25_search(queries, p1, s1, k=10).collect()
+    )
+    # fresh build matches the persisted index exactly
+    p0, s0 = bm25.build_bm25_index(docs)
+    got0 = sorted(
+        (r["cand_id"], r["score"])
+        for r in bm25.bm25_search(queries, p0, s0, k=10).collect()
+    )
+    assert got1 == got0
+    # second ensure() reuses, not rebuilds
+    mtime = os.path.getmtime(f"{idx}/stats/_SUCCESS")
+    p2, s2 = bm25.bm25_index_ensure(spark, docs, idx)
+    assert os.path.getmtime(f"{idx}/stats/_SUCCESS") == mtime
+    got2 = sorted(
+        (r["cand_id"], r["score"])
+        for r in bm25.bm25_search(queries, p2, s2, k=10).collect()
+    )
+    assert got2 == got1
