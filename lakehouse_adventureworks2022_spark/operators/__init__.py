@@ -25,6 +25,11 @@ from lakehouse_adventureworks2022_spark.operators.sampling import (  # noqa: F40
     temperature_mixture_sample,
 )
 from lakehouse_adventureworks2022_spark.operators.scd2 import scd2_apply  # noqa: F401
+from lakehouse_adventureworks2022_spark.operators.bm25 import (  # noqa: F401
+    bm25_search,
+    build_bm25_index,
+    rrf_fuse,
+)
 from lakehouse_adventureworks2022_spark.operators.bpe import (  # noqa: F401
     bpe_segment,
     train_bpe,

@@ -197,6 +197,21 @@ def main() -> None:
         ),
     )
 
+    # BM25: replicated docs multiply every posting list ×rep on the SAME
+    # terms — the posting-skew worst case the df-cap is built for; the
+    # fixture's shared vocabulary forces max_df_ratio=1.0 (harshest)
+    from lakehouse_adventureworks2022_spark.operators import bm25  # noqa: E402
+
+    def _bm25():
+        postings, stats = bm25.build_bm25_index(big_docs, max_df_ratio=1.0)
+        queries = big_docs.filter(F.col("doc_id") % 997 == 0).select(
+            (F.col("doc_id") + F.lit(9_000_000_000)).alias("query_id"),
+            F.substring("text", 1, 150).alias("query_text"),
+        )
+        return bm25.bm25_search(queries, postings, stats, k=10)
+
+    run("bm25_build_and_search", _bm25)
+
     print(
         json.dumps(
             {
