@@ -1,0 +1,92 @@
+"""Streaming retrieval-index ingestion (streaming/index_ingest.py):
+streamed docs become searchable, replay is idempotent, existing cells
+never rewrite."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from lakehouse_adventureworks2022_spark.operators.similarity import (
+    ivf_index_load,
+    ivf_search,
+)
+from lakehouse_adventureworks2022_spark.operators.vectorize import (
+    chunk_index_ensure,
+    hashing_vectorizer,
+    retrieval_search,
+)
+from lakehouse_adventureworks2022_spark.sources.readers import read_table
+from lakehouse_adventureworks2022_spark.streaming.index_ingest import (
+    stream_index_ingest,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_ingest(spark, src_dir, idx, ckpt):
+    src = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(str(src_dir))
+    q = stream_index_ingest(src, idx, str(ckpt))
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streamed_docs_become_searchable_and_replay_is_idempotent(
+    spark, tmp_path
+):
+    docs = read_table(spark, SF, "documents")
+    seed = docs.filter("doc_id < 300")
+    arriving = docs.filter("doc_id >= 300 AND doc_id < 400")
+
+    idx = str(tmp_path / "idx")
+    chunk_index_ensure(spark, seed, idx)  # train+seed the index
+    cells_before = spark.read.parquet(f"{idx}/cells").count()
+    files_before = set(glob.glob(f"{idx}/cells/*.parquet"))
+
+    src_dir = tmp_path / "arrivals"
+    arriving.coalesce(1).write.mode("overwrite").parquet(str(src_dir))
+    _run_ingest(spark, src_dir, idx, tmp_path / "ckpt")
+
+    centroids, cells = ivf_index_load(spark, idx)
+    assert cells.count() > cells_before  # new vectors landed
+    # existing cell files were NOT rewritten (frozen-centroid append)
+    assert files_before <= set(glob.glob(f"{idx}/cells/*.parquet"))
+
+    # a streamed doc's own text now retrieves its chunk at rank 1
+    queries = arriving.limit(5).select(
+        (F.col("doc_id") + F.lit(7_000_000_000)).alias("query_id"),
+        F.substring("text", 1, 200).alias("query_text"),
+    )
+    hits = retrieval_search(queries, centroids, cells, k=5)
+    self_hits = hits.filter(
+        (F.col("cand_id") / 1_000_000).cast("long")
+        == F.col("query_id") - 7_000_000_000
+    )
+    assert self_hits.filter(F.col("rank") == 1).count() >= 4
+
+    # replay: same checkpoint, same source — nothing double-indexed
+    n1 = spark.read.parquet(f"{idx}/cells").count()
+    _run_ingest(spark, src_dir, idx, tmp_path / "ckpt")
+    assert spark.read.parquet(f"{idx}/cells").count() == n1
+
+
+def test_quality_gate_filters_before_indexing(spark, tmp_path):
+    docs = read_table(spark, SF, "documents")
+    seed = docs.filter("doc_id < 100")
+    idx = str(tmp_path / "idx2")
+    chunk_index_ensure(spark, seed, idx)
+    n0 = spark.read.parquet(f"{idx}/cells").count()
+
+    # junk batch: all docs fail the trainability gate (too short)
+    junk = spark.createDataFrame(
+        [(9001, "x", "en", "web", 1), (9002, "", "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src_dir = tmp_path / "junk"
+    junk.coalesce(1).write.mode("overwrite").parquet(str(src_dir))
+    _run_ingest(spark, src_dir, idx, tmp_path / "ckpt2")
+    assert spark.read.parquet(f"{idx}/cells").count() == n0  # nothing added
