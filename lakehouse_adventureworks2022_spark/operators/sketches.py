@@ -45,3 +45,102 @@ def merge_distinct(
     if keys:
         return sketches.groupBy(*keys).agg(*agg)
     return sketches.agg(*agg)
+
+
+# ---- count-min sketch (mergeable frequency estimates) ----------------
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 5,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies as a DataFrame of
+    ``(row, bucket, count)`` — ``depth`` independent hash rows × a
+    ``width``-bucket modulus each (hash_i = xxhash64 seeded by the row
+    index). The HLL module's companion for the OTHER sketch question:
+    "how often does this key occur", incrementally maintainable where
+    exact per-key counts can't be pre-aggregated under churn.
+
+    Standard guarantees (Cormode-Muthukrishnan): estimates never
+    undercount; overcount ≤ (e/width)·N with probability ≥ 1−e^(−depth)
+    per query. Mergeability is the point: sketches of two corpora sum
+    cell-wise (:func:`cms_merge`) — store one sketch per day and answer
+    any date-range frequency question from kilobyte tables.
+
+    Build is one explode (×depth, map-side) + one uniform-key
+    aggregation; the sketch is depth×width rows regardless of corpus
+    size. ``weight_col`` supports weighted counting (e.g. token counts).
+    """
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = df.select(
+        F.col(key_col).alias("__k__"), w.alias("__w__")
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.lit(d), F.col("__k__")),
+                            F.lit(width),
+                        ).cast("int").alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__cell__"),
+        "__w__",
+    )
+    return (
+        rows.select("__cell__.row", "__cell__.bucket", "__w__")
+        .groupBy("row", "bucket")
+        .agg(F.sum("__w__").alias("count"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of same-shape sketches (sketch of the union ==
+    merge of the sketches — tested)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("count").alias("count"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 5,
+    width: int = 1024,
+) -> DataFrame:
+    """Frequency estimates for a keys frame: re-derive each key's
+    depth cells (same seeded hashes), broadcast-join against the sketch,
+    take the MIN across rows — ``(key, estimate)``. ``depth``/``width``
+    MUST match the build parameters (the sketch table stores only
+    touched cells, so the geometry is the caller's contract — same as
+    any CMS implementation's serialized header)."""
+    cells = keys.select(F.col(key_col).alias("key")).distinct().select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.lit(d), F.col("key")), F.lit(width)
+                        ).cast("int").alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__cell__"),
+    ).select("key", "__cell__.row", "__cell__.bucket")
+    return (
+        cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .na.fill({"count": 0})
+        .groupBy("key")
+        .agg(F.min("count").alias("estimate"))
+    )

@@ -64,3 +64,79 @@ def test_sketch_column_survives_a_table_roundtrip(spark, events, tmp_path):
     est = sketches.merge_distinct(reloaded).collect()[0]["distinct_estimate"]
     exact = events.select("user_id").distinct().count()
     assert abs(est - exact) / exact < 0.05
+
+
+# ---- count-min sketch (round 5) --------------------------------------
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    truth = {
+        r["user_id"]: r["c"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    n = sum(truth.values())
+    sketch = cms_build(events, "user_id", depth=5, width=1024)
+    est = {
+        r["key"]: r["estimate"]
+        for r in cms_estimate(
+            sketch, events.select("user_id"), "user_id", depth=5, width=1024
+        ).collect()
+    }
+    assert set(est) == set(truth)
+    overs = 0
+    for k, t in truth.items():
+        assert est[k] >= t  # NEVER undercounts
+        if est[k] > t + (2.718 / 1024) * n:
+            overs += 1
+    # ε-bound holds for the overwhelming majority (δ = e^-5 per query)
+    assert overs <= max(1, len(truth) // 50)
+
+
+def test_cms_merge_equals_union_build(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    a = events.filter("event_id % 2 = 0")
+    b = events.filter("event_id % 2 = 1")
+    merged = cms_merge(
+        cms_build(a, "user_id"), cms_build(b, "user_id")
+    )
+    direct = cms_build(events, "user_id")
+    sm = {(r["row"], r["bucket"]): r["count"] for r in merged.collect()}
+    sd = {(r["row"], r["bucket"]): r["count"] for r in direct.collect()}
+    assert sm == sd  # sketch of union == merge of sketches, cell-exact
+
+
+def test_cms_weighted_and_unknown_key(spark):
+    from lakehouse_adventureworks2022_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 2), ("b", 10)], "k string, w int"
+    )
+    sketch = cms_build(df, "k", depth=3, width=64, weight_col="w")
+    keys = spark.createDataFrame([("a",), ("b",), ("zzz",)], "k string")
+    est = {
+        r["key"]: r["estimate"]
+        for r in cms_estimate(sketch, keys, "k", depth=3, width=64).collect()
+    }
+    assert est["a"] >= 5 and est["b"] >= 10
+    # an unseen key can only collide upward from 0
+    assert est["zzz"] >= 0
