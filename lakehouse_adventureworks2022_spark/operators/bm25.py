@@ -209,3 +209,81 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", F.round("score", 6).alias("score"))
     )
+
+
+# ---- learned re-ranking over fused retrieval legs --------------------
+
+#: Features per (query, candidate): the two legs' reciprocal ranks and
+#: normalized scores (0 where a leg missed the candidate).
+LTR_FEATURE_COLS = ("rr_lex", "rr_vec", "score_lex", "cosine_vec")
+
+
+def ltr_features(hits_lex: DataFrame, hits_vec: DataFrame) -> DataFrame:
+    """Per-(query, cand) feature frame from the two retrieval legs —
+    full-outer so a candidate one leg missed still gets the other
+    leg's evidence (the missing side reads as 0). ≤ |Q|·k rows per
+    leg; the join is trivially cheap at any corpus size."""
+    lex = hits_lex.select(
+        "query_id",
+        "cand_id",
+        (1.0 / F.col("rank")).alias("rr_lex"),
+        F.col("score").alias("score_lex"),
+    )
+    vec = hits_vec.select(
+        "query_id",
+        "cand_id",
+        (1.0 / F.col("rank")).alias("rr_vec"),
+        F.col("cosine").alias("cosine_vec"),
+    )
+    return lex.join(vec, ["query_id", "cand_id"], "full_outer").na.fill(
+        {c: 0.0 for c in LTR_FEATURE_COLS}
+    )
+
+
+def train_reranker(features: DataFrame, positives: DataFrame):
+    """Fit a pointwise learning-to-rank model (logistic over
+    :data:`LTR_FEATURE_COLS`) from ground-truth positives — the
+    lightweight cross-encoder stand-in: distributed L-BFGS, JVM-side
+    scoring, saves/loads like any ``pyspark.ml`` model. Labels: 1 for
+    (query, cand) in ``positives``, 0 otherwise."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    labeled = features.join(
+        F.broadcast(positives.withColumn("label", F.lit(1.0))),
+        ["query_id", "cand_id"],
+        "left",
+    ).na.fill({"label": 0.0})
+    assembled = VectorAssembler(
+        inputCols=list(LTR_FEATURE_COLS), outputCol="features"
+    ).transform(labeled)
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", maxIter=50, regParam=0.01
+    )
+    return lr.fit(assembled)
+
+
+def rerank(features: DataFrame, model, k: int = 10) -> DataFrame:
+    """Score candidates with the trained re-ranker and take per-query
+    top-k by model probability: ``(query_id, cand_id, rank, score)``."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    assembled = VectorAssembler(
+        inputCols=list(LTR_FEATURE_COLS), outputCol="features"
+    ).transform(features)
+    scored = model.transform(assembled).select(
+        "query_id",
+        "cand_id",
+        F.round(
+            vector_to_array(F.col("probability"))[1], 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "score")
+    )

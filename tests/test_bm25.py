@@ -177,3 +177,64 @@ def test_bm25_index_persist_reuse(spark, tmp_path):
         for r in bm25.bm25_search(queries, p2, s2, k=10).collect()
     )
     assert got2 == got1
+
+
+# ---- learned re-ranking (round 5) ------------------------------------
+
+def test_ltr_reranker_end_to_end(spark):
+    from lakehouse_adventureworks2022_spark.operators.vectorize import (
+        build_chunk_index,
+        retrieval_metrics,
+        retrieval_search,
+    )
+
+    docs = read_table(spark, SF, "documents").limit(150)
+    centroids, cells, chunks = build_chunk_index(docs)
+    queries = docs.limit(12).selectExpr(
+        "doc_id + 5000000000 AS query_id",
+        "substring(text, 1, 200) AS query_text",
+    )
+    vec = retrieval_search(queries, centroids, cells, k=10)
+    postings, stats = bm25.build_bm25_index(
+        chunks.withColumn(
+            "vec_id",
+            (F.col("doc_id") * 1_000_000 + F.col("chunk_id")).cast("long"),
+        ),
+        text_col="chunk_text",
+        id_col="vec_id",
+        max_df_ratio=1.0,
+    )
+    lex = bm25.bm25_search(queries, postings, stats, k=10)
+    feats = bm25.ltr_features(lex, vec)
+    # ground truth: the query's own chunks
+    positives = feats.filter(
+        (F.col("cand_id") / 1_000_000).cast("long")
+        == F.col("query_id") - 5_000_000_000
+    ).select("query_id", "cand_id")
+    model = bm25.train_reranker(feats, positives)
+    ranked = bm25.rerank(feats, model, k=10)
+
+    # structural contract
+    rows = ranked.collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(0.0 <= r["score"] <= 1.0 for r in rs)
+
+    # the model must LEARN the task: trained-on-self MRR beats or
+    # matches the unsupervised RRF fusion of the same two legs
+    fused = bm25.rrf_fuse(lex, vec, k=10)
+    m_ltr = retrieval_metrics(ranked, positives, ks=(5,)).collect()[0]["mrr"]
+    m_rrf = retrieval_metrics(fused, positives, ks=(5,)).collect()[0]["mrr"]
+    assert m_ltr >= m_rrf - 1e-9
+
+    # deterministic: retrain + rescore reproduces the ranking
+    model2 = bm25.train_reranker(feats, positives)
+    again = {
+        (r["query_id"], r["rank"], r["cand_id"])
+        for r in bm25.rerank(feats, model2, k=10).collect()
+    }
+    assert again == {(r["query_id"], r["rank"], r["cand_id"]) for r in rows}
