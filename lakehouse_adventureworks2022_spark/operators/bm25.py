@@ -57,23 +57,37 @@ def build_bm25_index(
     base = docs.select(
         F.col(id_col).alias("doc_id"), toks.alias("__toks__")
     ).withColumn("doc_len", F.size("__toks__"))
+    # ONE corpus-sized aggregation job: the single-row stats frame
+    # supplies both the driver-side n_docs for the df threshold and the
+    # persisted avg_doc_len — no separate count() pass, and the
+    # tokenize+explode work runs once for the postings job
+    stats_row = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_len").alias("avg_doc_len"),
+    ).collect()[0]
+    n_docs = stats_row["n_docs"]
+    if n_docs == 0:
+        raise ValueError(
+            "build_bm25_index: empty corpus — an inverted index over "
+            "zero documents cannot be searched (avg_doc_len undefined)"
+        )
+    spark = docs.sparkSession
+    stats = spark.createDataFrame(
+        [(n_docs, float(stats_row["avg_doc_len"]))],
+        "n_docs long, avg_doc_len double",
+    )
     tf = (
         base.select("doc_id", "doc_len", F.explode("__toks__").alias("term"))
         .groupBy("term", "doc_id", "doc_len")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = base.count()  # bounded driver scalar, like every index build
     postings = (
         tf.join(
             df_counts.filter(F.col("df") <= int(max_df_ratio * n_docs)),
             "term",
         )
         .withColumn("n_docs", F.lit(n_docs))
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("doc_len").alias("avg_doc_len"),
     )
     return postings, stats
 

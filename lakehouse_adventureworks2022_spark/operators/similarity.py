@@ -495,7 +495,11 @@ def ivf_index_save(
 
 
 def ivf_index_append(
-    spark, new_vectors: DataFrame, index_dir: str, n_files: int = 4
+    spark,
+    new_vectors: DataFrame,
+    index_dir: str,
+    n_files: int = 4,
+    batch_tag: str | None = None,
 ) -> None:
     """Add a batch of vectors to a persisted IVF index WITHOUT
     retraining: assign them to the existing (frozen) centroids and
@@ -507,19 +511,31 @@ def ivf_index_append(
     range-clustered among themselves, so footer min-max pruning keeps
     working per file; run a maintenance re-cluster when small appended
     files accumulate (same policy as any clustered table).
+
+    ``batch_tag`` makes the append IDEMPOTENT for at-least-once
+    delivery (the streaming ingest path): the batch lands in its own
+    overwrite-mode directory ``cells_appends/<tag>``, so a replay of
+    the same tag rewrites the same files instead of duplicating rows.
+    ``ivf_index_load`` unions the appends area back into the cells
+    frame; a crash mid-overwrite leaves at worst a partial ``<tag>``
+    dir that the replay's overwrite replaces wholesale.
     """
     import numpy as np
 
     centroids, _ = ivf_index_load(spark, index_dir)
     crows = sorted(centroids.collect(), key=lambda r: r["cell"])
     cm = np.array([r["centroid"] for r in crows], dtype=np.float64)
-    (
+    assigned = (
         _assign_cells_df(new_vectors, cm)
         .repartitionByRange(n_files, "cell")
         .sortWithinPartitions("cell")
-        .write.mode("append")
-        .parquet(f"{index_dir}/cells")
     )
+    if batch_tag is None:
+        assigned.write.mode("append").parquet(f"{index_dir}/cells")
+    else:
+        assigned.write.mode("overwrite").parquet(
+            f"{index_dir}/cells_appends/{batch_tag}"
+        )
 
 
 def ivf_index_recluster(spark, index_dir: str, n_files: int = 16) -> None:
@@ -536,7 +552,7 @@ def ivf_index_recluster(spark, index_dir: str, n_files: int = 16) -> None:
     import os
     import shutil
 
-    cells = spark.read.parquet(f"{index_dir}/cells")
+    _, cells = ivf_index_load(spark, index_dir)  # base + appended batches
     staging = f"{index_dir}/_tmp_cells"
     shutil.rmtree(staging, ignore_errors=True)
     (
@@ -548,17 +564,33 @@ def ivf_index_recluster(spark, index_dir: str, n_files: int = 16) -> None:
     old = f"{index_dir}/_old_cells"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(f"{index_dir}/cells", old)
+    # the rewrite folded any per-batch append dirs into the base table;
+    # retire them WITH the old base (same crash-safety: appends are only
+    # removed after the swapped-in table already contains their rows)
+    appends = f"{index_dir}/cells_appends"
+    if os.path.isdir(appends):
+        os.rename(appends, f"{old}_appends")
     os.rename(staging, f"{index_dir}/cells")
     shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(f"{old}_appends", ignore_errors=True)
 
 
 def ivf_index_load(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
     """(centroids, cells) from a saved index — hand straight to
-    :func:`ivf_search`."""
-    return (
-        spark.read.parquet(f"{index_dir}/centroids"),
-        spark.read.parquet(f"{index_dir}/cells"),
-    )
+    :func:`ivf_search`. Cells = the base clustered table plus any
+    idempotent per-batch append dirs (``cells_appends/*`` — see
+    :func:`ivf_index_append`'s ``batch_tag``)."""
+    import os
+
+    cells = spark.read.parquet(f"{index_dir}/cells")
+    appends = f"{index_dir}/cells_appends"
+    if os.path.isdir(appends) and any(
+        not n.startswith((".", "_")) for n in os.listdir(appends)
+    ):
+        cells = cells.unionByName(
+            spark.read.option("recursiveFileLookup", "true").parquet(appends)
+        )
+    return spark.read.parquet(f"{index_dir}/centroids"), cells
 
 
 def ivf_index_ensure(

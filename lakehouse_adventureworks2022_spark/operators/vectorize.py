@@ -214,7 +214,12 @@ def retrieval_metrics(
                 F.when(F.col("__pos__") == 1, F.col("rank"))
             ).alias("__first_pos__"),
         )
-        .join(n_pos, "query_id", "inner")  # only queries WITH positives
+        # anchor on the POSITIVES side: a query with ground truth but
+        # ZERO retrieved rows must contribute recall 0, not vanish
+        # (dropping it silently inflates every metric); queries with no
+        # positives stay excluded (undefined recall — IR convention)
+        .join(n_pos, "query_id", "right")
+        .na.fill({f"__hits_{k}__": 0 for k in ks})
     )
     rr = F.coalesce(1.0 / F.col("__first_pos__"), F.lit(0.0))
     agg = per_q.agg(

@@ -230,7 +230,10 @@ def funnel_conversion(
         .groupBy("user_id")
         .agg(F.min("ts").alias("t"))
     )
-    counts = [("1_" + steps[0], cur)]
+    # zero-padded step labels so the final ORDER BY (a string sort)
+    # stays step-ordered past 9 steps ("02" < "10")
+    pad = len(str(len(steps)))
+    counts = [(f"{1:0{pad}d}_" + steps[0], cur)]
     for i, step in enumerate(steps[1:], start=2):
         nxt = (
             events.filter(F.col("event_type") == step)
@@ -239,7 +242,7 @@ def funnel_conversion(
             .groupBy("user_id")
             .agg(F.min("ts").alias("t"))
         )
-        counts.append((f"{i}_{step}", nxt))
+        counts.append((f"{i:0{pad}d}_{step}", nxt))
         cur = nxt
     rows = None
     for name, df in counts:
@@ -250,7 +253,7 @@ def funnel_conversion(
     # conversion = users / step-1 users, computed over the k-row result
     # frame itself (no extra driver action)
     base = F.max(
-        F.when(F.col("step") == "1_" + steps[0], F.col("users"))
+        F.when(F.col("step") == f"{1:0{pad}d}_" + steps[0], F.col("users"))
     ).over(Window.partitionBy())
     return rows.select(
         "step",

@@ -371,8 +371,14 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
-        .filter(F.col("total_qty") > 150)
+        .agg(F.sum("l_quantity").alias("__raw_qty__"))
+        # HAVING on the RAW sum (matching the SQL twin exactly — a
+        # rounded filter would diverge for sums in (150, 150.00005]);
+        # rounding is presentation-only, in the projection
+        .filter(F.col("__raw_qty__") > 150)
+        .select(
+            "l_orderkey", F.round("__raw_qty__", 4).alias("total_qty")
+        )
     )
     return (
         big.join(orders, big["l_orderkey"] == orders["o_orderkey"])

@@ -282,18 +282,33 @@ def stream_drift_monitor(
 
     def check(batch_df: DataFrame, batch_id: int) -> None:
         prof = corpus_profile(batch_df)
-        joined = prof.join(F.broadcast(ref), "source", "left")
-        alerts = joined.filter(
-            F.col("ref_share").isNull()
-            | (F.abs(F.col("share") - F.col("ref_share")) > share_tolerance)
-            | (
-                F.abs(F.col("mean_tokens") - F.col("ref_mean_tokens"))
-                / F.col("ref_mean_tokens")
-                > mean_tokens_tolerance
+        # full outer: a reference source MISSING from the batch (share
+        # effectively 0 — the most drastic drift) must alert too, not
+        # just unknown batch-side sources
+        joined = prof.join(F.broadcast(ref), "source", "full_outer")
+        alerts = (
+            joined.filter(
+                F.col("ref_share").isNull()
+                | F.col("share").isNull()
+                | (
+                    F.abs(F.col("share") - F.col("ref_share"))
+                    > share_tolerance
+                )
+                | (
+                    F.abs(F.col("mean_tokens") - F.col("ref_mean_tokens"))
+                    / F.col("ref_mean_tokens")
+                    > mean_tokens_tolerance
+                )
             )
-        ).withColumn("batch_id", F.lit(batch_id))
-        if alerts.limit(1).count() > 0:
-            alerts.write.mode("append").parquet(alerts_dir)
+            .withColumn("batch_id", F.lit(batch_id))
+            # alert rows are |sources|-bounded: collect ONCE so the
+            # profile aggregation doesn't run twice (probe + write)
+        )
+        rows = alerts.collect()
+        if rows:
+            batch_df.sparkSession.createDataFrame(
+                rows, alerts.schema
+            ).write.mode("append").parquet(alerts_dir)
 
     return (
         docs.writeStream.foreachBatch(check)

@@ -15,9 +15,11 @@ Semantics:
 - each micro-batch: quality gate → chunk → hashing-vectorize →
   assign+append (one Arrow pass + one clustered write — no shuffle of
   the existing index);
-- idempotence: applied batch ids recorded AFTER the append (the
-  engine's ``sink.py`` pattern), so a replayed batch after restart is
-  skipped rather than double-indexed;
+- idempotence: each batch appends through its own overwrite-mode
+  directory (``ivf_index_append(batch_tag=…)``), so a replayed batch
+  REWRITES its files instead of duplicating them — safe even when the
+  crash lands between the append and the applied-id record (the
+  recorded ids are only a fast-path skip);
 - accumulated small appended file sets are the documented maintenance
   debt — run ``similarity.ivf_index_recluster`` on the usual compaction
   cadence (tested in ``test_training_ops``).
@@ -56,9 +58,15 @@ def index_batch(
     chunk_tokens: int = 64,
     overlap_tokens: int = 8,
     dim: int = 64,
+    batch_tag: str | None = None,
 ) -> None:
     """Index ONE document batch into the persisted chunk index (shared
-    by the streaming sink and batch backfills — one code path)."""
+    by the streaming sink and batch backfills — one code path).
+
+    ``batch_tag`` routes the append through its own overwrite-mode
+    directory (``ivf_index_append``'s idempotent form) — REQUIRED for
+    at-least-once delivery, where a replayed batch must rewrite rather
+    than duplicate."""
     gated = quality_gate(batch_df)
     chunks = chunk_documents(
         gated, chunk_tokens=chunk_tokens, overlap_tokens=overlap_tokens
@@ -69,7 +77,7 @@ def index_batch(
     vectors = hashing_vectorizer(
         chunks, text_col="chunk_text", dim=dim, keep_cols=("vec_id",)
     )
-    ivf_index_append(spark, vectors, index_dir)
+    ivf_index_append(spark, vectors, index_dir, batch_tag=batch_tag)
 
 
 def stream_index_ingest(
@@ -90,6 +98,10 @@ def stream_index_ingest(
             applied = set(json.loads(applied_path.read_text()))
         if batch_id in applied:
             return
+        # the batch-tagged append is IDEMPOTENT (overwrite of the same
+        # per-batch dir), so a crash between the append and the record
+        # below re-applies safely on replay — the applied set is a
+        # fast-path skip, not the correctness mechanism
         index_batch(
             batch_df.sparkSession,
             batch_df,
@@ -97,6 +109,7 @@ def stream_index_ingest(
             chunk_tokens,
             overlap_tokens,
             dim,
+            batch_tag=f"b{batch_id}",
         )
         applied.add(batch_id)
         applied_path.parent.mkdir(parents=True, exist_ok=True)

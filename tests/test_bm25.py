@@ -238,3 +238,11 @@ def test_ltr_reranker_end_to_end(spark):
         for r in bm25.rerank(feats, model2, k=10).collect()
     }
     assert again == {(r["query_id"], r["rank"], r["cand_id"]) for r in rows}
+
+
+def test_empty_corpus_index_build_fails_loudly(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        bm25.build_bm25_index(empty)

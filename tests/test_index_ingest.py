@@ -44,7 +44,8 @@ def test_streamed_docs_become_searchable_and_replay_is_idempotent(
 
     idx = str(tmp_path / "idx")
     chunk_index_ensure(spark, seed, idx)  # train+seed the index
-    cells_before = spark.read.parquet(f"{idx}/cells").count()
+    _, cells0 = ivf_index_load(spark, idx)
+    cells_before = cells0.count()
     files_before = set(glob.glob(f"{idx}/cells/*.parquet"))
 
     src_dir = tmp_path / "arrivals"
@@ -54,7 +55,7 @@ def test_streamed_docs_become_searchable_and_replay_is_idempotent(
     centroids, cells = ivf_index_load(spark, idx)
     assert cells.count() > cells_before  # new vectors landed
     # existing cell files were NOT rewritten (frozen-centroid append)
-    assert files_before <= set(glob.glob(f"{idx}/cells/*.parquet"))
+    assert files_before == set(glob.glob(f"{idx}/cells/*.parquet"))
 
     # a streamed doc's own text now retrieves its chunk at rank 1
     queries = arriving.limit(5).select(
@@ -68,10 +69,20 @@ def test_streamed_docs_become_searchable_and_replay_is_idempotent(
     )
     assert self_hits.filter(F.col("rank") == 1).count() >= 4
 
-    # replay: same checkpoint, same source — nothing double-indexed
-    n1 = spark.read.parquet(f"{idx}/cells").count()
+    # replay via the recorded-ids fast path: nothing double-indexed
+    n1 = ivf_index_load(spark, idx)[1].count()
     _run_ingest(spark, src_dir, idx, tmp_path / "ckpt")
-    assert spark.read.parquet(f"{idx}/cells").count() == n1
+    assert ivf_index_load(spark, idx)[1].count() == n1
+
+    # crash-window replay: re-apply the SAME batch tag directly (as a
+    # restart would after crashing between append and record) — the
+    # overwrite-mode per-batch dir rewrites instead of duplicating
+    from lakehouse_adventureworks2022_spark.streaming.index_ingest import (
+        index_batch,
+    )
+
+    index_batch(spark, arriving, idx, batch_tag="b0")
+    assert ivf_index_load(spark, idx)[1].count() == n1
 
 
 def test_quality_gate_filters_before_indexing(spark, tmp_path):
@@ -79,7 +90,7 @@ def test_quality_gate_filters_before_indexing(spark, tmp_path):
     seed = docs.filter("doc_id < 100")
     idx = str(tmp_path / "idx2")
     chunk_index_ensure(spark, seed, idx)
-    n0 = spark.read.parquet(f"{idx}/cells").count()
+    n0 = ivf_index_load(spark, idx)[1].count()
 
     # junk batch: all docs fail the trainability gate (too short)
     junk = spark.createDataFrame(
@@ -89,4 +100,4 @@ def test_quality_gate_filters_before_indexing(spark, tmp_path):
     src_dir = tmp_path / "junk"
     junk.coalesce(1).write.mode("overwrite").parquet(str(src_dir))
     _run_ingest(spark, src_dir, idx, tmp_path / "ckpt2")
-    assert spark.read.parquet(f"{idx}/cells").count() == n0  # nothing added
+    assert ivf_index_load(spark, idx)[1].count() == n0  # nothing added

@@ -187,3 +187,36 @@ def test_stream_drift_monitor(spark, tmp_path):
     flagged = {r["source"] for r in got.collect()}
     assert "mystery_feed" in flagged  # unknown source always alerts
     assert got.count() >= 1
+
+
+def test_stream_drift_monitor_alerts_on_vanished_source(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators.monitoring import (
+        corpus_profile,
+    )
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+    from lakehouse_adventureworks2022_spark.streaming.corpus import (
+        stream_drift_monitor,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    ref = corpus_profile(docs)
+    a_source = docs.select("source").first()["source"]
+    # the batch is missing that source ENTIRELY — the harshest drift
+    drifted = docs.filter(F.col("source") != a_source)
+    src = str(tmp_path / "van")
+    drifted.coalesce(1).write.mode("overwrite").parquet(src)
+    alerts_dir = str(tmp_path / "alerts")
+    q = stream_drift_monitor(
+        spark.readStream.schema(docs.schema).parquet(src),
+        ref,
+        alerts_dir,
+        str(tmp_path / "ck"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    flagged = {
+        r["source"] for r in spark.read.parquet(alerts_dir).collect()
+    }
+    assert a_source in flagged  # the vanished source IS the alert

@@ -284,3 +284,23 @@ def test_retrieval_metrics_on_real_index(spark):
     assert m[10]["hit_rate_at_k"] >= 0.8
     assert m[1]["mrr"] >= 0.5
     assert m[10]["n_queries"] == 10
+
+
+def test_retrieval_metrics_counts_zero_hit_queries(spark):
+    """A query with ground truth but NO retrieved rows must drag the
+    averages down (recall 0), not silently vanish from n_queries."""
+    from lakehouse_adventureworks2022_spark.operators.vectorize import (
+        retrieval_metrics,
+    )
+
+    hits = spark.createDataFrame(
+        [(1, 10, 1)], "query_id long, cand_id long, rank int"
+    )
+    positives = spark.createDataFrame(
+        [(1, 10), (2, 20)], "query_id long, cand_id long"  # q2: zero hits
+    )
+    m = {r["k"]: r for r in retrieval_metrics(hits, positives, ks=(1,)).collect()}
+    assert m[1]["n_queries"] == 2
+    assert abs(m[1]["recall_at_k"] - 0.5) < 1e-9  # (1 + 0)/2
+    assert abs(m[1]["hit_rate_at_k"] - 0.5) < 1e-9
+    assert abs(m[1]["mrr"] - 0.5) < 1e-9  # (1 + 0)/2
