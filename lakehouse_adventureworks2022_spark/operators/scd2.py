@@ -139,3 +139,71 @@ def scd2_apply(
 def _ordered_cols(df: DataFrame, business_key: str, tracked_cols: list[str]):
     ordered = [business_key, *tracked_cols, *META_COLS]
     return [F.col(c) for c in ordered if c in df.columns]
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    business_key: str,
+    ts_col: str,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-time lookup against an SCD2 dimension: each fact row
+    joins the dimension VERSION that was valid at the fact's own
+    timestamp — the query Type-2 history exists to answer (the
+    reference only ever reads ``is_current``; as-of-history reads are
+    where its model falls short, SURVEY.md §4).
+
+    Semantics: a version is valid for ``effective_date <= ts <
+    expiration_date`` (current versions have null expiration = open
+    interval). Facts before the key's first version get null payload
+    (left-join behavior). ``payload_cols`` defaults to every dimension
+    column except the validity metadata.
+
+    Spark-first shape — NOT a range join: the naive
+    ``BETWEEN``-predicate join plans an inequality join (broadcast
+    nested loop at worst, and at best re-scans versions per fact). This
+    re-expresses the lookup with the engine's as-of machinery
+    (``plans/advanced_joins.asof_click_attribution``): union version
+    starts with fact rows, ONE shuffle on the business key, and a
+    running ``last(…, ignorenulls=True)`` ordered by event time carries
+    each version's payload forward to every fact until the next version
+    starts. Versions are contiguous by construction (``scd2_apply``
+    expires a version at exactly the next version's effective date), so
+    interval-end checks reduce to "latest start ≤ ts" — re-checked
+    against the exact BETWEEN semantics in the DuckDB differential test.
+    """
+    meta = set(META_COLS)
+    payload = payload_cols or [
+        c for c in dim.columns if c not in meta and c != business_key
+    ]
+    v = dim.select(
+        F.col(business_key).alias("__k__"),
+        F.col("effective_date").alias("__t__"),
+        F.lit(0).alias("__is_fact__"),
+        F.struct(*[F.col(c) for c in payload]).alias("__payload__"),
+        *[F.lit(None).alias(f"__f_{c}__") for c in facts.columns],
+    )
+    f = facts.select(
+        F.col(business_key).alias("__k__"),
+        F.col(ts_col).cast("timestamp").alias("__t__"),
+        F.lit(1).alias("__is_fact__"),
+        F.lit(None).cast(v.schema["__payload__"].dataType).alias("__payload__"),
+        *[F.col(c).alias(f"__f_{c}__") for c in facts.columns],
+    )
+    # version rows sort BEFORE fact rows at the same instant
+    # (effective_date <= ts is inclusive)
+    w = (
+        Window.partitionBy("__k__")
+        .orderBy("__t__", "__is_fact__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        v.unionByName(f)
+        .withColumn("__pp__", F.last("__payload__", ignorenulls=True).over(w))
+        .filter(F.col("__is_fact__") == 1)
+    )
+    return joined.select(
+        *[F.col(f"__f_{c}__").alias(c) for c in facts.columns],
+        *[F.col("__pp__")[c].alias(c) for c in payload],
+    )

@@ -276,6 +276,9 @@ QUERIES: dict[str, QueryFn] = {
     # two-leg hybrid retrieval: BM25 inverted index + IVF vector leg,
     # reciprocal-rank fused (IVF probing ⇒ approximate)
     "hybrid_retrieval": text_queries.q_hybrid_retrieval,
+    # SCD2 point-in-time fact enrichment (exact; DuckDB BETWEEN-join
+    # differential in tests/test_scd2_pit.py — window full)
+    "scd2_part_price_asof": scd2_query.scd2_part_price_asof,
 }
 
 
@@ -333,6 +336,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "funnel_conversion",  # exact; DuckDB-diffed in pytest
         "retention_cohorts",  # exact; DuckDB-diffed in pytest
         "hybrid_retrieval",  # IVF leg: approximate by design
+        "scd2_part_price_asof",  # exact; DuckDB-diffed in pytest
     }
 )
 

@@ -81,3 +81,38 @@ ORACLE = """
            TRUE
     FROM b2 WHERE p_partkey % 7 = 0 OR p_partkey % 13 = 0
 """
+
+
+def scd2_part_price_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact enrichment: each lineitem's audit timestamp
+    (synthetic 2024 window spanning both dimension versions —
+    ``2024-01-01 + (l_orderkey % 60) days``) joined to the part price
+    VERSION valid at that instant via
+    ``operators.scd2.scd2_point_in_time_join`` (union + running-last —
+    one business-key shuffle, no inequality join). Exact; DuckDB
+    BETWEEN-join differential at fixture scale in
+    tests/test_scd2_pit.py (oracle window full)."""
+    dim = scd2_part_dimension(spark, sf_dir)
+    from lakehouse_adventureworks2022_spark.operators.scd2 import (
+        scd2_point_in_time_join,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    facts = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_partkey").alias("p_partkey"),
+        (
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.make_interval(days=(F.col("l_orderkey") % 60).cast("int"))
+        ).alias("audit_ts"),
+    )
+    return scd2_point_in_time_join(
+        facts, dim, "p_partkey", "audit_ts", payload_cols=["p_retailprice"]
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_partkey",
+        F.col("audit_ts").cast("string").alias("audit_ts"),
+        "p_retailprice",
+    )
