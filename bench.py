@@ -89,6 +89,8 @@ HEADLINE = [
     "hard_negatives",
     # two-leg hybrid retrieval over persisted BM25 + IVF indexes
     "hybrid_retrieval",
+    # SCD2 point-in-time fact enrichment (600k facts × version history)
+    "scd2_part_price_asof",
 ]
 
 
