@@ -189,3 +189,58 @@ def corpus_drift(
             "p50_tokens_delta"
         ),
     )
+
+
+def value_anomalies(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lookback: int = 20,
+    z_threshold: float = 3.0,
+    min_history: int = 5,
+) -> DataFrame:
+    """Per-key windowed anomaly detection: flag each event whose value
+    sits more than ``z_threshold`` sample standard deviations from the
+    mean of the key's PRECEDING ``lookback`` events (the trailing frame
+    excludes the current row — an anomaly must not dilute the baseline
+    it is judged against). Events with fewer than ``min_history``
+    predecessors are unscored (null z) — cold keys can't alarm.
+
+    Output: the event columns + ``baseline_mean``, ``baseline_std``,
+    ``z_score``, ``is_anomaly``.
+
+    Scale: one hash shuffle on the key + per-partition sort; the
+    bounded frame holds O(lookback) state per row. A degenerate
+    zero-variance baseline scores any deviation as +/-infinity —
+    mapped to anomalous iff the value actually differs.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, F.monotonically_increasing_id())
+        .rowsBetween(-lookback, -1)
+    )
+    out = (
+        events.withColumn("baseline_mean", F.avg(value_col).over(w))
+        .withColumn("baseline_std", F.stddev_samp(value_col).over(w))
+        .withColumn("__n__", F.count(F.lit(1)).over(w))
+    )
+    z = F.when(
+        (F.col("__n__") >= min_history) & (F.col("baseline_std") > 0),
+        (F.col(value_col) - F.col("baseline_mean")) / F.col("baseline_std"),
+    )
+    return (
+        out.withColumn("z_score", F.round(z, 6))
+        .withColumn(
+            "is_anomaly",
+            F.when(
+                F.col("__n__") < min_history, F.lit(False)
+            ).when(
+                F.col("baseline_std") == 0,
+                F.col(value_col) != F.col("baseline_mean"),
+            ).otherwise(F.abs(F.col("z_score")) > z_threshold),
+        )
+        .drop("__n__")
+    )

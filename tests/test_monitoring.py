@@ -220,3 +220,62 @@ def test_stream_drift_monitor_alerts_on_vanished_source(spark, tmp_path):
         r["source"] for r in spark.read.parquet(alerts_dir).collect()
     }
     assert a_source in flagged  # the vanished source IS the alert
+
+
+def test_value_anomalies_planted_spike(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators.monitoring import (
+        value_anomalies,
+    )
+
+    rows = []
+    # user 1: 20 steady values then a spike; user 2: steady throughout
+    for i in range(20):
+        rows.append((1, f"2024-01-01 00:{i:02d}:00", 10.0 + (i % 3)))
+    rows.append((1, "2024-01-01 01:00:00", 500.0))  # the spike
+    rows.append((1, "2024-01-01 01:01:00", 10.0))  # recovery: normal
+    for i in range(10):
+        rows.append((2, f"2024-01-01 00:{i:02d}:00", 10.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = value_anomalies(df)
+    flagged = [
+        (r["user_id"], str(r["ts"]), r["value"])
+        for r in out.filter("is_anomaly").collect()
+    ]
+    assert flagged == [(1, "2024-01-01 01:00:00", 500.0)]
+    # the spike itself must not poison the NEXT event's baseline check:
+    # the trailing frame includes the spike, widening std — recovery
+    # event is unflagged (verified by the single-flag assert above)
+    # cold keys (first min_history events) are never flagged
+    early = out.filter("user_id = 2").collect()
+    assert all(not r["is_anomaly"] for r in early)
+    # zero-variance baseline: identical values → no flag, deviation → flag
+    zv = value_anomalies(
+        spark.createDataFrame(
+            [(9, f"2024-01-01 00:{i:02d}:00", 5.0) for i in range(8)]
+            + [(9, "2024-01-01 00:30:00", 5.1)],
+            "user_id long, ts string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+    )
+    fl = [r["value"] for r in zv.filter("is_anomaly").collect()]
+    assert fl == [5.1]
+
+
+def test_value_anomalies_fixture_rates(spark):
+    from lakehouse_adventureworks2022_spark.operators.monitoring import (
+        value_anomalies,
+    )
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    out = value_anomalies(events)
+    n = events.count()
+    flagged = out.filter("is_anomaly").count()
+    # |z| > 3: a small tail (the fixture's values are heavy-tailed, so
+    # the rate sits above the Gaussian 0.3% — ~2.5% observed)
+    assert 0 < flagged < n * 0.05
+    scored = out.filter("z_score IS NOT NULL").count()
+    assert scored > n * 0.5  # most events have enough history
