@@ -279,6 +279,9 @@ QUERIES: dict[str, QueryFn] = {
     # SCD2 point-in-time fact enrichment (exact; DuckDB BETWEEN-join
     # differential in tests/test_scd2_pit.py — window full)
     "scd2_part_price_asof": scd2_query.scd2_part_price_asof,
+    # trailing-window z-score anomaly detection (exact; planted-spike
+    # differentials in tests/test_monitoring.py — window full)
+    "event_anomalies": text_queries.q_event_anomalies,
 }
 
 
@@ -337,6 +340,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "retention_cohorts",  # exact; DuckDB-diffed in pytest
         "hybrid_retrieval",  # IVF leg: approximate by design
         "scd2_part_price_asof",  # exact; DuckDB-diffed in pytest
+        "event_anomalies",  # exact; planted-spike diffed in pytest
     }
 )
 

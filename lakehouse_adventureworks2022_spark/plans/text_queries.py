@@ -938,3 +938,24 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lex = bm25_search(queries, postings, stats, k=10)
     return rrf_fuse(lex, vec, k=5)
+
+
+def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomalies over the events stream (each
+    event judged against its user's preceding 20 values — the spike
+    detector of the monitoring family). Exact; planted-spike and
+    zero-variance differentials in tests/test_monitoring.py (oracle
+    window full)."""
+    from lakehouse_adventureworks2022_spark.operators.monitoring import (
+        value_anomalies,
+    )
+
+    return value_anomalies(read_table(spark, sf_dir, "events")).select(
+        "event_id",
+        "user_id",
+        "value",
+        "baseline_mean",
+        "baseline_std",
+        "z_score",
+        "is_anomaly",
+    )
