@@ -145,6 +145,35 @@ SQL_CATALOG: dict[str, str] = {
             AND o.o_orderdate >= TIMESTAMP '2000-01-01'
         )
     """,
+    # earliest-chain funnel as chained CTEs — the per-step min_by joins
+    # the DataFrame form plans, spelled in pure SQL (dialect parity for
+    # the product-analytics family)
+    "funnel_conversion": """
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t
+              AND e.ts <= s1.t + INTERVAL 1440 MINUTES
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              AND e.ts <= s2.t + INTERVAL 1440 MINUTES
+            GROUP BY e.user_id
+        ), counts AS (
+            SELECT '1_view' AS step, (SELECT COUNT(*) FROM s1) AS users
+            UNION ALL SELECT '2_click', (SELECT COUNT(*) FROM s2)
+            UNION ALL SELECT '3_purchase', (SELECT COUNT(*) FROM s3)
+        )
+        SELECT step, users,
+               ROUND(users / MAX(CASE WHEN step = '1_view' THEN users END)
+                         OVER (), 6) AS conversion
+        FROM counts ORDER BY step
+    """,
 }
 
 
