@@ -199,6 +199,7 @@ def value_anomalies(
     lookback: int = 20,
     z_threshold: float = 3.0,
     min_history: int = 5,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-key windowed anomaly detection: flag each event whose value
     sits more than ``z_threshold`` sample standard deviations from the
@@ -214,12 +215,24 @@ def value_anomalies(
     bounded frame holds O(lookback) state per row. A degenerate
     zero-variance baseline scores any deviation as +/-infinity —
     mapped to anomalous iff the value actually differs.
+
+    Determinism: pass ``tiebreak_col`` (e.g. an event id) whenever the
+    timestamp can tie within a key — the trailing baseline, and so the
+    z-score, depends on the frame order. Without one, ties fall back to
+    ``monotonically_increasing_id()``, which varies with partition
+    layout, so results are only reproducible up to tied-timestamp
+    ordering.
     """
     from pyspark.sql import Window
 
+    tiebreak = (
+        F.col(tiebreak_col)
+        if tiebreak_col is not None
+        else F.monotonically_increasing_id()
+    )
     w = (
         Window.partitionBy(key_col)
-        .orderBy(ts_col, F.monotonically_increasing_id())
+        .orderBy(F.col(ts_col), tiebreak)
         .rowsBetween(-lookback, -1)
     )
     out = (

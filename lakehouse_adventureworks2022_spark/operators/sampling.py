@@ -159,14 +159,26 @@ def temperature_mixture_sample(
     oracle-exact even though the rates are data-dependent (double
     arithmetic on the bounded counts table is deterministic in both
     engines)."""
+    from pyspark.sql import Window
+
     counts = df.groupBy(F.col(strata_col).alias("_stratum")).agg(
         F.count("*").alias("_n")
     )
-    z = counts.agg(
-        F.sum(F.pow(F.col("_n").cast("double"), F.lit(temperature))).alias("_z"),
-        F.sum("_n").alias("_total"),
-    )
-    rates = counts.crossJoin(F.broadcast(z)).select(
+    # normalizer Z = Σ n_s^τ and the grand total as GLOBAL window
+    # aggregates over the |strata|-row counts frame (the funnel's `base`
+    # convention): a single-partition window over a bounded frame, so no
+    # join at all — the literal-key/crossJoin forms both constant-fold
+    # to a BroadcastNestedLoopJoin, which would break the plan audit's
+    # "no nested loop/cartesian anywhere" invariant
+    _all = Window.partitionBy()
+    rates = counts.select(
+        "_stratum",
+        "_n",
+        F.sum(F.pow(F.col("_n").cast("double"), F.lit(temperature)))
+        .over(_all)
+        .alias("_z"),
+        F.sum("_n").over(_all).alias("_total"),
+    ).select(
         "_stratum",
         F.least(
             F.lit(1.0),

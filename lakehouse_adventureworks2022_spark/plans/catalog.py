@@ -94,8 +94,8 @@ QUERIES: dict[str, QueryFn] = {
     # marts (J7/J8, A4/A5, T1)
     "top_products": marts.top_products,
     "sales_summary": marts.sales_summary,
-    # dims (S6, F4-F8, P12, J2)
-    "dim_date": lambda spark, sf_dir: dims.build_dim_date(spark),
+    # dims (J2; the date-spine S6/F4-F8/P12 evidence rotated to
+    # tests/test_rotated_oracles.py in r6 — dim_date green since r1)
     "dim_customer_geo": dims.build_dim_customer_geo,
     # temperature-weighted mixture sampling (deterministic md5-threshold
     # membership with data-derived per-stratum rates — oracle-exact);
@@ -105,10 +105,9 @@ QUERIES: dict[str, QueryFn] = {
     "temperature_mixture": text_queries.q_temperature_mixture,
     # facts (J4, F3)
     "fact_sales": facts.build_fact_sales,
-    # events (S2-S4, A1/A2, F9, WF1, windows)
-    "incremental_read": events.incremental_read,
-    "watermark_state": events.watermark_state,
-    "flatten_props": events.flatten_props,
+    # events (WF1, windows; incremental_read/watermark_state/
+    # flatten_props — S2-S4, A1/A2, F9 — rotated to
+    # tests/test_rotated_oracles.py in r6, green since r1)
     # dedup-latest default: the window form — measured FASTER than the
     # max_by scale path at bench scale (sf0.1 A/B in SCALE.md); max_by
     # stays exported (tested row-equal) for extreme per-key skew.
@@ -120,7 +119,9 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": text_queries.q_text_stats,
     "token_counts": text_queries.q_token_counts,
     "lang_id": text_queries.q_lang_id,
-    "doc_fingerprint": text_queries.q_fingerprint,
+    # corpus vocabulary / stopword discovery (first driver oracle in r6;
+    # was pytest-only while the window was full)
+    "corpus_vocabulary": text_queries.q_corpus_vocabulary,
     # training-data ops: dedup. The exact-Jaccard form is the
     # *verification primitive* (quadratic if fed a corpus — hence the
     # ``_exact`` name); MinHash-LSH is the corpus-scale path.
@@ -147,10 +148,13 @@ QUERIES: dict[str, QueryFn] = {
     "xml_roundtrip": semistructured.xml_roundtrip,
     "user_churn_set_ops": semistructured.user_churn_set_ops,
     "daily_event_pivot": semistructured.daily_event_pivot,
-    # data-quality gates
-    "dq_null_profile": _dq_null_profile,
-    "dq_orderkey_integrity": _dq_fk,
-    "dq_lineitem_pk": _dq_pk,
+    # TPC-H-extra shapes promoted into the window in r6 (driver-green
+    # for the first time; the dq_* gates they displaced — green since
+    # r1 — keep the same hash-diff in tests/test_rotated_oracles.py)
+    "tpch_q6_forecast_revenue": tpch_extra.q6_forecast_revenue,
+    "tpch_q7_nation_volume": tpch_extra.q7_nation_volume,
+    "tpch_q10_returned_items": tpch_extra.q10_returned_items,
+    "tpch_q14_promo_revenue_ratio": tpch_extra.q14_promo_revenue_ratio,
     # training-data ops: similarity search (exact brute-force baseline)
     "ann_cosine_topk": text_queries.q_ann_cosine,
     # relational breadth: outer-join histogram (TPC-H Q13 shape)
@@ -170,6 +174,22 @@ QUERIES: dict[str, QueryFn] = {
     "error_burst_context": advanced_joins.error_burst_context,
     "late_shipment_priority": advanced_joins.late_shipment_priority,
     "small_quantity_part_revenue": advanced_joins.small_quantity_part_revenue,
+    # product-analytics + SCD2 point-in-time (first driver oracles in
+    # r6; DuckDB-diffed in pytest since r5)
+    "funnel_conversion": relational.funnel_conversion,
+    "retention_cohorts": relational.retention_cohorts,
+    "scd2_part_price_asof": scd2_query.scd2_part_price_asof,
+    # ---- past the window: r6-rotated long-stable queries (green since
+    # r1; same hash-diff rigor now in tests/test_rotated_oracles.py via
+    # ROTATED_ORACLES below) ----
+    "dim_date": lambda spark, sf_dir: dims.build_dim_date(spark),
+    "incremental_read": events.incremental_read,
+    "watermark_state": events.watermark_state,
+    "flatten_props": events.flatten_props,
+    "doc_fingerprint": text_queries.q_fingerprint,
+    "dq_null_profile": _dq_null_profile,
+    "dq_orderkey_integrity": _dq_fk,
+    "dq_lineitem_pk": _dq_pk,
     # ---- no-oracle (approximate-by-design) variants: past the window ----
     "top_products_approx": marts.top_products_approx,
     "event_value_stats_approx": relational.event_value_stats_approx,
@@ -184,14 +204,10 @@ QUERIES: dict[str, QueryFn] = {
     # steady state (bench medians show the amortized cost; results are
     # identical to the one-shot form — build is deterministic)
     "ann_cosine_topk_ivf_amortized": text_queries.q_ann_cosine_ivf_amortized,
-    # ---- exact TPC-H-extra shapes, past the window because the 50
-    # oracle slots are full: their DuckDB differential checks (same
-    # hash-diff rigor as the window) run in tests/test_tpch_extra.py;
-    # the driver records rows-only here ----
-    "tpch_q6_forecast_revenue": tpch_extra.q6_forecast_revenue,
-    "tpch_q7_nation_volume": tpch_extra.q7_nation_volume,
-    "tpch_q10_returned_items": tpch_extra.q10_returned_items,
-    "tpch_q14_promo_revenue_ratio": tpch_extra.q14_promo_revenue_ratio,
+    # ---- exact TPC-H-extra shapes still past the window (q6/q7/q10/q14
+    # were promoted into it in r6): DuckDB differential checks of the
+    # same hash-diff rigor run in tests/test_tpch_extra.py; the driver
+    # records rows-only here ----
     "tpch_q19_disjunctive_revenue": tpch_extra.q19_disjunctive_revenue,
     "tpch_q22_idle_balances": tpch_extra.q22_idle_balances,
     "tpch_q15_top_supplier": tpch_extra.q15_top_supplier,
@@ -236,9 +252,6 @@ QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk_ivf_pq": text_queries.q_ann_cosine_ivf_pq,
     # deployed-PQ steady state (persisted codes index, ADC+re-rank only)
     "ann_cosine_topk_pq_amortized": text_queries.q_ann_cosine_pq_amortized,
-    # corpus vocabulary (exact; DuckDB hash differential in pytest —
-    # window full)
-    "corpus_vocabulary": text_queries.q_corpus_vocabulary,
     # geo chain join twin of dim_customer_geo (rotated past the window
     # for temperature_mixture in r5; DuckDB-diffed in tests/test_sampling.py)
     "dim_supplier_geo": dims.build_dim_supplier_geo,
@@ -267,18 +280,9 @@ QUERIES: dict[str, QueryFn] = {
     # hard-negative mining over the persisted chunk index (contrastive
     # training data; IVF probing ⇒ approximate)
     "hard_negatives": text_queries.q_hard_negatives,
-    # ordered-funnel conversion (exact; DuckDB differential + chain
-    # semantics in tests/test_funnel.py — window full)
-    "funnel_conversion": relational.funnel_conversion,
-    # weekly retention-cohort matrix (exact; DuckDB differential in
-    # tests/test_retention.py — window full)
-    "retention_cohorts": relational.retention_cohorts,
     # two-leg hybrid retrieval: BM25 inverted index + IVF vector leg,
     # reciprocal-rank fused (IVF probing ⇒ approximate)
     "hybrid_retrieval": text_queries.q_hybrid_retrieval,
-    # SCD2 point-in-time fact enrichment (exact; DuckDB BETWEEN-join
-    # differential in tests/test_scd2_pit.py — window full)
-    "scd2_part_price_asof": scd2_query.scd2_part_price_asof,
     # trailing-window z-score anomaly detection (exact; planted-spike
     # differentials in tests/test_monitoring.py — window full)
     "event_anomalies": text_queries.q_event_anomalies,
@@ -300,10 +304,6 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "event_value_stats_approx",  # t-digest percentiles
         "dedup_embedding_cosine",  # SRP-LSH candidates: recall < 1 by design
         # exact, window-full: DuckDB-diffed in tests/test_tpch_extra.py
-        "tpch_q6_forecast_revenue",
-        "tpch_q7_nation_volume",
-        "tpch_q10_returned_items",
-        "tpch_q14_promo_revenue_ratio",
         "tpch_q19_disjunctive_revenue",
         "tpch_q22_idle_balances",
         "tpch_q15_top_supplier",
@@ -323,7 +323,16 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "ann_cosine_topk_pq",  # PQ quantization: recall < 1 by design
         "ann_cosine_topk_ivf_pq",  # probe-pruned IVF-PQ: recall < 1
         "ann_cosine_topk_pq_amortized",  # ≡ one-shot PQ via saved index
-        "corpus_vocabulary",  # exact; DuckDB hash-diffed in pytest
+        # exact, r6-rotated past the window (green since r1): same
+        # hash-diff rigor in tests/test_rotated_oracles.py
+        "dim_date",
+        "incremental_read",
+        "watermark_state",
+        "flatten_props",
+        "doc_fingerprint",
+        "dq_null_profile",
+        "dq_orderkey_integrity",
+        "dq_lineitem_pk",
         # exact, window-full: DuckDB-diffed in tests/test_sampling.py
         "dim_supplier_geo",
         "docs_hash_sample",
@@ -336,10 +345,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "rag_retrieval_amortized",  # ≡ one-shot retrieval via saved index
         "clean_assets",  # binary assets have no oracle tables
         "hard_negatives",  # IVF probing: approximate by design
-        "funnel_conversion",  # exact; DuckDB-diffed in pytest
-        "retention_cohorts",  # exact; DuckDB-diffed in pytest
         "hybrid_retrieval",  # IVF leg: approximate by design
-        "scd2_part_price_asof",  # exact; DuckDB-diffed in pytest
         "event_anomalies",  # exact; planted-spike diffed in pytest
     }
 )
@@ -381,31 +387,6 @@ ORACLES: dict[str, str] = {
         JOIN region r   ON n.n_regionkey = r.r_regionkey
         GROUP BY 1, 2, 3, 4, 5, 6, 7
     """,
-    "dim_date": """
-        WITH spine AS (
-          SELECT CAST(full_ts AS DATE) AS d
-          FROM generate_series(TIMESTAMP '2010-01-01', TIMESTAMP '2029-12-31',
-                               INTERVAL 1 DAY) t(full_ts)
-        )
-        SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
-               CAST(d AS TIMESTAMP) AS full_date,
-               CAST(year(d) AS INT) AS year,
-               CAST(quarter(d) AS INT) AS quarter,
-               CAST(month(d) AS INT) AS month,
-               monthname(d) AS month_name,
-               strftime(d, '%b') AS month_abbr,
-               CAST(day(d) AS INT) AS day_of_month,
-               CAST(dayofyear(d) AS INT) AS day_of_year,
-               CAST(weekofyear(d) AS INT) AS week_of_year,
-               CAST(isodow(d) AS INT) AS day_of_week,
-               dayname(d) AS day_name,
-               strftime(d, '%a') AS day_abbr,
-               isodow(d) IN (6, 7) AS is_weekend,
-               CAST(year(d) + CASE WHEN month(d) >= 7 THEN 1 ELSE 0 END AS INT) AS fiscal_year,
-               CAST(((month(d) + 5) % 12) // 3 + 1 AS INT) AS fiscal_quarter,
-               CAST(((month(d) + 5) % 12) + 1 AS INT) AS fiscal_month
-        FROM spine
-    """,
     "dim_customer_geo": """
         SELECT c.c_custkey AS customer_key,
                c.c_name AS customer_name,
@@ -439,31 +420,6 @@ ORACLES: dict[str, str] = {
                l.l_linestatus AS line_status
         FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
     """,
-    "incremental_read": """
-        SELECT event_type,
-               COUNT(*) AS event_count,
-               MAX(ts) AS max_ts,
-               MAX(event_id) AS last_event_id,
-               ROUND(SUM(value), 4) AS total_value
-        FROM events
-        WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
-        GROUP BY event_type
-    """,
-    "watermark_state": """
-        SELECT COALESCE(MAX(event_id), 0) AS last_id,
-               MAX(ts) AS last_event_time,
-               COUNT(*) AS record_count
-        FROM events
-    """,
-    "flatten_props": """
-        SELECT event_id,
-               user_id,
-               ts,
-               CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
-               value
-        FROM events
-        WHERE event_type = 'purchase'
-    """,
     "latest_event_per_user": """
         SELECT event_id, ts, user_id, event_type, value
         FROM (
@@ -486,7 +442,7 @@ ORACLES: dict[str, str] = {
     "token_counts": text_queries.ORACLE_TOKEN_COUNTS,
     "corpus_report": text_queries.ORACLE_CORPUS_REPORT,
     "lang_id": text_queries.ORACLE_LANG_ID,
-    "doc_fingerprint": text_queries.ORACLE_FINGERPRINT,
+    "corpus_vocabulary": text_queries.ORACLE_CORPUS_VOCABULARY,
     "dedup_exact": text_queries.ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard_exact": text_queries.ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": text_queries.ORACLE_MINHASH_LSH,
@@ -613,39 +569,6 @@ ORACLES: dict[str, str] = {
                stddev_samp(value) AS stddev_value
         FROM events
         GROUP BY event_type
-    """,
-    "dq_null_profile": """
-        WITH n AS (SELECT COUNT(*) AS total FROM orders)
-        SELECT c.column_name,
-               c.null_count,
-               CAST(c.null_count AS DOUBLE) / n.total AS null_ratio
-        FROM n, (
-          SELECT 'o_orderkey' AS column_name,
-                 COUNT(*) FILTER (o_orderkey IS NULL) AS null_count FROM orders
-          UNION ALL SELECT 'o_custkey',
-                 COUNT(*) FILTER (o_custkey IS NULL) FROM orders
-          UNION ALL SELECT 'o_orderstatus',
-                 COUNT(*) FILTER (o_orderstatus IS NULL) FROM orders
-          UNION ALL SELECT 'o_totalprice',
-                 COUNT(*) FILTER (o_totalprice IS NULL) FROM orders
-          UNION ALL SELECT 'o_orderdate',
-                 COUNT(*) FILTER (o_orderdate IS NULL) FROM orders
-          UNION ALL SELECT 'o_orderpriority',
-                 COUNT(*) FILTER (o_orderpriority IS NULL) FROM orders
-        ) c
-    """,
-    "dq_orderkey_integrity": """
-        SELECT DISTINCT l.l_orderkey AS orphan_key
-        FROM lineitem l
-        WHERE NOT EXISTS (
-          SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
-        )
-    """,
-    "dq_lineitem_pk": """
-        SELECT l_orderkey, l_linenumber, COUNT(*) AS dup_count
-        FROM lineitem
-        GROUP BY 1, 2
-        HAVING COUNT(*) > 1
     """,
     "xml_roundtrip": semistructured.ORACLE_XML_ROUNDTRIP,
     "user_churn_set_ops": semistructured.ORACLE_USER_CHURN,
@@ -848,6 +771,198 @@ ORACLES: dict[str, str] = {
         WHERE l.l_quantity < pa.half_avg_qty
         GROUP BY 1
     """,
+    # TPC-H-extra shapes promoted into the window in r6 — same SQL the
+    # pytest differential (tests/test_tpch_extra.py) has hash-diffed
+    # since they were written
+    "tpch_q6_forecast_revenue": tpch_extra.EXTRA_ORACLES["tpch_q6_forecast_revenue"],
+    "tpch_q7_nation_volume": tpch_extra.EXTRA_ORACLES["tpch_q7_nation_volume"],
+    "tpch_q10_returned_items": tpch_extra.EXTRA_ORACLES["tpch_q10_returned_items"],
+    "tpch_q14_promo_revenue_ratio": tpch_extra.EXTRA_ORACLES["tpch_q14_promo_ratio"],
+    # ordered-funnel conversion: earliest-chain semantics (step k = the
+    # first step-k event within the gap of the chosen step-(k−1) time)
+    "funnel_conversion": """
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t
+            AND e.ts <= s1.t + INTERVAL 1440 MINUTES
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t
+            AND e.ts <= s2.t + INTERVAL 1440 MINUTES
+          GROUP BY e.user_id
+        ), steps AS (
+          SELECT '1_view' AS step, (SELECT COUNT(*) FROM s1) AS users
+          UNION ALL SELECT '2_click', (SELECT COUNT(*) FROM s2)
+          UNION ALL SELECT '3_purchase', (SELECT COUNT(*) FROM s3)
+        )
+        SELECT step, users,
+               ROUND(users / (SELECT MAX(CASE WHEN step = '1_view'
+                                              THEN users END) FROM steps),
+                     6) AS conversion
+        FROM steps
+        ORDER BY step
+    """,
+    # weekly retention-cohort matrix (cohort = Monday of first event)
+    "retention_cohorts": """
+        WITH ev AS (
+          SELECT user_id, date_trunc('week', ts) AS wk FROM events
+        ), firsts AS (
+          SELECT user_id, MIN(wk) AS cohort FROM ev GROUP BY user_id
+        ), cells AS (
+          SELECT DISTINCT e.user_id,
+                 CAST(f.cohort AS DATE) AS cohort_week,
+                 CAST((CAST(e.wk AS DATE) - CAST(f.cohort AS DATE)) / 7 AS INT)
+                     AS week_n
+          FROM ev e JOIN firsts f USING (user_id)
+        ), counts AS (
+          SELECT cohort_week, week_n, COUNT(*) AS active_users
+          FROM cells WHERE week_n <= 8 GROUP BY cohort_week, week_n
+        ), sizes AS (
+          SELECT CAST(cohort AS DATE) AS cohort_week, COUNT(*) AS cohort_size
+          FROM firsts GROUP BY 1
+        )
+        SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week, c.week_n,
+               c.active_users, s.cohort_size,
+               ROUND(c.active_users / CAST(s.cohort_size AS DOUBLE), 6)
+                   AS retention
+        FROM counts c JOIN sizes s USING (cohort_week)
+        ORDER BY cohort_week, week_n
+    """,
+    # SCD2 point-in-time enrichment: the dim is rebuilt from the same
+    # synthetic two-batch history scd2_part_dimension applies, then each
+    # fact's audit instant BETWEEN-joins to its valid version (the Spark
+    # side uses the union + running-last PIT join — no inequality join)
+    "scd2_part_price_asof": """
+        WITH b1 AS (
+          SELECT p_partkey, p_retailprice FROM part WHERE p_partkey % 13 <> 0
+        ), b2 AS (
+          SELECT p_partkey,
+                 CASE WHEN p_partkey % 7 = 0 THEN p_retailprice + 1.0
+                      ELSE p_retailprice END AS p_retailprice
+          FROM part
+        ), dim AS (
+          SELECT b1.p_partkey, b1.p_retailprice,
+                 TIMESTAMP '2024-01-01' AS eff,
+                 CASE WHEN b2.p_retailprice <> b1.p_retailprice
+                      THEN TIMESTAMP '2024-02-01' END AS exp
+          FROM b1 JOIN b2 USING (p_partkey)
+          UNION ALL
+          SELECT b2.p_partkey, b2.p_retailprice, TIMESTAMP '2024-02-01', NULL
+          FROM b2 JOIN b1 USING (p_partkey)
+          WHERE b2.p_retailprice <> b1.p_retailprice
+          UNION ALL
+          SELECT b2.p_partkey, b2.p_retailprice, TIMESTAMP '2024-02-01', NULL
+          FROM b2 WHERE b2.p_partkey % 13 = 0
+        ), facts AS (
+          SELECT l_orderkey, l_linenumber, l_partkey AS p_partkey,
+                 TIMESTAMP '2024-01-01'
+                   + INTERVAL 1 DAY * (l_orderkey % 60) AS audit_ts
+          FROM lineitem
+        )
+        SELECT f.l_orderkey, f.l_linenumber, f.p_partkey,
+               CAST(f.audit_ts AS VARCHAR) AS audit_ts,
+               d.p_retailprice
+        FROM facts f LEFT JOIN dim d
+          ON f.p_partkey = d.p_partkey
+         AND f.audit_ts >= d.eff
+         AND (d.exp IS NULL OR f.audit_ts < d.exp)
+    """,
+}
+
+
+#: DuckDB oracle SQL for the r6-rotated queries — exact and long-stable
+#: (driver-green r1–r5), moved out of the 50-slot window to free slots
+#: for first-time oracles. tests/test_rotated_oracles.py applies the
+#: SAME row-count + schema + value-hash comparison the driver does.
+ROTATED_ORACLES: dict[str, str] = {
+    "dim_date": """
+        WITH spine AS (
+          SELECT CAST(full_ts AS DATE) AS d
+          FROM generate_series(TIMESTAMP '2010-01-01', TIMESTAMP '2029-12-31',
+                               INTERVAL 1 DAY) t(full_ts)
+        )
+        SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+               CAST(d AS TIMESTAMP) AS full_date,
+               CAST(year(d) AS INT) AS year,
+               CAST(quarter(d) AS INT) AS quarter,
+               CAST(month(d) AS INT) AS month,
+               monthname(d) AS month_name,
+               strftime(d, '%b') AS month_abbr,
+               CAST(day(d) AS INT) AS day_of_month,
+               CAST(dayofyear(d) AS INT) AS day_of_year,
+               CAST(weekofyear(d) AS INT) AS week_of_year,
+               CAST(isodow(d) AS INT) AS day_of_week,
+               dayname(d) AS day_name,
+               strftime(d, '%a') AS day_abbr,
+               isodow(d) IN (6, 7) AS is_weekend,
+               CAST(year(d) + CASE WHEN month(d) >= 7 THEN 1 ELSE 0 END AS INT) AS fiscal_year,
+               CAST(((month(d) + 5) % 12) // 3 + 1 AS INT) AS fiscal_quarter,
+               CAST(((month(d) + 5) % 12) + 1 AS INT) AS fiscal_month
+        FROM spine
+    """,
+    "incremental_read": """
+        SELECT event_type,
+               COUNT(*) AS event_count,
+               MAX(ts) AS max_ts,
+               MAX(event_id) AS last_event_id,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY event_type
+    """,
+    "watermark_state": """
+        SELECT COALESCE(MAX(event_id), 0) AS last_id,
+               MAX(ts) AS last_event_time,
+               COUNT(*) AS record_count
+        FROM events
+    """,
+    "flatten_props": """
+        SELECT event_id,
+               user_id,
+               ts,
+               CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+               value
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+    "doc_fingerprint": text_queries.ORACLE_FINGERPRINT,
+    "dq_null_profile": """
+        WITH n AS (SELECT COUNT(*) AS total FROM orders)
+        SELECT c.column_name,
+               c.null_count,
+               CAST(c.null_count AS DOUBLE) / n.total AS null_ratio
+        FROM n, (
+          SELECT 'o_orderkey' AS column_name,
+                 COUNT(*) FILTER (o_orderkey IS NULL) AS null_count FROM orders
+          UNION ALL SELECT 'o_custkey',
+                 COUNT(*) FILTER (o_custkey IS NULL) FROM orders
+          UNION ALL SELECT 'o_orderstatus',
+                 COUNT(*) FILTER (o_orderstatus IS NULL) FROM orders
+          UNION ALL SELECT 'o_totalprice',
+                 COUNT(*) FILTER (o_totalprice IS NULL) FROM orders
+          UNION ALL SELECT 'o_orderdate',
+                 COUNT(*) FILTER (o_orderdate IS NULL) FROM orders
+          UNION ALL SELECT 'o_orderpriority',
+                 COUNT(*) FILTER (o_orderpriority IS NULL) FROM orders
+        ) c
+    """,
+    "dq_orderkey_integrity": """
+        SELECT DISTINCT l.l_orderkey AS orphan_key
+        FROM lineitem l
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+        )
+    """,
+    "dq_lineitem_pk": """
+        SELECT l_orderkey, l_linenumber, COUNT(*) AS dup_count
+        FROM lineitem
+        GROUP BY 1, 2
+        HAVING COUNT(*) > 1
+    """,
 }
 
 
@@ -864,4 +979,15 @@ _outside = [q for q in list(QUERIES)[DRIVER_WINDOW:] if q in ORACLES]
 assert not _outside, (
     f"oracle-backed queries pushed past the driver's {DRIVER_WINDOW}-entry "
     f"verification window (would silently lose correctness rows): {_outside}"
+)
+# rotated oracles cover only past-window queries and never shadow a
+# driver oracle (a query has exactly one oracle home)
+_rot_bad = [
+    q
+    for q in ROTATED_ORACLES
+    if q in ORACLES or q not in QUERIES or q in list(QUERIES)[:DRIVER_WINDOW]
+]
+assert not _rot_bad, (
+    f"ROTATED_ORACLES entries must be past-window catalog queries with no "
+    f"driver oracle: {_rot_bad}"
 )

@@ -409,6 +409,24 @@ ORACLE_FINGERPRINT = f"""
     FROM s
 """
 
+#: Exact vocabulary twin under the shared tokenizer contract
+#: (whitespace split of trimmed lowercased text, empty tokens dropped);
+#: count(*) over the (doc_id, term) pre-agg IS the distinct-doc count.
+ORACLE_CORPUS_VOCABULARY = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                t -> len(t) > 0)) AS term
+      FROM documents
+    ), per_doc AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    )
+    SELECT term, CAST(SUM(tf) AS BIGINT) AS term_freq,
+           COUNT(*) AS doc_freq
+    FROM per_doc GROUP BY term
+    ORDER BY term_freq DESC, term ASC LIMIT 1000
+"""
+
 ORACLE_DEDUP_EXACT = """
     SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
            MIN(doc_id) AS keeper_doc_id,
@@ -950,7 +968,11 @@ def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_anomalies,
     )
 
-    return value_anomalies(read_table(spark, sf_dir, "events")).select(
+    # event_id tiebreak: tied timestamps within a user must not let the
+    # partition layout reorder the trailing baseline (ADVICE r5)
+    return value_anomalies(
+        read_table(spark, sf_dir, "events"), tiebreak_col="event_id"
+    ).select(
         "event_id",
         "user_id",
         "value",

@@ -279,3 +279,38 @@ def test_value_anomalies_fixture_rates(spark):
     assert 0 < flagged < n * 0.05
     scored = out.filter("z_score IS NOT NULL").count()
     assert scored > n * 0.5  # most events have enough history
+
+
+def test_value_anomalies_tied_timestamps_deterministic(spark):
+    """With tied timestamps inside a key, the trailing baseline depends
+    on frame order: tiebreak_col must pin it independent of partition
+    layout (ADVICE r5 — monotonically_increasing_id varies with layout)."""
+    from lakehouse_adventureworks2022_spark.operators.monitoring import (
+        value_anomalies,
+    )
+
+    rows = [
+        # user 1: five ticks at the SAME timestamp, then a spike
+        (i, 1, "2024-01-01 00:00:00", float(v))
+        for i, v in enumerate([10.0, 10.1, 9.9, 10.2, 9.8])
+    ] + [(5, 1, "2024-01-01 00:01:00", 100.0)]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, ts_s string, value double"
+    ).selectExpr("event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+
+    def run(frame):
+        return sorted(
+            (r["event_id"], r["baseline_mean"], r["z_score"], r["is_anomaly"])
+            for r in value_anomalies(
+                frame, min_history=3, tiebreak_col="event_id"
+            ).collect()
+        )
+
+    base = run(df)
+    # same data, three different physical layouts → identical output
+    assert run(df.repartition(7, "value")) == base
+    assert run(df.coalesce(1)) == base
+    assert run(df.orderBy("value")) == base
+    # the spike is flagged against the 5-tick baseline
+    spike = [r for r in base if r[0] == 5][0]
+    assert spike[3] is True

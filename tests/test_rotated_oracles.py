@@ -1,0 +1,67 @@
+"""r6-rotated oracle queries vs DuckDB — the 8 long-stable window
+queries (driver-green r1–r5) that gave up their 50-slot window seats to
+first-time oracles keep EXACTLY the driver's comparison here: row count
++ schema (column names, normalized dtypes) + order-insensitive value
+hash (SURVEY.md §5.1; rotation pattern per the r5 verdict)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from lakehouse_adventureworks2022_spark.plans.catalog import (
+    DRIVER_WINDOW,
+    ORACLES,
+    QUERIES,
+    ROTATED_ORACLES,
+)
+from tools.check_oracles import TABLES, canonical_hash, normalize_pandas
+
+SF = "/root/testdata/sf0.001"
+
+# the rotation set is fixed: anything newly rotated out must be added
+# here (and the assert below makes forgetting loud)
+ROTATED = (
+    "dim_date",
+    "incremental_read",
+    "watermark_state",
+    "flatten_props",
+    "doc_fingerprint",
+    "dq_null_profile",
+    "dq_orderkey_integrity",
+    "dq_lineitem_pk",
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_rotated_set_is_exactly_the_catalog_rotation():
+    assert set(ROTATED) == set(ROTATED_ORACLES)
+    # every rotated query is still registered, past the window, and has
+    # exactly one oracle home
+    past_window = set(list(QUERIES)[DRIVER_WINDOW:])
+    for name in ROTATED:
+        assert name in past_window
+        assert name not in ORACLES
+
+
+@pytest.mark.parametrize("name", sorted(ROTATED))
+def test_rotated_query_matches_oracle(spark, duck, name):
+    spark_pdf = normalize_pandas(QUERIES[name](spark, SF).toPandas())
+    duck_pdf = normalize_pandas(duck.sql(ROTATED_ORACLES[name]).df())
+    n_s, cols_s, h_s = canonical_hash(spark_pdf)
+    n_d, cols_d, h_d = canonical_hash(duck_pdf)
+    assert (n_s, cols_s, h_s) == (n_d, cols_d, h_d)
+    # the dq_* gates legitimately return 0 rows on the clean fixture
+    # (they report VIOLATIONS); everything else must be non-vacuous
+    if not name.startswith("dq_"):
+        assert n_s > 0, f"{name} returned no rows — vacuous check"
