@@ -87,7 +87,7 @@ def build_chunk_index(
     chunk_tokens: int = 64,
     overlap_tokens: int = 8,
     dim: int = 64,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     train_cap: int = 2048,
 ):
     """Chunk → vectorize → IVF index over a documents table: returns
@@ -95,11 +95,20 @@ def build_chunk_index(
     ``cand_id = doc_id·10⁶ + chunk_id`` (chunk ordinals are bounded far
     below 10⁶ by construction — a chunk covers ≥ chunk−overlap tokens).
     Both index parts are plain DataFrames: persist with
-    ``ivf_index_save`` and the build amortizes like any IVF index."""
+    ``ivf_index_save`` and the build amortizes like any IVF index.
+
+    ``n_cells=None`` (the deployed default since r6) derives the cell
+    count from the corpus via ``similarity.ivf_build_auto`` — ≈√N cells
+    and a switch to distributed pyspark.ml training once the driver
+    sample can no longer populate them — so the same call is right at
+    fixture scale and at 100 TB. Below the distributed-training
+    crossover the build stays bit-deterministic (one extra count job)."""
     from lakehouse_adventureworks2022_spark.operators.curation import (
         chunk_documents,
     )
-    from lakehouse_adventureworks2022_spark.operators.similarity import ivf_build
+    from lakehouse_adventureworks2022_spark.operators.similarity import (
+        ivf_build_auto,
+    )
 
     chunks = chunk_documents(
         docs, chunk_tokens=chunk_tokens, overlap_tokens=overlap_tokens
@@ -110,7 +119,9 @@ def build_chunk_index(
     vectors = hashing_vectorizer(
         chunks, text_col="chunk_text", dim=dim, keep_cols=("vec_id",)
     )
-    centroids, cells = ivf_build(vectors, n_cells=n_cells, train_cap=train_cap)
+    centroids, cells = ivf_build_auto(
+        vectors, n_cells=n_cells, train_cap=train_cap
+    )
     return centroids, cells, chunks
 
 
@@ -266,7 +277,7 @@ def chunk_index_ensure(
     chunk_tokens: int = 64,
     overlap_tokens: int = 8,
     dim: int = 64,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     train_cap: int = 2048,
 ):
     """Load the persisted chunk index at ``index_dir``, building and

@@ -826,8 +826,11 @@ def rag_index_dir_for(sf_dir: str) -> str:
     import tempfile
 
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    # the recipe version is part of the key: r6 switched the deployed
+    # build to corpus-scaled auto cells, and a cached r5-era 16-cell
+    # index must not masquerade as the new recipe's output
     tag = hashlib.md5(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|ivf-auto-v2".encode()
     ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"rag_index_{tag}")
 

@@ -304,3 +304,45 @@ def test_retrieval_metrics_counts_zero_hit_queries(spark):
     assert abs(m[1]["recall_at_k"] - 0.5) < 1e-9  # (1 + 0)/2
     assert abs(m[1]["hit_rate_at_k"] - 0.5) < 1e-9
     assert abs(m[1]["mrr"] - 0.5) < 1e-9  # (1 + 0)/2
+
+
+def test_ivf_build_auto_derives_cells_and_routes_trainer(spark, monkeypatch):
+    """The deployed default (r6): n_cells ≈ √N clamped to [8, 4096], and
+    the trainer switches to distributed only once the driver sample can
+    no longer populate the cells (n_cells > train_cap/8)."""
+    from lakehouse_adventureworks2022_spark.operators import similarity as sim
+
+    docs = read_table(spark, SF, "documents").filter(F.col("doc_id") < 60)
+    vecs = hashing_vectorizer(docs, keep_cols=("doc_id",)).selectExpr(
+        "doc_id AS vec_id", "embedding"
+    )
+    n = vecs.count()
+
+    calls = []
+    real_build, real_dist = sim.ivf_build, sim.ivf_build_distributed
+    monkeypatch.setattr(
+        sim, "ivf_build",
+        lambda c, n_cells, train_cap: calls.append(("sampled", n_cells))
+        or real_build(c, n_cells=n_cells, train_cap=train_cap),
+    )
+    monkeypatch.setattr(
+        sim, "ivf_build_distributed",
+        lambda c, n_cells, seed: calls.append(("distributed", n_cells))
+        or real_dist(c, n_cells=n_cells, seed=seed),
+    )
+
+    # small corpus, default cap → sampled trainer, √N cells (≥ floor 8)
+    cents, _ = sim.ivf_build_auto(vecs)
+    expect = max(8, min(4096, round(n**0.5)))
+    assert calls == [("sampled", expect)]
+    assert cents.count() == min(expect, n)
+
+    # starved sample (train_cap=16 → ceiling 2 cells) → distributed
+    calls.clear()
+    sim.ivf_build_auto(vecs, n_cells=5, train_cap=16)
+    assert calls == [("distributed", 5)]
+
+    # explicit n_cells within capacity → sampled, derivation skipped
+    calls.clear()
+    sim.ivf_build_auto(vecs, n_cells=4)
+    assert calls == [("sampled", 4)]
