@@ -53,20 +53,28 @@ def build_bm25_index(
 
     ``stats``: single row ``(n_docs, avg_doc_len)``.
     """
+    from lakehouse_adventureworks2022_spark.operators.dedup import (
+        _attach_cached_input,
+    )
+
     toks = F.filter(tokens_col(F.col(text_col)), lambda t: F.length(t) > 0)
     base = docs.select(
         F.col(id_col).alias("doc_id"), toks.alias("__toks__")
-    ).withColumn("doc_len", F.size("__toks__"))
-    # ONE corpus-sized aggregation job: the single-row stats frame
-    # supplies both the driver-side n_docs for the df threshold and the
-    # persisted avg_doc_len — no separate count() pass, and the
-    # tokenize+explode work runs once for the postings job
+    ).withColumn("doc_len", F.size("__toks__")).persist()
+    # the tokenized corpus is persisted across the build's TWO jobs —
+    # the single-row stats aggregate (which also supplies the
+    # driver-side n_docs for the df threshold) and the postings
+    # aggregation — so tokenization runs once, per the engine cache
+    # contract (released with the returned postings frame). Stats come
+    # from `base`, not the tf frame, deliberately: zero-token documents
+    # produce no postings but still count toward n_docs/avg_doc_len.
     stats_row = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("doc_len").alias("avg_doc_len"),
     ).collect()[0]
     n_docs = stats_row["n_docs"]
     if n_docs == 0:
+        base.unpersist()
         raise ValueError(
             "build_bm25_index: empty corpus — an inverted index over "
             "zero documents cannot be searched (avg_doc_len undefined)"
@@ -89,7 +97,7 @@ def build_bm25_index(
         )
         .withColumn("n_docs", F.lit(n_docs))
     )
-    return postings, stats
+    return _attach_cached_input(postings, base), stats
 
 
 def bm25_index_save(
@@ -123,10 +131,17 @@ def bm25_index_ensure(
     import os
 
     if not os.path.exists(f"{index_dir}/stats/_SUCCESS"):
+        from lakehouse_adventureworks2022_spark.operators.dedup import (
+            release_cached_inputs,
+        )
+
         postings, stats = build_bm25_index(
             docs, text_col=text_col, id_col=id_col, max_df_ratio=max_df_ratio
         )
         bm25_index_save(postings, stats, index_dir)
+        # the save materialized the postings; drop the tokenized-corpus
+        # cache explicitly (primary release path of the cache contract)
+        release_cached_inputs(postings)
     return (
         spark.read.parquet(f"{index_dir}/postings"),
         spark.read.parquet(f"{index_dir}/stats"),

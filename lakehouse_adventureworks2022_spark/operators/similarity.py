@@ -39,6 +39,31 @@ from pyspark.sql.window import Window
 from lakehouse_adventureworks2022_spark.sources.readers import read_table
 
 
+#: Driver-side cap on caller-supplied query batches: every ANN search
+#: path broadcasts the query batch through the driver (that is what
+#: makes the search one scan), so a corpus-sized frame must fail
+#: loudly instead of silently OOMing the driver. 100k × a 64-dim
+#: double vector ≈ 50 MB — comfortably driver-sized; raise consciously
+#: for bigger batches, or join query batches through the index instead.
+QUERY_BATCH_CAP = 100_000
+
+
+def _collect_query_batch(queries: DataFrame, cap: int = QUERY_BATCH_CAP):
+    """Bounded collect of a (vec_id, embedding) query batch — one
+    limit(cap+1) job, no extra count pass; mirrors the discipline
+    ``ivf_build`` applies to its training sample via ``train_cap``."""
+    rows = queries.select("vec_id", "embedding").limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"query batch exceeds the {cap}-row driver-side cap: ANN "
+            f"search collects and broadcasts the query batch, so a "
+            f"corpus-sized frame would OOM the driver. Split the batch "
+            f"(or pass query_cap= explicitly if the driver has the "
+            f"memory)."
+        )
+    return rows
+
+
 def _cosine(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
@@ -81,7 +106,10 @@ def cosine_topk(
 
 
 def cosine_topk_np(
-    queries: DataFrame, candidates: DataFrame, k: int = 10
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    query_cap: int = QUERY_BATCH_CAP,
 ) -> DataFrame:
     """Brute-force top-k via numpy GEMM inside ``mapInPandas``.
 
@@ -93,7 +121,7 @@ def cosine_topk_np(
     """
     import numpy as np
 
-    qrows = queries.select("vec_id", "embedding").collect()
+    qrows = _collect_query_batch(queries, cap=query_cap)
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -310,6 +338,7 @@ def ivf_search(
     cells: DataFrame,
     k: int = 10,
     n_probe: int = 4,
+    query_cap: int = QUERY_BATCH_CAP,
 ) -> DataFrame:
     """Probe a built (possibly reloaded) IVF index: each query scores
     only its ``n_probe`` nearest cells via an equi-join on ``cell`` —
@@ -328,7 +357,7 @@ def ivf_search(
     crows = sorted(centroids.collect(), key=lambda r: r["cell"])
     cm = np.array([r["centroid"] for r in crows], dtype=np.float64)
 
-    qrows = queries.select("vec_id", "embedding").collect()
+    qrows = _collect_query_batch(queries, cap=query_cap)
     qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qm_n = qm / _safe_norms_np(qm)
     probe_idx = np.argsort(-(qm_n @ cm.T), axis=1)[:, :n_probe]
@@ -613,18 +642,28 @@ def ivf_index_recluster(spark, index_dir: str, n_files: int = 16) -> None:
 def ivf_index_load(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
     """(centroids, cells) from a saved index — hand straight to
     :func:`ivf_search`. Cells = the base clustered table plus any
-    idempotent per-batch append dirs (``cells_appends/*`` — see
-    :func:`ivf_index_append`'s ``batch_tag``)."""
+    COMMITTED per-batch append dirs (``cells_appends/*`` — see
+    :func:`ivf_index_append`'s ``batch_tag``).
+
+    Only batch dirs carrying a ``_SUCCESS`` marker are unioned: a crash
+    mid-append leaves partial part-files that must stay INVISIBLE (not
+    read, not tripped over as corrupt footers) until the batch replay's
+    overwrite lands its own marker — the same "stale state never causes
+    wrong results" contract the rest of the index machinery keeps
+    (ADVICE r5)."""
     import os
 
     cells = spark.read.parquet(f"{index_dir}/cells")
     appends = f"{index_dir}/cells_appends"
-    if os.path.isdir(appends) and any(
-        not n.startswith((".", "_")) for n in os.listdir(appends)
-    ):
-        cells = cells.unionByName(
-            spark.read.option("recursiveFileLookup", "true").parquet(appends)
+    if os.path.isdir(appends):
+        committed = sorted(
+            os.path.join(appends, n)
+            for n in os.listdir(appends)
+            if not n.startswith((".", "_"))
+            and os.path.exists(os.path.join(appends, n, "_SUCCESS"))
         )
+        if committed:
+            cells = cells.unionByName(spark.read.parquet(*committed))
     return spark.read.parquet(f"{index_dir}/centroids"), cells
 
 
@@ -948,6 +987,7 @@ def pq_adc_topk(
     encoded: DataFrame,
     codebooks: DataFrame,
     k: int = 10,
+    query_cap: int = QUERY_BATCH_CAP,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: per query, a lookup
     table ``LUT[sub][code] = dot(q_sub, centroid)`` (m × n_codes
@@ -977,7 +1017,7 @@ def pq_adc_topk(
     for r in cb:
         tensor[r["sub"], r["code"]] = r["centroid"]
 
-    qrows = queries.select("vec_id", "embedding").collect()
+    qrows = _collect_query_batch(queries, cap=query_cap)
     qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qm = qm / _safe_norms_np(qm)
     qids: list[int] = []
@@ -1100,6 +1140,7 @@ def cosine_topk_ivf_pq(
     n_codes: int = 32,
     rerank: int = 8,
     train_cap: int = 2048,
+    query_cap: int = QUERY_BATCH_CAP,
 ) -> DataFrame:
     """The full IVF-PQ deployment shape: coarse cells prune WHICH rows
     are scored (each query touches ``n_probe`` of ``n_cells`` cells),
@@ -1130,7 +1171,7 @@ def cosine_topk_ivf_pq(
 
     crows = sorted(centroids.collect(), key=lambda r: r["cell"])
     cm = np.array([r["centroid"] for r in crows], dtype=np.float64)
-    qrows = queries.select("vec_id", "embedding").collect()
+    qrows = _collect_query_batch(queries, cap=query_cap)
     qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qm_n = qm / _safe_norms_np(qm)
     probe_idx = np.argsort(-(qm_n @ cm.T), axis=1)[:, :n_probe]

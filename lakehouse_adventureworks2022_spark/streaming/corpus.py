@@ -304,7 +304,17 @@ def stream_drift_monitor(
             # alert rows are |sources|-bounded: collect ONCE so the
             # profile aggregation doesn't run twice (probe + write)
         )
-        rows = alerts.collect()
+        # |sources| is a config-time cardinality (corpus provenance
+        # labels), so >10k alert rows means the monitor was pointed at
+        # a high-cardinality column — fail the batch loudly instead of
+        # collecting an unbounded frame onto the driver
+        rows = alerts.limit(10_001).collect()
+        if len(rows) > 10_000:
+            raise ValueError(
+                "drift monitor produced >10k alert rows in one batch — "
+                "the source column is high-cardinality; group sources "
+                "into provenance labels before monitoring"
+            )
         if rows:
             batch_df.sparkSession.createDataFrame(
                 rows, alerts.schema

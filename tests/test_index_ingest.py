@@ -101,3 +101,43 @@ def test_quality_gate_filters_before_indexing(spark, tmp_path):
     junk.coalesce(1).write.mode("overwrite").parquet(str(src_dir))
     _run_ingest(spark, src_dir, idx, tmp_path / "ckpt2")
     assert ivf_index_load(spark, idx)[1].count() == n0  # nothing added
+
+
+def test_uncommitted_append_batches_are_invisible(spark, tmp_path):
+    """A crash mid-append leaves a batch dir WITHOUT _SUCCESS (possibly
+    with partial/corrupt part-files): ivf_index_load must neither read
+    it nor fail on it — only committed batches join the cells frame
+    (ADVICE r5)."""
+    import os
+
+    from lakehouse_adventureworks2022_spark.operators.similarity import (
+        ivf_index_append,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    chunk_index_ensure(spark, docs.filter("doc_id < 200"), idx)
+    base = ivf_index_load(spark, idx)[1].count()
+
+    # committed append: normal path, _SUCCESS present
+    from lakehouse_adventureworks2022_spark.operators.vectorize import (
+        hashing_vectorizer,
+    )
+
+    newv = hashing_vectorizer(
+        docs.filter("doc_id >= 200 AND doc_id < 220"), keep_cols=("doc_id",)
+    ).selectExpr("doc_id AS vec_id", "embedding")
+    ivf_index_append(spark, newv, idx, batch_tag="b1")
+    committed = ivf_index_load(spark, idx)[1].count()
+    assert committed == base + 20
+
+    # crashed append: partial dir, garbage part-file, NO _SUCCESS
+    crash = f"{idx}/cells_appends/b2"
+    os.makedirs(crash)
+    with open(f"{crash}/part-00000.parquet", "wb") as f:
+        f.write(b"not a parquet footer")
+    assert ivf_index_load(spark, idx)[1].count() == committed
+
+    # the replay overwrites the same tag and commits — now visible
+    ivf_index_append(spark, newv, idx, batch_tag="b2")
+    assert ivf_index_load(spark, idx)[1].count() == committed + 20

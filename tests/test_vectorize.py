@@ -346,3 +346,23 @@ def test_ivf_build_auto_derives_cells_and_routes_trainer(spark, monkeypatch):
     calls.clear()
     sim.ivf_build_auto(vecs, n_cells=4)
     assert calls == [("sampled", 4)]
+
+
+def test_ann_query_batch_cap_raises_readably(spark):
+    """A corpus-sized frame passed as the ANN query batch must raise a
+    readable error, not silently OOM the driver (r5 verdict #4). None
+    of the catalog queries come near the cap."""
+    import pytest as _pytest
+
+    from lakehouse_adventureworks2022_spark.operators import similarity as sim
+
+    vecs = spark.range(30).selectExpr(
+        "id AS vec_id", "array(CAST(id AS DOUBLE), 1.0d) AS embedding"
+    )
+    with _pytest.raises(ValueError, match="driver-side cap"):
+        sim.cosine_topk_np(vecs, vecs, k=3, query_cap=10)
+    cents, cells = sim.ivf_build(vecs, n_cells=2, train_cap=32)
+    with _pytest.raises(ValueError, match="driver-side cap"):
+        sim.ivf_search(vecs, cents, cells, k=3, query_cap=10)
+    # under the cap everything works unchanged
+    assert sim.ivf_search(vecs.limit(5), cents, cells, k=3).count() > 0
