@@ -59,3 +59,24 @@ def test_bench_survives_broken_warmup(spark, monkeypatch, capsys):
     bench.main()
     d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert d["value"] == 0 and "top_products" in d["errors"]
+
+
+def test_frozen_per_query_baseline_covers_headline_set():
+    """BASELINE_QUERIES.json (the r5-frozen per-query 2x budget) must
+    track the headline set: a renamed/removed bench query would silently
+    lose its baseline without this guard. New queries are allowed (they
+    get a baseline at the next deliberate re-freeze)."""
+    import json
+    from pathlib import Path
+
+    import bench
+
+    frozen = json.loads(
+        (Path(bench.__file__).parent / "BASELINE_QUERIES.json").read_text()
+    )
+    assert frozen["sf"] == 0.1 and frozen["queries"]
+    orphaned = set(frozen["queries"]) - set(bench.HEADLINE)
+    assert not orphaned, (
+        f"baselined queries no longer in bench.HEADLINE: {sorted(orphaned)} "
+        f"— rename the baseline keys or record why they were dropped"
+    )

@@ -102,3 +102,77 @@ def test_analyze_populates_catalog_stats(spark, tmp_path):
     info = {r["info_name"]: r["info_value"] for r in kcol}
     assert info.get("distinct_count") not in (None, "NULL")
     spark.sql("DROP TABLE IF EXISTS stats_probe")
+
+
+def test_aqe_skew_join_splits_hot_key_and_matches_salted(spark):
+    """Pin Spark's AQE skew-join on a hot-key fact⋈dim sort-merge join —
+    the #1 real-cluster failure mode at 100× (r5 verdict #5): with one
+    key holding ~5/6 of the fact, AQE must mark the join skew=true
+    (splitting the hot partition into advisory-sized reads), and both
+    the AQE path and the plan-level salted path must agree with the
+    plain join. Thresholds are scaled down so fixture-scale data
+    exercises the same code path a 100 TB hot key does."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators import skew
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        # force sort-merge (no broadcast escape hatch) and shrink the
+        # skew thresholds so the fixture-sized hot key trips them
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB"
+        )
+
+        fact = (
+            spark.range(300_000)
+            .selectExpr("CAST(0 AS LONG) AS k", "id AS v")
+            .unionAll(
+                spark.range(60_000).selectExpr("(id % 50) + 1 AS k", "id AS v")
+            )
+        )
+        dim = spark.range(51).selectExpr("id AS k", "concat('d', id) AS name")
+
+        # NOTE: aggregate on a NON-join key. When the downstream agg
+        # reuses the join key's hash partitioning (groupBy("k")), AQE
+        # refuses to split the skewed partition — the split would break
+        # the co-partitioning the agg depends on. That shape needs the
+        # plan-level salted path below; this is exactly why both exist.
+        joined = (
+            fact.join(dim, "k")
+            .groupBy("name")
+            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("c"))
+        )
+        aqe_rows = sorted(tuple(r) for r in joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE did not mark the hot-key sort-merge join as skewed:\n"
+            + plan
+        )
+
+        # plan-level salted path (the shape AQE cannot cover: downstream
+        # work keyed on the hot join key itself) must agree exactly
+        salted = (
+            skew.replicated_skew_join(fact, dim, "k", "k", n_salts=8)
+            .groupBy("name")
+            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("c"))
+        )
+        assert sorted(tuple(r) for r in salted.collect()) == aqe_rows
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
