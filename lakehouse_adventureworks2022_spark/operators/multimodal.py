@@ -8,11 +8,14 @@ bounded batch memory), partition-count preservation — AND two actual
 codecs that need nothing beyond numpy/stdlib: **PPM (P6) image decode /
 nearest-neighbor resize / channel+grid features** and **WAV (PCM16)
 audio decode / envelope features** (``wave`` is stdlib). ``fake=False``
-dispatches on the content's magic bytes and runs those for real. What
-remains STUBBED: compressed codecs (JPEG/PNG/MP4 — PIL/ffmpeg are not in
-this container), which raise a clearly-marked ``NotImplementedError``
-identifying the format. ``fake=True`` keeps the md5-derived
-deterministic stand-in features for fixtures without real assets.
+dispatches on the content's magic bytes and runs those for real. Since
+r6 **PNG decodes for real too**: stdlib ``zlib`` inflate + per-scanline
+unfilter (8-bit gray/RGB/palette/alpha variants, non-interlaced). What
+remains STUBBED: codecs needing non-stdlib decompressors (JPEG/MP4 —
+PIL/ffmpeg are not in this container), which raise a clearly-marked
+``NotImplementedError`` identifying the format. ``fake=True`` keeps the
+md5-derived deterministic stand-in features for fixtures without real
+assets.
 
 Scale notes: binary payloads never pass through the driver; each Arrow
 batch holds ``spark.sql.execution.arrow.maxRecordsPerBatch`` assets, so
@@ -102,6 +105,140 @@ def decode_ppm(data: bytes):
         raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
     px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
     return px.reshape(h, w, 3)
+
+
+#: PNG signature (dispatch magic).
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr) -> bytes:
+    """uint8 (h, w, 3) array → minimal non-interlaced RGB PNG (filter 0
+    rows, one zlib IDAT). Stdlib-only; the test-side twin of
+    :func:`decode_png`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
+    """Reverse the per-scanline PNG filters (types 0–4). Sequential by
+    construction (Sub/Average/Paeth depend on the left neighbor), so a
+    plain byte loop — decode cost is per-asset inside an Arrow batch,
+    never a Spark-side shuffle concern."""
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for r in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft} on row {r}")
+        out[r * stride : (r + 1) * stride] = row
+        prev = row
+    return bytes(out)
+
+
+def decode_png(data: bytes):
+    """PNG bytes → uint8 (h, w, 3), stdlib ``zlib`` only (r5 verdict
+    #7: PNG is the one compressed codec implementable without PIL).
+
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced. Gray replicates across
+    channels; alpha is dropped (features/dHash read color structure).
+    Interlaced (Adam7) and 16-bit files raise ``NotImplementedError``
+    naming the variant — same honesty contract as the JPEG/MP4 stubs.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    idat = bytearray()
+    plte = None
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + tag + payload + crc
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG supported, depth={depth}")
+    if interlace:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    px = np.frombuffer(
+        _png_unfilter(raw, h, stride, channels), dtype=np.uint8
+    ).reshape(h, w, channels)
+    if color == 2:
+        return px
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        return plte[px[:, :, 0]]
+    if color == 6:
+        return px[:, :, :3]
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.repeat(px, 3, axis=2)  # color 0: grayscale
 
 
 def resize_nearest(arr, max_px: int):
@@ -323,12 +460,14 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
         def real_feats(content: bytes) -> list[float]:
             if content[:2] == b"P6":
                 return ppm_feats(content)
+            if content[:8] == PNG_MAGIC:
+                return image_features(decode_png(content))
             if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
                 return wav_feats(content)
             raise NotImplementedError(
-                f"no codec for content starting {content[:4]!r}: only PPM "
-                "and PCM16 WAV decode in-container (compressed formats "
-                "need PIL/ffmpeg); use fake=True for the stand-in encoder"
+                f"no codec for content starting {content[:4]!r}: only PPM, "
+                "PNG and PCM16 WAV decode in-container (JPEG/MP4 need "
+                "PIL/ffmpeg); use fake=True for the stand-in encoder"
             )
 
         feats = fake_feats if fake else real_feats
@@ -448,9 +587,11 @@ def image_hashes(assets: DataFrame, fake: bool = True) -> DataFrame:
         def real_hash(content: bytes) -> int:
             if content[:2] == b"P6":
                 return ppm_dhash(content)
+            if content[:8] == PNG_MAGIC:
+                return dhash64(decode_png(content))
             raise NotImplementedError(
                 f"no image codec for content starting {content[:4]!r}: only "
-                "PPM decodes in-container (compressed formats need PIL); "
+                "PPM and PNG decode in-container (JPEG needs PIL); "
                 "use fake=True for the stand-in hash"
             )
 

@@ -174,6 +174,57 @@ SQL_CATALOG: dict[str, str] = {
                          OVER (), 6) AS conversion
         FROM counts ORDER BY step
     """,
+    # weekly retention-cohort matrix in pure SQL (r6 — keeps the
+    # Trino-migration surface level with the analytics family)
+    "retention_cohorts": """
+        WITH ev AS (
+            SELECT user_id, date_trunc('week', ts) AS wk FROM events
+        ), firsts AS (
+            SELECT user_id, MIN(wk) AS cohort FROM ev GROUP BY user_id
+        ), cells AS (
+            SELECT DISTINCT e.user_id,
+                   CAST(f.cohort AS DATE) AS cohort_week,
+                   CAST(FLOOR(datediff(e.wk, f.cohort) / 7) AS INT) AS week_n
+            FROM ev e JOIN firsts f ON e.user_id = f.user_id
+        ), counts AS (
+            SELECT cohort_week, week_n, COUNT(*) AS active_users
+            FROM cells WHERE week_n <= 8 GROUP BY cohort_week, week_n
+        ), sizes AS (
+            SELECT CAST(cohort AS DATE) AS cohort_week,
+                   COUNT(*) AS cohort_size
+            FROM firsts GROUP BY CAST(cohort AS DATE)
+        )
+        SELECT CAST(c.cohort_week AS STRING) AS cohort_week, c.week_n,
+               c.active_users, s.cohort_size,
+               ROUND(c.active_users / s.cohort_size, 6) AS retention
+        FROM counts c JOIN sizes s ON c.cohort_week = s.cohort_week
+        ORDER BY cohort_week, week_n
+    """,
+    # trailing-window z-score anomalies in pure SQL: the PRECEDING-only
+    # frame (an anomaly must not dilute its own baseline) and the
+    # (ts, event_id) deterministic order, spelled as a WINDOW clause
+    "event_anomalies": """
+        WITH scored AS (
+            SELECT event_id, user_id, value,
+                   AVG(value) OVER win AS baseline_mean,
+                   STDDEV_SAMP(value) OVER win AS baseline_std,
+                   COUNT(*) OVER win AS n
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, value, baseline_mean, baseline_std,
+               ROUND(CASE WHEN n >= 5 AND baseline_std > 0
+                          THEN (value - baseline_mean) / baseline_std END,
+                     6) AS z_score,
+               CASE WHEN n < 5 THEN FALSE
+                    WHEN baseline_std = 0 THEN value <> baseline_mean
+                    ELSE ABS(ROUND(CASE WHEN n >= 5 AND baseline_std > 0
+                                        THEN (value - baseline_mean)
+                                             / baseline_std END, 6)) > 3.0
+               END AS is_anomaly
+        FROM scored
+    """,
 }
 
 
