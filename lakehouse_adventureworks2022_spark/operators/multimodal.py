@@ -137,108 +137,129 @@ def encode_png(arr) -> bytes:
     )
 
 
-def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
-    """Reverse the per-scanline PNG filters (types 0–4). Sequential by
-    construction (Sub/Average/Paeth depend on the left neighbor), so a
-    plain byte loop — decode cost is per-asset inside an Arrow batch,
-    never a Spark-side shuffle concern."""
-    out = bytearray(h * stride)
-    prev = bytearray(stride)
-    pos = 0
-    for r in range(h):
-        ft = raw[pos]
-        pos += 1
-        row = bytearray(raw[pos : pos + stride])
-        pos += stride
-        if ft == 1:  # Sub
-            for i in range(bpp, stride):
-                row[i] = (row[i] + row[i - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average
-            for i in range(stride):
-                left = row[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[i] = (row[i] + pred) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"bad PNG filter type {ft} on row {r}")
-        out[r * stride : (r + 1) * stride] = row
-        prev = row
-    return bytes(out)
+def _build_png_decoder():
+    """Factory returning the PNG decoder as a NESTED function. Worker
+    closures (``extract_features``/``image_hashes`` with ``fake=False``)
+    call the decoder, and module-level functions pickle BY REFERENCE —
+    a Python worker without the package on its import path would die
+    with ModuleNotFoundError (tests/test_worker_portability.py). A
+    closure with a non-importable qualname ships by value instead."""
 
+    def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
+        # Reverse the per-scanline PNG filters (types 0-4). Sequential
+        # by construction (Sub/Average/Paeth depend on the left
+        # neighbor), so a plain byte loop — per-asset cost inside an
+        # Arrow batch, never a Spark-side shuffle concern.
+        out = bytearray(h * stride)
+        prev = bytearray(stride)
+        pos = 0
+        for r in range(h):
+            ft = raw[pos]
+            pos += 1
+            row = bytearray(raw[pos : pos + stride])
+            pos += stride
+            if ft == 1:  # Sub
+                for i in range(bpp, stride):
+                    row[i] = (row[i] + row[i - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                for i in range(stride):
+                    row[i] = (row[i] + prev[i]) & 0xFF
+            elif ft == 3:  # Average
+                for i in range(stride):
+                    left = row[i - bpp] if i >= bpp else 0
+                    row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for i in range(stride):
+                    a = row[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a
+                        if (pa <= pb and pa <= pc)
+                        else (b if pb <= pc else c)
+                    )
+                    row[i] = (row[i] + pred) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"bad PNG filter type {ft} on row {r}")
+            out[r * stride : (r + 1) * stride] = row
+            prev = row
+        return bytes(out)
 
-def decode_png(data: bytes):
-    """PNG bytes → uint8 (h, w, 3), stdlib ``zlib`` only (r5 verdict
-    #7: PNG is the one compressed codec implementable without PIL).
+    def decode_png(data: bytes):
+        """PNG bytes → uint8 (h, w, 3), stdlib ``zlib`` only (r5
+        verdict #7: PNG is the one compressed codec implementable
+        without PIL).
 
-    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA), non-interlaced. Gray replicates across
-    channels; alpha is dropped (features/dHash read color structure).
-    Interlaced (Adam7) and 16-bit files raise ``NotImplementedError``
-    naming the variant — same honesty contract as the JPEG/MP4 stubs.
-    """
-    import struct
-    import zlib
+        Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3
+        (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced. Gray
+        replicates across channels; alpha is dropped (features/dHash
+        read color structure). Interlaced (Adam7) and 16-bit files
+        raise ``NotImplementedError`` naming the variant — same honesty
+        contract as the JPEG/MP4 stubs."""
+        import struct
+        import zlib
 
-    import numpy as np
+        import numpy as np
 
-    if data[:8] != PNG_MAGIC:
-        raise ValueError("not a PNG (bad signature)")
-    pos = 8
-    idat = bytearray()
-    plte = None
-    w = h = depth = color = interlace = None
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # len + tag + payload + crc
-        if tag == b"IHDR":
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
+        if data[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG (bad signature)")
+        pos = 8
+        idat = bytearray()
+        plte = None
+        w = h = depth = color = interlace = None
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            payload = data[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # len + tag + payload + crc
+            if tag == b"IHDR":
+                w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", payload
+                )
+            elif tag == b"PLTE":
+                plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+            elif tag == b"IDAT":
+                idat += payload
+            elif tag == b"IEND":
+                break
+        if w is None:
+            raise ValueError("PNG missing IHDR")
+        if depth != 8:
+            raise NotImplementedError(
+                f"only 8-bit PNG supported, depth={depth}"
             )
-        elif tag == b"PLTE":
-            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    if depth != 8:
-        raise NotImplementedError(f"only 8-bit PNG supported, depth={depth}")
-    if interlace:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if channels is None:
-        raise ValueError(f"bad PNG color type {color}")
-    stride = w * channels
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    px = np.frombuffer(
-        _png_unfilter(raw, h, stride, channels), dtype=np.uint8
-    ).reshape(h, w, channels)
-    if color == 2:
-        return px
-    if color == 3:
-        if plte is None:
-            raise ValueError("palette PNG missing PLTE chunk")
-        return plte[px[:, :, 0]]
-    if color == 6:
-        return px[:, :, :3]
-    if color == 4:
-        return np.repeat(px[:, :, :1], 3, axis=2)
-    return np.repeat(px, 3, axis=2)  # color 0: grayscale
+        if interlace:
+            raise NotImplementedError("interlaced (Adam7) PNG not supported")
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+        if channels is None:
+            raise ValueError(f"bad PNG color type {color}")
+        stride = w * channels
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        px = np.frombuffer(
+            _unfilter(raw, h, stride, channels), dtype=np.uint8
+        ).reshape(h, w, channels)
+        if color == 2:
+            return px
+        if color == 3:
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE chunk")
+            return plte[px[:, :, 0]]
+        if color == 6:
+            return px[:, :, :3]
+        if color == 4:
+            return np.repeat(px[:, :, :1], 3, axis=2)
+        return np.repeat(px, 3, axis=2)  # color 0: grayscale
+
+    return decode_png
+
+
+#: PNG decode — a by-value-picklable closure (see _build_png_decoder);
+#: call it like any function, driver- or worker-side.
+decode_png = _build_png_decoder()
 
 
 def resize_nearest(arr, max_px: int):
@@ -257,25 +278,36 @@ def resize_nearest(arr, max_px: int):
     return arr[rows][:, cols]
 
 
-def image_features(arr) -> list[float]:
-    """FEATURE_DIM floats in [-1, 1) from a decoded image: per-channel
-    mean and std (6), 3×3 grayscale grid means (9), aspect (1)."""
-    import numpy as np
+def _build_image_features():
+    """By-value factory (same worker-portability rationale as
+    ``_build_png_decoder``: the fake=False closures call this)."""
 
-    a = arr.astype(np.float64)
-    h, w, _ = a.shape
-    out = [m / 127.5 - 1.0 for m in a.mean(axis=(0, 1))]
-    out += [min(s / 128.0, 0.9999) * 2 - 1.0 for s in a.std(axis=(0, 1))]
-    gray = a.mean(axis=2)
-    for i in range(3):
-        for j in range(3):
-            cell = gray[
-                i * h // 3 : max((i + 1) * h // 3, i * h // 3 + 1),
-                j * w // 3 : max((j + 1) * w // 3, j * w // 3 + 1),
-            ]
-            out.append(float(cell.mean()) / 127.5 - 1.0)
-    out.append(w / (w + h) * 2 - 1.0)
-    return [min(max(v, -1.0), 0.9999999) for v in out]
+    def image_features(arr) -> list[float]:
+        """FEATURE_DIM floats in [-1, 1) from a decoded image:
+        per-channel mean and std (6), 3×3 grayscale grid means (9),
+        aspect (1)."""
+        import numpy as np
+
+        a = arr.astype(np.float64)
+        h, w, _ = a.shape
+        out = [m / 127.5 - 1.0 for m in a.mean(axis=(0, 1))]
+        out += [min(s / 128.0, 0.9999) * 2 - 1.0 for s in a.std(axis=(0, 1))]
+        gray = a.mean(axis=2)
+        for i in range(3):
+            for j in range(3):
+                cell = gray[
+                    i * h // 3 : max((i + 1) * h // 3, i * h // 3 + 1),
+                    j * w // 3 : max((j + 1) * w // 3, j * w // 3 + 1),
+                ]
+                out.append(float(cell.mean()) / 127.5 - 1.0)
+        out.append(w / (w + h) * 2 - 1.0)
+        return [min(max(v, -1.0), 0.9999999) for v in out]
+
+    return image_features
+
+
+#: image feature vector — by-value-picklable closure.
+image_features = _build_image_features()
 
 
 def decode_wav(data: bytes):
@@ -487,37 +519,46 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     return assets.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
-def dhash64(arr) -> int:
-    """64-bit difference hash (dHash) of a decoded image: grayscale →
-    9×8 mean-pooled grid → bit b set when cell[r, c] > cell[r, c+1].
+def _build_dhash64():
+    """By-value factory (same worker-portability rationale as
+    ``_build_png_decoder``: the fake=False hash closures call this)."""
 
-    Gradient signs survive uniform brightness/contrast shifts and
-    resizing (the pooled grid sees the same structure at any
-    resolution) — the standard perceptual hash for image near-dup.
-    Returned as a SIGNED 64-bit int so it stores in a Spark LongType.
-    """
-    import numpy as np
+    def dhash64(arr) -> int:
+        """64-bit difference hash (dHash) of a decoded image: grayscale →
+        9×8 mean-pooled grid → bit b set when cell[r, c] > cell[r, c+1].
 
-    gray = np.asarray(arr, dtype=np.float64).mean(axis=2)
-    h, w = gray.shape
-    # mean-pool onto a 8-row × 9-col grid (uneven splits fine)
-    rows = [gray[(i * h) // 8 : max(((i + 1) * h) // 8, (i * h) // 8 + 1)] for i in range(8)]
-    grid = np.array(
-        [
+        Gradient signs survive uniform brightness/contrast shifts and
+        resizing (the pooled grid sees the same structure at any
+        resolution) — the standard perceptual hash for image near-dup.
+        Returned as a SIGNED 64-bit int so it stores in a Spark LongType.
+        """
+        import numpy as np
+
+        gray = np.asarray(arr, dtype=np.float64).mean(axis=2)
+        h, w = gray.shape
+        # mean-pool onto a 8-row × 9-col grid (uneven splits fine)
+        rows = [gray[(i * h) // 8 : max(((i + 1) * h) // 8, (i * h) // 8 + 1)] for i in range(8)]
+        grid = np.array(
             [
-                r[:, (j * w) // 9 : max(((j + 1) * w) // 9, (j * w) // 9 + 1)].mean()
-                for j in range(9)
+                [
+                    r[:, (j * w) // 9 : max(((j + 1) * w) // 9, (j * w) // 9 + 1)].mean()
+                    for j in range(9)
+                ]
+                for r in rows
             ]
-            for r in rows
-        ]
-    )
-    bits = 0
-    for i in range(8):
-        for j in range(8):
-            if grid[i, j] > grid[i, j + 1]:
-                bits |= 1 << (i * 8 + j)
-    return bits - (1 << 64) if bits >= 1 << 63 else bits
+        )
+        bits = 0
+        for i in range(8):
+            for j in range(8):
+                if grid[i, j] > grid[i, j + 1]:
+                    bits |= 1 << (i * 8 + j)
+        return bits - (1 << 64) if bits >= 1 << 63 else bits
 
+    return dhash64
+
+
+#: 64-bit dHash — by-value-picklable closure.
+dhash64 = _build_dhash64()
 
 _HASH_SCHEMA = "asset_id long, dhash long"
 

@@ -212,6 +212,18 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q22_idle_balances": tpch_extra.q22_idle_balances,
     "tpch_q15_top_supplier": tpch_extra.q15_top_supplier,
     "tpch_q18_large_orders": tpch_extra.q18_large_orders,
+    # r6 breadth: correlated-min supplier lookup, EXISTS priority
+    # check, profit measure over 5 joins, scalar-subquery threshold,
+    # CASE bands, NOT-IN distinct counts, nested-agg semi-join, and
+    # the Q21 double-correlation planned as per-order count predicates
+    "tpch_q2_min_balance_supplier": tpch_extra.q2_min_balance_supplier,
+    "tpch_q4_priority_check": tpch_extra.q4_priority_check,
+    "tpch_q9_product_profit": tpch_extra.q9_product_profit,
+    "tpch_q11_important_parts": tpch_extra.q11_important_parts,
+    "tpch_q12_shipping_delay_bands": tpch_extra.q12_shipping_delay_bands,
+    "tpch_q16_supplier_count_by_part": tpch_extra.q16_supplier_count_by_part,
+    "tpch_q20_excess_shippers": tpch_extra.q20_excess_shippers,
+    "tpch_q21_waiting_suppliers": tpch_extra.q21_waiting_suppliers,
     "user_value_moving_stats": tpch_extra.user_value_moving_stats,
     # context-window chunking (exact; Python-reference differential in
     # tests/test_curation.py — window full)
@@ -308,6 +320,14 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "tpch_q22_idle_balances",
         "tpch_q15_top_supplier",
         "tpch_q18_large_orders",
+        "tpch_q2_min_balance_supplier",
+        "tpch_q4_priority_check",
+        "tpch_q9_product_profit",
+        "tpch_q11_important_parts",
+        "tpch_q12_shipping_delay_bands",
+        "tpch_q16_supplier_count_by_part",
+        "tpch_q20_excess_shippers",
+        "tpch_q21_waiting_suppliers",
         "user_value_moving_stats",
         "chunk_documents",  # exact; Python-reference diffed in pytest
         "dedup_clusters",  # exact; union-find diffed in pytest

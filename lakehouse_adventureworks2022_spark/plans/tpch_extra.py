@@ -175,14 +175,20 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape (no phone column): customers with above-average positive
     balances and no URGENT orders — scalar avg subquery + anti-join
     against a filtered order set, grouped by market segment."""
+    from pyspark.sql import Window
+
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
-    avg_bal = (
-        cust.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("a"))
-    )
+    # global-window aggregate, not crossJoin(broadcast(1-row agg)):
+    # the join form plans a BroadcastNestedLoopJoin (bounded but it
+    # blunts the "no nested loop anywhere" audit invariant — same fix
+    # as temperature_mixture in r6). Positive-only balances feed the
+    # average; conditional agg keeps it one pass over customer.
+    avg_pos = F.avg(
+        F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))
+    ).over(Window.partitionBy())
     return (
-        cust.crossJoin(F.broadcast(avg_bal))
+        cust.withColumn("a", avg_pos)
         .filter(F.col("c_acctbal") > F.col("a"))
         .join(
             orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
@@ -424,4 +430,472 @@ EXTRA_ORACLES["tpch_q18_large_orders"] = """
     JOIN customer c ON o.o_custkey = c.c_custkey
     ORDER BY o.o_totalprice DESC, o.o_orderkey
     LIMIT 100
+"""
+
+
+# ---- round-6 additions: Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21 shapes ----------
+# (partsupp/commitdate/shipmode don't exist in the fixture schema, so
+# each keeps its join/subquery STRUCTURE with available columns — the
+# point is the plan shape, stated per query.)
+
+
+def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (min-cost supplier): for each qualifying part, the
+    ASIA-region supplier(s) holding the MINIMUM account balance among
+    suppliers that ever shipped that part — the correlated-min
+    subquery joined back on (part, min) that Q2's partsupp form plans.
+
+    Scale shape: the (part, supplier) pairs come from one distinct over
+    a lineitem projection (uniform-key shuffle); the per-part min is a
+    second agg over that reduced frame; the join-back is part-keyed.
+    Supplier/nation/region sides broadcast."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    rs = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    mn = rs.groupBy("l_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        rs.join(mn, "l_partkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_size").between(10, 20))
+                    & (F.col("p_type") == "ECONOMY")
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            F.col("p_name").alias("part_name"),
+            F.col("p_brand").alias("brand"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("s_acctbal").alias("supplier_balance"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .orderBy("supplier_balance", "part_key", "supplier_name")
+        .limit(100)
+    )
+
+
+EXTRA_QUERIES["tpch_q2_min_balance_supplier"] = q2_min_balance_supplier
+EXTRA_ORACLES["tpch_q2_min_balance_supplier"] = """
+    WITH rs AS (
+      SELECT DISTINCT l.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal,
+             n.n_name
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+    ), mn AS (
+      SELECT l_partkey, MIN(s_acctbal) AS min_bal FROM rs GROUP BY 1
+    )
+    SELECT p.p_partkey AS part_key, p.p_name AS part_name,
+           p.p_brand AS brand, rs.s_name AS supplier_name,
+           rs.s_acctbal AS supplier_balance, rs.n_name AS nation_name
+    FROM rs JOIN mn ON rs.l_partkey = mn.l_partkey
+                   AND rs.s_acctbal = mn.min_bal
+    JOIN part p ON rs.l_partkey = p.p_partkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'ECONOMY'
+    ORDER BY supplier_balance, part_key, supplier_name
+    LIMIT 100
+"""
+
+
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (order priority checking): orders from one quarter with
+    at least one lineitem shipped >30 days after the order date,
+    counted by priority — the EXISTS-driven left-semi join with a
+    CORRELATED date predicate (l_shipdate vs the outer o_orderdate)."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)),
+        "left_semi",
+    )
+    return (
+        late.groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("order_priority")
+    )
+
+
+EXTRA_QUERIES["tpch_q4_priority_check"] = q4_priority_check
+EXTRA_ORACLES["tpch_q4_priority_check"] = """
+    SELECT o.o_orderpriority AS order_priority,
+           COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit by nation and year): five-way join
+    over name-pattern parts with a computed profit measure (revenue
+    minus a retail-price-derived cost stand-in for the missing
+    ps_supplycost), aggregated (nation, year) — coarse groups, so the
+    decimal accumulation policy applies."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%rod%")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    nation = read_table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(amount.cast("decimal(28,6)")), 4)
+            .cast("double")
+            .alias("profit")
+        )
+        .orderBy("nation_name", F.desc("o_year"))
+    )
+
+
+EXTRA_QUERIES["tpch_q9_product_profit"] = q9_product_profit
+EXTRA_ORACLES["tpch_q9_product_profit"] = """
+    SELECT n.n_name AS nation_name,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - 0.6 * p.p_retailprice * l.l_quantity
+                               AS DECIMAL(28,6))), 4) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%rod%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock identification): per (nation, part)
+    traded value, kept when it exceeds 2× the average group value — the
+    scalar-subquery threshold over the same aggregate the rows came
+    from. A multiple-of-average threshold (not TPC-H's fixed fraction)
+    keeps the predicate scale-invariant: a fixed fraction of the grand
+    total selects ~nothing once the group count grows 10× (caught at
+    sf0.01 in r6). Decimal accumulation keeps the sums engine-exact, so
+    the derived double threshold is identical in both engines."""
+    from lakehouse_adventureworks2022_spark.operators.dedup import (
+        _attach_cached_input,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    v = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.col("l_partkey").alias("part_key"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("_value")
+        )
+        .persist()  # one aggregation feeds both the threshold and the rows
+    )
+    from pyspark.sql import Window
+
+    _all = Window.partitionBy()
+    threshold = (
+        F.lit(2.0)
+        * F.sum("_value").over(_all).cast("double")
+        / F.count(F.lit(1)).over(_all)
+    )
+    out = (
+        v.withColumn("_thr", threshold)
+        .filter(F.col("_value") > F.col("_thr"))
+        .select(
+            "nation_name",
+            "part_key",
+            F.round(F.col("_value"), 4).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "nation_name", "part_key")
+    )
+    return _attach_cached_input(out, v)
+
+
+EXTRA_QUERIES["tpch_q11_important_parts"] = q11_important_parts
+EXTRA_ORACLES["tpch_q11_important_parts"] = """
+    WITH v AS (
+      SELECT n.n_name AS nation_name, l.l_partkey AS part_key,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(28,6))) AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation_name, part_key,
+           CAST(ROUND(value, 4) AS DOUBLE) AS part_value
+    FROM v
+    WHERE value > (SELECT 2.0 * CAST(SUM(value) AS DOUBLE) / COUNT(*)
+                   FROM v)
+    ORDER BY part_value DESC, nation_name, part_key
+"""
+
+
+def q12_shipping_delay_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipping-mode priority split, delay bands standing in
+    for the missing l_shipmode): lineitems bucketed by ship delay, each
+    band counting high- vs low-priority orders via conditional sums."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(delay <= 30, "FAST")
+        .when(delay <= 60, "NORMAL")
+        .otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(band.alias("delay_band"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_lines"),
+        )
+        .orderBy("delay_band")
+    )
+
+
+EXTRA_QUERIES["tpch_q12_shipping_delay_bands"] = q12_shipping_delay_bands
+EXTRA_ORACLES["tpch_q12_shipping_delay_bands"] = """
+    SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 30
+                THEN 'FAST'
+                WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 60
+                THEN 'NORMAL'
+                ELSE 'SLOW' END AS delay_band,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (supplier count by part attributes): distinct-supplier
+    counts per (brand, type, size) over selected sizes, excluding one
+    brand, one type, and a NOT-IN supplier denylist (low-balance
+    suppliers standing in for the complaints filter)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    deny = supp.filter(F.col("s_acctbal") < 500).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(deny),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("part_type"),
+            F.col("p_size").alias("part_size"),
+        )
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "part_type", "part_size")
+    )
+
+
+EXTRA_QUERIES["tpch_q16_supplier_count_by_part"] = q16_supplier_count_by_part
+EXTRA_ORACLES["tpch_q16_supplier_count_by_part"] = """
+    SELECT p.p_brand AS brand, p.p_type AS part_type,
+           p.p_size AS part_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 500
+      )
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, brand, part_type, part_size
+"""
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (suppliers with excess stock): suppliers whose 1997
+    shipped quantity of a name-pattern part exceeds that part's average
+    per-supplier shipped quantity — nested aggregates feeding an IN
+    semi-join back to the supplier list."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%rod%")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    sp = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    pa = sp.groupBy("l_partkey").agg(F.avg("q").alias("aq"))
+    excess = (
+        sp.join(pa, "l_partkey")
+        .filter(F.col("q") > F.col("aq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(
+            excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select(
+            F.col("s_name").alias("supplier_name"),
+            F.col("s_acctbal").alias("supplier_balance"),
+        )
+        .orderBy("supplier_name")
+    )
+
+
+EXTRA_QUERIES["tpch_q20_excess_shippers"] = q20_excess_shippers
+EXTRA_ORACLES["tpch_q20_excess_shippers"] = """
+    WITH sp AS (
+      SELECT l.l_suppkey, l.l_partkey, SUM(l.l_quantity) AS q
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%rod%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ), pa AS (
+      SELECT l_partkey, AVG(q) AS aq FROM sp GROUP BY 1
+    )
+    SELECT s.s_name AS supplier_name, s.s_acctbal AS supplier_balance
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT sp.l_suppkey FROM sp JOIN pa ON sp.l_partkey = pa.l_partkey
+      WHERE sp.q > pa.aq
+    )
+    ORDER BY supplier_name
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): per supplier, the
+    multi-supplier orders where THEY shipped late (>45 days after the
+    order date) and NO OTHER supplier did — TPC-H's double-correlated
+    EXISTS / NOT EXISTS, planned here as per-order aggregations instead
+    of correlated joins: distinct (order, supplier) and (order,
+    late-supplier) frames reduce to per-order counts, and the
+    exists/not-exists conditions become count predicates on one
+    order-keyed join — no correlated subquery execution at all."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    all_pairs = joined.select("o_orderkey", "l_suppkey").distinct()
+    late_pairs = (
+        joined.filter(
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 45)
+        )
+        .select("o_orderkey", "l_suppkey")
+        .distinct()
+    )
+    per_order = all_pairs.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    late_per_order = late_pairs.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_late")
+    )
+    candidates = (
+        late_pairs.join(per_order, "o_orderkey")
+        .join(late_per_order, "o_orderkey")
+        # another supplier exists on the order; no OTHER one was late
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        candidates.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "supplier_name")
+        .limit(20)
+    )
+
+
+EXTRA_QUERIES["tpch_q21_waiting_suppliers"] = q21_waiting_suppliers
+EXTRA_ORACLES["tpch_q21_waiting_suppliers"] = """
+    SELECT s.s_name AS supplier_name,
+           COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY) l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3 JOIN orders o3
+            ON l3.l_orderkey = o3.o_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 45 DAY
+    )
+    GROUP BY 1
+    ORDER BY numwait DESC, supplier_name
+    LIMIT 20
 """

@@ -25,14 +25,20 @@ assets = multimodal.attach_fake_assets(
     read_table(spark, "/root/testdata/sf0.001", "documents").limit(5))
 rows = multimodal.extract_features(assets).collect()
 assert len(rows) == 5 and len(rows[0]["features"]) == multimodal.FEATURE_DIM
-# real-codec path (PPM/WAV decode closures)
+# real-codec path (PPM/PNG/WAV decode closures — PNG regressed once in
+# r6 when its decoder was a module-level function, pickled by reference)
+arr = multimodal.decode_ppm(multimodal.synth_ppm(32, 16, seed=1))
 media = spark.createDataFrame(
     [(1, bytearray(multimodal.synth_ppm(32, 16, seed=1)),
       "image/x-portable-pixmap", 32, 16, None),
-     (2, bytearray(multimodal.synth_wav(50)), "audio/wav", None, None, 50)],
+     (2, bytearray(multimodal.synth_wav(50)), "audio/wav", None, None, 50),
+     (3, bytearray(multimodal.encode_png(arr)), "image/png", 32, 16, None)],
     schema=multimodal.ASSET_SCHEMA)
 real = multimodal.extract_features(media, fake=False).collect()
-assert len(real) == 2 and all(len(r["features"]) == 16 for r in real)
+assert len(real) == 3 and all(len(r["features"]) == 16 for r in real)
+hashes = multimodal.image_hashes(
+    media.filter("asset_id != 2"), fake=False).collect()
+assert len(hashes) == 2 and len({r["dhash"] for r in hashes}) == 1
 # applyInPandas packing closure
 from lakehouse_adventureworks2022_spark.operators import curation
 docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
