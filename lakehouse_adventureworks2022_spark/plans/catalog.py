@@ -1000,6 +1000,37 @@ assert not _outside, (
     f"oracle-backed queries pushed past the driver's {DRIVER_WINDOW}-entry "
     f"verification window (would silently lose correctness rows): {_outside}"
 )
+#: catalog-name → tpch_extra.EXTRA_ORACLES key (two shapes use shorter
+#: internal keys); used to assemble PYTEST_ORACLES below.
+_EXTRA_NAME_MAP: dict[str, str] = {
+    "tpch_q19_disjunctive_revenue": "tpch_q19_disjunctive",
+    "tpch_q22_idle_balances": "tpch_q22_idle_balances",
+    "tpch_q15_top_supplier": "tpch_q15_top_supplier",
+    "tpch_q18_large_orders": "tpch_q18_large_orders",
+    "user_value_moving_stats": "user_value_moving_stats",
+    "tpch_q2_min_balance_supplier": "tpch_q2_min_balance_supplier",
+    "tpch_q4_priority_check": "tpch_q4_priority_check",
+    "tpch_q9_product_profit": "tpch_q9_product_profit",
+    "tpch_q11_important_parts": "tpch_q11_important_parts",
+    "tpch_q12_shipping_delay_bands": "tpch_q12_shipping_delay_bands",
+    "tpch_q16_supplier_count_by_part": "tpch_q16_supplier_count_by_part",
+    "tpch_q20_excess_shippers": "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_suppliers": "tpch_q21_waiting_suppliers",
+}
+
+#: EVERY pytest-side oracle keyed by catalog name: the r6-rotated
+#: window veterans plus the TPC-H-extra shapes. Disjoint from ORACLES
+#: by construction (asserted below); tools/check_oracles.py folds these
+#: into its sweep so the health snapshot hash-checks every EXACT query,
+#: not only the driver window.
+PYTEST_ORACLES: dict[str, str] = {
+    **ROTATED_ORACLES,
+    **{
+        name: tpch_extra.EXTRA_ORACLES[key]
+        for name, key in _EXTRA_NAME_MAP.items()
+    },
+}
+
 # rotated oracles cover only past-window queries and never shadow a
 # driver oracle (a query has exactly one oracle home)
 _rot_bad = [
@@ -1010,4 +1041,9 @@ _rot_bad = [
 assert not _rot_bad, (
     f"ROTATED_ORACLES entries must be past-window catalog queries with no "
     f"driver oracle: {_rot_bad}"
+)
+_py_bad = [q for q in PYTEST_ORACLES if q in ORACLES or q not in QUERIES]
+assert not _py_bad, (
+    f"PYTEST_ORACLES entries must be registered past-window queries with "
+    f"no driver oracle: {_py_bad}"
 )

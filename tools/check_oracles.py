@@ -23,7 +23,11 @@ import pandas as pd
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from lakehouse_adventureworks2022_spark.plans.catalog import ORACLES, QUERIES
+from lakehouse_adventureworks2022_spark.plans.catalog import (
+    ORACLES,
+    PYTEST_ORACLES,
+    QUERIES,
+)
 from lakehouse_adventureworks2022_spark.session import get_spark
 
 TABLES = (
@@ -94,7 +98,13 @@ def main() -> int:
             print(f"  {name:28s} FAIL err={type(e).__name__}: {first[:160]}")
             failures.append(name)
             continue
-        if name not in ORACLES:
+        # driver oracles hash-check like the driver; pytest-side
+        # oracles (rotated window veterans + TPC-H-extra) hash-check
+        # with the same comparison so the health sweep covers every
+        # EXACT query — truly approximate queries stay rows-only
+        oracle = ORACLES.get(name) or PYTEST_ORACLES.get(name)
+        tag = "" if name in ORACLES else " (pytest-oracle)"
+        if oracle is None:
             # rows-only, like the driver: no value hash (and array-valued
             # columns only ever appear in rows-only queries)
             print(
@@ -102,7 +112,7 @@ def main() -> int:
             )
             continue
         n_s, cols_s, h_s = canonical_hash(spark_pdf)
-        duck_pdf = normalize_pandas(con.sql(ORACLES[name]).df())
+        duck_pdf = normalize_pandas(con.sql(oracle).df())
         n_d, cols_d, h_d = canonical_hash(duck_pdf)
         # dtype parity (datetime resolution normalized away above) — the
         # driver may compare schemas more strictly than value hashes
@@ -114,7 +124,7 @@ def main() -> int:
         ]
         ok = (n_s, cols_s, h_s) == (n_d, cols_d, h_d) and not dtype_diffs
         status = "OK " if ok else "FAIL"
-        print(f"  {name:28s} {status} rows={n_s}/{n_d} hash={h_s}/{h_d}")
+        print(f"  {name:28s} {status} rows={n_s}/{n_d} hash={h_s}/{h_d}{tag}")
         if dtype_diffs:
             print(f"    dtype mismatches: {dtype_diffs}")
         if not ok:
