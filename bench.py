@@ -91,6 +91,16 @@ HEADLINE = [
     "hybrid_retrieval",
     # SCD2 point-in-time fact enrichment (600k facts × version history)
     "scd2_part_price_asof",
+    # round-6 additions (after the frozen r5 baseline set — they gain
+    # per-query baselines at the next deliberate re-freeze)
+    "funnel_conversion",
+    "retention_cohorts",
+    "event_anomalies",
+    "corpus_vocabulary",
+    # the two hardest new TPC-H shapes: 5-join profit rollup and the
+    # double-correlation planned as per-order count predicates
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
 ]
 
 
