@@ -144,3 +144,83 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min("count").alias("estimate"))
     )
+
+
+# ---- heavy hitters (Misra-Gries candidates + exact verify pass) ------
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    candidates_per_partition: int | None = None,
+) -> DataFrame:
+    """Exact top-``k`` most frequent values of ``key_col`` — WITHOUT a
+    full-cardinality shuffle. Output: ``(value, freq)``, frequency
+    descending, ties broken on the value string.
+
+    Two passes, both bounded:
+
+    1. *Candidates* — per partition, a Misra-Gries summary of size
+       ``m = candidates_per_partition`` (default ``4k``): any value
+       with GLOBAL frequency > N/m must survive in at least one
+       partition's summary (MG's guarantee is per-stream; a value
+       frequent overall is at least N_p/m-frequent in some partition),
+       so the true top-k is contained in the union whenever the k-th
+       frequency clears that bound. One Arrow pass, ``≤ m`` rows out
+       per partition — the shuffle that follows moves candidate
+       summaries, not the corpus.
+    2. *Verify* — the union of candidates (≤ m × partitions values,
+       deduplicated and broadcast) semi-joins the corpus and the
+       survivors are counted EXACTLY in one aggregation whose key
+       space is the candidate set, not the full value domain.
+
+    Versus a plain ``groupBy(key).count()`` + top-k: that shuffles one
+    row per DISTINCT value — fine at 10⁶ distinct values, a full-corpus
+    shuffle at 10¹¹ (per-URL keys at 100 TB). Here the exchange carries
+    only bounded summaries plus the exact counts of ≤ m·P candidates.
+
+    Exactness caveat (stated, tested): if the key distribution is so
+    flat that the k-th frequency is below N/m, rank order near the cut
+    may be wrong — raise ``candidates_per_partition``. The fixture
+    differentials run against DuckDB's exact top-k.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    m = candidates_per_partition or max(4 * k, 64)
+
+    def mg_summary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[key_col]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < m:
+                    counters[v] = 1
+                else:
+                    # decrement-all: drop zeroed counters
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        if counters:
+            yield pd.DataFrame({key_col: list(counters.keys())})
+
+    candidates = (
+        df.select(key_col)
+        .mapInPandas(mg_summary, schema=df.select(key_col).schema)
+        .distinct()
+    )
+    return (
+        df.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(F.col(key_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc(F.col("value").cast("string")))
+        .limit(k)
+    )

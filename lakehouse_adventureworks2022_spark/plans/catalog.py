@@ -295,6 +295,9 @@ QUERIES: dict[str, QueryFn] = {
     # two-leg hybrid retrieval: BM25 inverted index + IVF vector leg,
     # reciprocal-rank fused (IVF probing ⇒ approximate)
     "hybrid_retrieval": text_queries.q_hybrid_retrieval,
+    # exact frequent-items via Misra-Gries candidates + exact verify
+    # (bounded-shuffle top-k; pytest-oracled — window full)
+    "heavy_hitters_event_types": text_queries.q_heavy_hitters,
     # trailing-window z-score anomaly detection (exact; planted-spike
     # differentials in tests/test_monitoring.py — window full)
     "event_anomalies": text_queries.q_event_anomalies,
@@ -366,6 +369,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "clean_assets",  # binary assets have no oracle tables
         "hard_negatives",  # IVF probing: approximate by design
         "hybrid_retrieval",  # IVF leg: approximate by design
+        "heavy_hitters_event_types",  # exact; DuckDB-diffed in pytest
         "event_anomalies",  # exact; planted-spike diffed in pytest
     }
 )
@@ -1029,6 +1033,7 @@ PYTEST_ORACLES: dict[str, str] = {
         name: tpch_extra.EXTRA_ORACLES[key]
         for name, key in _EXTRA_NAME_MAP.items()
     },
+    "heavy_hitters_event_types": text_queries.ORACLE_HEAVY_HITTERS,
 }
 
 # rotated oracles cover only past-window queries and never shadow a

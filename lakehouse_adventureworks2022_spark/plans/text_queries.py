@@ -984,3 +984,26 @@ def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z_score",
         "is_anomaly",
     )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k most frequent event types via the Misra-Gries
+    candidates + exact-verify pass (``sketches.heavy_hitters``) — the
+    bounded-shuffle frequent-items op (top domains/URLs at 100 TB).
+    Exact here by construction (distinct values < summary size, so the
+    candidate set is complete); skew/layout-invariance and the
+    flat-distribution caveat are pinned in tests/test_sketches.py."""
+    from lakehouse_adventureworks2022_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    return heavy_hitters(read_table(spark, sf_dir, "events"), "event_type", k=5)
+
+
+ORACLE_HEAVY_HITTERS = """
+    SELECT value, freq FROM (
+      SELECT event_type AS value, COUNT(*) AS freq
+      FROM events GROUP BY 1
+    )
+    ORDER BY freq DESC, CAST(value AS VARCHAR) LIMIT 5
+"""

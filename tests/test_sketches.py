@@ -140,3 +140,76 @@ def test_cms_weighted_and_unknown_key(spark):
     assert est["a"] >= 5 and est["b"] >= 10
     # an unseen key can only collide upward from 0
     assert est["zzz"] >= 0
+
+
+def test_heavy_hitters_matches_exact_topk(spark):
+    """heavy_hitters (MG candidates + exact verify) must equal DuckDB's
+    exact top-k on a skewed fixture column, including tie order."""
+    import duckdb
+
+    from lakehouse_adventureworks2022_spark.operators.sketches import (
+        heavy_hitters,
+    )
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    SF = "/root/testdata/sf0.001"
+    events = read_table(spark, SF, "events")
+    got = [
+        (r["value"], r["freq"])
+        for r in heavy_hitters(events, "event_type", k=3).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = con.sql(
+        """SELECT event_type, COUNT(*) AS freq FROM events
+           GROUP BY 1 ORDER BY freq DESC, event_type LIMIT 3"""
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_heavy_hitters_planted_and_partition_invariant(spark):
+    """A planted hot key must surface regardless of physical layout,
+    and the exact verify pass reports its TRUE count (MG alone only
+    lower-bounds it)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    # 5000 hot + 2000 spread over 1000 distinct cold keys
+    df = (
+        spark.range(5000).selectExpr("'hot' AS k")
+        .unionAll(spark.range(2000).selectExpr("concat('c', id % 1000) AS k"))
+    )
+    for frame in (df, df.repartition(13), df.coalesce(1)):
+        rows = heavy_hitters(frame, "k", k=1).collect()
+        assert [(r["value"], r["freq"]) for r in rows] == [("hot", 5000)]
+    # k beyond the head: cold keys tie at 2 each; deterministic tie order
+    top3 = heavy_hitters(df, "k", k=3, candidates_per_partition=4096).collect()
+    assert top3[0]["value"] == "hot"
+    assert [r["freq"] for r in top3[1:]] == [2, 2]
+    assert [r["value"] for r in top3[1:]] == ["c0", "c1"]
+
+
+def test_heavy_hitters_shuffles_candidates_not_corpus(spark):
+    """The exchange ahead of the exact count must follow the semi-join
+    against broadcast candidates — i.e. the corpus is filtered to
+    candidate rows BEFORE any shuffle (the whole point vs a
+    full-cardinality groupBy)."""
+    from lakehouse_adventureworks2022_spark.operators.sketches import (
+        heavy_hitters,
+    )
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    df = read_table(spark, "/root/testdata/sf0.001", "events")
+    plan = (
+        heavy_hitters(df, "event_type", k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
