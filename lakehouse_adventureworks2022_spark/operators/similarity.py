@@ -509,33 +509,38 @@ def _assign_cells_df(candidates: DataFrame, cm) -> DataFrame:
 def ivf_build_auto(
     candidates: DataFrame,
     n_cells: int | None = None,
-    train_cap: int = 2048,
+    train_cap: int | None = None,
     min_cells: int = 8,
     max_cells: int = 4096,
+    max_train_cap: int = 65536,
     seed: int = 7,
 ) -> tuple[DataFrame, DataFrame]:
     """Corpus-scaled IVF build — the deployed default (r5 verdict #2):
     derives ``n_cells ≈ √N`` from one count (the FAISS-style rule that
     balances per-query centroid scoring ``O(n_cells)`` against probed
     scan volume ``O(n_probe·N/n_cells)``), clamped to
-    ``[min_cells, max_cells]``, then picks the trainer by whether the
-    driver sample can still POPULATE the cells:
+    ``[min_cells, max_cells]``.
 
-    - ``n_cells ≤ train_cap/8`` (≥8 training vectors per cell, i.e.
-      N ≲ (train_cap/8)² ≈ 65k at the defaults) → :func:`ivf_build`,
-      the bit-deterministic sampled Lloyd trainer;
-    - beyond that the sample starves the centroids, so training moves
-      to :func:`ivf_build_distributed` (pyspark.ml k-means|| over the
-      WHOLE corpus — seeded, layout-dependent; the crossover is
-      measured in SCALE.md §r6).
+    Trainer choice (revised in r6 after the 10× stress run): with
+    ``train_cap=None`` the driver sample AUTO-SCALES to 16 vectors per
+    cell (``min(max(2048, 16·n_cells), max_train_cap)``) — 65k samples
+    × 64-dim doubles is ~33 MB and eight Lloyd GEMMs over it are
+    milliseconds, so the bit-deterministic sampled trainer stays right
+    up to ``max_cells`` (this is also how FAISS trains: on a sample,
+    never the corpus). Measured: at 69k vectors / 263 cells the
+    distributed k-means|| build costs ~9× the sampled one for a modest
+    balance gain (SCALE.md §r6) — not a default anyone should pay.
 
-    An explicit ``n_cells`` skips the derivation but still routes
-    through the same trainer rule. Passing fixture-scale constants
-    (the pre-r6 ``n_cells=16``) remains valid for tests that pin cell
-    geometry."""
+    Routing to :func:`ivf_build_distributed` happens only when the
+    (possibly caller-pinned) sample cannot populate the cells
+    (``n_cells > train_cap/8``): pass an explicit small ``train_cap``
+    to force it, or call the distributed trainer directly for
+    full-corpus training."""
     if n_cells is None:
         n = candidates.count()
         n_cells = max(min_cells, min(max_cells, round(n**0.5)))
+    if train_cap is None:
+        train_cap = min(max(2048, 16 * n_cells), max_train_cap)
     if n_cells <= max(1, train_cap // 8):
         return ivf_build(candidates, n_cells=n_cells, train_cap=train_cap)
     return ivf_build_distributed(candidates, n_cells=n_cells, seed=seed)

@@ -88,7 +88,7 @@ def build_chunk_index(
     overlap_tokens: int = 8,
     dim: int = 64,
     n_cells: int | None = None,
-    train_cap: int = 2048,
+    train_cap: int | None = None,
 ):
     """Chunk → vectorize → IVF index over a documents table: returns
     ``(centroids, cells, chunks)`` where cells carry
@@ -99,10 +99,11 @@ def build_chunk_index(
 
     ``n_cells=None`` (the deployed default since r6) derives the cell
     count from the corpus via ``similarity.ivf_build_auto`` — ≈√N cells
-    and a switch to distributed pyspark.ml training once the driver
-    sample can no longer populate them — so the same call is right at
-    fixture scale and at 100 TB. Below the distributed-training
-    crossover the build stays bit-deterministic (one extra count job)."""
+    with the driver training sample auto-scaled to 16 vectors/cell — so
+    the same call is right at fixture scale and at 100 TB, and the
+    build stays bit-deterministic (one extra count job). Distributed
+    k-means|| remains the explicit escape hatch for cell counts beyond
+    the driver-sample budget (see ``ivf_build_auto``)."""
     from lakehouse_adventureworks2022_spark.operators.curation import (
         chunk_documents,
     )
@@ -278,7 +279,7 @@ def chunk_index_ensure(
     overlap_tokens: int = 8,
     dim: int = 64,
     n_cells: int | None = None,
-    train_cap: int = 2048,
+    train_cap: int | None = None,
 ):
     """Load the persisted chunk index at ``index_dir``, building and
     saving it first if absent — the deployed retrieval shape: chunking,

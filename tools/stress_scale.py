@@ -212,6 +212,74 @@ def main() -> None:
 
     run("bm25_build_and_search", _bm25)
 
+    # ---- event-analytics family at rep× volume (r6): funnel,
+    # retention, anomalies and the Q21 double-correlation, on a
+    # replicated events stream with ids/users offset per copy so the
+    # per-user event counts stay realistic while total volume grows ----
+    events = read_table(spark, sf_dir, "events")
+    big_events_view = (
+        events.crossJoin(F.broadcast(reps))
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * F.lit(100_000_000))
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * F.lit(10_000_000))
+        .drop("rep")
+    )
+    big_events_view.createOrReplaceTempView("__stress_events__")
+
+    import tempfile
+
+    stress_dir = tempfile.mkdtemp(prefix="stress_events_")
+    big_events_view.write.mode("overwrite").parquet(f"{stress_dir}/events.parquet")
+
+    from lakehouse_adventureworks2022_spark.operators.monitoring import (  # noqa: E402
+        value_anomalies,
+    )
+    from lakehouse_adventureworks2022_spark.plans import relational  # noqa: E402
+
+    big_events = spark.read.parquet(f"{stress_dir}/events.parquet")
+    run(
+        "funnel_conversion",
+        lambda: relational.funnel_conversion(spark, stress_dir),
+    )
+    run(
+        "retention_cohorts",
+        lambda: relational.retention_cohorts(spark, stress_dir),
+    )
+    run(
+        "event_anomalies",
+        lambda: value_anomalies(big_events, tiebreak_col="event_id"),
+    )
+
+    # Q21 at rep× fact volume: lineitem + orders replicated with the
+    # SAME orderkey offset on both sides (FK integrity preserved, so
+    # the per-order supplier profiles — what the count predicates key
+    # on — stay realistic); supplier table shared across copies.
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    (
+        li.crossJoin(F.broadcast(reps))
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * F.lit(100_000_000))
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(f"{stress_dir}/lineitem.parquet")
+    )
+    (
+        orders.crossJoin(F.broadcast(reps))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * F.lit(100_000_000))
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(f"{stress_dir}/orders.parquet")
+    )
+    import shutil
+
+    shutil.copy(f"{sf_dir}/supplier.parquet", f"{stress_dir}/supplier.parquet")
+
+    from lakehouse_adventureworks2022_spark.plans import tpch_extra  # noqa: E402
+
+    run(
+        "tpch_q21_waiting_suppliers",
+        lambda: tpch_extra.q21_waiting_suppliers(spark, stress_dir),
+    )
+
     print(
         json.dumps(
             {
