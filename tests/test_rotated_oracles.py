@@ -17,7 +17,10 @@ from lakehouse_adventureworks2022_spark.plans.catalog import (
 )
 from tools.check_oracles import TABLES, canonical_hash, normalize_pandas
 
-SF = "/root/testdata/sf0.001"
+#: Both the pytest fixture SF and the DRIVER's verification SF: the
+#: rotated queries held driver-green rows at sf0.01 for five rounds, so
+#: the replacement evidence must not be weaker than what it replaced.
+SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
 
 # the rotation set is fixed: anything newly rotated out must be added
 # here (and the assert below makes forgetting loud)
@@ -33,14 +36,15 @@ ROTATED = (
 )
 
 
-@pytest.fixture(scope="module")
-def duck():
+@pytest.fixture(scope="module", params=SFS)
+def duck(request):
+    sf = request.param
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
-    yield con
+    yield sf, con
     con.close()
 
 
@@ -56,8 +60,9 @@ def test_rotated_set_is_exactly_the_catalog_rotation():
 
 @pytest.mark.parametrize("name", sorted(ROTATED))
 def test_rotated_query_matches_oracle(spark, duck, name):
-    spark_pdf = normalize_pandas(QUERIES[name](spark, SF).toPandas())
-    duck_pdf = normalize_pandas(duck.sql(ROTATED_ORACLES[name]).df())
+    sf, con = duck
+    spark_pdf = normalize_pandas(QUERIES[name](spark, sf).toPandas())
+    duck_pdf = normalize_pandas(con.sql(ROTATED_ORACLES[name]).df())
     n_s, cols_s, h_s = canonical_hash(spark_pdf)
     n_d, cols_d, h_d = canonical_hash(duck_pdf)
     assert (n_s, cols_s, h_s) == (n_d, cols_d, h_d)

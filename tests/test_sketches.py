@@ -213,3 +213,37 @@ def test_heavy_hitters_shuffles_candidates_not_corpus(spark):
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_heavy_hitters_property_random_streams(spark):
+    """Property check: on random skewed streams, heavy_hitters equals
+    collections.Counter's exact top-k (same tie rule) whenever the
+    candidate budget covers the distinct-value count — the regime the
+    operator documents as exact."""
+    import random
+    from collections import Counter
+
+    from lakehouse_adventureworks2022_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n_distinct = rng.randint(3, 40)
+        # zipf-ish skew: value i drawn with weight 1/(i+1)
+        vals = [f"v{i}" for i in range(n_distinct)]
+        weights = [1.0 / (i + 1) for i in range(n_distinct)]
+        stream = rng.choices(vals, weights=weights, k=rng.randint(200, 2000))
+        k = rng.randint(1, 6)
+        exact = sorted(
+            Counter(stream).items(), key=lambda kv: (-kv[1], kv[0])
+        )[:k]
+        df = spark.createDataFrame([(v,) for v in stream], "k string")
+        got = [
+            (r["value"], r["freq"])
+            for r in heavy_hitters(
+                df.repartition(rng.randint(1, 8)), "k", k=k,
+                candidates_per_partition=64,
+            ).collect()
+        ]
+        assert got == exact, f"trial {trial}: {got} != {exact}"
