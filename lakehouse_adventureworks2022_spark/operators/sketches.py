@@ -146,6 +146,92 @@ def cms_estimate(
     )
 
 
+def _mg_map_fn(key_col: str, m: int):
+    """Per-partition Misra-Gries pass as a self-contained closure
+    (worker portability — the standard decrement-all summary, emitting
+    the surviving (value, weight) counters; weight lower-bounds the
+    partition-local frequency by at most N_p/(m+1))."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[key_col]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < m:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        if counters:
+            yield pd.DataFrame(
+                {"value": list(counters.keys()),
+                 "weight": list(counters.values())}
+            )
+
+    return mg
+
+
+def mg_summarize(df: DataFrame, key_col: str, m: int) -> DataFrame:
+    """Bounded Misra-Gries summary of ``key_col`` as a ``(value,
+    weight)`` frame with ≤ m·partitions rows pre-merge, merged by one
+    tiny sum-aggregation. Weights lower-bound true frequencies; any
+    value with global frequency > N/(m+1) survives. Mergeable (Agarwal
+    et al. 2013): summaries of stream pieces combine with
+    :func:`mg_merge` into a summary of the whole — the streaming
+    frequent-items state (streaming/frequent.py) is exactly that."""
+    vtype = dict(df.dtypes)[key_col]
+    return (
+        df.select(key_col)
+        .mapInPandas(
+            _mg_map_fn(key_col, m), schema=f"value {vtype}, weight long"
+        )
+        .groupBy("value")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def mg_merge(*summaries: DataFrame, m: int) -> DataFrame:
+    """Merge MG summaries into one of size ≤ m (Agarwal et al.):
+    pointwise weight sum over the union of values, then subtract the
+    (m+1)-th largest weight from everything and keep the positive
+    survivors. The result is a valid MG summary of the concatenated
+    streams — per-value error grows by at most N_total/(m+1).
+
+    Driver cost: one bounded collect of m+1 rows (to learn the
+    subtrahend); the merge aggregation itself is distributed over
+    frames that are ≤ m rows each by contract."""
+    from functools import reduce
+
+    unioned = reduce(lambda a, b: a.unionByName(b), summaries)
+    summed = unioned.groupBy("value").agg(F.sum("weight").alias("weight"))
+    head = summed.orderBy(
+        F.desc("weight"), F.asc(F.col("value").cast("string"))
+    ).limit(m + 1)
+    rows = head.collect()
+    sub = rows[m]["weight"] if len(rows) > m else 0
+    spark = summed.sparkSession
+    kept = [
+        (r["value"], int(r["weight"] - sub))
+        for r in rows[:m]
+        if r["weight"] - sub > 0
+    ]
+    schema_vtype = dict(summed.dtypes)["value"]
+    if not kept:
+        return spark.createDataFrame([], f"value {schema_vtype}, weight long")
+    return spark.createDataFrame(kept, f"value {schema_vtype}, weight long")
+
+
 # ---- heavy hitters (Misra-Gries candidates + exact verify pass) ------
 
 def heavy_hitters(
@@ -189,33 +275,8 @@ def heavy_hitters(
     import pandas as pd
 
     m = candidates_per_partition or max(4 * k, 64)
-
-    def mg_summary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict = {}
-        for pdf in batches:
-            for v in pdf[key_col]:
-                if v is None:
-                    continue
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < m:
-                    counters[v] = 1
-                else:
-                    # decrement-all: drop zeroed counters
-                    dead = []
-                    for c in counters:
-                        counters[c] -= 1
-                        if counters[c] == 0:
-                            dead.append(c)
-                    for c in dead:
-                        del counters[c]
-        if counters:
-            yield pd.DataFrame({key_col: list(counters.keys())})
-
-    candidates = (
-        df.select(key_col)
-        .mapInPandas(mg_summary, schema=df.select(key_col).schema)
-        .distinct()
+    candidates = mg_summarize(df, key_col, m).select(
+        F.col("value").alias(key_col)
     )
     return (
         df.join(F.broadcast(candidates), key_col, "left_semi")
