@@ -10,12 +10,14 @@ nearest-neighbor resize / channel+grid features** and **WAV (PCM16)
 audio decode / envelope features** (``wave`` is stdlib). ``fake=False``
 dispatches on the content's magic bytes and runs those for real. Since
 r6 **PNG decodes for real too**: stdlib ``zlib`` inflate + per-scanline
-unfilter (8-bit gray/RGB/palette/alpha variants, non-interlaced). What
-remains STUBBED: codecs needing non-stdlib decompressors (JPEG/MP4 —
-PIL/ffmpeg are not in this container), which raise a clearly-marked
-``NotImplementedError`` identifying the format. ``fake=True`` keeps the
-md5-derived deterministic stand-in features for fixtures without real
-assets.
+unfilter (8-bit gray/RGB/palette/alpha variants, non-interlaced), and
+**baseline JPEG** (SOF0 Huffman, grayscale/4:4:4/4:2:0, restart
+markers — ``operators/jpeg.py``, numpy + stdlib per ITU-T T.81). What
+remains STUBBED: MP4/video (needs ffmpeg) and the exotic JPEG modes
+(progressive SOF2, arithmetic coding, 12-bit), which raise a
+clearly-marked ``NotImplementedError`` identifying the format.
+``fake=True`` keeps the md5-derived deterministic stand-in features
+for fixtures without real assets.
 
 Scale notes: binary payloads never pass through the driver; each Arrow
 batch holds ``spark.sql.execution.arrow.maxRecordsPerBatch`` assets, so
@@ -109,6 +111,10 @@ def decode_ppm(data: bytes):
 
 #: PNG signature (dispatch magic).
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# baseline JPEG codec (r6): by-value closures, same portability contract
+# as the PNG/image-feature factories below.
+from .jpeg import JPEG_MAGIC, decode_jpeg, encode_jpeg  # noqa: E402
 
 
 def encode_png(arr) -> bytes:
@@ -398,12 +404,13 @@ def _fake_features(content: bytes) -> list[float]:
 def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + feature-extract each asset in Arrow batches.
 
-    ``fake=False`` dispatches on magic bytes: PPM (``P6``) and WAV
-    (``RIFF..WAVE``) decode for REAL (numpy/stdlib codecs — see module
-    doc); compressed formats raise ``NotImplementedError`` naming the
-    format (PIL/ffmpeg not in container). ``fake=True`` is the
-    md5-derived stand-in encoder for text-backed fixtures. Plumbing
-    (batching, schema, memory shape) is identical either way.
+    ``fake=False`` dispatches on magic bytes: PPM (``P6``), PNG,
+    baseline JPEG and WAV (``RIFF..WAVE``) decode for REAL
+    (numpy/stdlib codecs — see module doc); the remaining formats
+    (MP4, progressive JPEG) raise ``NotImplementedError`` naming the
+    format. ``fake=True`` is the md5-derived stand-in encoder for
+    text-backed fixtures. Plumbing (batching, schema, memory shape) is
+    identical either way.
     """
 
     feature_dim = FEATURE_DIM
@@ -494,12 +501,14 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
                 return ppm_feats(content)
             if content[:8] == PNG_MAGIC:
                 return image_features(decode_png(content))
+            if content[:3] == JPEG_MAGIC:
+                return image_features(decode_jpeg(content))
             if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
                 return wav_feats(content)
             raise NotImplementedError(
                 f"no codec for content starting {content[:4]!r}: only PPM, "
-                "PNG and PCM16 WAV decode in-container (JPEG/MP4 need "
-                "PIL/ffmpeg); use fake=True for the stand-in encoder"
+                "PNG, baseline JPEG and PCM16 WAV decode in-container "
+                "(MP4 needs ffmpeg); use fake=True for the stand-in encoder"
             )
 
         feats = fake_feats if fake else real_feats
@@ -630,9 +639,11 @@ def image_hashes(assets: DataFrame, fake: bool = True) -> DataFrame:
                 return ppm_dhash(content)
             if content[:8] == PNG_MAGIC:
                 return dhash64(decode_png(content))
+            if content[:3] == JPEG_MAGIC:
+                return dhash64(decode_jpeg(content))
             raise NotImplementedError(
                 f"no image codec for content starting {content[:4]!r}: only "
-                "PPM and PNG decode in-container (JPEG needs PIL); "
+                "PPM, PNG and baseline JPEG decode in-container; "
                 "use fake=True for the stand-in hash"
             )
 

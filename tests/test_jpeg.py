@@ -1,0 +1,214 @@
+"""Baseline JPEG codec (operators/jpeg.py, r6): round-trips across
+sampling/restart/grayscale variants, spec conformance via an
+independently hand-packed bitstream (the `_filtered_png` analog: the
+decoder must agree with ITU-T T.81 as the test understands it, not just
+with the module's own encoder), named stubs for the unimplemented JPEG
+modes, and the fake=False mapInPandas dispatch."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from lakehouse_adventureworks2022_spark.operators import multimodal
+from lakehouse_adventureworks2022_spark.operators.jpeg import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.dstack(
+        [
+            xx * 255 / max(w - 1, 1),
+            yy * 255 / max(h - 1, 1),
+            (xx + yy) * 255 / max(w + h - 2, 1),
+        ]
+    ).astype(np.uint8)
+
+
+def test_roundtrip_444_accuracy():
+    img = _gradient(37, 53)
+    for q, bound in [(95, 6), (85, 8), (50, 16)]:
+        dec = decode_jpeg(encode_jpeg(img, quality=q))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(float) - img.astype(float))
+        assert err.max() <= bound, (q, err.max())
+
+
+def test_roundtrip_420_and_grayscale():
+    img = _gradient(37, 53)
+    dec = decode_jpeg(encode_jpeg(img, quality=85, subsampling="420"))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(float) - img.astype(float)).max() <= 16
+
+    dg = decode_jpeg(encode_jpeg(img, quality=85, grayscale=True))
+    luma = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    assert dg.shape == img.shape  # gray replicated to 3 channels
+    assert np.array_equal(dg[:, :, 0], dg[:, :, 1])
+    assert np.abs(dg[:, :, 0].astype(float) - luma).max() <= 6
+
+    # 2-D input implies grayscale
+    g2 = decode_jpeg(encode_jpeg(img[:, :, 1], quality=90))
+    assert g2.shape == img.shape
+
+
+def test_restart_markers_do_not_change_pixels():
+    """Restart intervals only re-pack the entropy stream (byte-align +
+    DC-prediction reset); the quantized coefficients — hence the decoded
+    pixels — are bit-identical to the no-restart encoding."""
+    img = _gradient(35, 41)
+    base = decode_jpeg(encode_jpeg(img, quality=80))
+    for ri in (1, 2, 3, 7):
+        again = decode_jpeg(encode_jpeg(img, quality=80, restart_interval=ri))
+        assert np.array_equal(base, again), ri
+    b420 = decode_jpeg(encode_jpeg(img, quality=80, subsampling="420"))
+    r420 = decode_jpeg(
+        encode_jpeg(img, quality=80, subsampling="420", restart_interval=2)
+    )
+    assert np.array_equal(b420, r420)
+
+
+def _canonical_codes(bits, vals):
+    codes, code, i = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[i]] = (ln, code)
+            code += 1
+            i += 1
+        code <<= 1
+    return codes
+
+
+def test_hand_packed_single_block_matches_spec_math():
+    """Independently hand-pack a one-block grayscale scan (T.81 bit
+    layout, Annex K.3 luma Huffman tables, a custom DQT whose zigzag
+    payload slots are all distinct) and check the decoder reproduces the
+    exact IDCT the spec prescribes — DQT zigzag ordering, EXTEND sign
+    recovery and canonical Huffman assignment are each load-bearing."""
+    # custom quant table: zigzag payload slot z holds value z + 1, so a
+    # natural/zigzag mix-up in the decoder changes the dequantized AC
+    qtab_zz = [z + 1 for z in range(64)]
+
+    dc = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+
+    bitstream = []  # (length, code) pieces
+
+    def put_val(v):  # DC diff / AC coefficient EXTEND encoding
+        s = int(abs(v)).bit_length()
+        d = v if v >= 0 else v + (1 << s) - 1
+        return s, d & ((1 << s) - 1)
+
+    # DC diff = -5 (pred 0), one AC at zigzag index 3 with value +7
+    # (run of 2 zeros at zigzag 1..2), then EOB.
+    s, d = put_val(-5)
+    bitstream += [dc[s], (s, d)]
+    s, d = put_val(7)
+    bitstream += [ac[(2 << 4) | s], (s, d)]
+    bitstream += [ac[0x00]]
+
+    bits = "".join(format(code, f"0{ln}b") for ln, code in bitstream)
+    bits += "1" * (-len(bits) % 8)
+    payload = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    # byte-stuff any 0xFF
+    payload = payload.replace(b"\xff", b"\xff\x00")
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(qtab_zz))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + payload
+        + b"\xff\xd9"
+    )
+
+    # spec math: dequantize in zigzag order, scatter to natural order,
+    # orthonormal IDCT, +128 level shift
+    zz = np.zeros(64)
+    zz[0] = -5 * qtab_zz[0]
+    zz[3] = 7 * qtab_zz[3]
+    nat = np.zeros(64)
+    nat[np.array(ZIGZAG)] = zz
+    k = np.arange(8)
+    basis = np.cos((2 * k[:, None] + 1) * k[None, :] * np.pi / 16)
+    alpha = np.full(8, np.sqrt(2.0 / 8.0))
+    alpha[0] = np.sqrt(1.0 / 8.0)
+    m = basis * alpha[None, :]
+    expected = np.clip(m @ nat.reshape(8, 8) @ m.T + 128.0, 0, 255).astype(np.uint8)
+
+    got = decode_jpeg(jpg)
+    assert got.shape == (8, 8, 3)
+    assert np.array_equal(got[:, :, 0], expected)
+
+
+def test_named_stubs_and_malformed_input():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg at all")
+    # progressive: SOI then SOF2
+    prog = b"\xff\xd8\xff\xc2" + struct.pack(">H", 4) + b"\x00\x00"
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(prog)
+    # arithmetic-coded: SOF9
+    arith = b"\xff\xd8\xff\xc9" + struct.pack(">H", 4) + b"\x00\x00"
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(arith)
+    # 16-bit quant table (pq=1)
+    dqt16 = (
+        b"\xff\xd8\xff\xdb"
+        + struct.pack(">H", 3 + 128)
+        + bytes([0x10])
+        + bytes(128)
+    )
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_jpeg(dqt16)
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(_gradient(8, 8), subsampling="422")
+
+
+def test_jpeg_assets_flow_through_real_feature_and_hash_paths(spark):
+    """JPEG joins PPM/PNG in the fake=False dispatch: same pixels as
+    lossless PPM and as JPEG must land within lossy tolerance on
+    features and within a few dHash bits (near-dup robustness)."""
+    arr = _gradient(40, 30)
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_ppm(arr)), "image/x-ppm", 30, 40, None),
+            (2, bytearray(encode_jpeg(arr, quality=95)), "image/jpeg", 30, 40, None),
+            (
+                3,
+                bytearray(encode_jpeg(arr, quality=90, subsampling="420")),
+                "image/jpeg",
+                30,
+                40,
+                None,
+            ),
+        ],
+        multimodal.ASSET_SCHEMA,
+    )
+    feats = {
+        r["asset_id"]: np.array(r["features"])
+        for r in multimodal.extract_features(assets, fake=False).collect()
+    }
+    assert np.abs(feats[1] - feats[2]).max() < 0.05
+    assert np.abs(feats[1] - feats[3]).max() < 0.08
+    hashes = {
+        r["asset_id"]: r["dhash"]
+        for r in multimodal.image_hashes(assets, fake=False).collect()
+    }
+    for other in (2, 3):
+        ham = bin((hashes[1] ^ hashes[other]) & (2**64 - 1)).count("1")
+        assert ham <= 6, (other, ham)

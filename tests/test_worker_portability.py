@@ -32,13 +32,19 @@ media = spark.createDataFrame(
     [(1, bytearray(multimodal.synth_ppm(32, 16, seed=1)),
       "image/x-portable-pixmap", 32, 16, None),
      (2, bytearray(multimodal.synth_wav(50)), "audio/wav", None, None, 50),
-     (3, bytearray(multimodal.encode_png(arr)), "image/png", 32, 16, None)],
+     (3, bytearray(multimodal.encode_png(arr)), "image/png", 32, 16, None),
+     (4, bytearray(multimodal.encode_jpeg(arr, quality=95)),
+      "image/jpeg", 32, 16, None)],
     schema=multimodal.ASSET_SCHEMA)
 real = multimodal.extract_features(media, fake=False).collect()
-assert len(real) == 3 and all(len(r["features"]) == 16 for r in real)
+assert len(real) == 4 and all(len(r["features"]) == 16 for r in real)
 hashes = multimodal.image_hashes(
     media.filter("asset_id != 2"), fake=False).collect()
-assert len(hashes) == 2 and len({r["dhash"] for r in hashes}) == 1
+# PPM and PNG hash identically (lossless); JPEG within near-dup range
+assert len(hashes) == 3
+hs = {r["asset_id"]: r["dhash"] for r in hashes}
+assert hs[1] == hs[3]
+assert bin((hs[1] ^ hs[4]) & (2**64 - 1)).count("1") <= 6
 # applyInPandas packing closure
 from lakehouse_adventureworks2022_spark.operators import curation
 docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
