@@ -285,3 +285,261 @@ def heavy_hitters(
         .orderBy(F.desc("freq"), F.asc(F.col("value").cast("string")))
         .limit(k)
     )
+
+
+# ---- KLL quantile sketch (mergeable rank/quantile estimates) ---------
+#
+# Completes the mergeable-sketch family: HLL answers "how many
+# distinct", CMS "how often", Misra-Gries "which are frequent" — KLL
+# answers "what is the p-th percentile" from kilobyte state. Spark's own
+# approx_percentile t-digest cannot be persisted or merged across runs,
+# so any rollup re-scans the base table; a stored KLL sketch per
+# (day, group) rolls up to any date range or group subset by merging
+# sketches only. Karnin-Lang-Liberty (FOCS 2016) compactor hierarchy
+# with a deterministic alternating compaction coin (reproducible given
+# the same partition layout; rank-error bounds hold empirically at the
+# 1/k scale and are pinned by tests across distributions).
+
+
+def _build_kll_ops():
+    """By-value factory for the KLL primitives (worker portability:
+    the mapInPandas/applyInPandas closures capture these closures, and
+    cloudpickle ships non-importable qualnames by value)."""
+    C = 2.0 / 3.0  # level-capacity decay (KLL paper's c)
+
+    def new(k: int) -> dict:
+        return {"k": k, "n": 0, "levels": [[]], "min": None, "max": None}
+
+    def _caps(k: int, top: int) -> list:
+        return [max(int(k * (C ** (top - h))), 8) for h in range(top + 1)]
+
+    def _compress(sk: dict) -> None:
+        while True:
+            caps = _caps(sk["k"], len(sk["levels"]) - 1)
+            for h in range(len(sk["levels"])):
+                lvl = sk["levels"][h]
+                if len(lvl) > caps[h] and len(lvl) >= 2:
+                    lvl.sort()
+                    m = len(lvl) - (len(lvl) % 2)
+                    off = (sk["n"] + h) & 1  # deterministic coin
+                    if h + 1 == len(sk["levels"]):
+                        sk["levels"].append([])
+                    sk["levels"][h + 1].extend(lvl[off:m:2])
+                    sk["levels"][h] = lvl[m:]  # odd leftover stays
+                    break
+            else:
+                return
+
+    def update(sk: dict, values) -> None:
+        vals = [float(v) for v in values]
+        if not vals:
+            return
+        lo, hi = min(vals), max(vals)
+        sk["min"] = lo if sk["min"] is None else min(sk["min"], lo)
+        sk["max"] = hi if sk["max"] is None else max(sk["max"], hi)
+        sk["n"] += len(vals)
+        sk["levels"][0].extend(vals)
+        _compress(sk)
+
+    def merge(a: dict, b: dict) -> dict:
+        while len(a["levels"]) < len(b["levels"]):
+            a["levels"].append([])
+        for h, lvl in enumerate(b["levels"]):
+            a["levels"][h].extend(lvl)
+        a["n"] += b["n"]
+        for side, pick in (("min", min), ("max", max)):
+            if b[side] is not None:
+                a[side] = b[side] if a[side] is None else pick(a[side], b[side])
+        _compress(a)
+        return a
+
+    def quantile(sk: dict, q: float) -> float:
+        if sk["n"] == 0:
+            return float("nan")
+        if q <= 0.0:
+            return sk["min"]
+        if q >= 1.0:
+            return sk["max"]
+        items = []
+        for h, lvl in enumerate(sk["levels"]):
+            w = 1 << h
+            items.extend((v, w) for v in lvl)
+        items.sort()
+        target = q * sk["n"]
+        cum = 0
+        for v, w in items:
+            cum += w
+            if cum >= target:
+                return v
+        return sk["max"]
+
+    return {"new": new, "update": update, "merge": merge, "quantile": quantile}
+
+
+def _kll_struct(sk: dict) -> dict:
+    return {
+        "n": sk["n"],
+        "min_v": sk["min"],
+        "max_v": sk["max"],
+        "levels": [list(lvl) for lvl in sk["levels"]],
+    }
+
+
+def _kll_partial_fn(keys: list, value_col: str, k: int):
+    """Per-partition KLL pass: one bounded sketch per key group seen in
+    the partition (self-contained closure)."""
+    ops = _build_kll_ops()
+
+    def fn(batches):
+        import pandas as pd
+
+        sketches: dict = {}
+        for pdf in batches:
+            vals = pd.to_numeric(pdf[value_col], errors="coerce")
+            ok = vals.notna()
+            if not ok.any():
+                continue
+            sub = pdf.loc[ok, keys] if keys else None
+            vv = vals[ok]
+            if keys:
+                for ktup, idx in vv.groupby(
+                    [sub[c] for c in keys], sort=False
+                ).groups.items():
+                    kt = ktup if isinstance(ktup, tuple) else (ktup,)
+                    sk = sketches.get(kt)
+                    if sk is None:
+                        sk = sketches[kt] = ops["new"](k)
+                    ops["update"](sk, vv.loc[idx].tolist())
+            else:
+                sk = sketches.get(())
+                if sk is None:
+                    sk = sketches[()] = ops["new"](k)
+                ops["update"](sk, vv.tolist())
+        rows = []
+        for kt, sk in sketches.items():
+            row = dict(zip(keys, kt))
+            row.update(
+                n=sk["n"],
+                min_v=sk["min"],
+                max_v=sk["max"],
+                levels=[list(lvl) for lvl in sk["levels"]],
+            )
+            rows.append(row)
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def _kll_merge_fn(keys: list, k: int):
+    """Per-group merge of partial/stored sketches (applyInPandas)."""
+    ops = _build_kll_ops()
+
+    def fn(pdf):
+        import pandas as pd
+
+        sk = ops["new"](k)
+        for row in pdf.itertuples(index=False):
+            b = {
+                "k": k,
+                "n": int(row.n),
+                "min": row.min_v,
+                "max": row.max_v,
+                "levels": [list(lvl) for lvl in row.levels],
+            }
+            ops["merge"](sk, b)
+        out = {c: [pdf[c].iloc[0]] for c in keys}
+        out.update(
+            n=[sk["n"]],
+            min_v=[sk["min"]],
+            max_v=[sk["max"]],
+            levels=[[list(lvl) for lvl in sk["levels"]]],
+        )
+        return pd.DataFrame(out)
+
+    return fn
+
+
+def _kll_schema(df: DataFrame, keys: list) -> str:
+    key_part = "".join(
+        f"{f.name} {f.dataType.simpleString()}, "
+        for f in df.schema.fields
+        if f.name in keys
+    )
+    return (
+        key_part + "n long, min_v double, max_v double, "
+        "levels array<array<double>>"
+    )
+
+
+def kll_sketches(
+    df: DataFrame, keys: list, value_col: str, k: int = 200
+) -> DataFrame:
+    """One KLL quantile sketch of ``value_col`` per key group (empty
+    ``keys`` ⇒ one global sketch). Two bounded phases: a per-partition
+    Arrow pass emitting ≤ one partial sketch per (partition, group) —
+    the shuffle then carries kilobyte sketches, never values — and a
+    per-group merge. The result is a plain DataFrame (arrays + scalars):
+    write it to parquet like any table and roll it up later with
+    :func:`kll_merge` — no base-table re-scan, the same contract as
+    :func:`distinct_sketches`/:func:`cms_build`."""
+    partials = df.select(*(keys + [value_col])).mapInPandas(
+        _kll_partial_fn(keys, value_col, k), schema=_kll_schema(df, keys)
+    )
+    return kll_merge(partials, keys=keys, k=k)
+
+
+def kll_merge(*sketches: DataFrame, keys: list, k: int = 200) -> DataFrame:
+    """Merge sketch frames (e.g. per-day tables) into one sketch per
+    key group — mergeability is the point: sketch(A ∪ B) and
+    merge(sketch(A), sketch(B)) carry the same guarantees."""
+    from functools import reduce
+
+    unioned = reduce(lambda a, b: a.unionByName(b), sketches)
+    schema = _kll_schema(unioned, keys)
+    if keys:
+        return unioned.groupBy(*keys).applyInPandas(
+            _kll_merge_fn(keys, k), schema=schema
+        )
+    return unioned.groupBy(F.lit(1).alias("__g__")).applyInPandas(
+        _kll_merge_fn([], k), schema=schema
+    )
+
+
+def kll_quantiles(
+    sketches: DataFrame, qs: list, keys: list
+) -> DataFrame:
+    """Quantile estimates from stored sketches, long form:
+    ``(keys..., q, value, n)`` — one Arrow projection over kilobyte
+    sketch rows, no shuffle."""
+    ops = _build_kll_ops()
+    qlist = [float(q) for q in qs]
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                sk = {
+                    "k": 0,
+                    "n": int(row.n),
+                    "min": row.min_v,
+                    "max": row.max_v,
+                    "levels": [list(lvl) for lvl in row.levels],
+                }
+                for q in qlist:
+                    out = {c: getattr(row, c) for c in keys}
+                    out.update(q=q, value=ops["quantile"](sk, q), n=sk["n"])
+                    rows.append(out)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    key_part = "".join(
+        f"{f.name} {f.dataType.simpleString()}, "
+        for f in sketches.schema.fields
+        if f.name in keys
+    )
+    return sketches.mapInPandas(
+        fn, schema=key_part + "q double, value double, n long"
+    )

@@ -301,6 +301,9 @@ QUERIES: dict[str, QueryFn] = {
     # trailing-window z-score anomaly detection (exact; planted-spike
     # differentials in tests/test_monitoring.py — window full)
     "event_anomalies": text_queries.q_event_anomalies,
+    # mergeable KLL quantile sketches (rank-bounded approximate by
+    # design; error/merge/roundtrip bounds in tests/test_sketches.py)
+    "kll_value_quantiles": text_queries.q_kll_quantiles,
 }
 
 
@@ -371,6 +374,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "hybrid_retrieval",  # IVF leg: approximate by design
         "heavy_hitters_event_types",  # exact; DuckDB-diffed in pytest
         "event_anomalies",  # exact; planted-spike diffed in pytest
+        "kll_value_quantiles",  # KLL sketch: rank-bounded approx by design
     }
 )
 

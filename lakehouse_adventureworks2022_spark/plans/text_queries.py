@@ -1007,3 +1007,23 @@ ORACLE_HEAVY_HITTERS = """
     )
     ORDER BY freq DESC, CAST(value AS VARCHAR) LIMIT 5
 """
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value percentiles from MERGEABLE KLL sketches
+    (``sketches.kll_sketches``) — the persisted/incremental form of
+    ``event_value_stats_approx``'s query-time t-digest: store one sketch
+    per (day, group) and any rollup reads kilobyte sketches, never the
+    base table. Approximate by design (rank error ~1/k, bounds pinned
+    across distributions in tests/test_sketches.py) ⇒ rows-only check."""
+    from lakehouse_adventureworks2022_spark.operators.sketches import (
+        kll_quantiles,
+        kll_sketches,
+    )
+
+    sk = kll_sketches(
+        read_table(spark, sf_dir, "events"), ["event_type"], "value", k=200
+    )
+    return kll_quantiles(sk, [0.5, 0.9, 0.99], keys=["event_type"]).orderBy(
+        "event_type", "q"
+    )

@@ -247,3 +247,115 @@ def test_heavy_hitters_property_random_streams(spark):
             ).collect()
         ]
         assert got == exact, f"trial {trial}: {got} != {exact}"
+
+
+# ---- KLL quantile sketch ---------------------------------------------
+
+def _rank_interval_err(sorted_vals, est, q):
+    """Distance from q to est's rank interval — duplicates give a value
+    a rank RANGE, so point-rank error would penalize correct answers."""
+    import numpy as np
+
+    n = len(sorted_vals)
+    lo = np.searchsorted(sorted_vals, est, side="left") / n
+    hi = np.searchsorted(sorted_vals, est, side="right") / n
+    return max(0.0, lo - q, q - hi)
+
+
+QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def test_kll_rank_error_vs_exact_per_group(spark, events):
+    """Per-event-type sketches: every quantile estimate lands within
+    2.5% rank of the exact distribution (k=200 ⇒ ~1% typical)."""
+    import numpy as np
+
+    sk = sketches.kll_sketches(events, ["event_type"], "value", k=200)
+    est = sketches.kll_quantiles(sk, QS, keys=["event_type"]).collect()
+    exact = {
+        t: np.sort(np.array(vs, dtype=float))
+        for t, vs in (
+            (r["event_type"], r["vals"])
+            for r in events.groupBy("event_type")
+            .agg(F.collect_list("value").alias("vals"))
+            .collect()
+        )
+    }
+    assert {r["event_type"] for r in est} == set(exact)
+    for r in est:
+        err = _rank_interval_err(exact[r["event_type"]], r["value"], r["q"])
+        assert err < 0.025, (r["event_type"], r["q"], err)
+        assert r["n"] == len(exact[r["event_type"]])
+
+
+def test_kll_min_max_exact_and_global_sketch(spark, events):
+    """q=0 / q=1 are EXACT (tracked outside the compactors); empty keys
+    builds one global sketch."""
+    sk = sketches.kll_sketches(events, [], "value", k=200)
+    rows = sketches.kll_quantiles(sk, [0.0, 1.0], keys=[]).collect()
+    got = {r["q"]: r["value"] for r in rows}
+    lo, hi = events.agg(F.min("value"), F.max("value")).collect()[0]
+    assert got[0.0] == pytest.approx(float(lo))
+    assert got[1.0] == pytest.approx(float(hi))
+
+
+def test_kll_merge_equals_whole_and_parquet_roundtrip(spark, events, tmp_path):
+    """Per-day sketches stored to parquet, reloaded and merged must
+    answer within the same bound as a sketch of the whole corpus — the
+    no-base-rescan rollup contract."""
+    import numpy as np
+
+    daily = sketches.kll_sketches(events, ["day", "event_type"], "value", k=200)
+    path = str(tmp_path / "kll_daily")
+    daily.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+
+    # drop the day column to merge across days
+    rolled = sketches.kll_merge(
+        reloaded.drop("day"), keys=["event_type"], k=200
+    )
+    est = sketches.kll_quantiles(rolled, QS, keys=["event_type"]).collect()
+    exact = {
+        r["event_type"]: np.sort(np.array(r["vals"], dtype=float))
+        for r in events.groupBy("event_type")
+        .agg(F.collect_list("value").alias("vals"))
+        .collect()
+    }
+    for r in est:
+        err = _rank_interval_err(exact[r["event_type"]], r["value"], r["q"])
+        assert err < 0.025, (r["event_type"], r["q"], err)
+        assert r["n"] == len(exact[r["event_type"]])
+
+
+def test_kll_merge_of_disjoint_frames_equals_union(spark):
+    """merge(sketch(A), sketch(B)) answers for A ∪ B — two frames with
+    disjoint value ranges so a merge bug is unmissable."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    a = [(float(v),) for v in rng.uniform(0, 1, 20000)]
+    b = [(float(v),) for v in rng.uniform(100, 101, 20000)]
+    fa = spark.createDataFrame(a, "value double")
+    fb = spark.createDataFrame(b, "value double")
+    ska = sketches.kll_sketches(fa, [], "value", k=200)
+    skb = sketches.kll_sketches(fb, [], "value", k=200)
+    merged = sketches.kll_merge(ska, skb, keys=[], k=200)
+    est = {
+        r["q"]: r["value"]
+        for r in sketches.kll_quantiles(merged, [0.25, 0.5, 0.75], keys=[]).collect()
+    }
+    both = np.sort(np.array([v for v, in a + b]))
+    for q, v in est.items():
+        assert _rank_interval_err(both, v, q) < 0.025, (q, v)
+    # the median of the union sits at the gap between the two ranges
+    assert 0.9 <= est[0.5] <= 100.1
+
+
+def test_kll_sketch_is_kilobytes_not_corpus(spark, events):
+    """Stored size is O(k log n), independent of corpus size — the
+    whole point versus persisting values."""
+    sk = sketches.kll_sketches(events, ["event_type"], "value", k=200).collect()
+    for r in sk:
+        items = sum(len(lvl) for lvl in r["levels"])
+        assert items < 3 * 200, (r["event_type"], items)
+        assert r["n"] > items  # genuinely compressed
