@@ -101,6 +101,10 @@ HEADLINE = [
     # double-correlation planned as per-order count predicates
     "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
+    # bounded-shuffle sketch ops: MG-candidates exact top-k and the
+    # mergeable KLL quantile build (shuffles sketches, never values)
+    "heavy_hitters_event_types",
+    "kll_value_quantiles",
 ]
 
 

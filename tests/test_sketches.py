@@ -359,3 +359,53 @@ def test_kll_sketch_is_kilobytes_not_corpus(spark, events):
         items = sum(len(lvl) for lvl in r["levels"])
         assert items < 3 * 200, (r["event_type"], items)
         assert r["n"] > items  # genuinely compressed
+
+
+def test_kll_property_random_streams_and_merge_orders():
+    """Hypothesis: for random value streams split into random pieces and
+    merged in arbitrary order, every decile answer stays within rank
+    bound and n/min/max are conserved exactly. Driver-side ops only —
+    the distributed path wraps these closures verbatim."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ops = sketches._build_kll_ops()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n=st.integers(100, 8000),
+        pieces=st.integers(1, 7),
+        heavy_dup=st.booleans(),
+    )
+    def check(seed, n, pieces, heavy_dup):
+        rng = np.random.default_rng(seed)
+        vals = (
+            rng.integers(0, 10, n).astype(float)
+            if heavy_dup
+            else rng.normal(0, 100, n)
+        )
+        cuts = sorted(rng.integers(0, n, pieces - 1).tolist()) + [n]
+        parts, prev = [], 0
+        for c in cuts:
+            parts.append(vals[prev:c])
+            prev = c
+        sks = []
+        for p in parts:
+            sk = ops["new"](128)
+            ops["update"](sk, p.tolist())
+            sks.append(sk)
+        rng.shuffle(sks)
+        merged = sks[0]
+        for sk in sks[1:]:
+            merged = ops["merge"](merged, sk)
+        assert merged["n"] == n
+        assert merged["min"] == vals.min()
+        assert merged["max"] == vals.max()
+        srt = np.sort(vals)
+        for q in (0.1, 0.3, 0.5, 0.7, 0.9):
+            est = ops["quantile"](merged, q)
+            assert _rank_interval_err(srt, est, q) < 0.05, (q, est)
+
+    check()

@@ -249,6 +249,24 @@ def main() -> None:
         lambda: value_anomalies(big_events, tiebreak_col="event_id"),
     )
 
+    # bounded-shuffle sketch family: the exchange must carry summaries/
+    # sketches regardless of corpus size (user_id is the 10×-cardinality
+    # worst case for heavy-hitters candidate volume)
+    from lakehouse_adventureworks2022_spark.operators import sketches  # noqa: E402
+
+    run(
+        "heavy_hitters_user_id",
+        lambda: sketches.heavy_hitters(big_events, "user_id", k=10),
+    )
+    run(
+        "kll_value_quantiles",
+        lambda: sketches.kll_quantiles(
+            sketches.kll_sketches(big_events, ["event_type"], "value", k=200),
+            [0.5, 0.9, 0.99],
+            keys=["event_type"],
+        ),
+    )
+
     # Q21 at rep× fact volume: lineitem + orders replicated with the
     # SAME orderkey offset on both sides (FK integrity preserved, so
     # the per-order supplier profiles — what the count predicates key
