@@ -117,11 +117,16 @@ QUERIES: dict[str, QueryFn] = {
     "scd2_part_dimension": scd2_query.scd2_part_dimension,
     # training-data ops: text analysis
     "text_stats": text_queries.q_text_stats,
-    "token_counts": text_queries.q_token_counts,
-    "lang_id": text_queries.q_lang_id,
+    # (token_counts / lang_id — green since r1 — rotated to
+    # tests/test_rotated_oracles.py in late r6; text-family window
+    # evidence continues via text_stats / corpus_vocabulary /
+    # corpus_report)
     # corpus vocabulary / stopword discovery (first driver oracle in r6;
     # was pytest-only while the window was full)
     "corpus_vocabulary": text_queries.q_corpus_vocabulary,
+    # exact bounded-shuffle heavy hitters (late-r6 first driver oracle:
+    # MG candidates + exact verify — sketches.heavy_hitters)
+    "heavy_hitters_event_types": text_queries.q_heavy_hitters,
     # training-data ops: dedup. The exact-Jaccard form is the
     # *verification primitive* (quadratic if fed a corpus — hence the
     # ``_exact`` name); MinHash-LSH is the corpus-scale path.
@@ -140,21 +145,32 @@ QUERIES: dict[str, QueryFn] = {
     # relational breadth: rollup/grouping sets, semi/anti joins, stats
     "sales_rollup": relational.sales_rollup,
     "revenue_grouping_sets": relational.revenue_grouping_sets,
-    "customers_without_orders": relational.customers_without_orders,
-    "repeat_customers": relational.repeat_customers,
+    # (customers_without_orders / repeat_customers / user_churn_set_ops /
+    # daily_event_pivot — green since r2 — rotated to
+    # tests/test_rotated_oracles.py in late r6; anti/semi-join window
+    # evidence continues at higher difficulty via the promoted
+    # Q18/Q20/Q21 shapes below)
     "event_value_stats": relational.event_value_stats,
     "corpus_report": text_queries.q_corpus_report,
-    # semi-structured + reshaping: XML parse (F9), set ops, pivot
+    # semi-structured: XML parse (F9)
     "xml_roundtrip": semistructured.xml_roundtrip,
-    "user_churn_set_ops": semistructured.user_churn_set_ops,
-    "daily_event_pivot": semistructured.daily_event_pivot,
     # TPC-H-extra shapes promoted into the window in r6 (driver-green
     # for the first time; the dq_* gates they displaced — green since
-    # r1 — keep the same hash-diff in tests/test_rotated_oracles.py)
-    "tpch_q6_forecast_revenue": tpch_extra.q6_forecast_revenue,
+    # r1 — keep the same hash-diff in tests/test_rotated_oracles.py;
+    # q6 — the simplest filter+agg — joined the rotation late-r6 to
+    # free a slot for the shapes below)
     "tpch_q7_nation_volume": tpch_extra.q7_nation_volume,
     "tpch_q10_returned_items": tpch_extra.q10_returned_items,
     "tpch_q14_promo_revenue_ratio": tpch_extra.q14_promo_revenue_ratio,
+    # late-r6 second promotion: the hardest extra shapes gain
+    # first-time driver oracles (correlated-min lookup, 5-join profit
+    # rollup, HAVING-subquery, nested-agg semi-join chain, and the Q21
+    # double-correlation planned as per-order count predicates)
+    "tpch_q2_min_balance_supplier": tpch_extra.q2_min_balance_supplier,
+    "tpch_q9_product_profit": tpch_extra.q9_product_profit,
+    "tpch_q18_large_orders": tpch_extra.q18_large_orders,
+    "tpch_q20_excess_shippers": tpch_extra.q20_excess_shippers,
+    "tpch_q21_waiting_suppliers": tpch_extra.q21_waiting_suppliers,
     # training-data ops: similarity search (exact brute-force baseline)
     "ann_cosine_topk": text_queries.q_ann_cosine,
     # relational breadth: outer-join histogram (TPC-H Q13 shape)
@@ -167,6 +183,8 @@ QUERIES: dict[str, QueryFn] = {
     "customer_running_revenue": windowed.customer_running_revenue,
     "nation_top_customers": windowed.nation_top_customers,
     "priority_revenue_share": windowed.priority_revenue_share,
+    # trailing-frame moving stats (late-r6 first driver oracle)
+    "user_value_moving_stats": tpch_extra.user_value_moving_stats,
     # time-series gap fill
     "user_hourly_gapfill": events.user_hourly_gapfill,
     # advanced join shapes (as-of, banded range, EXISTS, correlated agg)
@@ -190,6 +208,15 @@ QUERIES: dict[str, QueryFn] = {
     "dq_null_profile": _dq_null_profile,
     "dq_orderkey_integrity": _dq_fk,
     "dq_lineitem_pk": _dq_pk,
+    # late-r6 second rotation (green since r1/r2): slots freed for the
+    # hard TPC-H-extra shapes, moving stats and heavy hitters above
+    "token_counts": text_queries.q_token_counts,
+    "lang_id": text_queries.q_lang_id,
+    "customers_without_orders": relational.customers_without_orders,
+    "repeat_customers": relational.repeat_customers,
+    "user_churn_set_ops": semistructured.user_churn_set_ops,
+    "daily_event_pivot": semistructured.daily_event_pivot,
+    "tpch_q6_forecast_revenue": tpch_extra.q6_forecast_revenue,
     # ---- no-oracle (approximate-by-design) variants: past the window ----
     "top_products_approx": marts.top_products_approx,
     "event_value_stats_approx": relational.event_value_stats_approx,
@@ -205,26 +232,19 @@ QUERIES: dict[str, QueryFn] = {
     # identical to the one-shot form — build is deterministic)
     "ann_cosine_topk_ivf_amortized": text_queries.q_ann_cosine_ivf_amortized,
     # ---- exact TPC-H-extra shapes still past the window (q6/q7/q10/q14
-    # were promoted into it in r6): DuckDB differential checks of the
-    # same hash-diff rigor run in tests/test_tpch_extra.py; the driver
-    # records rows-only here ----
+    # promoted in r6; q2/q9/q18/q20/q21 + user_value_moving_stats in
+    # late r6): DuckDB differential checks of the same hash-diff rigor
+    # run in tests/test_tpch_extra.py; the driver records rows-only
+    # here ----
     "tpch_q19_disjunctive_revenue": tpch_extra.q19_disjunctive_revenue,
     "tpch_q22_idle_balances": tpch_extra.q22_idle_balances,
     "tpch_q15_top_supplier": tpch_extra.q15_top_supplier,
-    "tpch_q18_large_orders": tpch_extra.q18_large_orders,
-    # r6 breadth: correlated-min supplier lookup, EXISTS priority
-    # check, profit measure over 5 joins, scalar-subquery threshold,
-    # CASE bands, NOT-IN distinct counts, nested-agg semi-join, and
-    # the Q21 double-correlation planned as per-order count predicates
-    "tpch_q2_min_balance_supplier": tpch_extra.q2_min_balance_supplier,
+    # r6 breadth: EXISTS priority check, scalar-subquery threshold,
+    # CASE bands, NOT-IN distinct counts
     "tpch_q4_priority_check": tpch_extra.q4_priority_check,
-    "tpch_q9_product_profit": tpch_extra.q9_product_profit,
     "tpch_q11_important_parts": tpch_extra.q11_important_parts,
     "tpch_q12_shipping_delay_bands": tpch_extra.q12_shipping_delay_bands,
     "tpch_q16_supplier_count_by_part": tpch_extra.q16_supplier_count_by_part,
-    "tpch_q20_excess_shippers": tpch_extra.q20_excess_shippers,
-    "tpch_q21_waiting_suppliers": tpch_extra.q21_waiting_suppliers,
-    "user_value_moving_stats": tpch_extra.user_value_moving_stats,
     # context-window chunking (exact; Python-reference differential in
     # tests/test_curation.py — window full)
     "chunk_documents": text_queries.q_chunk_documents,
@@ -295,9 +315,7 @@ QUERIES: dict[str, QueryFn] = {
     # two-leg hybrid retrieval: BM25 inverted index + IVF vector leg,
     # reciprocal-rank fused (IVF probing ⇒ approximate)
     "hybrid_retrieval": text_queries.q_hybrid_retrieval,
-    # exact frequent-items via Misra-Gries candidates + exact verify
-    # (bounded-shuffle top-k; pytest-oracled — window full)
-    "heavy_hitters_event_types": text_queries.q_heavy_hitters,
+    # (heavy_hitters_event_types was promoted into the window late-r6)
     # trailing-window z-score anomaly detection (exact; planted-spike
     # differentials in tests/test_monitoring.py — window full)
     "event_anomalies": text_queries.q_event_anomalies,
@@ -325,16 +343,10 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "tpch_q19_disjunctive_revenue",
         "tpch_q22_idle_balances",
         "tpch_q15_top_supplier",
-        "tpch_q18_large_orders",
-        "tpch_q2_min_balance_supplier",
         "tpch_q4_priority_check",
-        "tpch_q9_product_profit",
         "tpch_q11_important_parts",
         "tpch_q12_shipping_delay_bands",
         "tpch_q16_supplier_count_by_part",
-        "tpch_q20_excess_shippers",
-        "tpch_q21_waiting_suppliers",
-        "user_value_moving_stats",
         "chunk_documents",  # exact; Python-reference diffed in pytest
         "dedup_clusters",  # exact; union-find diffed in pytest
         "incremental_dedup",  # signature-estimated verify: approx by design
@@ -372,7 +384,15 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "clean_assets",  # binary assets have no oracle tables
         "hard_negatives",  # IVF probing: approximate by design
         "hybrid_retrieval",  # IVF leg: approximate by design
-        "heavy_hitters_event_types",  # exact; DuckDB-diffed in pytest
+        # late-r6 second rotation out of the window (green since r1/r2;
+        # same hash-diff rigor in tests/test_rotated_oracles.py)
+        "token_counts",
+        "lang_id",
+        "customers_without_orders",
+        "repeat_customers",
+        "user_churn_set_ops",
+        "daily_event_pivot",
+        "tpch_q6_forecast_revenue",
         "event_anomalies",  # exact; planted-spike diffed in pytest
         "kll_value_quantiles",  # KLL sketch: rank-bounded approx by design
     }
@@ -467,10 +487,9 @@ ORACLES: dict[str, str] = {
     """,
     "scd2_part_dimension": scd2_query.ORACLE,
     "text_stats": text_queries.ORACLE_TEXT_STATS,
-    "token_counts": text_queries.ORACLE_TOKEN_COUNTS,
     "corpus_report": text_queries.ORACLE_CORPUS_REPORT,
-    "lang_id": text_queries.ORACLE_LANG_ID,
     "corpus_vocabulary": text_queries.ORACLE_CORPUS_VOCABULARY,
+    "heavy_hitters_event_types": text_queries.ORACLE_HEAVY_HITTERS,
     "dedup_exact": text_queries.ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard_exact": text_queries.ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": text_queries.ORACLE_MINHASH_LSH,
@@ -567,25 +586,6 @@ ORACLES: dict[str, str] = {
         JOIN region r   ON n.n_regionkey = r.r_regionkey
         GROUP BY ROLLUP (r.r_name, n.n_name, c.c_mktsegment)
     """,
-    "customers_without_orders": """
-        SELECT c.c_custkey AS customer_key,
-               c.c_name AS customer_name,
-               c.c_mktsegment AS market_segment
-        FROM customer c
-        WHERE NOT EXISTS (
-          SELECT 1 FROM orders o
-          WHERE o.o_custkey = c.c_custkey
-            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
-        )
-    """,
-    "repeat_customers": """
-        SELECT c.c_custkey AS customer_key,
-               c.c_name AS customer_name
-        FROM customer c
-        WHERE c.c_custkey IN (
-          SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 10
-        )
-    """,
     "event_value_stats": """
         SELECT event_type,
                COUNT(*) AS n,
@@ -599,8 +599,6 @@ ORACLES: dict[str, str] = {
         GROUP BY event_type
     """,
     "xml_roundtrip": semistructured.ORACLE_XML_ROUNDTRIP,
-    "user_churn_set_ops": semistructured.ORACLE_USER_CHURN,
-    "daily_event_pivot": semistructured.ORACLE_DAILY_PIVOT,
     "event_sessions": """
         WITH o AS (
           SELECT user_id, ts, value,
@@ -802,10 +800,17 @@ ORACLES: dict[str, str] = {
     # TPC-H-extra shapes promoted into the window in r6 — same SQL the
     # pytest differential (tests/test_tpch_extra.py) has hash-diffed
     # since they were written
-    "tpch_q6_forecast_revenue": tpch_extra.EXTRA_ORACLES["tpch_q6_forecast_revenue"],
     "tpch_q7_nation_volume": tpch_extra.EXTRA_ORACLES["tpch_q7_nation_volume"],
     "tpch_q10_returned_items": tpch_extra.EXTRA_ORACLES["tpch_q10_returned_items"],
     "tpch_q14_promo_revenue_ratio": tpch_extra.EXTRA_ORACLES["tpch_q14_promo_ratio"],
+    # late-r6 second promotion — same single-source SQL the pytest
+    # sweep has hash-diffed all round
+    "tpch_q2_min_balance_supplier": tpch_extra.EXTRA_ORACLES["tpch_q2_min_balance_supplier"],
+    "tpch_q9_product_profit": tpch_extra.EXTRA_ORACLES["tpch_q9_product_profit"],
+    "tpch_q18_large_orders": tpch_extra.EXTRA_ORACLES["tpch_q18_large_orders"],
+    "tpch_q20_excess_shippers": tpch_extra.EXTRA_ORACLES["tpch_q20_excess_shippers"],
+    "tpch_q21_waiting_suppliers": tpch_extra.EXTRA_ORACLES["tpch_q21_waiting_suppliers"],
+    "user_value_moving_stats": tpch_extra.EXTRA_ORACLES["user_value_moving_stats"],
     # ordered-funnel conversion: earliest-chain semantics (step k = the
     # first step-k event within the gap of the chosen step-(k−1) time)
     "funnel_conversion": """
@@ -907,6 +912,33 @@ ORACLES: dict[str, str] = {
 #: for first-time oracles. tests/test_rotated_oracles.py applies the
 #: SAME row-count + schema + value-hash comparison the driver does.
 ROTATED_ORACLES: dict[str, str] = {
+    # ---- late-r6 second rotation (green since r1/r2; slots freed for
+    # the hard TPC-H-extra shapes, moving stats and heavy hitters) ----
+    "token_counts": text_queries.ORACLE_TOKEN_COUNTS,
+    "lang_id": text_queries.ORACLE_LANG_ID,
+    "user_churn_set_ops": semistructured.ORACLE_USER_CHURN,
+    "daily_event_pivot": semistructured.ORACLE_DAILY_PIVOT,
+    "tpch_q6_forecast_revenue": tpch_extra.EXTRA_ORACLES["tpch_q6_forecast_revenue"],
+    "customers_without_orders": """
+        SELECT c.c_custkey AS customer_key,
+               c.c_name AS customer_name,
+               c.c_mktsegment AS market_segment
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+    """,
+    "repeat_customers": """
+        SELECT c.c_custkey AS customer_key,
+               c.c_name AS customer_name
+        FROM customer c
+        WHERE c.c_custkey IN (
+          SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 10
+        )
+    """,
+    # ---- r6 first rotation ----
     "dim_date": """
         WITH spine AS (
           SELECT CAST(full_ts AS DATE) AS d
@@ -1014,16 +1046,10 @@ _EXTRA_NAME_MAP: dict[str, str] = {
     "tpch_q19_disjunctive_revenue": "tpch_q19_disjunctive",
     "tpch_q22_idle_balances": "tpch_q22_idle_balances",
     "tpch_q15_top_supplier": "tpch_q15_top_supplier",
-    "tpch_q18_large_orders": "tpch_q18_large_orders",
-    "user_value_moving_stats": "user_value_moving_stats",
-    "tpch_q2_min_balance_supplier": "tpch_q2_min_balance_supplier",
     "tpch_q4_priority_check": "tpch_q4_priority_check",
-    "tpch_q9_product_profit": "tpch_q9_product_profit",
     "tpch_q11_important_parts": "tpch_q11_important_parts",
     "tpch_q12_shipping_delay_bands": "tpch_q12_shipping_delay_bands",
     "tpch_q16_supplier_count_by_part": "tpch_q16_supplier_count_by_part",
-    "tpch_q20_excess_shippers": "tpch_q20_excess_shippers",
-    "tpch_q21_waiting_suppliers": "tpch_q21_waiting_suppliers",
 }
 
 #: EVERY pytest-side oracle keyed by catalog name: the r6-rotated
@@ -1037,7 +1063,6 @@ PYTEST_ORACLES: dict[str, str] = {
         name: tpch_extra.EXTRA_ORACLES[key]
         for name, key in _EXTRA_NAME_MAP.items()
     },
-    "heavy_hitters_event_types": text_queries.ORACLE_HEAVY_HITTERS,
 }
 
 # rotated oracles cover only past-window queries and never shadow a

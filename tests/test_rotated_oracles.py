@@ -33,6 +33,15 @@ ROTATED = (
     "dq_null_profile",
     "dq_orderkey_integrity",
     "dq_lineitem_pk",
+    # late-r6 second rotation: slots freed for the hard TPC-H-extra
+    # shapes, user_value_moving_stats and heavy_hitters_event_types
+    "token_counts",
+    "lang_id",
+    "customers_without_orders",
+    "repeat_customers",
+    "user_churn_set_ops",
+    "daily_event_pivot",
+    "tpch_q6_forecast_revenue",
 )
 
 
