@@ -1057,12 +1057,33 @@ _EXTRA_NAME_MAP: dict[str, str] = {
 #: by construction (asserted below); tools/check_oracles.py folds these
 #: into its sweep so the health snapshot hash-checks every EXACT query,
 #: not only the driver window.
+#: dim_supplier_geo gave up its window seat in r5 (same J2/P1 shape as
+#: dim_customer_geo); its oracle lives here so the sweep and
+#: tests/test_sampling.py share one source of truth.
+ORACLE_DIM_SUPPLIER_GEO = """
+    SELECT s.s_suppkey AS supplier_key,
+           s.s_name AS supplier_name,
+           s.s_acctbal AS account_balance,
+           n.n_name AS nation_name,
+           r.r_name AS region_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
 PYTEST_ORACLES: dict[str, str] = {
     **ROTATED_ORACLES,
     **{
         name: tpch_extra.EXTRA_ORACLES[key]
         for name, key in _EXTRA_NAME_MAP.items()
     },
+    # exact deterministic sampling family + the r5-rotated geo dim
+    # (hash-diffed in tests/test_sampling.py since r5; folded into the
+    # sweep late-r6)
+    "docs_hash_sample": text_queries.ORACLE_DOCS_HASH_SAMPLE,
+    "docs_stratified_sample": text_queries.ORACLE_DOCS_STRATIFIED_SAMPLE,
+    "docs_sample_exact_n": text_queries.ORACLE_DOCS_SAMPLE_EXACT_N,
+    "dim_supplier_geo": ORACLE_DIM_SUPPLIER_GEO,
 }
 
 # rotated oracles cover only past-window queries and never shadow a

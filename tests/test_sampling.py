@@ -19,24 +19,28 @@ from tools.check_oracles import TABLES, canonical_hash, normalize_pandas
 
 SF = "/root/testdata/sf0.001"
 
-DIM_SUPPLIER_GEO_ORACLE = """
-    SELECT s.s_suppkey AS supplier_key,
-           s.s_name AS supplier_name,
-           s.s_acctbal AS account_balance,
-           n.n_name AS nation_name,
-           r.r_name AS region_name
-    FROM supplier s
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-"""
+from lakehouse_adventureworks2022_spark.plans.catalog import (  # noqa: E402
+    ORACLE_DIM_SUPPLIER_GEO,
+    PYTEST_ORACLES,
+)
 
 DIFFERENTIALS = {
     "docs_hash_sample": text_queries.ORACLE_DOCS_HASH_SAMPLE,
     "docs_stratified_sample": text_queries.ORACLE_DOCS_STRATIFIED_SAMPLE,
     "docs_sample_exact_n": text_queries.ORACLE_DOCS_SAMPLE_EXACT_N,
     "temperature_mixture": text_queries.ORACLE_TEMPERATURE_MIXTURE,
-    "dim_supplier_geo": DIM_SUPPLIER_GEO_ORACLE,
+    "dim_supplier_geo": ORACLE_DIM_SUPPLIER_GEO,
 }
+
+
+def test_sampling_family_is_swept():
+    """The exact sampling differentials (all but the in-window
+    temperature_mixture) are folded into the check_oracles sweep."""
+    for name in DIFFERENTIALS:
+        if name == "temperature_mixture":
+            assert name in ORACLES
+        else:
+            assert name in PYTEST_ORACLES
 
 
 @pytest.fixture(scope="module")
