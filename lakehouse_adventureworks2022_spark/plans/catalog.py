@@ -347,14 +347,14 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "tpch_q11_important_parts",
         "tpch_q12_shipping_delay_bands",
         "tpch_q16_supplier_count_by_part",
-        "chunk_documents",  # exact; Python-reference diffed in pytest
+        "chunk_documents",  # exact; swept SQL twin + Python-ref diff
         "dedup_clusters",  # exact; union-find diffed in pytest
         "incremental_dedup",  # signature-estimated verify: approx by design
         "corpus_drift",  # exact; DuckDB-diffed in pytest
         "embedding_drift",  # exact; identity/planted-shift tests in pytest
         "ngram_repetition",  # exact; hand-computed differentials in pytest
         "packed_corpus",  # exact; end-to-end invariants in pytest
-        "clean_boilerplate",  # exact; Python-reference diffed in pytest
+        "clean_boilerplate",  # exact; swept SQL twin + planted diffs
         "doc_perplexity",  # float-fold order in mean log-prob
         "quality_classifier",  # learned scores: no SQL twin
         "shuffle_corpus",  # exact; xxhash64 has no DuckDB twin
@@ -1084,6 +1084,13 @@ PYTEST_ORACLES: dict[str, str] = {
     "docs_stratified_sample": text_queries.ORACLE_DOCS_STRATIFIED_SAMPLE,
     "docs_sample_exact_n": text_queries.ORACLE_DOCS_SAMPLE_EXACT_N,
     "dim_supplier_geo": ORACLE_DIM_SUPPLIER_GEO,
+    # context-window chunking gains a direct SQL twin late-r6 (the
+    # Python-reference differential in test_curation.py remains the
+    # boundary-semantics oracle)
+    "chunk_documents": text_queries.ORACLE_CHUNK_DOCUMENTS,
+    # corpus-wide boilerplate-line removal, same deal (Python-reference
+    # differential in test_textops_extended.py keeps the planted cases)
+    "clean_boilerplate": text_queries.ORACLE_CLEAN_BOILERPLATE,
 }
 
 # rotated oracles cover only past-window queries and never shadow a

@@ -188,6 +188,47 @@ def q_clean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text", "n_boilerplate_removed")
 
 
+#: DuckDB twin of remove_boilerplate_lines: same inventory (per-doc
+#: distinct trimmed lines ≥6 chars in ≥3 docs), NOT-IN line filter,
+#: order-preserving string_agg rebuild, all-boilerplate docs → ''.
+ORACLE_CLEAN_BOILERPLATE = r"""
+    WITH lines AS (
+      SELECT doc_id,
+             unnest(str_split(text, chr(10))) AS line,
+             unnest(range(len(str_split(text, chr(10))))) AS pos
+      FROM documents
+    ),
+    bp AS (
+      SELECT t AS bp_line
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(str_split(text, chr(10)),
+                                                   x -> trim(x)))) AS t
+        FROM documents
+      )
+      WHERE len(t) >= 6
+      GROUP BY t
+      HAVING COUNT(*) >= 3
+    ),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l
+      WHERE trim(l.line) NOT IN (SELECT bp_line FROM bp)
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             COUNT(*) AS kept_n
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.clean_text, '') AS text,
+           CAST(len(str_split(d.text, chr(10))) - COALESCE(r.kept_n, 0) AS INT)
+             AS n_boilerplate_removed
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-scored bigram add-k perplexity over the documents corpus
     (the CCNet-family model-based quality signal). Python-reference
@@ -317,6 +358,37 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return chunk_documents(read_table(spark, sf_dir, "documents"))
+
+
+#: DuckDB twin of the Catalyst chunker: same tokens (split of trimmed
+#: lowered text on \s+), inclusive start sequence with stride
+#: chunk−overlap (Spark ``sequence`` ⇒ ``range`` with +1 upper bound),
+#: zip-unnest for (chunk_id, start), 1-based inclusive list slice.
+ORACLE_CHUNK_DOCUMENTS = r"""
+    WITH tt AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, n,
+             range(0, greatest(0, n - 32 - 1) + 1, 224) AS starts
+      FROM tt WHERE n > 0
+    ),
+    s AS (
+      SELECT doc_id, toks, n,
+             unnest(starts) AS start,
+             unnest(range(len(starts))) AS chunk_id
+      FROM st
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(toks[start + 1 : start + 256], ' ') AS chunk_text,
+           CAST(least(256, n - start) AS INT) AS n_tokens
+    FROM s
+"""
 
 
 def q_ann_cosine_ivf_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
