@@ -119,6 +119,107 @@ class TableManager:
             .save(self.path(name))
         )
 
+    # ---- schema evolution (Delta mergeSchema-append analog) ----------
+
+    #: widenings Delta's mergeSchema accepts silently; everything else
+    #: is a loud refusal (never a silent cast or column drop)
+    _SAFE_WIDENINGS = {
+        ("int", "bigint"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("tinyint", "smallint"),
+        ("tinyint", "int"),
+        ("tinyint", "bigint"),
+        ("float", "double"),
+        ("date", "timestamp"),
+    }
+
+    def append_evolve(
+        self, df: DataFrame, name: str, partition_by: str | list[str] | None = None
+    ) -> None:
+        """Append with additive schema evolution (the Delta
+        ``mergeSchema`` write analog, reference
+        ``extract_load_template.py:171-175`` with
+        ``mergeSchema=true``): new columns are allowed (earlier files
+        simply lack them — :meth:`read_evolved` fills nulls), a batch
+        whose column is NARROWER than the table's is cast up before
+        writing (files stay type-homogeneous — parquet ``mergeSchema``
+        cannot reconcile int beside long), and anything else — a WIDER
+        batch type (needs a table rewrite via :meth:`overwrite`, plain
+        parquet has no metadata-only widening), renames expressed as
+        drop+add, or true conflicts — raises before a byte is written.
+        Existing columns missing from the batch are written as typed
+        nulls so no historical column ever silently disappears."""
+        from pyspark.sql import functions as F
+
+        if not self.exists(name):
+            self.append(df, name, partition_by=partition_by)
+            return
+        current = {f.name: f.dataType.simpleString() for f in self.read(name).schema.fields}
+        incoming = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        # partition columns live as directory names; their read-side type
+        # is whatever partition inference assigns (a "2024-01-01" dir
+        # comes back DATE) — the write round-trips through the same
+        # string either way, so they are exempt from reconciliation
+        part_cols = (
+            {partition_by} if isinstance(partition_by, str) else set(partition_by or ())
+        )
+        conflicts = []
+        for col, new_t in incoming.items():
+            old_t = current.get(col)
+            if old_t is None or old_t == new_t or col in part_cols:
+                continue
+            if (new_t, old_t) in self._SAFE_WIDENINGS:
+                df = df.withColumn(col, F.col(col).cast(old_t))
+                continue  # widen the batch up to the table's type
+            if (old_t, new_t) in self._SAFE_WIDENINGS:
+                conflicts.append(
+                    f"{col}: batch {new_t} is wider than table {old_t} — "
+                    f"widen the table first (overwrite with the new schema)"
+                )
+                continue
+            conflicts.append(f"{col}: table={old_t} batch={new_t}")
+        if conflicts:
+            raise ValueError(
+                f"schema evolution refused for {name} (only additive "
+                f"columns and safe widenings evolve): {'; '.join(conflicts)}"
+            )
+        for col, old_t in current.items():
+            if col not in incoming:
+                df = df.withColumn(col, F.lit(None).cast(old_t))
+        self.append(df, name, partition_by=partition_by)
+
+    def read_evolved(self, name: str, target: DataFrame | None = None) -> DataFrame:
+        """Read across schema generations: ``mergeSchema`` unions every
+        file footer's schema (files written before a column existed
+        yield nulls for it). Pass a ``target`` frame to conform the
+        result to its schema — missing columns as typed nulls, safe
+        casts applied, extra columns dropped — the read-side half of
+        the evolution contract."""
+        from pyspark.sql import functions as F
+
+        df = (
+            self.spark.read.format(self.fmt)
+            .option("mergeSchema", "true")
+            .load(self.path(name))
+        )
+        if target is None:
+            return df
+        cols = []
+        have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for f in target.schema.fields:
+            want = f.dataType.simpleString()
+            if f.name not in have:
+                cols.append(F.lit(None).cast(want).alias(f.name))
+            elif have[f.name] == want or (have[f.name], want) in self._SAFE_WIDENINGS:
+                cols.append(F.col(f.name).cast(want).alias(f.name))
+            else:
+                raise ValueError(
+                    f"cannot conform {name}.{f.name}: stored "
+                    f"{have[f.name]} vs target {want} is not a safe widening"
+                )
+        return df.select(*cols)
+
     def drop(self, name: str) -> None:
         p = Path(self.path(name))
         if p.exists():
