@@ -316,6 +316,9 @@ QUERIES: dict[str, QueryFn] = {
     # reciprocal-rank fused (IVF probing ⇒ approximate)
     "hybrid_retrieval": text_queries.q_hybrid_retrieval,
     # (heavy_hitters_event_types was promoted into the window late-r6)
+    # corpus-trained unigram-LM tokenizer (exact; EM loop has no SQL
+    # twin — differentials in tests/test_unigram.py)
+    "unigram_tokenize": text_queries.q_unigram_tokenize,
     # trailing-window z-score anomaly detection (exact; planted-spike
     # differentials in tests/test_monitoring.py — window full)
     "event_anomalies": text_queries.q_event_anomalies,
@@ -395,6 +398,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "tpch_q6_forecast_revenue",
         "event_anomalies",  # exact; planted-spike diffed in pytest
         "kll_value_quantiles",  # KLL sketch: rank-bounded approx by design
+        "unigram_tokenize",  # exact; EM loop has no SQL twin
     }
 )
 

@@ -1099,3 +1099,25 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kll_quantiles(sk, [0.5, 0.9, 0.99], keys=["event_type"]).orderBy(
         "event_type", "q"
     )
+
+
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-LM (SentencePiece-style) tokenization of
+    the documents table: piece table learned from the corpus's own
+    word-frequency table (lattice EM + Kudo loss pruning), then a
+    distributed Viterbi encode. Deterministic/exact, but the EM loop
+    has no SQL twin ⇒ rows-only; Viterbi-vs-bruteforce, EM-
+    monotonicity, determinism and round-trip differentials in
+    tests/test_unigram.py."""
+    from lakehouse_adventureworks2022_spark.operators.unigram import (
+        train_and_segment,
+    )
+
+    seg = train_and_segment(
+        read_table(spark, sf_dir, "documents"), vocab_size=500
+    )
+    return seg.select(
+        "doc_id",
+        F.array_join("pieces", " ").alias("piece_text"),
+        "n_pieces",
+    )

@@ -45,6 +45,12 @@ assert len(hashes) == 3
 hs = {r["asset_id"]: r["dhash"] for r in hashes}
 assert hs[1] == hs[3]
 assert bin((hs[1] ^ hs[4]) & (2**64 - 1)).count("1") <= 6
+# unigram Viterbi encode closure (by-value piece table)
+from lakehouse_adventureworks2022_spark.operators import unigram
+useg = unigram.unigram_segment(
+    read_table(spark, "/root/testdata/sf0.001", "documents").limit(5),
+    {"a": -1.0, "b": -1.5, "ab": -1.2}).collect()
+assert len(useg) == 5
 # applyInPandas packing closure
 from lakehouse_adventureworks2022_spark.operators import curation
 docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
