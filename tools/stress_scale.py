@@ -212,6 +212,37 @@ def main() -> None:
 
     run("bm25_build_and_search", _bm25)
 
+    # multimodal real-decode throughput: rep×500 distinct synthetic
+    # JPEGs (content varies per asset — no codec result reuse) through
+    # the Arrow-batched fake=False dHash path; linear in assets, zero
+    # shuffle, bounded executor memory = batch × asset size
+    from lakehouse_adventureworks2022_spark.operators import (  # noqa: E402
+        multimodal,
+    )
+
+    def _jpeg_assets():
+        import numpy as np
+
+        # 24 distinct payloads re-referenced rep*500 times: the decode
+        # path has no content cache, so every row pays a full Huffman+
+        # IDCT decode while the driver-side encode stays bounded
+        n_assets = rep * 500
+        payloads = []
+        base = np.zeros((24, 32, 3), dtype=np.uint8)
+        for i in range(24):
+            a = base.copy()
+            a[:, :, 0] = (i * 37) % 256
+            a[: 12 + (i % 12), :, 1] = (i * 101) % 256
+            payloads.append(bytearray(multimodal.encode_jpeg(a, quality=85)))
+        rows = [
+            (i, payloads[i % len(payloads)], "image/jpeg", 32, 24, None)
+            for i in range(n_assets)
+        ]
+        assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        return multimodal.image_hashes(assets.repartition(32), fake=False)
+
+    run("jpeg_decode_dhash", _jpeg_assets)
+
     # ---- event-analytics family at rep× volume (r6): funnel,
     # retention, anomalies and the Q21 double-correlation, on a
     # replicated events stream with ids/users offset per copy so the
