@@ -355,7 +355,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "incremental_dedup",  # signature-estimated verify: approx by design
         "corpus_drift",  # exact; DuckDB-diffed in pytest
         "embedding_drift",  # exact; identity/planted-shift tests in pytest
-        "ngram_repetition",  # exact; hand-computed differentials in pytest
+        "ngram_repetition",  # exact; swept SQL twin + hand-computed diffs
         "packed_corpus",  # exact; end-to-end invariants in pytest
         "clean_boilerplate",  # exact; swept SQL twin + planted diffs
         "doc_perplexity",  # float-fold order in mean log-prob
@@ -1095,6 +1095,9 @@ PYTEST_ORACLES: dict[str, str] = {
     # corpus-wide boilerplate-line removal, same deal (Python-reference
     # differential in test_textops_extended.py keeps the planted cases)
     "clean_boilerplate": text_queries.ORACLE_CLEAN_BOILERPLATE,
+    # Gopher repeated-n-gram fractions (hand-computed + planted-spam
+    # differentials in test_textops_extended.py keep the worked cases)
+    "ngram_repetition": text_queries.ORACLE_NGRAM_REPETITION,
 }
 
 # rotated oracles cover only past-window queries and never shadow a

@@ -1121,3 +1121,71 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("pieces", " ").alias("piece_text"),
         "n_pieces",
     )
+
+
+#: DuckDB twin of ngram_repetition_stats (Gopher repeated-n-gram
+#: fractions): same tokens, sliding n-grams via list_transform+range,
+#: (doc_id, gram) counts, clamped dup/top fractions over the doc's
+#: non-space char count; n-gram-less docs report 0.0.
+ORACLE_NGRAM_REPETITION = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS chars
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, chars,
+         unnest(list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])) AS gram
+  FROM base WHERE len(toks) >= 2
+),
+c2 AS (
+  SELECT doc_id, gram, first(chars) AS chars, COUNT(*) AS c
+  FROM g2 GROUP BY doc_id, gram
+),
+d2 AS (
+  SELECT doc_id,
+         least(1.0, SUM((c - 1) * len(regexp_replace(gram, '\s+', '', 'g'))) / first(chars)) AS dup_2gram_frac,
+         least(1.0, MAX(c * len(regexp_replace(gram, '\s+', '', 'g'))) / first(chars)) AS top_2gram_frac
+  FROM c2 GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, chars,
+         unnest(list_transform(range(len(toks) - 2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+  FROM base WHERE len(toks) >= 3
+),
+c3 AS (
+  SELECT doc_id, gram, first(chars) AS chars, COUNT(*) AS c
+  FROM g3 GROUP BY doc_id, gram
+),
+d3 AS (
+  SELECT doc_id,
+         least(1.0, SUM((c - 1) * len(regexp_replace(gram, '\s+', '', 'g'))) / first(chars)) AS dup_3gram_frac,
+         least(1.0, MAX(c * len(regexp_replace(gram, '\s+', '', 'g'))) / first(chars)) AS top_3gram_frac
+  FROM c3 GROUP BY doc_id
+),
+g4 AS (
+  SELECT doc_id, chars,
+         unnest(list_transform(range(len(toks) - 3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gram
+  FROM base WHERE len(toks) >= 4
+),
+c4 AS (
+  SELECT doc_id, gram, first(chars) AS chars, COUNT(*) AS c
+  FROM g4 GROUP BY doc_id, gram
+),
+d4 AS (
+  SELECT doc_id,
+         least(1.0, SUM((c - 1) * len(regexp_replace(gram, '\s+', '', 'g'))) / first(chars)) AS dup_4gram_frac,
+         least(1.0, MAX(c * len(regexp_replace(gram, '\s+', '', 'g'))) / first(chars)) AS top_4gram_frac
+  FROM c4 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(dup_2gram_frac, 0.0) AS dup_2gram_frac,
+       COALESCE(top_2gram_frac, 0.0) AS top_2gram_frac,
+       COALESCE(dup_3gram_frac, 0.0) AS dup_3gram_frac,
+       COALESCE(top_3gram_frac, 0.0) AS top_3gram_frac,
+       COALESCE(dup_4gram_frac, 0.0) AS dup_4gram_frac,
+       COALESCE(top_4gram_frac, 0.0) AS top_4gram_frac
+FROM documents d
+LEFT JOIN d2 USING (doc_id) LEFT JOIN d3 USING (doc_id) LEFT JOIN d4 USING (doc_id)
+"""
