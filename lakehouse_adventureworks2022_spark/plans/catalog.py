@@ -351,7 +351,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "tpch_q12_shipping_delay_bands",
         "tpch_q16_supplier_count_by_part",
         "chunk_documents",  # exact; swept SQL twin + Python-ref diff
-        "dedup_clusters",  # exact; union-find diffed in pytest
+        "dedup_clusters",  # exact; swept recursive-CTE twin + union-find diff
         "incremental_dedup",  # signature-estimated verify: approx by design
         "corpus_drift",  # exact; DuckDB-diffed in pytest
         "embedding_drift",  # exact; identity/planted-shift tests in pytest
@@ -1098,6 +1098,10 @@ PYTEST_ORACLES: dict[str, str] = {
     # Gopher repeated-n-gram fractions (hand-computed + planted-spam
     # differentials in test_textops_extended.py keep the worked cases)
     "ngram_repetition": text_queries.ORACLE_NGRAM_REPETITION,
+    # near-dup cluster canonicalization: recursive-CTE transitive
+    # closure over the verified LSH pairs (union-find differential in
+    # test_training_ops.py keeps the algorithmic cases)
+    "dedup_clusters": text_queries.ORACLE_DEDUP_CLUSTERS,
 }
 
 # rotated oracles cover only past-window queries and never shadow a

@@ -1189,3 +1189,26 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN d2 USING (doc_id) LEFT JOIN d3 USING (doc_id) LEFT JOIN d4 USING (doc_id)
 """
+
+
+#: DuckDB twin of connected_components over the LSH pairs: recursive
+#: transitive closure (tiny near-dup components keep it cheap) with
+#: component = MIN reachable doc_id — identical to the min-label
+#: propagation fixpoint.
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ORACLE_MINHASH_LSH}) lsh
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+reach AS (
+  SELECT doc_a AS doc_id, doc_a AS r FROM edges
+  UNION
+  SELECT e.doc_a AS doc_id, rr.r
+  FROM edges e JOIN reach rr ON e.doc_b = rr.doc_id
+)
+SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id
+"""
