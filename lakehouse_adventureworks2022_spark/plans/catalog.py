@@ -396,7 +396,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "user_churn_set_ops",
         "daily_event_pivot",
         "tpch_q6_forecast_revenue",
-        "event_anomalies",  # exact; planted-spike diffed in pytest
+        "event_anomalies",  # exact; swept window-frame twin + planted diffs
         "kll_value_quantiles",  # KLL sketch: rank-bounded approx by design
         "unigram_tokenize",  # exact; EM loop has no SQL twin
     }
@@ -1102,6 +1102,9 @@ PYTEST_ORACLES: dict[str, str] = {
     # closure over the verified LSH pairs (union-find differential in
     # test_training_ops.py keeps the algorithmic cases)
     "dedup_clusters": text_queries.ORACLE_DEDUP_CLUSTERS,
+    # trailing-window z-score anomalies: DuckDB window-frame twin with
+    # the 6dp display rounding both engines share
+    "event_anomalies": text_queries.ORACLE_EVENT_ANOMALIES,
 }
 
 # rotated oracles cover only past-window queries and never shadow a

@@ -1037,17 +1037,22 @@ def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window z-score anomalies over the events stream (each
     event judged against its user's preceding 20 values — the spike
     detector of the monitoring family). Exact; planted-spike and
-    zero-variance differentials in tests/test_monitoring.py (oracle
-    window full)."""
+    zero-variance differentials in tests/test_monitoring.py, plus a
+    swept DuckDB window-frame twin (baselines rounded to 6dp like the
+    z-score so cross-engine float association noise cannot reach the
+    compared digits)."""
     from lakehouse_adventureworks2022_spark.operators.monitoring import (
         value_anomalies,
     )
 
     # event_id tiebreak: tied timestamps within a user must not let the
     # partition layout reorder the trailing baseline (ADVICE r5)
-    return value_anomalies(
+    out = value_anomalies(
         read_table(spark, sf_dir, "events"), tiebreak_col="event_id"
-    ).select(
+    ).withColumn("baseline_mean", F.round("baseline_mean", 6)).withColumn(
+        "baseline_std", F.round("baseline_std", 6)
+    )
+    return out.select(
         "event_id",
         "user_id",
         "value",
@@ -1211,4 +1216,34 @@ reach AS (
   FROM edges e JOIN reach rr ON e.doc_b = rr.doc_id
 )
 SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id
+"""
+
+
+#: DuckDB window-frame twin of value_anomalies (lookback 20, min
+#: history 5, |z| > 3): identical trailing frame ordered by
+#: (ts, event_id); display baselines and z rounded to 6dp in BOTH
+#: engines so segment-tree-vs-sequential float association noise
+#: (~1e-12) can never reach a compared digit.
+ORACLE_EVENT_ANOMALIES = """
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             AVG(value) OVER win AS mean_raw,
+             STDDEV_SAMP(value) OVER win AS std_raw,
+             COUNT(*) OVER win AS n
+      FROM events
+      WINDOW win AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT event_id, user_id, value,
+           ROUND(mean_raw, 6) AS baseline_mean,
+           ROUND(std_raw, 6) AS baseline_std,
+           CASE WHEN n >= 5 AND std_raw > 0
+                THEN ROUND((value - mean_raw) / std_raw, 6) END AS z_score,
+           CASE WHEN n < 5 THEN FALSE
+                WHEN std_raw = 0 THEN value <> mean_raw
+                ELSE ABS(ROUND((value - mean_raw) / std_raw, 6)) > 3.0
+           END AS is_anomaly
+    FROM w
 """
