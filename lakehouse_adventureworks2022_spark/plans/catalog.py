@@ -353,7 +353,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "chunk_documents",  # exact; swept SQL twin + Python-ref diff
         "dedup_clusters",  # exact; swept recursive-CTE twin + union-find diff
         "incremental_dedup",  # signature-estimated verify: approx by design
-        "corpus_drift",  # exact; DuckDB-diffed in pytest
+        "corpus_drift",  # exact; swept SQL twin (profile diff in pytest)
         "embedding_drift",  # exact; identity/planted-shift tests in pytest
         "ngram_repetition",  # exact; swept SQL twin + hand-computed diffs
         "packed_corpus",  # exact; end-to-end invariants in pytest
@@ -1105,6 +1105,9 @@ PYTEST_ORACLES: dict[str, str] = {
     # trailing-window z-score anomalies: DuckDB window-frame twin with
     # the 6dp display rounding both engines share
     "event_anomalies": text_queries.ORACLE_EVENT_ANOMALIES,
+    # per-source snapshot drift: all compared numbers exact cross-engine
+    # (integer-valued sums, int/int shares, quantile_cont medians)
+    "corpus_drift": text_queries.ORACLE_CORPUS_DRIFT,
 }
 
 # rotated oracles cover only past-window queries and never shadow a

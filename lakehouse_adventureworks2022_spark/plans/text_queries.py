@@ -1247,3 +1247,51 @@ ORACLE_EVENT_ANOMALIES = """
            END AS is_anomaly
     FROM w
 """
+
+
+#: DuckDB twin of corpus_drift over the even/odd doc_id halves: every
+#: compared number is EXACT cross-engine — token counts are
+#: integer-valued doubles (sums exact at any association order), shares
+#: are int/int divisions, and interpolated medians match quantile_cont
+#: (the event_value_stats precedent) — so no rounding is needed.
+ORACLE_CORPUS_DRIFT = r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS DOUBLE) AS n
+      FROM documents
+    ),
+    pa AS (
+      SELECT source, COUNT(*) AS n_docs, AVG(n) AS mean_tokens,
+             quantile_cont(n, 0.5) AS p50
+      FROM tok WHERE doc_id % 2 = 0 GROUP BY source
+    ),
+    pb AS (
+      SELECT source, COUNT(*) AS n_docs, AVG(n) AS mean_tokens,
+             quantile_cont(n, 0.5) AS p50
+      FROM tok WHERE doc_id % 2 = 1 GROUP BY source
+    ),
+    ta AS (SELECT SUM(n_docs) AS t FROM pa),
+    tb AS (SELECT SUM(n_docs) AS t FROM pb),
+    j AS (
+      SELECT COALESCE(pa.source, pb.source) AS source,
+             COALESCE(pa.n_docs, 0) AS n_docs_a,
+             COALESCE(pb.n_docs, 0) AS n_docs_b,
+             COALESCE(CAST(pa.n_docs AS DOUBLE) / (SELECT t FROM ta), 0.0)
+               AS share_a,
+             COALESCE(CAST(pb.n_docs AS DOUBLE) / (SELECT t FROM tb), 0.0)
+               AS share_b,
+             pa.mean_tokens AS mean_tokens_a,
+             pb.mean_tokens AS mean_tokens_b,
+             pa.p50 AS p50_tokens_a,
+             pb.p50 AS p50_tokens_b
+      FROM pa FULL OUTER JOIN pb ON pa.source = pb.source
+    )
+    SELECT source, n_docs_a, n_docs_b, share_a, share_b,
+           share_b - share_a AS share_delta,
+           mean_tokens_a, mean_tokens_b,
+           mean_tokens_b - mean_tokens_a AS mean_tokens_delta,
+           p50_tokens_a, p50_tokens_b,
+           p50_tokens_b - p50_tokens_a AS p50_tokens_delta
+    FROM j
+"""
