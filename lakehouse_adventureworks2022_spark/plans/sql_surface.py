@@ -213,7 +213,9 @@ SQL_CATALOG: dict[str, str] = {
             WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
         )
-        SELECT event_id, user_id, value, baseline_mean, baseline_std,
+        SELECT event_id, user_id, value,
+               ROUND(baseline_mean, 6) AS baseline_mean,
+               ROUND(baseline_std, 6) AS baseline_std,
                ROUND(CASE WHEN n >= 5 AND baseline_std > 0
                           THEN (value - baseline_mean) / baseline_std END,
                      6) AS z_score,
