@@ -358,7 +358,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "ngram_repetition",  # exact; swept SQL twin + hand-computed diffs
         "packed_corpus",  # exact; end-to-end invariants in pytest
         "clean_boilerplate",  # exact; swept SQL twin + planted diffs
-        "doc_perplexity",  # float-fold order in mean log-prob
+        "doc_perplexity",  # exact-ratio model; swept 6dp-rounded twin
         "quality_classifier",  # learned scores: no SQL twin
         "shuffle_corpus",  # exact; xxhash64 has no DuckDB twin
         "ann_cosine_topk_pq",  # PQ quantization: recall < 1 by design
@@ -1108,6 +1108,9 @@ PYTEST_ORACLES: dict[str, str] = {
     # per-source snapshot drift: all compared numbers exact cross-engine
     # (integer-valued sums, int/int shares, quantile_cont medians)
     "corpus_drift": text_queries.ORACLE_CORPUS_DRIFT,
+    # self-scored bigram perplexity: exact smoothing ratios, 6dp-rounded
+    # log folds (lm.py Python differential keeps the worked math)
+    "doc_perplexity": text_queries.ORACLE_DOC_PERPLEXITY,
 }
 
 # rotated oracles cover only past-window queries and never shadow a

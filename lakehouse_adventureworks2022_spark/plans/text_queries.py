@@ -232,12 +232,18 @@ ORACLE_CLEAN_BOILERPLATE = r"""
 def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-scored bigram add-k perplexity over the documents corpus
     (the CCNet-family model-based quality signal). Python-reference
-    math differential + ranking/determinism tests in tests/test_lm.py.
-    ``ppl`` is float-fold order-dependent in the 12th decimal, hence
-    rows-only in the driver window."""
+    math differential + ranking/determinism tests in tests/test_lm.py;
+    swept DuckDB twin with avg_nll/ppl display-rounded to 6dp in both
+    engines (the log-fold association noise sits ~1e-15, never
+    reaching a compared digit; the smoothing ratio itself is an exact
+    division in both engines)."""
     from lakehouse_adventureworks2022_spark.operators.lm import doc_perplexity
 
-    return doc_perplexity(read_table(spark, sf_dir, "documents"))
+    return (
+        doc_perplexity(read_table(spark, sf_dir, "documents"))
+        .withColumn("avg_nll", F.round("avg_nll", 6))
+        .withColumn("ppl", F.round("ppl", 6))
+    )
 
 
 def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1294,4 +1300,42 @@ ORACLE_CORPUS_DRIFT = r"""
            p50_tokens_a, p50_tokens_b,
            p50_tokens_b - p50_tokens_a AS p50_tokens_delta
     FROM j
+"""
+
+
+
+#: DuckDB twin of the self-scored bigram add-k perplexity: identical
+#: padded transitions, count model, V = distinct predicted words, and
+#: smoothing ratio (exact division — integer counts + 0.5 terms are
+#: exact doubles); ln/avg/exp folds are display-rounded to 6dp in both
+#: engines so libm 1-ulp and association noise never reach a digit.
+ORACLE_DOC_PERPLEXITY = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             ['<s>'] || list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> x <> '') || ['</s>'] AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(t) - 1), i -> t[i + 1])) AS context,
+             unnest(list_transform(range(len(t) - 1), i -> t[i + 2])) AS word
+      FROM toks
+    ),
+    lm AS (SELECT context, word, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+    ctx AS (SELECT context, SUM(c) AS ctx_c FROM lm GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS vv FROM lm),
+    scored AS (
+      SELECT g.doc_id,
+             ln((l.c + 0.5) / (x.ctx_c + 0.5 * (SELECT vv FROM v))) AS logp
+      FROM grams g
+      JOIN lm l ON g.context = l.context AND g.word = l.word
+      JOIN ctx x ON g.context = x.context
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_transitions,
+           ROUND(-AVG(logp), 6) AS avg_nll,
+           ROUND(EXP(-AVG(logp)), 6) AS ppl
+    FROM scored GROUP BY doc_id
 """
