@@ -354,7 +354,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "dedup_clusters",  # exact; swept recursive-CTE twin + union-find diff
         "incremental_dedup",  # signature-estimated verify: approx by design
         "corpus_drift",  # exact; swept SQL twin (profile diff in pytest)
-        "embedding_drift",  # exact; identity/planted-shift tests in pytest
+        "embedding_drift",  # exact; swept 6dp-rounded twin + planted tests
         "ngram_repetition",  # exact; swept SQL twin + hand-computed diffs
         "packed_corpus",  # exact; end-to-end invariants in pytest
         "clean_boilerplate",  # exact; swept SQL twin + planted diffs
@@ -1111,6 +1111,8 @@ PYTEST_ORACLES: dict[str, str] = {
     # self-scored bigram perplexity: exact smoothing ratios, 6dp-rounded
     # log folds (lm.py Python differential keeps the worked math)
     "doc_perplexity": text_queries.ORACLE_DOC_PERPLEXITY,
+    # embedding-space drift: 6dp-rounded norm/centroid folds
+    "embedding_drift": text_queries.ORACLE_EMBEDDING_DRIFT,
 }
 
 # rotated oracles cover only past-window queries and never shadow a

@@ -298,15 +298,23 @@ def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift between snapshot halves (even/odd vec_id):
     per-label count/norm deltas + centroid cosine. Identity and
-    planted-shift tests in tests/test_monitoring.py."""
+    planted-shift tests in tests/test_monitoring.py; swept DuckDB twin
+    with the float outputs display-rounded to 6dp in both engines
+    (norm/centroid folds carry ~1e-15 association noise only)."""
     from lakehouse_adventureworks2022_spark.operators.monitoring import (
         embedding_drift,
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return embedding_drift(
+    out = embedding_drift(
         emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
     )
+    for c in ("mean_norm_a", "mean_norm_b", "mean_norm_delta",
+              "centroid_cosine"):
+        # + 0.0 canonicalizes IEEE -0.0 (a tiny negative delta rounds to
+        # -0.0 in DuckDB but 0.0 in Spark — equal values, different hash)
+        out = out.withColumn(c, F.round(c, 6) + F.lit(0.0))
+    return out
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1338,4 +1346,56 @@ ORACLE_DOC_PERPLEXITY = r"""
            ROUND(-AVG(logp), 6) AS avg_nll,
            ROUND(EXP(-AVG(logp)), 6) AS ppl
     FROM scored GROUP BY doc_id
+"""
+
+
+
+#: DuckDB twin of q_embedding_drift: identical halves/profiles (norms
+#: via double-cast folds, per-dim centroid means, centroid cosine),
+#: float outputs rounded to 6dp in both engines.
+ORACLE_EMBEDDING_DRIFT = r"""
+    WITH e AS (
+      SELECT vec_id, label,
+             CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS half,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT half, label,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e
+    ),
+    scalars AS (
+      SELECT half, label, COUNT(*) AS n, AVG(nrm) AS mean_norm
+      FROM norms GROUP BY 1, 2
+    ),
+    dims AS (
+      SELECT half, label,
+             unnest(range(len(v))) AS dim,
+             unnest(v) AS val
+      FROM e
+    ),
+    cent AS (
+      SELECT half, label, dim, AVG(val) AS m FROM dims GROUP BY 1, 2, 3
+    ),
+    cosine AS (
+      SELECT a.label,
+             SUM(a.m * b.m)
+               / (sqrt(SUM(a.m * a.m)) * sqrt(SUM(b.m * b.m))) AS cos_ab
+      FROM cent a
+      JOIN cent b ON a.label = b.label AND a.dim = b.dim
+      WHERE a.half = 0 AND b.half = 1
+      GROUP BY a.label
+    )
+    SELECT COALESCE(sa.label, sb.label) AS label,
+           COALESCE(sa.n, 0) AS n_a,
+           COALESCE(sb.n, 0) AS n_b,
+           ROUND(sa.mean_norm, 6) + 0.0 AS mean_norm_a,
+           ROUND(sb.mean_norm, 6) + 0.0 AS mean_norm_b,
+           ROUND(sb.mean_norm - sa.mean_norm, 6) + 0.0 AS mean_norm_delta,
+           ROUND(c.cos_ab, 6) + 0.0 AS centroid_cosine
+    FROM (SELECT * FROM scalars WHERE half = 0) sa
+    FULL OUTER JOIN (SELECT * FROM scalars WHERE half = 1) sb
+      ON sa.label = sb.label
+    LEFT JOIN cosine c ON COALESCE(sa.label, sb.label) = c.label
 """

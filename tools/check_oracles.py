@@ -68,6 +68,11 @@ def normalize_pandas(df: pd.DataFrame) -> pd.DataFrame:
         s = out[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            # -0.0 == 0.0 but stringifies differently (DuckDB ROUND of a
+            # tiny negative yields -0.0 where Spark round yields 0.0);
+            # adding 0.0 canonicalizes the sign without moving any value
+            out[c] = s + 0.0
         elif s.dtype == object:
             # dates / Decimals / numpy scalars stringify in _canon_cell
             pass
