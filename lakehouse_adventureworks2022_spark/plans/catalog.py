@@ -381,7 +381,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "docs_sample_exact_n",
         "semdedup_prune",  # k-means clustering: no SQL twin
         "rag_retrieval",  # IVF probe pruning: recall < 1 by design
-        "remove_repeated_spans",  # exact; Python-ref diffed in pytest
+        "remove_repeated_spans",  # exact; swept SQL twin + Python-ref diff
         "bpe_tokenize",  # exact; merge loop has no SQL twin
         "rag_retrieval_amortized",  # ≡ one-shot retrieval via saved index
         "clean_assets",  # binary assets have no oracle tables
@@ -1113,6 +1113,10 @@ PYTEST_ORACLES: dict[str, str] = {
     "doc_perplexity": text_queries.ORACLE_DOC_PERPLEXITY,
     # embedding-space drift: 6dp-rounded norm/centroid folds
     "embedding_drift": text_queries.ORACLE_EMBEDDING_DRIFT,
+    # ExactSubstr span removal: literal-run keys, ROW_NUMBER keeper,
+    # gaps-and-islands span merge (Python-reference diff keeps the
+    # planted/boundary cases)
+    "remove_repeated_spans": text_queries.ORACLE_REMOVE_REPEATED_SPANS,
 }
 
 # rotated oracles cover only past-window queries and never shadow a

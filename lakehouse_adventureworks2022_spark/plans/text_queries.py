@@ -1399,3 +1399,75 @@ ORACLE_EMBEDDING_DRIFT = r"""
       ON sa.label = sb.label
     LEFT JOIN cosine c ON COALESCE(sa.label, sb.label) = c.label
 """
+
+
+#: DuckDB twin of remove_duplicate_spans (ExactSubstr, window=12,
+#: keep=first): windows matched by their literal lowercased token runs
+#: (the engine's xxhash64 equality IS string equality), keeper = first
+#: (doc_id, pos) via ROW_NUMBER, span merge as gaps-and-islands
+#: (sorted 12-long intervals ⇒ new span iff pos > prev + 12),
+#: covered-position anti-join + ordered string_agg rebuild.
+ORACLE_REMOVE_REPEATED_SPANS = r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, toks, list_transform(toks, x -> lower(x)) AS nt FROM base
+    ),
+    wins AS (
+      SELECT doc_id,
+             unnest(range(len(nt) - 11)) AS pos,
+             unnest(list_transform(range(len(nt) - 11),
+                    i -> array_to_string(nt[i + 1 : i + 12], chr(31)))) AS key
+      FROM norm WHERE len(nt) >= 12
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY key) AS occ,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+      FROM wins
+    ),
+    flagged AS (SELECT doc_id, pos FROM ranked WHERE occ >= 2 AND rn > 1),
+    islands AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 12
+                  THEN 1 ELSE 0 END AS is_start
+      FROM flagged
+    ),
+    spanstats AS (
+      SELECT doc_id, CAST(SUM(is_start) AS INT) AS span_count
+      FROM islands GROUP BY doc_id
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + 12)) AS idx FROM flagged
+    ),
+    removedcount AS (
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS removed
+      FROM covered GROUP BY doc_id
+    ),
+    tokidx AS (
+      SELECT doc_id,
+             unnest(toks) AS tok,
+             unnest(range(len(toks))) AS idx
+      FROM base
+    ),
+    kept AS (
+      SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.idx) AS txt
+      FROM tokidx t
+      LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+      WHERE c.idx IS NULL
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(k.txt, '') AS text,
+           COALESCE(r.removed, 0) AS removed_tokens,
+           COALESCE(s.span_count, 0) AS span_count
+    FROM documents d
+    LEFT JOIN kept k ON d.doc_id = k.doc_id
+    LEFT JOIN removedcount r ON d.doc_id = r.doc_id
+    LEFT JOIN spanstats s ON d.doc_id = s.doc_id
+"""
