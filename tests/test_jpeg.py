@@ -212,3 +212,40 @@ def test_jpeg_assets_flow_through_real_feature_and_hash_paths(spark):
     for other in (2, 3):
         ham = bin((hashes[1] ^ hashes[other]) & (2**64 - 1)).count("1")
         assert ham <= 6, (other, ham)
+
+
+def test_property_roundtrip_random_smooth_images():
+    """Hypothesis: random low-frequency images round-trip within the
+    quantization error budget at every sampling/restart variant, and
+    dimensions/dtype are always preserved."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        h=st.integers(8, 40),
+        w=st.integers(8, 40),
+        sub=st.sampled_from(["444", "420"]),
+        ri=st.sampled_from([0, 2]),
+    )
+    def check(seed, h, w, sub, ri):
+        rng = np.random.default_rng(seed)
+        # smooth content: separable cumulative ramps (JPEG-friendly, so
+        # the error budget is the quantization bound, not content chaos)
+        ry = np.cumsum(rng.uniform(0, 3, h))
+        rx = np.cumsum(rng.uniform(0, 3, w))
+        base = (ry[:, None] + rx[None, :])
+        base = (base / base.max() * 255.0)
+        img = np.dstack(
+            [base, base[::-1, :], base[:, ::-1]]
+        ).astype(np.uint8)
+        dec = decode_jpeg(
+            encode_jpeg(img, quality=90, subsampling=sub, restart_interval=ri)
+        )
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        err = np.abs(dec.astype(float) - img.astype(float)).max()
+        budget = 12 if sub == "444" else 24  # chroma averaging at 4:2:0
+        assert err <= budget, (seed, h, w, sub, ri, err)
+
+    check()
