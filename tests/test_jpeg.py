@@ -231,15 +231,16 @@ def test_property_roundtrip_random_smooth_images():
     )
     def check(seed, h, w, sub, ri):
         rng = np.random.default_rng(seed)
-        # smooth content: separable cumulative ramps (JPEG-friendly, so
-        # the error budget is the quantization bound, not content chaos)
+        # smooth content in LUMA AND CHROMA: separable cumulative ramps
+        # with per-channel affine scaling only (same orientation — a
+        # flipped channel would put sharp gradients into Cb/Cr, which
+        # 4:2:0 destroys by design and no budget can bound)
         ry = np.cumsum(rng.uniform(0, 3, h))
         rx = np.cumsum(rng.uniform(0, 3, w))
         base = (ry[:, None] + rx[None, :])
-        base = (base / base.max() * 255.0)
-        img = np.dstack(
-            [base, base[::-1, :], base[:, ::-1]]
-        ).astype(np.uint8)
+        base = base / base.max() * 255.0
+        scales = rng.uniform(0.5, 1.0, 3)
+        img = np.dstack([base * s for s in scales]).astype(np.uint8)
         dec = decode_jpeg(
             encode_jpeg(img, quality=90, subsampling=sub, restart_interval=ri)
         )
