@@ -105,6 +105,13 @@ HEADLINE = [
     # mergeable KLL quantile build (shuffles sketches, never values)
     "heavy_hitters_event_types",
     "kll_value_quantiles",
+    # round-7 additions: the two ex-scale-killers (global window ->
+    # 1-row-aggregate broadcast join, r6 verdict #1) now benched so a
+    # plan regression would show here, plus q2 after its selective-part
+    # semi-join pushdown (r6 verdict #5)
+    "tpch_q22_idle_balances",
+    "tpch_q11_important_parts",
+    "tpch_q2_min_balance_supplier",
 ]
 
 

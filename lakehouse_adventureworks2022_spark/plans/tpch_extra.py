@@ -175,21 +175,21 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape (no phone column): customers with above-average positive
     balances and no URGENT orders — scalar avg subquery + anti-join
     against a filtered order set, grouped by market segment."""
-    from pyspark.sql import Window
-
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
-    # global-window aggregate, not crossJoin(broadcast(1-row agg)):
-    # the join form plans a BroadcastNestedLoopJoin (bounded but it
-    # blunts the "no nested loop anywhere" audit invariant — same fix
-    # as temperature_mixture in r6). Positive-only balances feed the
-    # average; conditional agg keeps it one pass over customer.
-    avg_pos = F.avg(
-        F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))
-    ).over(Window.partitionBy())
+    # scalar attach: 1-row .agg() broadcast-joined, NOT a global window.
+    # Window.partitionBy() over the full customer table shuffles EVERY
+    # row to one partition (Spark itself warns "Moving all data to a
+    # single partition") — a scale-killer at TPC-H sf100k. The join
+    # plans a BroadcastNestedLoopJoin whose build side is exactly one
+    # row: bounded and benign; tools/audit_plans.py whitelists
+    # scalar-aggregate build sides for exactly this shape (r6 verdict
+    # "What's wrong" #1).
+    avg_pos = cust.agg(
+        F.avg(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))).alias("a")
+    )
     return (
-        cust.withColumn("a", avg_pos)
-        .filter(F.col("c_acctbal") > F.col("a"))
+        cust.join(F.broadcast(avg_pos), F.col("c_acctbal") > F.col("a"))
         .join(
             orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
                 F.col("o_custkey").alias("c_custkey")
@@ -445,17 +445,31 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers that ever shipped that part — the correlated-min
     subquery joined back on (part, min) that Q2's partsupp form plans.
 
-    Scale shape: the (part, supplier) pairs come from one distinct over
-    a lineitem projection (uniform-key shuffle); the per-part min is a
-    second agg over that reduced frame; the join-back is part-keyed.
-    Supplier/nation/region sides broadcast."""
+    Scale shape: the selective part predicate broadcast-semi-joins into
+    the lineitem projection BEFORE anything shuffles, so the distinct
+    over (part, supplier) and the per-part min both run only on
+    qualifying parts; the join-back is part-keyed.
+    Supplier/nation/region/part sides broadcast."""
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
     supp = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")
     region = read_table(spark, sf_dir, "region")
+    # the selective part predicate runs FIRST: a broadcast semi-join
+    # shrinks the lineitem projection by the predicate's selectivity
+    # BEFORE the distinct and the per-part min, so both aggregations
+    # shuffle only qualifying parts (r6 verdict #4 — leaving the filter
+    # last made them run over ALL parts)
+    qual = part.filter(
+        (F.col("p_size").between(10, 20)) & (F.col("p_type") == "ECONOMY")
+    )
     rs = (
         li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(qual.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
         .distinct()
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -467,15 +481,7 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rs.join(mn, "l_partkey")
         .filter(F.col("s_acctbal") == F.col("min_bal"))
-        .join(
-            F.broadcast(
-                part.filter(
-                    (F.col("p_size").between(10, 20))
-                    & (F.col("p_type") == "ECONOMY")
-                )
-            ),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
+        .join(F.broadcast(qual), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             F.col("p_partkey").alias("part_key"),
             F.col("p_name").alias("part_name"),
@@ -638,17 +644,21 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # one aggregation feeds both the threshold and the rows
     )
-    from pyspark.sql import Window
-
-    _all = Window.partitionBy()
-    threshold = (
-        F.lit(2.0)
-        * F.sum("_value").over(_all).cast("double")
-        / F.count(F.lit(1)).over(_all)
+    # scalar attach: 1-row .agg() broadcast-joined, NOT a global window —
+    # the per-(nation, part) aggregate grows linearly with |part|, so
+    # Window.partitionBy() over it is a single-partition shuffle of an
+    # unbounded frame (r6 verdict "What's wrong" #1). The 1-row build
+    # side plans a benign BroadcastNestedLoopJoin, whitelisted by
+    # tools/audit_plans.py.
+    thr = v.agg(
+        (
+            F.lit(2.0)
+            * F.sum("_value").cast("double")
+            / F.count(F.lit(1))
+        ).alias("_thr")
     )
     out = (
-        v.withColumn("_thr", threshold)
-        .filter(F.col("_value") > F.col("_thr"))
+        v.join(F.broadcast(thr), F.col("_value") > F.col("_thr"))
         .select(
             "nation_name",
             "part_key",

@@ -18,9 +18,16 @@ def load(path: str) -> dict:
     # the JSON (driver logs sometimes prepend noise)
     text = Path(path).read_text().strip()
     try:
-        return json.loads(text)
+        obj = json.loads(text)
     except json.JSONDecodeError:
-        return json.loads(text.splitlines()[-1])
+        obj = json.loads(text.splitlines()[-1])
+    # the driver's BENCH_r{N}.json wraps bench.py's line under "parsed"
+    # ({n, rc, cpus, sf, tail, parsed}); unwrap so both formats compare
+    # (r6 verdict #3: the judge's invocation compared zero queries and
+    # exited 0)
+    if "queries" not in obj and isinstance(obj.get("parsed"), dict):
+        obj = obj["parsed"]
+    return obj
 
 
 def main() -> int:
@@ -32,6 +39,7 @@ def main() -> int:
     base, new = load(args[0]), load(args[1])
     bq, nq = base.get("queries", {}), new.get("queries", {})
     regressed = []
+    compared = len(set(bq) & set(nq))
     print(f"{'query':32} {'base':>8} {'new':>8} {'delta':>8} {'ratio':>6}")
     for name in nq:
         b, n = bq.get(name), nq[name]
@@ -49,6 +57,16 @@ def main() -> int:
     print(
         f"{'TOTAL':32} {base.get('value', 0):8.3f} {new.get('value', 0):8.3f}"
     )
+    # an empty (or mostly-empty) comparison must fail loudly: a format
+    # mismatch that drops every query would otherwise green-light
+    # unmeasured regressions (r6 verdict #3)
+    floor = max(1, len(bq) // 2)
+    if compared < floor:
+        print(
+            f"ERROR: only {compared} of {len(bq)} baseline queries were "
+            f"compared (floor {floor}) — format mismatch or gutted bench"
+        )
+        return 2
     return 1 if regressed else 0
 
 
