@@ -219,16 +219,20 @@ def value_anomalies(
     Determinism: pass ``tiebreak_col`` (e.g. an event id) whenever the
     timestamp can tie within a key — the trailing baseline, and so the
     z-score, depends on the frame order. Without one, ties fall back to
-    ``monotonically_increasing_id()``, which varies with partition
-    layout, so results are only reproducible up to tied-timestamp
-    ordering.
+    a CONTENT-DERIVED order (xxhash64 of every event column), which is
+    identical under any partition layout — tied rows with identical
+    content are interchangeable, so the result is fully deterministic
+    either way (layout-independence is tested).
     """
     from pyspark.sql import Window
 
+    # NOT monotonically_increasing_id(): that numbering follows the
+    # physical partition layout, so the same data repartitioned could
+    # order ties differently and shift every downstream baseline
     tiebreak = (
         F.col(tiebreak_col)
         if tiebreak_col is not None
-        else F.monotonically_increasing_id()
+        else F.xxhash64(*[F.col(c) for c in events.columns])
     )
     w = (
         Window.partitionBy(key_col)

@@ -159,7 +159,11 @@ def _mg_map_fn(key_col: str, m: int):
         counters: dict = {}
         for pdf in batches:
             for v in pdf[key_col]:
-                if v is None:
+                # pd.isna, not `is None`: nulls in NUMERIC columns reach
+                # pandas as float NaN, and NaN != NaN would allocate a
+                # fresh counter per null row — flooding the m-bounded
+                # summary and leaking NaN rows into persisted state
+                if v is None or pd.isna(v):
                     continue
                 if v in counters:
                     counters[v] += 1

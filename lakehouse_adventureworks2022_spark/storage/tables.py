@@ -155,7 +155,16 @@ class TableManager:
         if not self.exists(name):
             self.append(df, name, partition_by=partition_by)
             return
-        current = {f.name: f.dataType.simpleString() for f in self.read(name).schema.fields}
+        # the reconciliation target must be the UNION schema across every
+        # file generation (mergeSchema), not a plain read: on an
+        # already-evolved table a plain read can infer from older footers
+        # that lack later-added columns, letting a type-conflicting batch
+        # bypass the loud-refusal check and write files read_evolved can
+        # no longer reconcile (r6 ADVICE)
+        current = {
+            f.name: f.dataType.simpleString()
+            for f in self.read_evolved(name).schema.fields
+        }
         incoming = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         # partition columns live as directory names; their read-side type
         # is whatever partition inference assigns (a "2024-01-01" dir

@@ -7,9 +7,11 @@ Shape per batch (``foreachBatch``): summarize the batch with
 ``sketches.mg_summarize`` (bounded, one tiny shuffle), merge it into
 the persisted state with ``sketches.mg_merge`` (Agarwal et al. 2013 —
 the merged summary is a valid MG summary of EVERYTHING ingested), and
-overwrite the state atomically. Re-delivered batches are skipped by
-batch id (the same idempotence contract as ``streaming/sink.py``), so
-at-least-once delivery never double-counts.
+commit state + applied-batch-id meta in ONE rename via
+``state_commit`` (crash-safe: see that module's crash matrix).
+Re-delivered batches are skipped by batch id (the same idempotence
+contract as ``streaming/sink.py``), so at-least-once delivery never
+double-counts.
 
 Guarantee carried in the state (and tested): with summary size ``m``
 and ``n_total`` ingested rows, every stored weight satisfies
@@ -26,7 +28,6 @@ pass. Nothing driver-side exceeds m+1 rows.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,34 +38,19 @@ from lakehouse_adventureworks2022_spark.operators.sketches import (
     mg_merge,
     mg_summarize,
 )
+from lakehouse_adventureworks2022_spark.streaming import state_commit
 
-_META = "meta.json"
+_NAME = "summary"
 
 
 def _read_meta(state_dir: str) -> dict:
-    p = Path(state_dir) / _META
-    if p.exists():
-        return json.loads(p.read_text())
-    return {"applied": [], "n_total": 0}
-
-
-def _write_meta(state_dir: str, meta: dict) -> None:
-    p = Path(state_dir) / _META
-    tmp = p.with_suffix(".tmp")
-    tmp.write_text(json.dumps(meta))
-    tmp.rename(p)  # atomic on POSIX
-
-
-def _state_path(state_dir: str) -> str:
-    return f"{state_dir}/summary"
+    return state_commit.read_meta(state_dir, _NAME)
 
 
 def load_state(spark: SparkSession, state_dir: str, value_type: str = "string") -> DataFrame:
-    import os
-
-    path = _state_path(state_dir)
-    if os.path.exists(f"{path}/_SUCCESS"):
-        return spark.read.parquet(path)
+    frame = state_commit.load_frame(spark, state_dir, _NAME)
+    if frame is not None:
+        return frame
     return spark.createDataFrame([], f"value {value_type}, weight long")
 
 
@@ -93,21 +79,13 @@ def apply_frequent_batch(
     n_batch = batch_df.count()
     state = load_state(spark, state_dir, vtype)
     merged = mg_merge(state, batch_summary, m=m)
-    # atomic swap: write to staging, then rename over the old state —
-    # a crash leaves either the old or the new state, never a mix, and
-    # the unrecorded batch id forces a (idempotent) replay
-    import os
-    import shutil
-
-    staging = f"{state_dir}/summary__staging"
-    merged.coalesce(1).write.mode("overwrite").parquet(staging)
-    final = _state_path(state_dir)
-    if os.path.exists(final):
-        shutil.rmtree(final)
-    os.rename(staging, final)
+    # crash-safe: the updated meta (batch id now recorded) rides inside
+    # the staged state dir, so state + idempotence marker commit in the
+    # same rename — a crash leaves either the old state (batch replays
+    # idempotently) or the new state (replay skipped), never a mix
     meta["applied"].append(batch_id)
     meta["n_total"] += n_batch
-    _write_meta(state_dir, meta)
+    state_commit.commit(merged, state_dir, _NAME, meta)
 
 
 def stream_frequent_items(

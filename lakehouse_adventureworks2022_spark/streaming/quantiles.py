@@ -5,9 +5,10 @@ keeps the mergeable sketch instead). Same skeleton as
 ``streaming/frequent.py``: per batch (``foreachBatch``), sketch the
 batch with the bounded two-phase KLL build, merge into the persisted
 per-group state with ``sketches.kll_merge`` (sketch of the stream ==
-merge of the batch sketches — tested), and overwrite the state
-atomically. Re-delivered batches are skipped by batch id, so
-at-least-once delivery never double-counts.
+merge of the batch sketches — tested), and commit state +
+applied-batch-id meta in ONE rename via ``state_commit`` (crash-safe:
+see that module's crash matrix). Re-delivered batches are skipped by
+batch id, so at-least-once delivery never double-counts.
 
 Guarantee carried in the state (and tested): each group's sketch
 answers any quantile within the KLL rank bound (~1/k normalized rank
@@ -23,7 +24,6 @@ driver-side exceeds the applied-batch-id list.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,26 +35,13 @@ from lakehouse_adventureworks2022_spark.operators.sketches import (
     kll_quantiles,
     kll_sketches,
 )
+from lakehouse_adventureworks2022_spark.streaming import state_commit
 
-_META = "meta.json"
+_NAME = "sketches"
 
 
 def _read_meta(state_dir: str) -> dict:
-    p = Path(state_dir) / _META
-    if p.exists():
-        return json.loads(p.read_text())
-    return {"applied": [], "n_total": 0}
-
-
-def _write_meta(state_dir: str, meta: dict) -> None:
-    p = Path(state_dir) / _META
-    tmp = p.with_suffix(".tmp")
-    tmp.write_text(json.dumps(meta))
-    tmp.rename(p)  # atomic on POSIX
-
-
-def _state_path(state_dir: str) -> str:
-    return f"{state_dir}/sketches"
+    return state_commit.read_meta(state_dir, _NAME)
 
 
 def load_state(
@@ -62,11 +49,9 @@ def load_state(
 ) -> DataFrame:
     """Stored sketch frame, or an empty frame with the right schema
     (key types taken from the batch template) before the first batch."""
-    import os
-
-    path = _state_path(state_dir)
-    if os.path.exists(f"{path}/_SUCCESS"):
-        return spark.read.parquet(path)
+    frame = state_commit.load_frame(spark, state_dir, _NAME)
+    if frame is not None:
+        return frame
     return spark.createDataFrame([], _kll_schema(template, keys))
 
 
@@ -95,21 +80,13 @@ def apply_quantile_batch(
     n_batch = batch_df.count()
     state = load_state(spark, state_dir, batch_df, keys)
     merged = kll_merge(state, batch_sketch, keys=keys, k=k)
-    # atomic swap: staging write + rename — a crash leaves either the
-    # old or the new state, never a mix, and the unrecorded batch id
-    # forces an (idempotent) replay
-    import os
-    import shutil
-
-    staging = f"{state_dir}/sketches__staging"
-    merged.coalesce(1).write.mode("overwrite").parquet(staging)
-    final = _state_path(state_dir)
-    if os.path.exists(final):
-        shutil.rmtree(final)
-    os.rename(staging, final)
+    # crash-safe: the updated meta (batch id now recorded) rides inside
+    # the staged state dir, so state + idempotence marker commit in the
+    # same rename — a crash leaves either the old state (batch replays
+    # idempotently) or the new state (replay skipped), never a mix
     meta["applied"].append(batch_id)
     meta["n_total"] += n_batch
-    _write_meta(state_dir, meta)
+    state_commit.commit(merged, state_dir, _NAME, meta)
 
 
 def stream_quantiles(
@@ -144,5 +121,7 @@ def quantiles_from_state(
 ) -> DataFrame:
     """Current quantile estimates from the stored sketches:
     ``(keys..., q, value, n)`` — reads kilobytes, never the stream."""
-    path = _state_path(state_dir)
-    return kll_quantiles(spark.read.parquet(path), qs, keys=keys)
+    frame = state_commit.load_frame(spark, state_dir, _NAME)
+    if frame is None:
+        raise FileNotFoundError(f"no committed quantile state at {state_dir}")
+    return kll_quantiles(frame, qs, keys=keys)

@@ -314,3 +314,34 @@ def test_value_anomalies_tied_timestamps_deterministic(spark):
     # the spike is flagged against the 5-tick baseline
     spike = [r for r in base if r[0] == 5][0]
     assert spike[3] is True
+
+
+def test_value_anomalies_default_tiebreak_layout_independent(spark):
+    """WITHOUT tiebreak_col, ties order by a content-derived hash —
+    identical under any partition layout (the old default,
+    monotonically_increasing_id, numbered rows by physical layout, so
+    repartitioning could reshuffle tied baselines; r6 verdict #6)."""
+    from lakehouse_adventureworks2022_spark.operators.monitoring import (
+        value_anomalies,
+    )
+
+    rows = [
+        (i, 1, "2024-01-01 00:00:00", float(v))
+        for i, v in enumerate([10.0, 10.1, 9.9, 10.2, 9.8])
+    ] + [(5, 1, "2024-01-01 00:01:00", 100.0)]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, ts_s string, value double"
+    ).selectExpr("event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+
+    def run(frame):
+        return sorted(
+            (r["event_id"], r["baseline_mean"], r["z_score"], r["is_anomaly"])
+            for r in value_anomalies(frame, min_history=3).collect()
+        )
+
+    base = run(df)
+    assert run(df.repartition(7, "value")) == base
+    assert run(df.coalesce(1)) == base
+    assert run(df.orderBy(df.value.desc())) == base
+    spike = [r for r in base if r[0] == 5][0]
+    assert spike[3] is True

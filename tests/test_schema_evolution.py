@@ -99,3 +99,27 @@ def test_partitioned_evolution_keeps_pruning_layout(spark, tm):
     tm.append_evolve(v2, "t", partition_by="day")
     df = tm.read_evolved("t").filter(F.col("day") == "2024-01-03")
     assert [r["score"] for r in df.collect()] == [7]
+
+
+def test_conflict_check_sees_every_generation(spark, tm):
+    """The reconciliation target is the UNION schema across file
+    generations: after an additive evolution, a batch whose type
+    conflicts with the LATER-ADDED column must still be refused loudly
+    (r6 ADVICE — a plain read could infer from an older footer that
+    lacks the column, silently bypassing the check and writing files
+    the merged read can no longer reconcile)."""
+    tm.append_evolve(spark.createDataFrame([(1,)], "id long"), "t")
+    tm.append_evolve(
+        spark.createDataFrame([(2, 10)], "id long, extra bigint"), "t"
+    )
+    with pytest.raises(ValueError, match="extra"):
+        tm.append_evolve(
+            spark.createDataFrame([(3, "x")], "id long, extra string"), "t"
+        )
+    # a narrower batch for the evolved column is still cast up cleanly
+    tm.append_evolve(
+        spark.createDataFrame([(4, 40)], "id long, extra int"), "t"
+    )
+    got = tm.read_evolved("t")
+    assert dict(got.dtypes)["extra"] == "bigint"
+    assert got.count() == 3

@@ -409,3 +409,23 @@ def test_kll_property_random_streams_and_merge_orders():
             assert _rank_interval_err(srt, est, q) < 0.05, (q, est)
 
     check()
+
+
+def test_mg_skips_numeric_nulls(spark):
+    """Nulls in a NUMERIC key column reach the Arrow batches as float
+    NaN; NaN != NaN, so an `is None` guard would allocate a fresh MG
+    counter per null row — flooding the m-bounded summary and leaking
+    NaN value rows into persisted state (r6 ADVICE). Nulls of every
+    representation must be skipped, leaving real keys' counts intact."""
+    import math
+
+    from lakehouse_adventureworks2022_spark.operators.sketches import (
+        mg_summarize,
+    )
+
+    rows = [(float(v),) for v in [1, 1, 1, 2, 2, 3]] + [(None,)] * 50
+    df = spark.createDataFrame(rows, "v double").repartition(4)
+    got = {r["value"]: r["weight"] for r in mg_summarize(df, "v", m=8).collect()}
+    assert not any(v is None or math.isnan(v) for v in got), got
+    # m=8 > 3 distinct real keys and no null flood ⇒ weights are exact
+    assert got == {1.0: 3, 2.0: 2, 3.0: 1}
