@@ -94,24 +94,33 @@ QUERIES: dict[str, QueryFn] = {
     # marts (J7/J8, A4/A5, T1)
     "top_products": marts.top_products,
     "sales_summary": marts.sales_summary,
-    # dims (J2; the date-spine S6/F4-F8/P12 evidence rotated to
-    # tests/test_rotated_oracles.py in r6 — dim_date green since r1)
-    "dim_customer_geo": dims.build_dim_customer_geo,
+    # (dim_customer_geo — green since r1 — rotated to
+    # tests/test_rotated_oracles.py in r7; the J2 geo chain stays
+    # hash-verified there alongside dim_supplier_geo)
+    # context-window chunking (r7 first driver oracle; swept SQL twin
+    # since late r6, Python-reference differential in test_curation.py)
+    "chunk_documents": text_queries.q_chunk_documents,
     # temperature-weighted mixture sampling (deterministic md5-threshold
     # membership with data-derived per-stratum rates — oracle-exact);
     # occupies the window slot dim_supplier_geo held in r1-r4: the geo
     # chain join stays evidenced by dim_customer_geo (same J2/P1 shape)
     # and dim_supplier_geo keeps a pytest DuckDB differential
     "temperature_mixture": text_queries.q_temperature_mixture,
-    # facts (J4, F3)
-    "fact_sales": facts.build_fact_sales,
+    # (fact_sales — green since r1 — rotated to
+    # tests/test_rotated_oracles.py in r7; J4/F3 hash evidence continues
+    # there)
+    # near-dup cluster canonicalization (r7 first driver oracle;
+    # recursive-CTE transitive-closure twin + union-find differential)
+    "dedup_clusters": text_queries.q_dedup_clusters,
     # events (WF1, windows; incremental_read/watermark_state/
     # flatten_props — S2-S4, A1/A2, F9 — rotated to
     # tests/test_rotated_oracles.py in r6, green since r1)
-    # dedup-latest default: the window form — measured FASTER than the
-    # max_by scale path at bench scale (sf0.1 A/B in SCALE.md); max_by
-    # stays exported (tested row-equal) for extreme per-key skew.
-    "latest_event_per_user": events.latest_event_per_user,
+    # (latest_event_per_user — green since r1 — rotated to
+    # tests/test_rotated_oracles.py in r7; WF1 window evidence continues
+    # via the four window-function queries below)
+    # ExactSubstr repeated-span removal (r7 first driver oracle;
+    # literal-run-key SQL twin + Python-reference differential)
+    "remove_repeated_spans": text_queries.q_remove_repeated_spans,
     "event_windows": events.event_windows,
     # SCD2 composite (O5: F1, J5/J6, P9-P11, WF1/WF2, W4/W5)
     "scd2_part_dimension": scd2_query.scd2_part_dimension,
@@ -130,18 +139,30 @@ QUERIES: dict[str, QueryFn] = {
     # training-data ops: dedup. The exact-Jaccard form is the
     # *verification primitive* (quadratic if fed a corpus — hence the
     # ``_exact`` name); MinHash-LSH is the corpus-scale path.
-    "dedup_exact": text_queries.q_dedup_exact,
+    # (dedup_exact — green since r1 — rotated to
+    # tests/test_rotated_oracles.py in r7; the exact-dedup shape also
+    # runs inside clean_corpus below)
+    # C4-style boilerplate-line removal (r7 first driver oracle)
+    "clean_boilerplate": text_queries.q_clean_boilerplate,
     "dedup_ngram_jaccard_exact": text_queries.q_ngram_jaccard,
     "dedup_minhash_lsh": text_queries.q_minhash_lsh,
     "dedup_simhash": text_queries.q_simhash,
     "clean_corpus": text_queries.q_clean_corpus,
-    # TPC-H-shaped analytics (A4/J7/T1 at full selectivity + breadth)
-    "tpch_q1": tpch.tpch_q1,
-    "tpch_q3": tpch.tpch_q3,
+    # (tpch_q1 / tpch_q3 — green since r1 — rotated to
+    # tests/test_rotated_oracles.py in r7; the wide-agg and join+filter
+    # shapes stay driver-evidenced by q5/q7/q9/q10 and the extras)
+    # Gopher repeated-n-gram quality fractions (r7 first driver oracle)
+    "ngram_repetition": text_queries.q_ngram_repetition,
+    # self-scored bigram perplexity gate (r7 first driver oracle; exact
+    # smoothing ratios, 6dp-rounded log folds in BOTH engines)
+    "doc_perplexity": text_queries.q_doc_perplexity,
     "tpch_q5": tpch.tpch_q5,
     "tpch_q8_market_share": tpch.tpch_q8_market_share,
-    # silver enrichment (J1 4-way snowflake→flat)
-    "silver_lineitem_enriched": tpch.silver_lineitem_enriched,
+    # (silver_lineitem_enriched — green since r1 — rotated to
+    # tests/test_rotated_oracles.py in r7; the J1 snowflake shape stays
+    # driver-evidenced inside sales_summary/tpch_q5/tpch_q9)
+    # per-source snapshot drift monitoring (r7 first driver oracle)
+    "corpus_drift": text_queries.q_corpus_drift,
     # relational breadth: rollup/grouping sets, semi/anti joins, stats
     "sales_rollup": relational.sales_rollup,
     "revenue_grouping_sets": relational.revenue_grouping_sets,
@@ -150,10 +171,14 @@ QUERIES: dict[str, QueryFn] = {
     # tests/test_rotated_oracles.py in late r6; anti/semi-join window
     # evidence continues at higher difficulty via the promoted
     # Q18/Q20/Q21 shapes below)
-    "event_value_stats": relational.event_value_stats,
+    # (event_value_stats / xml_roundtrip — green since r1 — rotated to
+    # tests/test_rotated_oracles.py in r7; exact-percentile and
+    # semi-structured evidence continue there at two scale factors)
+    # embedding-space drift (r7 first driver oracle; 6dp-rounded folds)
+    "embedding_drift": text_queries.q_embedding_drift,
+    # trailing-window z-score anomalies (r7 first driver oracle)
+    "event_anomalies": text_queries.q_event_anomalies,
     "corpus_report": text_queries.q_corpus_report,
-    # semi-structured: XML parse (F9)
-    "xml_roundtrip": semistructured.xml_roundtrip,
     # TPC-H-extra shapes promoted into the window in r6 (driver-green
     # for the first time; the dq_* gates they displaced — green since
     # r1 — keep the same hash-diff in tests/test_rotated_oracles.py;
@@ -245,33 +270,27 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q11_important_parts": tpch_extra.q11_important_parts,
     "tpch_q12_shipping_delay_bands": tpch_extra.q12_shipping_delay_bands,
     "tpch_q16_supplier_count_by_part": tpch_extra.q16_supplier_count_by_part,
-    # context-window chunking (exact; Python-reference differential in
-    # tests/test_curation.py — window full)
-    "chunk_documents": text_queries.q_chunk_documents,
-    # near-dup cluster canonicalization (exact; union-find differential
-    # in tests/test_training_ops.py — window full)
-    "dedup_clusters": text_queries.q_dedup_clusters,
+    # ---- r7 third rotation out of the window (green since r1/r2; the
+    # identical hash-diff rigor continues in
+    # tests/test_rotated_oracles.py at sf0.001 AND sf0.01) ----
+    "dim_customer_geo": dims.build_dim_customer_geo,
+    "fact_sales": facts.build_fact_sales,
+    # dedup-latest default: the window form — measured FASTER than the
+    # max_by scale path at bench scale (sf0.1 A/B in SCALE.md); max_by
+    # stays exported (tested row-equal) for extreme per-key skew.
+    "latest_event_per_user": events.latest_event_per_user,
+    "dedup_exact": text_queries.q_dedup_exact,
+    "tpch_q1": tpch.tpch_q1,
+    "tpch_q3": tpch.tpch_q3,
+    "silver_lineitem_enriched": tpch.silver_lineitem_enriched,
+    "event_value_stats": relational.event_value_stats,
+    "xml_roundtrip": semistructured.xml_roundtrip,
     # daily-ingest dedup vs historical state (signature-estimated
     # near-dup verify ⇒ approximate by design)
     "incremental_dedup": text_queries.q_incremental_dedup,
-    # snapshot drift monitoring (exact; DuckDB differential in
-    # tests/test_monitoring.py — window full)
-    "corpus_drift": text_queries.q_corpus_drift,
-    # embedding-space drift (exact; identity/planted-shift tests in
-    # pytest — window full)
-    "embedding_drift": text_queries.q_embedding_drift,
-    # Gopher-family repeated-n-gram quality fractions (exact;
-    # hand-computed differentials in pytest — window full)
-    "ngram_repetition": text_queries.q_ngram_repetition,
     # full corpus→training-batches chain (exact; end-to-end invariant
     # tests in pytest — window full)
     "packed_corpus": text_queries.q_packed_corpus,
-    # corpus-wide C4-style boilerplate-line removal (exact;
-    # Python-reference differential in pytest — window full)
-    "clean_boilerplate": text_queries.q_clean_boilerplate,
-    # n-gram-LM perplexity quality scoring (float-fold order in the
-    # log-prob mean ⇒ rows-only; math differential in tests/test_lm.py)
-    "doc_perplexity": text_queries.q_doc_perplexity,
     # learned quality gate (pyspark.ml logistic over engine features;
     # model-based scores — not SQL-oracle territory)
     "quality_classifier": text_queries.q_quality_classifier,
@@ -298,9 +317,6 @@ QUERIES: dict[str, QueryFn] = {
     # end-to-end retrieval composite: chunk -> hashing-trick vectorize ->
     # IVF index -> free-text top-k (IVF probing: approximate by design)
     "rag_retrieval": text_queries.q_rag_retrieval,
-    # ExactSubstr repeated-substring removal (exact; Python-reference
-    # diffed in tests/test_substring_dedup.py — window full)
-    "remove_repeated_spans": text_queries.q_remove_repeated_spans,
     # corpus-trained BPE tokenization (exact; worked-example + replay
     # differentials in tests/test_bpe.py — no SQL twin for the merges)
     "bpe_tokenize": text_queries.q_bpe_tokenize,
@@ -319,9 +335,6 @@ QUERIES: dict[str, QueryFn] = {
     # corpus-trained unigram-LM tokenizer (exact; EM loop has no SQL
     # twin — differentials in tests/test_unigram.py)
     "unigram_tokenize": text_queries.q_unigram_tokenize,
-    # trailing-window z-score anomaly detection (exact; planted-spike
-    # differentials in tests/test_monitoring.py — window full)
-    "event_anomalies": text_queries.q_event_anomalies,
     # mergeable KLL quantile sketches (rank-bounded approximate by
     # design; error/merge/roundtrip bounds in tests/test_sketches.py)
     "kll_value_quantiles": text_queries.q_kll_quantiles,
@@ -350,15 +363,8 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "tpch_q11_important_parts",
         "tpch_q12_shipping_delay_bands",
         "tpch_q16_supplier_count_by_part",
-        "chunk_documents",  # exact; swept SQL twin + Python-ref diff
-        "dedup_clusters",  # exact; swept recursive-CTE twin + union-find diff
         "incremental_dedup",  # signature-estimated verify: approx by design
-        "corpus_drift",  # exact; swept SQL twin (profile diff in pytest)
-        "embedding_drift",  # exact; swept 6dp-rounded twin + planted tests
-        "ngram_repetition",  # exact; swept SQL twin + hand-computed diffs
         "packed_corpus",  # exact; end-to-end invariants in pytest
-        "clean_boilerplate",  # exact; swept SQL twin + planted diffs
-        "doc_perplexity",  # exact-ratio model; swept 6dp-rounded twin
         "quality_classifier",  # learned scores: no SQL twin
         "shuffle_corpus",  # exact; xxhash64 has no DuckDB twin
         "ann_cosine_topk_pq",  # PQ quantization: recall < 1 by design
@@ -381,7 +387,6 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "docs_sample_exact_n",
         "semdedup_prune",  # k-means clustering: no SQL twin
         "rag_retrieval",  # IVF probe pruning: recall < 1 by design
-        "remove_repeated_spans",  # exact; swept SQL twin + Python-ref diff
         "bpe_tokenize",  # exact; merge loop has no SQL twin
         "rag_retrieval_amortized",  # ≡ one-shot retrieval via saved index
         "clean_assets",  # binary assets have no oracle tables
@@ -396,9 +401,19 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "user_churn_set_ops",
         "daily_event_pivot",
         "tpch_q6_forecast_revenue",
-        "event_anomalies",  # exact; swept window-frame twin + planted diffs
         "kll_value_quantiles",  # KLL sketch: rank-bounded approx by design
         "unigram_tokenize",  # exact; EM loop has no SQL twin
+        # r7 third rotation out of the window (green since r1/r2; same
+        # hash-diff rigor in tests/test_rotated_oracles.py)
+        "dim_customer_geo",
+        "fact_sales",
+        "latest_event_per_user",
+        "dedup_exact",
+        "tpch_q1",
+        "tpch_q3",
+        "silver_lineitem_enriched",
+        "event_value_stats",
+        "xml_roundtrip",
     }
 )
 
@@ -439,48 +454,12 @@ ORACLES: dict[str, str] = {
         JOIN region r   ON n.n_regionkey = r.r_regionkey
         GROUP BY 1, 2, 3, 4, 5, 6, 7
     """,
-    "dim_customer_geo": """
-        SELECT c.c_custkey AS customer_key,
-               c.c_name AS customer_name,
-               c.c_mktsegment AS market_segment,
-               c.c_acctbal AS account_balance,
-               n.n_nationkey AS nation_key,
-               n.n_name AS nation_name,
-               r.r_regionkey AS region_key,
-               r.r_name AS region_name
-        FROM customer c
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        JOIN region r ON n.n_regionkey = r.r_regionkey
-    """,
+    # r7 rotation: the inline SQL of dim_customer_geo / fact_sales /
+    # latest_event_per_user moved verbatim to ROTATED_ORACLES below
+    "chunk_documents": text_queries.ORACLE_CHUNK_DOCUMENTS,
     "temperature_mixture": text_queries.ORACLE_TEMPERATURE_MIXTURE,
-    "fact_sales": """
-        SELECT l.l_orderkey AS order_key,
-               l.l_linenumber AS line_number,
-               l.l_partkey AS product_key,
-               l.l_suppkey AS supplier_key,
-               o.o_custkey AS customer_key,
-               o.o_orderstatus AS order_status,
-               o.o_orderpriority AS order_priority,
-               CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) AS order_date_key,
-               CAST(strftime(l.l_shipdate, '%Y%m%d') AS INT) AS ship_date_key,
-               l.l_quantity AS order_qty,
-               l.l_extendedprice AS unit_price_ext,
-               l.l_discount AS discount,
-               l.l_tax AS tax,
-               l.l_extendedprice * (1 - l.l_discount) AS line_total,
-               l.l_returnflag AS return_flag,
-               l.l_linestatus AS line_status
-        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-    """,
-    "latest_event_per_user": """
-        SELECT event_id, ts, user_id, event_type, value
-        FROM (
-          SELECT e.*, row_number() OVER (
-                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-          FROM events e
-        )
-        WHERE rn = 1
-    """,
+    "dedup_clusters": text_queries.ORACLE_DEDUP_CLUSTERS,
+    "remove_repeated_spans": text_queries.ORACLE_REMOVE_REPEATED_SPANS,
     "event_windows": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                event_type,
@@ -494,7 +473,7 @@ ORACLES: dict[str, str] = {
     "corpus_report": text_queries.ORACLE_CORPUS_REPORT,
     "corpus_vocabulary": text_queries.ORACLE_CORPUS_VOCABULARY,
     "heavy_hitters_event_types": text_queries.ORACLE_HEAVY_HITTERS,
-    "dedup_exact": text_queries.ORACLE_DEDUP_EXACT,
+    "clean_boilerplate": text_queries.ORACLE_CLEAN_BOILERPLATE,
     "dedup_ngram_jaccard_exact": text_queries.ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": text_queries.ORACLE_MINHASH_LSH,
     "ann_cosine_topk": text_queries.ORACLE_ANN_COSINE,
@@ -514,36 +493,10 @@ ORACLES: dict[str, str] = {
     # exact all-pairs oracle (ORACLE_EMBEDDING_NEAR_DUP) is exercised in
     # tests/test_training_ops.py against the exact form directly.
     "clean_corpus": text_queries.ORACLE_CLEAN_CORPUS,
-    "tpch_q1": """
-        SELECT l_returnflag, l_linestatus,
-               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_qty,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_base_price,
-               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_disc_price,
-               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 6) AS DOUBLE)
-                 AS sum_charge,
-               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) / COUNT(*) AS avg_qty,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) / COUNT(*) AS avg_price,
-               CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(28,6))), 2) AS DOUBLE) / COUNT(*) AS avg_disc,
-               COUNT(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        GROUP BY l_returnflag, l_linestatus
-    """,
-    "tpch_q3": """
-        SELECT l.l_orderkey AS order_key,
-               o.o_orderdate AS order_date,
-               o.o_orderpriority AS order_priority,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
-        FROM lineitem l
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        WHERE l.l_shipdate > TIMESTAMP '1998-06-15'
-          AND o.o_orderdate < TIMESTAMP '1998-06-15'
-          AND c.c_mktsegment = 'BUILDING'
-        GROUP BY 1, 2, 3
-        ORDER BY revenue DESC, order_key ASC
-        LIMIT 10
-    """,
+    # r7 rotation: tpch_q1 / tpch_q3 inline SQL moved verbatim to
+    # ROTATED_ORACLES below
+    "ngram_repetition": text_queries.ORACLE_NGRAM_REPETITION,
+    "doc_perplexity": text_queries.ORACLE_DOC_PERPLEXITY,
     "tpch_q5": """
         SELECT n.n_name AS nation_name,
                CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue
@@ -558,22 +511,9 @@ ORACLES: dict[str, str] = {
           AND o.o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY n.n_name
     """,
-    "silver_lineitem_enriched": """
-        SELECT l.l_orderkey AS order_key,
-               l.l_linenumber AS line_number,
-               o.o_orderstatus AS order_status,
-               p.p_name AS product_name,
-               p.p_brand AS product_brand,
-               p.p_type AS product_type,
-               s.s_name AS supplier_name,
-               l.l_quantity AS quantity,
-               l.l_extendedprice AS extended_price,
-               l.l_extendedprice * (1 - l.l_discount) AS net_price
-        FROM lineitem l
-        JOIN orders o   ON l.l_orderkey = o.o_orderkey
-        JOIN part p     ON l.l_partkey = p.p_partkey
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    """,
+    # r7 rotation: silver_lineitem_enriched inline SQL moved verbatim
+    # to ROTATED_ORACLES below
+    "corpus_drift": text_queries.ORACLE_CORPUS_DRIFT,
     "sales_rollup": """
         SELECT r.r_name AS region_name,
                n.n_name AS nation_name,
@@ -590,19 +530,10 @@ ORACLES: dict[str, str] = {
         JOIN region r   ON n.n_regionkey = r.r_regionkey
         GROUP BY ROLLUP (r.r_name, n.n_name, c.c_mktsegment)
     """,
-    "event_value_stats": """
-        SELECT event_type,
-               COUNT(*) AS n,
-               MIN(value) AS min_value,
-               quantile_cont(value, 0.5) AS p50,
-               quantile_cont(value, 0.9) AS p90,
-               quantile_cont(value, 0.99) AS p99,
-               MAX(value) AS max_value,
-               stddev_samp(value) AS stddev_value
-        FROM events
-        GROUP BY event_type
-    """,
-    "xml_roundtrip": semistructured.ORACLE_XML_ROUNDTRIP,
+    # r7 rotation: event_value_stats inline SQL moved verbatim to
+    # ROTATED_ORACLES below; xml_roundtrip keeps its constant there
+    "embedding_drift": text_queries.ORACLE_EMBEDDING_DRIFT,
+    "event_anomalies": text_queries.ORACLE_EVENT_ANOMALIES,
     "event_sessions": """
         WITH o AS (
           SELECT user_id, ts, value,
@@ -1027,6 +958,109 @@ ROTATED_ORACLES: dict[str, str] = {
         GROUP BY 1, 2
         HAVING COUNT(*) > 1
     """,
+    # ---- r7 third rotation (green since r1/r2; slots freed for the
+    # nine never-driver-verified training-data/monitoring shapes) ----
+    "dedup_exact": text_queries.ORACLE_DEDUP_EXACT,
+    "xml_roundtrip": semistructured.ORACLE_XML_ROUNDTRIP,
+    "dim_customer_geo": """
+        SELECT c.c_custkey AS customer_key,
+               c.c_name AS customer_name,
+               c.c_mktsegment AS market_segment,
+               c.c_acctbal AS account_balance,
+               n.n_nationkey AS nation_key,
+               n.n_name AS nation_name,
+               r.r_regionkey AS region_key,
+               r.r_name AS region_name
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    "fact_sales": """
+        SELECT l.l_orderkey AS order_key,
+               l.l_linenumber AS line_number,
+               l.l_partkey AS product_key,
+               l.l_suppkey AS supplier_key,
+               o.o_custkey AS customer_key,
+               o.o_orderstatus AS order_status,
+               o.o_orderpriority AS order_priority,
+               CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) AS order_date_key,
+               CAST(strftime(l.l_shipdate, '%Y%m%d') AS INT) AS ship_date_key,
+               l.l_quantity AS order_qty,
+               l.l_extendedprice AS unit_price_ext,
+               l.l_discount AS discount,
+               l.l_tax AS tax,
+               l.l_extendedprice * (1 - l.l_discount) AS line_total,
+               l.l_returnflag AS return_flag,
+               l.l_linestatus AS line_status
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    "latest_event_per_user": """
+        SELECT event_id, ts, user_id, event_type, value
+        FROM (
+          SELECT e.*, row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events e
+        )
+        WHERE rn = 1
+    """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 6) AS DOUBLE)
+                 AS sum_charge,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(28,6))), 2) AS DOUBLE) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q3": """
+        SELECT l.l_orderkey AS order_key,
+               o.o_orderdate AS order_date,
+               o.o_orderpriority AS order_priority,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_shipdate > TIMESTAMP '1998-06-15'
+          AND o.o_orderdate < TIMESTAMP '1998-06-15'
+          AND c.c_mktsegment = 'BUILDING'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, order_key ASC
+        LIMIT 10
+    """,
+    "silver_lineitem_enriched": """
+        SELECT l.l_orderkey AS order_key,
+               l.l_linenumber AS line_number,
+               o.o_orderstatus AS order_status,
+               p.p_name AS product_name,
+               p.p_brand AS product_brand,
+               p.p_type AS product_type,
+               s.s_name AS supplier_name,
+               l.l_quantity AS quantity,
+               l.l_extendedprice AS extended_price,
+               l.l_extendedprice * (1 - l.l_discount) AS net_price
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+    "event_value_stats": """
+        SELECT event_type,
+               COUNT(*) AS n,
+               MIN(value) AS min_value,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99,
+               MAX(value) AS max_value,
+               stddev_samp(value) AS stddev_value
+        FROM events
+        GROUP BY event_type
+    """,
 }
 
 
@@ -1088,35 +1122,12 @@ PYTEST_ORACLES: dict[str, str] = {
     "docs_stratified_sample": text_queries.ORACLE_DOCS_STRATIFIED_SAMPLE,
     "docs_sample_exact_n": text_queries.ORACLE_DOCS_SAMPLE_EXACT_N,
     "dim_supplier_geo": ORACLE_DIM_SUPPLIER_GEO,
-    # context-window chunking gains a direct SQL twin late-r6 (the
-    # Python-reference differential in test_curation.py remains the
-    # boundary-semantics oracle)
-    "chunk_documents": text_queries.ORACLE_CHUNK_DOCUMENTS,
-    # corpus-wide boilerplate-line removal, same deal (Python-reference
-    # differential in test_textops_extended.py keeps the planted cases)
-    "clean_boilerplate": text_queries.ORACLE_CLEAN_BOILERPLATE,
-    # Gopher repeated-n-gram fractions (hand-computed + planted-spam
-    # differentials in test_textops_extended.py keep the worked cases)
-    "ngram_repetition": text_queries.ORACLE_NGRAM_REPETITION,
-    # near-dup cluster canonicalization: recursive-CTE transitive
-    # closure over the verified LSH pairs (union-find differential in
-    # test_training_ops.py keeps the algorithmic cases)
-    "dedup_clusters": text_queries.ORACLE_DEDUP_CLUSTERS,
-    # trailing-window z-score anomalies: DuckDB window-frame twin with
-    # the 6dp display rounding both engines share
-    "event_anomalies": text_queries.ORACLE_EVENT_ANOMALIES,
-    # per-source snapshot drift: all compared numbers exact cross-engine
-    # (integer-valued sums, int/int shares, quantile_cont medians)
-    "corpus_drift": text_queries.ORACLE_CORPUS_DRIFT,
-    # self-scored bigram perplexity: exact smoothing ratios, 6dp-rounded
-    # log folds (lm.py Python differential keeps the worked math)
-    "doc_perplexity": text_queries.ORACLE_DOC_PERPLEXITY,
-    # embedding-space drift: 6dp-rounded norm/centroid folds
-    "embedding_drift": text_queries.ORACLE_EMBEDDING_DRIFT,
-    # ExactSubstr span removal: literal-run keys, ROW_NUMBER keeper,
-    # gaps-and-islands span merge (Python-reference diff keeps the
-    # planted/boundary cases)
-    "remove_repeated_spans": text_queries.ORACLE_REMOVE_REPEATED_SPANS,
+    # (the nine swept twins promoted to first-time DRIVER oracles in r7
+    # — chunk_documents, clean_boilerplate, ngram_repetition,
+    # dedup_clusters, event_anomalies, corpus_drift, doc_perplexity,
+    # embedding_drift, remove_repeated_spans — now live in ORACLES; the
+    # Python-reference / planted-case differentials in pytest keep the
+    # algorithmic worked examples either way)
 }
 
 # rotated oracles cover only past-window queries and never shadow a

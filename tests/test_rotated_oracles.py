@@ -42,6 +42,19 @@ ROTATED = (
     "user_churn_set_ops",
     "daily_event_pivot",
     "tpch_q6_forecast_revenue",
+    # r7 third rotation: slots freed for the nine never-driver-verified
+    # training-data/monitoring shapes (chunk_documents, dedup_clusters,
+    # remove_repeated_spans, clean_boilerplate, ngram_repetition,
+    # doc_perplexity, corpus_drift, embedding_drift, event_anomalies)
+    "dim_customer_geo",
+    "fact_sales",
+    "latest_event_per_user",
+    "dedup_exact",
+    "tpch_q1",
+    "tpch_q3",
+    "silver_lineitem_enriched",
+    "event_value_stats",
+    "xml_roundtrip",
 )
 
 
