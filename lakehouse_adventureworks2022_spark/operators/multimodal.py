@@ -66,6 +66,157 @@ def attach_fake_assets(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def attach_real_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Derive deterministic REAL binary assets from a text column — the
+    fixture generator for the fake=False pipeline (r6 verdict stretch:
+    the catalog composite should exercise the actual codecs, not md5
+    stand-ins). Modality cycles on ``id % 4``: baseline JPEG, PNG, PPM,
+    PCM16 WAV — every byte decodable by the in-container codecs.
+
+    Content derives ONLY from md5(text): identical texts yield
+    byte-identical assets (the exact-dup source for the dedup
+    composite), and the same seed rendered through different image
+    codecs lands within a few dHash bits (the cross-format near-dup
+    source). Images are smooth two-color gradients (kind to the
+    baseline JPEG chroma path); audio is an enveloped two-segment tone
+    (structured, per the fingerprint contract). Runs as one Arrow
+    ``mapInPandas`` pass after a repartition to ``partitions`` (default
+    ``defaultParallelism``): the shuffle moves only (id, text) rows and
+    buys full-core encode parallelism — a single-file source would
+    otherwise encode the whole corpus on one task (measured 1-task
+    stages at bench scale). Bounded memory = batch × asset size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure (worker portability — see
+        # extract_features); encode_jpeg is a by-value factory product,
+        # the tiny PNG/PPM/WAV encoders are inlined
+        import hashlib as _hl
+        import io as _io
+        import struct as _struct
+        import wave as _wave
+        import zlib as _zlib
+
+        import numpy as _np
+
+        H, W = 24, 36
+
+        def image_array(seed: bytes):
+            # luma = an 8×9 block grid expanded from an md5 chain of the
+            # seed (the SAME 8×9 layout dHash mean-pools, so hash bits
+            # track seed bits — distinct seeds land ~32 bits apart, the
+            # lossy JPEG rendering of the same seed within a few);
+            # chroma = one constant per-seed tint (smooth, kind to the
+            # baseline JPEG chroma path)
+            raw = b""
+            s = seed
+            while len(raw) < 72:
+                s = _hl.md5(s).digest()
+                raw += s
+            grid = (
+                _np.frombuffer(raw[:72], dtype=_np.uint8)
+                .reshape(8, 9)
+                .astype(_np.float64)
+            )
+            luma = 40.0 + (grid / 255.0) * 170.0  # [40, 210]
+            luma = _np.kron(luma, _np.ones((3, 4)))  # 24×36
+            tint = 0.7 + 0.3 * (
+                _np.frombuffer(seed[0:3], dtype=_np.uint8).astype(_np.float64)
+                / 255.0
+            )
+            a = luma[:, :, None] * tint[None, None, :]
+            return _np.clip(a, 0, 255).astype(_np.uint8)
+
+        def to_png(a) -> bytes:
+            hh, ww, _ = a.shape
+
+            def chunk(tag: bytes, payload: bytes) -> bytes:
+                crc = _zlib.crc32(tag + payload) & 0xFFFFFFFF
+                return (
+                    _struct.pack(">I", len(payload))
+                    + tag
+                    + payload
+                    + _struct.pack(">I", crc)
+                )
+
+            ihdr = _struct.pack(">IIBBBBB", ww, hh, 8, 2, 0, 0, 0)
+            raw = b"".join(b"\x00" + a[r].tobytes() for r in range(hh))
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        def to_ppm(a) -> bytes:
+            hh, ww, _ = a.shape
+            return b"P6\n%d %d\n255\n" % (ww, hh) + a.tobytes()
+
+        def to_wav(seed: bytes) -> bytes:
+            rate, n = 8000, 400  # 50 ms mono PCM16
+            t = _np.arange(n) / rate
+            f = 200.0 + seed[7] * 10.0
+            # two-segment tone with an attack/decay envelope: structured
+            # enough for the band-energy-gradient fingerprint
+            x = _np.where(
+                _np.arange(n) < n // 2,
+                _np.sin(2 * _np.pi * f * t),
+                0.6 * _np.sin(2 * _np.pi * (1.5 * f) * t),
+            )
+            env = _np.minimum(_np.arange(n) / (n / 8.0), 1.0) * _np.linspace(
+                1.0, 0.3, n
+            )
+            pcm = (_np.clip(x * env, -1, 1) * 32000).astype("<i2")
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as fh:
+                fh.setnchannels(1)
+                fh.setsampwidth(2)
+                fh.setframerate(rate)
+                fh.writeframes(pcm.tobytes())
+            return buf.getvalue()
+
+        def make(asset_id: int, text: str):
+            seed = _hl.md5(text.encode("utf-8")).digest()
+            m = asset_id % 4
+            if m == 3:
+                return to_wav(seed), "audio/wav", None, None, 50
+            a = image_array(seed)
+            if m == 0:
+                return bytearray(encode_jpeg(a, quality=85)), "image/jpeg", W, H, None
+            if m == 1:
+                return bytearray(to_png(a)), "image/png", W, H, None
+            return bytearray(to_ppm(a)), "image/x-portable-pixmap", W, H, None
+
+        for pdf in batches:
+            made = [
+                make(int(i), str(t))
+                for i, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "content": [m[0] for m in made],
+                    "mime": [m[1] for m in made],
+                    "width": pd.array([m[2] for m in made], dtype="Int32"),
+                    "height": pd.array([m[3] for m in made], dtype="Int32"),
+                    "duration_ms": pd.array(
+                        [m[4] for m in made], dtype="Int32"
+                    ),
+                }
+            )
+
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, text_col)
+        .repartition(n_parts)
+        .mapInPandas(run, schema=ASSET_SCHEMA)
+    )
+
+
 FEATURE_DIM = 16
 
 _FEATURE_SCHEMA = "asset_id long, n_bytes int, content_md5 string, features array<float>"
@@ -833,15 +984,23 @@ def clean_assets(
     composition discipline as the text pipeline, exact-dedup first so
     identical bytes never flood a perceptual bucket."""
     from lakehouse_adventureworks2022_spark.operators.dedup import (
+        _attach_cached_input,
         dedup_keep_canonical,
     )
 
     md5w = Window.partitionBy("__md5__").orderBy("asset_id")
+    # persist the deduped uniques: they feed THREE subtrees (image
+    # filter, audio filter, the canonical join-back), and when the
+    # asset source is a generator (attach_real_assets encodes every
+    # binary in-plan) each re-execution would re-encode the whole
+    # corpus — measured ~3× the composite cost at bench scale. Cache
+    # released via the dedup module's cached-input contract.
     uniques = (
         assets.withColumn("__md5__", F.md5("content"))
         .withColumn("__rn__", F.row_number().over(md5w))
         .filter(F.col("__rn__") == 1)
         .drop("__md5__", "__rn__")
+        .persist()
     )
     is_image = F.col("mime").startswith("image/")
     is_audio = F.col("mime").startswith("audio/")
@@ -850,12 +1009,13 @@ def clean_assets(
     ).unionByName(
         audio_near_dup_pairs(uniques.filter(is_audio), max_hamming, fake=fake)
     )
-    return dedup_keep_canonical(
+    out = dedup_keep_canonical(
         uniques.withColumnRenamed("asset_id", "doc_id"),
         pairs.select(
             F.col("asset_a").alias("doc_a"), F.col("asset_b").alias("doc_b")
         ),
     ).withColumnRenamed("doc_id", "asset_id")
+    return _attach_cached_input(out, uniques)
 
 
 def resize_images(assets: DataFrame, max_px: int = 512, fake: bool = True) -> DataFrame:

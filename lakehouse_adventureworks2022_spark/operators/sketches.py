@@ -158,13 +158,12 @@ def _mg_map_fn(key_col: str, m: int):
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            for v in pdf[key_col]:
-                # pd.isna, not `is None`: nulls in NUMERIC columns reach
-                # pandas as float NaN, and NaN != NaN would allocate a
-                # fresh counter per null row — flooding the m-bounded
-                # summary and leaking NaN rows into persisted state
-                if v is None or pd.isna(v):
-                    continue
+            # dropna, not a per-row `is None` check: nulls in NUMERIC
+            # columns reach pandas as float NaN, and NaN != NaN would
+            # allocate a fresh counter per null row — flooding the
+            # m-bounded summary and leaking NaN rows into persisted
+            # state. Vectorized so the hot loop sees no null test.
+            for v in pdf[key_col].dropna():
                 if v in counters:
                     counters[v] += 1
                 elif len(counters) < m:

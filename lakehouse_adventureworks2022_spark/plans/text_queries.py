@@ -944,21 +944,23 @@ def q_rag_retrieval_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_clean_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal asset dedup composite over fake assets derived from
-    the documents table (deterministic md5 stand-in hashes — the real
-    decode paths are exercised on synthesized PPM/WAV in pytest): exact
-    md5 dedup → per-modality perceptual near-dup → connected-components
-    canonicalization. Rows-only (binary fixtures don't exist in the
-    oracle tables); planted-dup composite test in
-    tests/test_multimodal.py."""
+    """Multimodal asset dedup composite over REAL binary assets derived
+    deterministically from the documents table (r7: modality cycles
+    JPEG/PNG/PPM/WAV, every byte produced and decoded by the
+    in-container codecs — the fake-hash plumbing is retired here; named
+    stubs remain only for MP4/exotic variants): exact md5 dedup →
+    per-modality perceptual near-dup (real dHash decode / audio
+    fingerprint) → connected-components canonicalization. Rows-only
+    (binary fixtures don't exist in the oracle tables); planted-dup
+    composite + codec round-trip tests in tests/test_multimodal.py."""
     from lakehouse_adventureworks2022_spark.operators.multimodal import (
-        attach_fake_assets,
+        attach_real_assets,
         clean_assets,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    assets = attach_fake_assets(docs)
-    return clean_assets(assets, fake=True).select(
+    assets = attach_real_assets(docs)
+    return clean_assets(assets, fake=False).select(
         "asset_id", "mime", "width", "height"
     )
 

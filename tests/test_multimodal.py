@@ -500,3 +500,67 @@ def test_png_assets_flow_through_real_feature_and_hash_paths(spark):
         for r in multimodal.image_hashes(assets, fake=False).collect()
     }
     assert hashes[1] == hashes[2]
+
+
+def test_attach_real_assets_roundtrip_and_dedup(spark):
+    """attach_real_assets (r7): every generated byte decodes through the
+    real codecs, identical texts produce byte-identical assets, and the
+    same seed rendered as JPEG vs PNG lands within a few dHash bits —
+    the cross-format near-dup source the composite relies on."""
+    import hashlib
+
+    from lakehouse_adventureworks2022_spark.operators import multimodal as mm
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),  # jpeg
+        (1, "the quick brown fox jumps over the lazy dog"),  # png, SAME seed
+        (2, "pack my box with five dozen liquor jugs"),  # ppm
+        (3, "sphinx of black quartz judge my vow"),  # wav
+        (4, "the quick brown fox jumps over the lazy dog"),  # jpeg dup of 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assets = {r["asset_id"]: r for r in mm.attach_real_assets(docs).collect()}
+    assert assets[0]["mime"] == "image/jpeg"
+    assert assets[1]["mime"] == "image/png"
+    assert assets[2]["mime"] == "image/x-portable-pixmap"
+    assert assets[3]["mime"] == "audio/wav"
+    # every byte decodes for real
+    assert mm.decode_jpeg(bytes(assets[0]["content"])).shape == (24, 36, 3)
+    assert mm.decode_png(bytes(assets[1]["content"])).shape == (24, 36, 3)
+    assert mm.decode_ppm(bytes(assets[2]["content"])).shape == (24, 36, 3)
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(assets[3]["content"])), "rb") as f:
+        assert f.getsampwidth() == 2 and f.getnchannels() == 1
+    # identical text + same modality => byte-identical (exact-dup source)
+    assert hashlib.md5(bytes(assets[0]["content"])).digest() == hashlib.md5(
+        bytes(assets[4]["content"])
+    ).digest()
+    # same seed through JPEG vs PNG: perceptually near (cross-format)
+    d_jpg = mm.dhash64(mm.decode_jpeg(bytes(assets[0]["content"])))
+    d_png = mm.dhash64(mm.decode_png(bytes(assets[1]["content"])))
+    assert bin((d_jpg ^ d_png) & ((1 << 64) - 1)).count("1") <= 6
+
+
+def test_clean_assets_real_path_end_to_end(spark):
+    """The catalog composite shape on real assets: exact dups collapse,
+    cross-format near-dups canonicalize, distinct seeds all survive."""
+    from lakehouse_adventureworks2022_spark.operators import multimodal as mm
+
+    texts = [f"document body number {i} with distinct words {i*7}" for i in range(12)]
+    rows = [(i, texts[i]) for i in range(12)]
+    # plant: 12+13 duplicate text 0 (13 is WAV-slot: 13%4==1 -> png...)
+    rows += [(12, texts[0]), (25, texts[1])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assets = mm.attach_real_assets(docs)
+    survivors = {
+        r["asset_id"]
+        for r in mm.clean_assets(assets, max_hamming=6, fake=False).collect()
+    }
+    # 0 (jpeg) and 12 (ppm, 12%4==0 -> jpeg: byte-identical) collapse
+    assert not ({0, 12} <= survivors)
+    # 1 (png) vs 25 (25%4==1 -> png, same text): byte-identical collapse
+    assert not ({1, 25} <= survivors)
+    # every distinct seed keeps exactly one representative
+    assert len(survivors) >= 10

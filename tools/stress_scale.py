@@ -197,6 +197,17 @@ def main() -> None:
         ),
     )
 
+    # Unigram-LM tokenizer (r7): word counts multiply by rep on the SAME
+    # distinct-word table, so the driver-side EM trains on an unchanged
+    # bounded table; the Viterbi encode is the linear Arrow pass over
+    # every copy — same shape contract as BPE
+    from lakehouse_adventureworks2022_spark.operators import unigram  # noqa: E402
+
+    run(
+        "unigram_tokenize",
+        lambda: unigram.train_and_segment(big_docs, vocab_size=500),
+    )
+
     # BM25: replicated docs multiply every posting list ×rep on the SAME
     # terms — the posting-skew worst case the df-cap is built for; the
     # fixture's shared vocabulary forces max_df_ratio=1.0 (harshest)
@@ -297,6 +308,49 @@ def main() -> None:
             keys=["event_type"],
         ),
     )
+
+    # Streaming frequent-items and quantile state under a hot key (r7):
+    # replication multiplies every event_type's count ×rep (the hot-key
+    # worst case for the MG decrement path), delivered as 4 micro
+    # batches; per batch the exchange carries one m/k-bounded summary
+    # per partition and the persisted state stays kilobytes
+    from lakehouse_adventureworks2022_spark.streaming import (  # noqa: E402
+        frequent as sfreq,
+    )
+    from lakehouse_adventureworks2022_spark.streaming import (  # noqa: E402
+        quantiles as squant,
+    )
+
+    def _stream_frequent():
+        state = tempfile.mkdtemp(prefix="stress_freq_")
+        for b in range(4):
+            sfreq.apply_frequent_batch(
+                big_events.filter(F.col("event_id") % 4 == b),
+                b,
+                state,
+                "event_type",
+                m=64,
+            )
+        return sfreq.frequent_values(spark, state, k=10)
+
+    run("streaming_frequent_4batches", _stream_frequent)
+
+    def _stream_quantiles():
+        state = tempfile.mkdtemp(prefix="stress_quant_")
+        for b in range(4):
+            squant.apply_quantile_batch(
+                big_events.filter(F.col("event_id") % 4 == b),
+                b,
+                state,
+                "value",
+                ["event_type"],
+                k=200,
+            )
+        return squant.quantiles_from_state(
+            spark, state, [0.5, 0.9, 0.99], ["event_type"]
+        )
+
+    run("streaming_quantiles_4batches", _stream_quantiles)
 
     # Q21 at rep× fact volume: lineitem + orders replicated with the
     # SAME orderkey offset on both sides (FK integrity preserved, so
