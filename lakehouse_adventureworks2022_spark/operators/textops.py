@@ -185,8 +185,19 @@ _PHONE = (
 #: entity-model scrubbing plugs in via the same projection seam). Order
 #: matters: e-mail before phone so the local-part digits aren't eaten,
 #: and ipv4 before phone so dotted quads are counted once as IPs.
+def _email_pattern() -> str:
+    # shared with the portable scrubber — one source of truth where the
+    # two modules' semantics coincide (see operators/pii.py module doc
+    # for the precision-vs-portability split)
+    from lakehouse_adventureworks2022_spark.operators.pii import (
+        PII_PATTERNS as _PORTABLE,
+    )
+
+    return _PORTABLE["email"][0]
+
+
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("email", _email_pattern(), "<EMAIL>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     ("phone", _PHONE, "<PHONE>"),
 )
@@ -202,6 +213,12 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     never doubles as a phone hit. Replaces ``text`` with the redacted
     form, so downstream dedup/quality stages see the scrubbed corpus and
     auditors see what left.
+
+    This is the PRECISION scrubber (lookaround-based phone
+    disambiguation — Java-regex only, pytest-evidenced). The
+    cross-engine-verifiable portable variant, with per-class census and
+    a generated DuckDB twin, is ``operators/pii.py`` (see its module
+    doc for the split).
     """
     out = df
     running = F.col(text_col)

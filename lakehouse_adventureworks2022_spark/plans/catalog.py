@@ -335,6 +335,10 @@ QUERIES: dict[str, QueryFn] = {
     # corpus-trained unigram-LM tokenizer (exact; EM loop has no SQL
     # twin — differentials in tests/test_unigram.py)
     "unigram_tokenize": text_queries.q_unigram_tokenize,
+    # PII redaction with in-plan planted spans (r7; exact — swept SQL
+    # twin generated from the operator's own pattern table, Python-re
+    # differential in tests/test_pii.py — window full)
+    "pii_scrub": text_queries.q_pii_scrub,
     # mergeable KLL quantile sketches (rank-bounded approximate by
     # design; error/merge/roundtrip bounds in tests/test_sketches.py)
     "kll_value_quantiles": text_queries.q_kll_quantiles,
@@ -403,6 +407,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "tpch_q6_forecast_revenue",
         "kll_value_quantiles",  # KLL sketch: rank-bounded approx by design
         "unigram_tokenize",  # exact; EM loop has no SQL twin
+        "pii_scrub",  # exact; swept SQL twin + Python-re diff (window full)
         # r7 third rotation out of the window (green since r1/r2; same
         # hash-diff rigor in tests/test_rotated_oracles.py)
         "dim_customer_geo",
@@ -1122,6 +1127,9 @@ PYTEST_ORACLES: dict[str, str] = {
     "docs_stratified_sample": text_queries.ORACLE_DOCS_STRATIFIED_SAMPLE,
     "docs_sample_exact_n": text_queries.ORACLE_DOCS_SAMPLE_EXACT_N,
     "dim_supplier_geo": ORACLE_DIM_SUPPLIER_GEO,
+    # PII redaction: twin generated from the operator's own pattern
+    # table (one source of truth; engines share the literal regexes)
+    "pii_scrub": text_queries.ORACLE_PII_SCRUB,
     # (the nine swept twins promoted to first-time DRIVER oracles in r7
     # — chunk_documents, clean_boilerplate, ngram_repetition,
     # dedup_clusters, event_anomalies, corpus_drift, doc_perplexity,

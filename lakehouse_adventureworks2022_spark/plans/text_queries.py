@@ -1473,3 +1473,90 @@ ORACLE_REMOVE_REPEATED_SPANS = r"""
     LEFT JOIN removedcount r ON d.doc_id = r.doc_id
     LEFT JOIN spanstats s ON d.doc_id = s.doc_id
 """
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the documents corpus (r7): deterministic PII
+    spans are planted IN-PLAN (the synthetic fixture text contains
+    none — a vacuous differential would prove nothing), then scrubbed
+    by the fixed-order regexp chain in ``operators/pii.py``. One
+    zero-shuffle whole-stage-codegen projection; the DuckDB twin below
+    shares the LITERAL pattern strings, so the differential verifies
+    regex semantics across engines, not just plumbing."""
+    from lakehouse_adventureworks2022_spark.operators.pii import scrub_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            )
+            .when(
+                did % 3 == 1,
+                F.concat(
+                    F.lit(" call +1 555-"),
+                    F.lpad((did % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(" host 10."),
+                    (did % 256).cast("string"),
+                    F.lit(".0.1 ssn 123-45-6789"),
+                )
+            ),
+        ).alias("text"),
+    )
+    return scrub_pii(planted).select("doc_id", "text", "n_redactions")
+
+
+def _build_oracle_pii_scrub() -> str:
+    """DuckDB twin of q_pii_scrub, generated from the SAME pattern
+    table the Spark operator scrubs with (one source of truth: a
+    pattern edit cannot silently diverge the twin)."""
+    from lakehouse_adventureworks2022_spark.operators.pii import (
+        PII_PATTERNS,
+    )
+
+    sql = """
+    WITH planted AS (
+      SELECT doc_id,
+             text || CASE
+               WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               WHEN doc_id % 3 = 1
+                 THEN ' call +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 ssn 123-45-6789'
+             END AS t0
+      FROM documents
+    )"""
+    prev_t, prev_n, prev_src = "t0", "CAST(0 AS INT)", "planted"
+    for i, (name, (pat, tok)) in enumerate(PII_PATTERNS.items(), 1):
+        p = pat.replace("'", "''")
+        sql += f""",
+    s{i} AS (
+      SELECT doc_id,
+             {prev_n} + len(regexp_extract_all({prev_t}, '{p}')) AS n{i},
+             regexp_replace({prev_t}, '{p}', '{tok}', 'g') AS t{i}
+      FROM {prev_src}
+    )"""
+        prev_t, prev_n, prev_src = f"t{i}", f"n{i}", f"s{i}"
+    sql += f"""
+    SELECT doc_id, {prev_t} AS text, CAST({prev_n} AS INT) AS n_redactions
+    FROM {prev_src}
+"""
+    return sql
+
+
+ORACLE_PII_SCRUB = _build_oracle_pii_scrub()
