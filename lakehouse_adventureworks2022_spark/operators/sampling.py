@@ -204,3 +204,41 @@ def temperature_mixture_sample(
         .filter(_hash_prefix(key_col, seed) < F.col("_thr"))
         .drop("_stratum", "_thr")
     )
+
+
+def hash_sample_cap_per_stratum(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "v1",
+) -> DataFrame:
+    """Cap every stratum at EXACTLY ``n_per_stratum`` uniformly-chosen
+    rows (fewer if the stratum is smaller) — the balanced-source cap a
+    mixture pipeline applies before training ("no source contributes
+    more than N docs"), the per-group twin of
+    :func:`hash_sample_exact_n`.
+
+    Membership is a pure function of (stratum, key, seed): rank by full
+    md5 digest within the stratum (key tiebreak), keep rank ≤ n. One
+    hash shuffle on the stratum key + a per-partition sort; the window
+    never sees more than a stratum per partition. At heavy per-stratum
+    skew the same cap can run as rank-over-``max_by``-free top-n per
+    key via repartition+sortWithinPartitions — this form is the
+    declarative default Catalyst handles with WindowGroupLimit pushdown
+    (rank filter ≤ n prunes before the full sort materializes)."""
+    from pyspark.sql import Window
+
+    full = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col("_sk").asc(), F.col(key_col).asc())
+    )
+    return (
+        df.withColumn("_sk", full)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_sk", "_rk")
+    )

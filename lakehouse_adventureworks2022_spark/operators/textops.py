@@ -515,3 +515,95 @@ def vocabulary(
         .orderBy(F.desc("term_freq"), F.asc("term"))
         .limit(top_n)
     )
+
+
+# ---- unicode normalization + URL/domain census (r7) ------------------
+
+#: one-to-one char translation the normalizer applies BEFORE case
+#: folding: curly quotes → straight, en/em dash → hyphen, NBSP → space.
+#: Kept to 1:1 pairs so the same `translate()` call runs verbatim in
+#: the DuckDB twin.
+NORMALIZE_FROM = "‘’“”–— "
+NORMALIZE_TO = "''\"\"-- "
+
+#: control chars stripped to spaces (common Java-regex ∩ RE2 class).
+_CONTROL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Canonical text normalization for dedup/tokenizer front-ends:
+    typographic chars unified (:data:`NORMALIZE_FROM`), control chars
+    stripped, case folded, whitespace collapsed + trimmed. Exact-dup
+    detection over normalized text catches the copies that differ only
+    by smart quotes or stray NBSPs — run this BEFORE hashing.
+
+    One zero-shuffle codegen projection; every step is a function both
+    engines share, so the catalog twin (`ORACLE_NORMALIZE_TEXT`) is
+    exact. Order matters and is part of the contract:
+    translate → control-strip → lower → collapse → trim."""
+    target = out_col or text_col
+    cur = F.translate(F.col(text_col), NORMALIZE_FROM, NORMALIZE_TO)
+    cur = F.regexp_replace(cur, _CONTROL_CLASS, " ")
+    cur = F.lower(cur)
+    cur = F.trim(F.regexp_replace(cur, r"\s+", " "))
+    keep = [c for c in df.columns if c != target]
+    return df.select(*keep, cur.alias(target))
+
+
+#: capture group 1 = the host part of an http(s) URL (RE2-safe).
+URL_DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_domains(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, domain)`` per URL mention (lowercased host, duplicates
+    kept — one row per reference). Zero shuffle: extract-all + explode
+    projection."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_DOMAIN_PATTERN), 1)
+        ).alias("domain"),
+    ).withColumn("domain", F.lower(F.col("domain")))
+
+
+def domain_census(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain corpus census: ``(domain, n_docs, n_refs)`` — the
+    table a blocklist/allowlist policy is applied against (and the
+    first artifact a corpus audit asks for). One uniform-key
+    aggregation over the exploded mentions; distinct-doc counting is a
+    per-doc pre-dedup (``distinct`` on (id, domain)) joined as a count,
+    never a ``count(distinct)`` expansion."""
+    mentions = extract_domains(df, text_col, id_col)
+    refs = mentions.groupBy("domain").agg(F.count("*").alias("n_refs"))
+    docs = (
+        mentions.distinct()
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return docs.join(refs, "domain").select("domain", "n_docs", "n_refs")
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every document that mentions ANY blocked domain (the
+    C4-style blocklist gate). ``blocked`` is a 1-column ``domain``
+    frame — broadcast (blocklists are small); the doc side never
+    shuffles: extract → broadcast semi-join to find offenders →
+    broadcast anti-join back on the id."""
+    offenders = (
+        extract_domains(df, text_col, id_col)
+        .join(F.broadcast(blocked.select("domain")), "domain", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(F.broadcast(offenders), id_col, "left_anti")

@@ -339,6 +339,15 @@ QUERIES: dict[str, QueryFn] = {
     # twin generated from the operator's own pattern table, Python-re
     # differential in tests/test_pii.py — window full)
     "pii_scrub": text_queries.q_pii_scrub,
+    # unicode/typography normalization with planted messy suffixes
+    # (r7; exact — twin shares the translate table + regex classes)
+    "normalize_text": text_queries.q_normalize_text,
+    # per-domain URL census with planted links (r7; exact — blocklist
+    # policy input table; twin shares the URL pattern)
+    "domain_census": text_queries.q_domain_census,
+    # balanced-source cap: exact-N per stratum, deterministic md5 rank
+    # (r7; exact — ROW_NUMBER twin)
+    "docs_capped_per_source": text_queries.q_docs_capped_per_source,
     # mergeable KLL quantile sketches (rank-bounded approximate by
     # design; error/merge/roundtrip bounds in tests/test_sketches.py)
     "kll_value_quantiles": text_queries.q_kll_quantiles,
@@ -408,6 +417,9 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "kll_value_quantiles",  # KLL sketch: rank-bounded approx by design
         "unigram_tokenize",  # exact; EM loop has no SQL twin
         "pii_scrub",  # exact; swept SQL twin + Python-re diff (window full)
+        "normalize_text",  # exact; swept shared-table twin (window full)
+        "domain_census",  # exact; swept shared-pattern twin (window full)
+        "docs_capped_per_source",  # exact; swept ROW_NUMBER twin (window full)
         # r7 third rotation out of the window (green since r1/r2; same
         # hash-diff rigor in tests/test_rotated_oracles.py)
         "dim_customer_geo",
@@ -1130,6 +1142,11 @@ PYTEST_ORACLES: dict[str, str] = {
     # PII redaction: twin generated from the operator's own pattern
     # table (one source of truth; engines share the literal regexes)
     "pii_scrub": text_queries.ORACLE_PII_SCRUB,
+    # r7 curation additions: twins share the operator's own pattern
+    # tables / constants (one source of truth each)
+    "normalize_text": text_queries.ORACLE_NORMALIZE_TEXT,
+    "domain_census": text_queries.ORACLE_DOMAIN_CENSUS,
+    "docs_capped_per_source": text_queries.ORACLE_DOCS_CAPPED_PER_SOURCE,
     # (the nine swept twins promoted to first-time DRIVER oracles in r7
     # — chunk_documents, clean_boilerplate, ngram_repetition,
     # dedup_clusters, event_anomalies, corpus_drift, doc_perplexity,

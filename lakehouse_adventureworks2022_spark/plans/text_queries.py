@@ -1560,3 +1560,150 @@ def _build_oracle_pii_scrub() -> str:
 
 
 ORACLE_PII_SCRUB = _build_oracle_pii_scrub()
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/typography normalization over the documents corpus (r7):
+    messy suffixes (curly quotes, em-dash, NBSP, a control char) are
+    planted IN-PLAN — the ASCII fixture contains none — then folded by
+    ``textops.normalize_text``. Zero-shuffle codegen projection; the
+    twin shares the translate table and regex classes verbatim."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        normalize_text,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 2 == 0,
+                F.lit(" “Quoted—Text”\x07TAIL End "),
+            ).otherwise(F.lit("  Plain   Suffix ")),
+        ).alias("text"),
+    )
+    return normalize_text(planted)
+
+
+def _build_oracle_normalize_text() -> str:
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        _CONTROL_CLASS,
+        NORMALIZE_FROM,
+        NORMALIZE_TO,
+    )
+
+    frm = NORMALIZE_FROM.replace("'", "''")
+    to = NORMALIZE_TO.replace("'", "''")
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 2 = 0
+               THEN ' “Quoted—Text”' || chr(7) || 'TAIL' || chr(160) || 'End '
+               ELSE '  Plain   Suffix ' END AS t0
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             lower(regexp_replace(
+               translate(t0, '{frm}', '{to}'),
+               '{_CONTROL_CLASS}', ' ', 'g')),
+             '\\s+', ' ', 'g')) AS text
+    FROM planted
+"""
+
+
+ORACLE_NORMALIZE_TEXT = _build_oracle_normalize_text()
+
+
+def q_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL census over the documents corpus (r7): URLs are
+    planted IN-PLAN (the fixture text has none) — one per doc plus a
+    second mirror link for every third doc — then counted by
+    ``textops.domain_census`` (the blocklist-policy input table). One
+    uniform-key aggregation over the exploded mentions."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        domain_census,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://cdn"),
+            (did % 7).cast("string"),
+            F.lit(".Example.org/page"),
+            F.when(
+                did % 3 == 0, F.lit(" and http://mirror.example.net/x")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return domain_census(planted)
+
+
+def _build_oracle_domain_census() -> str:
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        URL_DOMAIN_PATTERN,
+    )
+
+    pat = URL_DOMAIN_PATTERN.replace("'", "''")
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' see https://cdn' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.Example.org/page'
+                  || CASE WHEN doc_id % 3 = 0
+                       THEN ' and http://mirror.example.net/x' ELSE '' END
+               AS t0
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             lower(unnest(regexp_extract_all(t0, '{pat}', 1))) AS domain
+      FROM planted
+    ),
+    refs AS (SELECT domain, COUNT(*) AS n_refs FROM m GROUP BY 1),
+    docs AS (
+      SELECT domain, COUNT(*) AS n_docs
+      FROM (SELECT DISTINCT doc_id, domain FROM m) GROUP BY 1
+    )
+    SELECT docs.domain, docs.n_docs, refs.n_refs
+    FROM docs JOIN refs USING (domain)
+"""
+
+
+ORACLE_DOMAIN_CENSUS = _build_oracle_domain_census()
+
+
+def q_docs_capped_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-source cap (r7): every ``source`` stratum keeps exactly
+    min(|stratum|, 15) deterministically-chosen docs (15 < every
+    fixture stratum, so the cap BINDS at all three SFs — non-vacuous) — the
+    per-group twin of the exact-N sampler. One stratum-key shuffle;
+    WindowGroupLimit prunes before the full per-group sort."""
+    from lakehouse_adventureworks2022_spark.operators.sampling import (
+        hash_sample_cap_per_stratum,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return hash_sample_cap_per_stratum(
+        docs, 15, strata_col="source", seed="r7"
+    ).select("doc_id", "source", "lang")
+
+
+ORACLE_DOCS_CAPPED_PER_SOURCE = """
+    SELECT doc_id, source, lang
+    FROM (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':r7') ASC,
+                        doc_id ASC
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= 15
+"""

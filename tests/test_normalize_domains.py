@@ -1,0 +1,124 @@
+"""r7 curation additions: unicode normalization, URL/domain census +
+blocklist gate, and the balanced per-stratum cap — planted worked
+cases, determinism/layout invariance, and the catalog twins' hash
+parity (the three-SF sweep in tools/check_oracles.py re-checks them)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_adventureworks2022_spark.operators.sampling import (
+    hash_sample_cap_per_stratum,
+)
+from lakehouse_adventureworks2022_spark.operators.textops import (
+    domain_census,
+    extract_domains,
+    filter_blocked_domains,
+    normalize_text,
+)
+from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_normalize_worked_cases(spark):
+    rows = [
+        (1, "  Already   clean text "),
+        (2, "“Smart” ‘quotes’ — and – dashes"),
+        (3, "NBSP here and\x07control\x1fchars"),
+        (4, "MiXeD CASE\t\ttabs\n\nnewlines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in normalize_text(df).collect()}
+    assert got[1] == "already clean text"
+    assert got[2] == '"smart" \'quotes\' - and - dashes'
+    assert got[3] == "nbsp here and control chars"
+    assert got[4] == "mixed case tabs newlines"
+
+
+def test_normalized_exact_dedup_catches_typographic_copies(spark):
+    """The motivating case: two docs identical up to smart quotes/NBSP
+    must hash equal AFTER normalization and differ before."""
+    rows = [
+        (1, "he said “hello world” to everyone"),
+        (2, 'he said "hello world" to everyone'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = df.select(F.md5("text").alias("h")).distinct().count()
+    norm = (
+        normalize_text(df).select(F.md5("text").alias("h")).distinct().count()
+    )
+    assert raw == 2 and norm == 1
+
+
+def test_domain_census_and_blocklist(spark):
+    rows = [
+        (1, "see https://A.Example.com/x and https://a.example.com/y"),
+        (2, "mirror http://b.example.net/z"),
+        (3, "no links at all"),
+        (4, "again https://a.example.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    census = {
+        r["domain"]: (r["n_docs"], r["n_refs"])
+        for r in domain_census(df).collect()
+    }
+    # case-folded host; doc 1 mentions it twice -> 2 docs, 3 refs
+    assert census["a.example.com"] == (2, 3)
+    assert census["b.example.net"] == (1, 1)
+    assert "no" not in census
+    blocked = spark.createDataFrame([("a.example.com",)], "domain string")
+    kept = {
+        r["doc_id"] for r in filter_blocked_domains(df, blocked).collect()
+    }
+    assert kept == {2, 3}
+    # extract keeps one row per reference
+    assert extract_domains(df).count() == 4
+
+
+def test_cap_per_stratum_binds_and_is_layout_independent(spark):
+    docs = read_table(spark, SF, "documents")
+    base = sorted(
+        r["doc_id"]
+        for r in hash_sample_cap_per_stratum(docs, 7, "source").collect()
+    )
+    n_sources = docs.select("source").distinct().count()
+    assert len(base) == 7 * n_sources  # every fixture stratum has >= 25
+    # deterministic under any physical layout
+    for frame in (docs.repartition(13, "lang"), docs.coalesce(1)):
+        got = sorted(
+            r["doc_id"]
+            for r in hash_sample_cap_per_stratum(frame, 7, "source").collect()
+        )
+        assert got == base
+    # a different seed picks a different (but equally sized) set
+    other = sorted(
+        r["doc_id"]
+        for r in hash_sample_cap_per_stratum(docs, 7, "source", seed="v2").collect()
+    )
+    assert len(other) == len(base) and other != base
+
+
+@pytest.mark.parametrize(
+    "name", ["normalize_text", "domain_census", "docs_capped_per_source"]
+)
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_catalog_twin_hash_parity(spark, name, sf):
+    from lakehouse_adventureworks2022_spark.plans.catalog import (
+        PYTEST_ORACLES,
+        QUERIES,
+    )
+    from tools.check_oracles import TABLES, canonical_hash, normalize_pandas
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    spark_pdf = normalize_pandas(QUERIES[name](spark, sf).toPandas())
+    duck_pdf = normalize_pandas(con.sql(PYTEST_ORACLES[name]).df())
+    con.close()
+    assert canonical_hash(spark_pdf) == canonical_hash(duck_pdf)
+    assert len(spark_pdf) > 0
