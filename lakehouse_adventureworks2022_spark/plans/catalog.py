@@ -351,6 +351,11 @@ QUERIES: dict[str, QueryFn] = {
     # mergeable KLL quantile sketches (rank-bounded approximate by
     # design; error/merge/roundtrip bounds in tests/test_sketches.py)
     "kll_value_quantiles": text_queries.q_kll_quantiles,
+    # KMV/theta distinct-set sketches: pairwise audience overlap
+    # (union/intersection/jaccard estimates HLL state cannot answer;
+    # approximate by design — exact-differential bounds in
+    # tests/test_theta.py)
+    "audience_overlap": relational.audience_overlap,
 }
 
 
@@ -415,6 +420,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "daily_event_pivot",
         "tpch_q6_forecast_revenue",
         "kll_value_quantiles",  # KLL sketch: rank-bounded approx by design
+        "audience_overlap",  # KMV/theta set estimates: approx by design
         "unigram_tokenize",  # exact; EM loop has no SQL twin
         "pii_scrub",  # exact; swept SQL twin + Python-re diff (window full)
         "normalize_text",  # exact; swept shared-table twin (window full)

@@ -314,3 +314,32 @@ def retention_cohorts(
         )
         .orderBy("cohort_week", "week_n")
     )
+
+
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise user-audience overlap between event types from KMV
+    sketch state (r7, ``operators/theta.py``): for every type pair,
+    estimated distinct users of each, of the union, of the
+    intersection, and the Jaccard — the set-operation questions HLL
+    state cannot answer, from kilobyte sketches. Approximate by design
+    (rows-only; the error-bound differential vs exact DuckDB
+    intersections runs in tests/test_theta_query.py). Scale: one
+    bounded two-phase sketch build over events + a |types|² kilobyte
+    self-join — the corpus is scanned once, never joined."""
+    from lakehouse_adventureworks2022_spark.operators.theta import (
+        kmv_pairwise_overlap,
+        kmv_sketches,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    sk = kmv_sketches(events, ["event_type"], "user_id", k=1024)
+    out = kmv_pairwise_overlap(sk, "event_type", k=1024)
+    return out.select(
+        "label_a",
+        "label_b",
+        F.round("est_a", 2).alias("est_a"),
+        F.round("est_b", 2).alias("est_b"),
+        F.round("est_union", 2).alias("est_union"),
+        F.round("est_intersection", 2).alias("est_intersection"),
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+    )
