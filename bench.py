@@ -112,6 +112,12 @@ HEADLINE = [
     "tpch_q22_idle_balances",
     "tpch_q11_important_parts",
     "tpch_q2_min_balance_supplier",
+    # r7 curation/sketch additions (swept twins / bounded differentials)
+    "pii_scrub",
+    "normalize_text",
+    "domain_census",
+    "docs_capped_per_source",
+    "audience_overlap",
 ]
 
 

@@ -335,6 +335,41 @@ def main() -> None:
 
     run("streaming_frequent_4batches", _stream_frequent)
 
+    # KMV/theta distinct-set sketches at 10× user cardinality (r7):
+    # the exchange carries ≤ k-hash arrays per (partition, group); the
+    # pairwise overlap join is |types|² kilobyte rows
+    from lakehouse_adventureworks2022_spark.operators import theta  # noqa: E402
+
+    run(
+        "kmv_audience_overlap",
+        lambda: theta.kmv_pairwise_overlap(
+            theta.kmv_sketches(big_events, ["event_type"], "user_id", k=1024),
+            "event_type",
+            k=1024,
+        ),
+    )
+
+    from lakehouse_adventureworks2022_spark.streaming import (  # noqa: E402
+        distinct as sdistinct,
+    )
+
+    def _stream_distinct():
+        state = tempfile.mkdtemp(prefix="stress_kmv_")
+        for b in range(4):
+            sdistinct.apply_distinct_batch(
+                big_events.filter(F.col("event_id") % 4 == b),
+                b,
+                state,
+                "user_id",
+                ["event_type"],
+                k=1024,
+            )
+        return sdistinct.distinct_counts_from_state(
+            spark, state, ["event_type"], k=1024
+        )
+
+    run("streaming_distinct_4batches", _stream_distinct)
+
     def _stream_quantiles():
         state = tempfile.mkdtemp(prefix="stress_quant_")
         for b in range(4):
