@@ -122,3 +122,23 @@ def test_catalog_twin_hash_parity(spark, name, sf):
     con.close()
     assert canonical_hash(spark_pdf) == canonical_hash(duck_pdf)
     assert len(spark_pdf) > 0
+
+
+def test_cap_plan_shuffles_only_partial_topn(spark):
+    """The per-stratum cap must plan a PARTIAL WindowGroupLimit BELOW
+    the exchange: each map partition ships at most n rows per stratum,
+    so a giant stratum never funnels through the shuffle un-pruned —
+    the property that makes the declarative rank form 100 TB-safe."""
+    docs = read_table(spark, SF, "documents")
+    plan = (
+        hash_sample_cap_per_stratum(docs, 7, "source")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    partial = plan.find("Partial")
+    exch = plan.find("Exchange hashpartitioning")
+    assert "WindowGroupLimit" in plan
+    # tree prints top-down: the exchange line appears BEFORE (above) the
+    # partial limit that feeds it
+    assert 0 <= exch < partial, plan[:2000]
