@@ -118,6 +118,7 @@ HEADLINE = [
     "domain_census",
     "docs_capped_per_source",
     "audience_overlap",
+    "ann_cosine_topk_sq8",
 ]
 
 

@@ -1317,3 +1317,168 @@ def cosine_topk_pq_amortized(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cosine")
     )
+
+
+# ---- scalar quantization (SQ8) tier (r7) -----------------------------
+
+
+def sq8_train(candidates: DataFrame, vec_col: str = "embedding") -> tuple:
+    """Per-dimension affine quantizer params from ONE pass over the
+    corpus: ``(mins, scales)`` lists of length d, where
+    ``code = round((v - min) / scale)`` lands in 0..255. Bounded driver
+    state (2·d floats — same class as IVF centroids/PQ codebooks);
+    degenerate constant dimensions get scale ~0 and decode exactly."""
+    d = len(candidates.select(vec_col).first()[0])
+    aggs = []
+    for i in range(d):
+        aggs.append(F.min(F.col(vec_col)[i]).alias(f"mn{i}"))
+        aggs.append(F.max(F.col(vec_col)[i]).alias(f"mx{i}"))
+    row = candidates.agg(*aggs).first()
+    mins = [float(row[f"mn{i}"]) for i in range(d)]
+    scales = [
+        max((float(row[f"mx{i}"]) - mins[i]) / 255.0, 1e-12) for i in range(d)
+    ]
+    return mins, scales
+
+
+def sq8_encode(
+    vectors: DataFrame,
+    mins: list,
+    scales: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(cand_id, codes array<int> in 0..255, vnorm)`` — pure Catalyst
+    (two literal-array ``zip_with``s, no UDF). The codes column is d
+    single-byte-range ints vs 4-8 bytes per raw float: the compressed
+    scan reads ~4-8× less than the corpus, which is the point at
+    100 TB. ``vnorm`` is the EXACT vector norm captured at encode time
+    (the re-rank denominator never re-reads the corpus)."""
+    v = F.col(vec_col).cast("array<double>")
+    mins_l = F.lit(mins).cast("array<double>")
+    scales_l = F.lit(scales).cast("array<double>")
+    shifted = F.zip_with(v, mins_l, lambda x, mn: x - mn)
+    codes = F.zip_with(
+        shifted,
+        scales_l,
+        lambda x, s: F.least(
+            F.greatest(F.round(x / s, 0).cast("int"), F.lit(0)), F.lit(255)
+        ),
+    )
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    return vectors.select(
+        F.col(id_col).alias("cand_id"),
+        codes.alias("codes"),
+        norm.alias("vnorm"),
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    mins: list,
+    scales: list,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over the compressed codes:
+    ``dot(q, dequant(c)) = dot(q, mins) + Σ (q_i·scale_i)·code_i`` —
+    ``dot(q, mins)`` is constant per query and ``q_i·scale_i`` is a
+    per-query literal-free broadcast column, so the corpus-side work is
+    one ``zip_with``/``aggregate`` over the int codes. Ranked by the
+    dequantized cosine against the stored exact ``vnorm``."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn(
+        "qs",
+        F.zip_with(
+            F.col("qv"), F.lit(scales).cast("array<double>"), lambda x, s: x * s
+        ),
+    ).withColumn(
+        "qmin",
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.lit(mins).cast("array<double>"), lambda x, mn: x * mn
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    ).withColumn(
+        "qnorm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("qv"), lambda x: x * x),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        ),
+    )
+    dot = F.col("qmin") + F.aggregate(
+        F.zip_with(F.col("qs"), F.col("codes"), lambda x, c: x * c),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = (
+        encoded.join(F.broadcast(q.drop("qv")), how="cross")
+        # every ANN tier's contract: a query never matches itself
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (dot / (F.col("qnorm") * F.col("vnorm"))).alias("approx_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "approx_cosine")
+    )
+
+
+def cosine_topk_sq8(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    rerank: int = 8,
+) -> DataFrame:
+    """SQ8-compressed top-k with exact re-ranking — the third
+    compression tier beside IVF (probe pruning) and PQ (16× codes):
+    int8-range scalar quantization keeps per-dim resolution (recall is
+    near-exact at 256 levels, tested) while scanning ~4-8× less than
+    raw vectors. Shortlist ``rerank × k`` per query over the codes,
+    then ONLY those rows re-join their raw vectors for exact cosine.
+    Same output contract as every ANN tier:
+    ``(query_id, cand_id, rank, cosine)``."""
+    mins, scales = sq8_train(candidates)
+    encoded = sq8_encode(candidates, mins, scales)
+    shortlist = sq8_topk(queries, encoded, mins, scales, k=rerank * k)
+    e = candidates.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    exact = (
+        shortlist.join(e, "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            _cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )

@@ -356,6 +356,9 @@ QUERIES: dict[str, QueryFn] = {
     # approximate by design — exact-differential bounds in
     # tests/test_theta.py)
     "audience_overlap": relational.audience_overlap,
+    # SQ8 scalar-quantized ANN (r7 third compression tier; approximate
+    # by design — recall/layout/code-range tests in pytest)
+    "ann_cosine_topk_sq8": text_queries.q_ann_cosine_sq8,
 }
 
 
@@ -421,6 +424,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "tpch_q6_forecast_revenue",
         "kll_value_quantiles",  # KLL sketch: rank-bounded approx by design
         "audience_overlap",  # KMV/theta set estimates: approx by design
+        "ann_cosine_topk_sq8",  # SQ8 shortlist: approx by design
         "unigram_tokenize",  # exact; EM loop has no SQL twin
         "pii_scrub",  # exact; swept SQL twin + Python-re diff (window full)
         "normalize_text",  # exact; swept shared-table twin (window full)

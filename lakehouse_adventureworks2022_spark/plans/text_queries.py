@@ -1707,3 +1707,14 @@ ORACLE_DOCS_CAPPED_PER_SOURCE = """
     )
     WHERE rk <= 15
 """
+
+
+def q_ann_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN with exact re-rank (r7): the third
+    compression tier beside IVF (probe pruning) and PQ (16x codes) —
+    per-dim 256-level codes scan ~4-8x less than raw vectors at
+    near-exact recall. Approximate by design ⇒ rows-only; recall floor
+    + layout invariance + code-range tests in
+    tests/test_training_ops.py."""
+    q, c = similarity.embedding_queries(spark, sf_dir)
+    return similarity.cosine_topk_sq8(q, c, k=10)

@@ -718,3 +718,38 @@ def test_pq_amortized_matches_one_shot(spark, tmp_path):
     )
     assert a == one_shot and b == a
     assert os.path.getmtime(f"{idx}/codes/_SUCCESS") == stamp
+
+
+def test_sq8_recall_and_determinism(spark):
+    """SQ8 tier (r7): 256-level per-dim quantization should be
+    near-exact — recall ≥ 0.95 vs brute force on the fixture, identical
+    output across physical layouts, codes bounded to 0..255."""
+    from lakehouse_adventureworks2022_spark.operators import similarity
+
+    q, c = similarity.embedding_queries(spark, "/root/testdata/sf0.001")
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.cosine_topk(q, c, k=10).collect()
+    }
+    got_rows = similarity.cosine_topk_sq8(q, c, k=10).collect()
+    got = {(r["query_id"], r["cand_id"]) for r in got_rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.95, recall
+    # layout invariance
+    again = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in similarity.cosine_topk_sq8(
+            q.repartition(5), c.repartition(11), k=10
+        ).collect()
+    }
+    base = {(r["query_id"], r["cand_id"], r["rank"]) for r in got_rows}
+    assert again == base
+    # codes really are single-byte range
+    mins, scales = similarity.sq8_train(c)
+    codes = similarity.sq8_encode(c, mins, scales)
+    from pyspark.sql import functions as F
+
+    bad = codes.filter(
+        F.exists("codes", lambda x: (x < 0) | (x > 255))
+    ).count()
+    assert bad == 0
