@@ -267,3 +267,70 @@ def doc_perplexity(
     """
     lm = train_ngram_lm(docs, text_col, n)
     return score_perplexity(docs, lm, text_col, n, k)
+
+
+def score_perplexity_kn(
+    docs: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    discount: float = 0.75,
+    k: float = 0.5,
+    vocab_size: int | None = None,
+    manage_cache: bool = True,
+) -> DataFrame:
+    """Interpolated Kneser-Ney perplexity (r7) — the standard strongest
+    count-based smoothing (Kneser & Ney 1995; Chen & Goodman 1999):
+
+    ``P(w|ctx) = max(c(ctx,w) − D, 0)/c(ctx) + λ(ctx)·P_cont(w)`` with
+    ``λ(ctx) = D·N1+(ctx,·)/c(ctx)`` and the CONTINUATION probability
+    ``P_cont(w) = N1+(·,w)/N1+(·,·)`` — how many distinct contexts a
+    word follows, not how often it occurs (the "San Francisco" fix:
+    "Francisco" is frequent but follows one context, so it gets low
+    continuation mass). An unseen context backs off to ``P_cont``
+    directly; ``P_cont`` itself carries an add-``k`` floor over the
+    vocabulary so OOV words stay finite.
+
+    Every statistic is ONE aggregation over the trained count frame —
+    per-context totals and type counts, per-word continuation counts,
+    the global bigram-type count — then the same grams⋈model scoring
+    joins as the other scorers; zero UDFs. The model rows are unique on
+    (context, word), so type counts are plain row counts."""
+    from lakehouse_adventureworks2022_spark.operators.dedup import (
+        _attach_cached_input,
+    )
+
+    if manage_cache:
+        lm = lm.persist()
+    v = float(vocab_size if vocab_size is not None else lm_vocab_size(lm))
+    ctx_stats = lm.groupBy("context").agg(
+        F.sum("c").alias("ctx_c"),
+        F.count(F.lit(1)).alias("ctx_types"),
+    )
+    cont = lm.groupBy("word").agg(F.count(F.lit(1)).alias("cont_w"))
+    total_types = float(lm.count())
+    grams = _gram_frame(docs, text_col, n, with_doc_id=True)
+    p_cont = (F.coalesce(F.col("cont_w"), F.lit(0)) + F.lit(k)) / (
+        F.lit(total_types) + F.lit(k) * v
+    )
+    d = F.lit(float(discount))
+    seen_ctx = F.coalesce(F.col("ctx_c"), F.lit(0)) > 0
+    p_kn = F.when(
+        seen_ctx,
+        F.greatest(F.coalesce(F.col("c"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("ctx_c")
+        + d * F.col("ctx_types") / F.col("ctx_c") * p_cont,
+    ).otherwise(p_cont)
+    joined = (
+        grams.join(lm, ["context", "word"], "left")
+        .join(ctx_stats, ["context"], "left")
+        .join(cont, ["word"], "left")
+        .select("doc_id", F.log(p_kn).alias("logp"))
+    )
+    nll = -F.avg("logp")
+    out = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        nll.alias("avg_nll"),
+        F.exp(nll).alias("ppl"),
+    )
+    return _attach_cached_input(out, lm) if manage_cache else out

@@ -204,3 +204,94 @@ def test_interpolated_softens_rare_context_penalty(spark, tiny_corpus):
     pure = lm.score_perplexity(probe, model).collect()[0]["ppl"]
     interp = lm.score_perplexity_interpolated(probe, model).collect()[0]["ppl"]
     assert interp < pure
+
+
+def test_kn_matches_python_reference(spark, tiny_corpus):
+    """Interpolated Kneser-Ney (r7): exact-math differential — absolute
+    discounting + continuation probability + unseen-context backoff,
+    replicated transition-by-transition in pure Python."""
+    docs, texts = tiny_corpus
+    n, d, k = 2, 0.75, 0.5
+
+    def toks(t):
+        return [w for w in t.lower().strip().split() if w]
+
+    def grams(t):
+        padded = [lm.BOS] * (n - 1) + toks(t) + [lm.EOS]
+        return [
+            (" ".join(padded[i : i + n - 1]), padded[i + n - 1])
+            for i in range(len(padded) - n + 1)
+        ]
+
+    from collections import Counter
+
+    counts = Counter(g for t in texts.values() for g in grams(t))
+    ctx_totals = Counter()
+    ctx_types = Counter()
+    cont = Counter()
+    for (ctx, w), c in counts.items():
+        ctx_totals[ctx] += c
+        ctx_types[ctx] += 1
+        cont[w] += 1
+    v = float(len({w for (_, w) in counts}))
+    total_types = float(len(counts))
+
+    def p_cont(w):
+        return (cont.get(w, 0) + k) / (total_types + k * v)
+
+    def p_kn(ctx, w):
+        cc = ctx_totals.get(ctx, 0)
+        if cc == 0:
+            return p_cont(w)
+        return (
+            max(counts.get((ctx, w), 0) - d, 0.0) / cc
+            + d * ctx_types[ctx] / cc * p_cont(w)
+        )
+
+    model = lm.train_ngram_lm(docs, n=n)
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["ppl"])
+        for r in lm.score_perplexity_kn(
+            docs, model, n=n, discount=d, k=k
+        ).collect()
+    }
+    for doc_id, t in texts.items():
+        logps = [math.log(p_kn(*g)) for g in grams(t)]
+        want = math.exp(-math.fsum(logps) / len(logps))
+        assert got[doc_id][0] == len(logps)
+        assert got[doc_id][1] == pytest.approx(want, rel=1e-9), doc_id
+
+
+def test_kn_continuation_beats_raw_frequency(spark):
+    """The 'San Francisco' property: a word frequent in ONE context
+    only ('francisco', always after 'san') must get LESS unseen-context
+    mass than an equally frequent word seen after many contexts."""
+    rows = [
+        (1, "san francisco san francisco san francisco san francisco"),
+        (2, "a nice day a good day a long day a short day"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    model = lm.train_ngram_lm(docs, n=2)
+    # both probes place the word after an UNSEEN context -> pure P_cont
+    probe = spark.createDataFrame(
+        [(10, "zzz francisco"), (11, "zzz day")], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r["ppl"]
+        for r in lm.score_perplexity_kn(docs=probe, lm=model).collect()
+    }
+    # 'day' follows 4 distinct contexts, 'francisco' only 1 -> the
+    # 'day' probe must be judged more plausible (lower perplexity)
+    assert got[11] < got[10]
+
+
+def test_kn_finite_on_oov_and_empty(spark, tiny_corpus):
+    docs, _ = tiny_corpus
+    model = lm.train_ngram_lm(docs)
+    probe = docs.sparkSession.createDataFrame(
+        [(20, "totally unseen wordsoup here"), (21, "")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm.score_perplexity_kn(probe, model).collect()}
+    for r in rows.values():
+        assert math.isfinite(r["ppl"]) and r["ppl"] > 0
