@@ -23,7 +23,7 @@ SF = "/root/testdata/sf0.001"
 
 CASES = [
     # (raw, scrubbed, n_redactions)
-    ("mail me at bob.smith+x@corp-mail.example.org now",
+    ("mail me at bob.smith+x@big-mail.example.org now",
      "mail me at <EMAIL> now", 1),
     ("server 192.168.0.1 and 10.0.0.255 are up",
      "server <IP> and <IP> are up", 2),
