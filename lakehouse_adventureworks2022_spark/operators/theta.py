@@ -52,18 +52,25 @@ def _kmv_partial_fn(keys: list, value_col: str, k: int):
 
         state: dict = {}  # group key tuple -> (n_raw, set of hashes)
         for pdf in batches:
-            cols = [pdf[c] for c in keys]
-            vals = pdf[value_col]
-            mask = vals.notna()
-            for i in vals[mask].index:
-                g = tuple(c[i] for c in cols)
+            sub = pdf[pdf[value_col].notna()]
+            if not len(sub):
+                continue
+            # vectorized grouping; hash only each group's UNIQUE values
+            # (hot keys repeat values heavily — hashing per row was the
+            # measured cost at 10x stress volume)
+            grouped = (
+                sub.groupby(keys, sort=False) if keys else [((), sub)]
+            )
+            for g, gdf in grouped:
+                if not isinstance(g, tuple):
+                    g = (g,)
                 n, s = state.get(g, (0, None))
                 if s is None:
                     s = set()
-                s.add(h(vals[i]))
+                s.update(h(v) for v in gdf[value_col].unique())
                 if len(s) > 4 * k:  # prune: keep the k smallest
                     s = set(sorted(s)[:k])
-                state[g] = (n + 1, s)
+                state[g] = (n + len(gdf), s)
         if state:
             yield pd.DataFrame(
                 [
