@@ -163,8 +163,12 @@ QUERIES: dict[str, QueryFn] = {
     # driver-evidenced inside sales_summary/tpch_q5/tpch_q9)
     # per-source snapshot drift monitoring (r7 first driver oracle)
     "corpus_drift": text_queries.q_corpus_drift,
-    # relational breadth: rollup/grouping sets, semi/anti joins, stats
-    "sales_rollup": relational.sales_rollup,
+    # (sales_rollup — green since r1 — rotated to
+    # tests/test_rotated_oracles.py late-r7; ROLLUP evidence continues
+    # via revenue_grouping_sets)
+    # portable PII scrub with in-plan planted spans (late-r7 first
+    # driver oracle; twin generated from the operator's pattern table)
+    "pii_scrub": text_queries.q_pii_scrub,
     "revenue_grouping_sets": relational.revenue_grouping_sets,
     # (customers_without_orders / repeat_customers / user_churn_set_ops /
     # daily_event_pivot — green since r2 — rotated to
@@ -198,15 +202,25 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q21_waiting_suppliers": tpch_extra.q21_waiting_suppliers,
     # training-data ops: similarity search (exact brute-force baseline)
     "ann_cosine_topk": text_queries.q_ann_cosine,
-    # relational breadth: outer-join histogram (TPC-H Q13 shape)
-    "customer_order_distribution": relational.customer_order_distribution,
-    # streaming batch twins (same F.window/F.session_window operators the
-    # streams run; streaming equivalence is tested in tests/test_streaming)
+    # (customer_order_distribution / event_sessions /
+    # nation_top_customers — green since r1 — rotated to
+    # tests/test_rotated_oracles.py late-r7; the Q13 histogram,
+    # session-window and rank shapes keep the identical hash diff
+    # there, and window-function evidence continues in-window via
+    # customer_running_revenue / priority_revenue_share / moving stats)
+    # unicode normalization with planted messy suffixes (late-r7 first
+    # driver oracle; twin shares the translate table + regex classes)
+    "normalize_text": text_queries.q_normalize_text,
+    # per-domain URL census with planted links (late-r7 first driver
+    # oracle; blocklist-policy input table)
+    "domain_census": text_queries.q_domain_census,
+    # streaming batch twin (same F.window operator the streams run)
     "event_windows_sliding": _sliding_windows,
-    "event_sessions": _session_windows,
-    # window-function breadth (frames, lag, rank, ratio-to-total)
+    # balanced-source cap: exact-N per stratum (late-r7 first driver
+    # oracle; partial WindowGroupLimit plan shape pinned in tests)
+    "docs_capped_per_source": text_queries.q_docs_capped_per_source,
+    # window-function breadth (frames, lag, ratio-to-total)
     "customer_running_revenue": windowed.customer_running_revenue,
-    "nation_top_customers": windowed.nation_top_customers,
     "priority_revenue_share": windowed.priority_revenue_share,
     # trailing-frame moving stats (late-r6 first driver oracle)
     "user_value_moving_stats": tpch_extra.user_value_moving_stats,
@@ -335,19 +349,14 @@ QUERIES: dict[str, QueryFn] = {
     # corpus-trained unigram-LM tokenizer (exact; EM loop has no SQL
     # twin — differentials in tests/test_unigram.py)
     "unigram_tokenize": text_queries.q_unigram_tokenize,
-    # PII redaction with in-plan planted spans (r7; exact — swept SQL
-    # twin generated from the operator's own pattern table, Python-re
-    # differential in tests/test_pii.py — window full)
-    "pii_scrub": text_queries.q_pii_scrub,
-    # unicode/typography normalization with planted messy suffixes
-    # (r7; exact — twin shares the translate table + regex classes)
-    "normalize_text": text_queries.q_normalize_text,
-    # per-domain URL census with planted links (r7; exact — blocklist
-    # policy input table; twin shares the URL pattern)
-    "domain_census": text_queries.q_domain_census,
-    # balanced-source cap: exact-N per stratum, deterministic md5 rank
-    # (r7; exact — ROW_NUMBER twin)
-    "docs_capped_per_source": text_queries.q_docs_capped_per_source,
+    # ---- late-r7 second rotation out of the window (green since r1;
+    # identical hash rigor continues in tests/test_rotated_oracles.py;
+    # slots freed for pii_scrub / normalize_text / domain_census /
+    # docs_capped_per_source above) ----
+    "sales_rollup": relational.sales_rollup,
+    "event_sessions": _session_windows,
+    "customer_order_distribution": relational.customer_order_distribution,
+    "nation_top_customers": windowed.nation_top_customers,
     # mergeable KLL quantile sketches (rank-bounded approximate by
     # design; error/merge/roundtrip bounds in tests/test_sketches.py)
     "kll_value_quantiles": text_queries.q_kll_quantiles,
@@ -426,10 +435,12 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "audience_overlap",  # KMV/theta set estimates: approx by design
         "ann_cosine_topk_sq8",  # SQ8 shortlist: approx by design
         "unigram_tokenize",  # exact; EM loop has no SQL twin
-        "pii_scrub",  # exact; swept SQL twin + Python-re diff (window full)
-        "normalize_text",  # exact; swept shared-table twin (window full)
-        "domain_census",  # exact; swept shared-pattern twin (window full)
-        "docs_capped_per_source",  # exact; swept ROW_NUMBER twin (window full)
+        # late-r7 second rotation out of the window (green since r1;
+        # same hash-diff rigor in tests/test_rotated_oracles.py)
+        "sales_rollup",
+        "event_sessions",
+        "customer_order_distribution",
+        "nation_top_customers",
         # r7 third rotation out of the window (green since r1/r2; same
         # hash-diff rigor in tests/test_rotated_oracles.py)
         "dim_customer_geo",
@@ -541,49 +552,15 @@ ORACLES: dict[str, str] = {
     # r7 rotation: silver_lineitem_enriched inline SQL moved verbatim
     # to ROTATED_ORACLES below
     "corpus_drift": text_queries.ORACLE_CORPUS_DRIFT,
-    "sales_rollup": """
-        SELECT r.r_name AS region_name,
-               n.n_name AS nation_name,
-               c.c_mktsegment AS market_segment,
-               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_revenue,
-               CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_qty,
-               COUNT(*) AS line_count,
-               CAST(GROUPING(r.r_name, n.n_name, c.c_mktsegment) AS INT)
-                 AS grouping_level
-        FROM lineitem l
-        JOIN orders o   ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation n   ON c.c_nationkey = n.n_nationkey
-        JOIN region r   ON n.n_regionkey = r.r_regionkey
-        GROUP BY ROLLUP (r.r_name, n.n_name, c.c_mktsegment)
-    """,
+    # late-r7 rotation: sales_rollup / event_sessions /
+    # customer_order_distribution / nation_top_customers inline SQL
+    # moved verbatim to ROTATED_ORACLES below
+    "pii_scrub": text_queries.ORACLE_PII_SCRUB,
     # r7 rotation: event_value_stats inline SQL moved verbatim to
     # ROTATED_ORACLES below; xml_roundtrip keeps its constant there
     "embedding_drift": text_queries.ORACLE_EMBEDDING_DRIFT,
     "event_anomalies": text_queries.ORACLE_EVENT_ANOMALIES,
-    "event_sessions": """
-        WITH o AS (
-          SELECT user_id, ts, value,
-                 CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
-                      THEN 1 ELSE 0 END AS new_sess
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
-        ),
-        s AS (
-          SELECT *, SUM(new_sess) OVER (
-                   PARTITION BY user_id ORDER BY ts, value
-                   ROWS UNBOUNDED PRECEDING) AS sess_id
-          FROM o
-        )
-        SELECT user_id,
-               MIN(ts) AS session_start,
-               MAX(ts) + INTERVAL '30 minutes' AS session_end,
-               COUNT(*) AS event_count,
-               ROUND(SUM(value), 4) AS total_value
-        FROM s
-        GROUP BY user_id, sess_id
-    """,
+    "normalize_text": text_queries.ORACLE_NORMALIZE_TEXT,
     "tpch_q8_market_share": """
         SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
                CAST(ROUND(SUM(CAST(CASE WHEN sn.n_name = 'CHINA' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END AS DECIMAL(28,6))), 4) AS DOUBLE) AS china_revenue,
@@ -638,17 +615,7 @@ ORACLES: dict[str, str] = {
         LEFT JOIN hourly ON hourly.a_user = u.user_id
                         AND hourly.a_hour = h.hour_ts
     """,
-    "customer_order_distribution": """
-        SELECT order_count, COUNT(*) AS customer_count
-        FROM (
-          SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_count
-          FROM customer c
-          LEFT JOIN orders o
-            ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
-          GROUP BY c.c_custkey
-        )
-        GROUP BY order_count
-    """,
+    "domain_census": text_queries.ORACLE_DOMAIN_CENSUS,
     "customer_running_revenue": """
         SELECT o_custkey AS customer_key,
                o_orderkey AS order_key,
@@ -663,22 +630,7 @@ ORACLES: dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
-    "nation_top_customers": """
-        SELECT * FROM (
-          SELECT n.n_name AS nation_name,
-                 c.c_custkey AS customer_key,
-                 c.c_name AS customer_name,
-                 per.revenue,
-                 CAST(dense_rank() OVER (
-                        PARTITION BY n.n_name
-                        ORDER BY per.revenue DESC, c.c_custkey ASC)
-                      AS INT) AS revenue_rank
-          FROM (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS revenue
-                FROM orders GROUP BY o_custkey) per
-          JOIN customer c ON per.o_custkey = c.c_custkey
-          JOIN nation n ON c.c_nationkey = n.n_nationkey
-        ) WHERE revenue_rank <= 3
-    """,
+    "docs_capped_per_source": text_queries.ORACLE_DOCS_CAPPED_PER_SOURCE,
     "priority_revenue_share": """
         WITH per AS (
           SELECT CAST(year(o_orderdate) AS INT) AS order_year,
@@ -1088,6 +1040,74 @@ ROTATED_ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    # ---- late-r7 second rotation (green since r1; slots freed for the
+    # four new curation twins) ----
+    "sales_rollup": """
+        SELECT r.r_name AS region_name,
+               n.n_name AS nation_name,
+               c.c_mktsegment AS market_segment,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_revenue,
+               CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_qty,
+               COUNT(*) AS line_count,
+               CAST(GROUPING(r.r_name, n.n_name, c.c_mktsegment) AS INT)
+                 AS grouping_level
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name, c.c_mktsegment)
+    """,
+    "event_sessions": """
+        WITH o AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+        ),
+        s AS (
+          SELECT *, SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, value
+                   ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM o
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS event_count,
+               ROUND(SUM(value), 4) AS total_value
+        FROM s
+        GROUP BY user_id, sess_id
+    """,
+    "customer_order_distribution": """
+        SELECT order_count, COUNT(*) AS customer_count
+        FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY order_count
+    """,
+    "nation_top_customers": """
+        SELECT * FROM (
+          SELECT n.n_name AS nation_name,
+                 c.c_custkey AS customer_key,
+                 c.c_name AS customer_name,
+                 per.revenue,
+                 CAST(dense_rank() OVER (
+                        PARTITION BY n.n_name
+                        ORDER BY per.revenue DESC, c.c_custkey ASC)
+                      AS INT) AS revenue_rank
+          FROM (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS revenue
+                FROM orders GROUP BY o_custkey) per
+          JOIN customer c ON per.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ) WHERE revenue_rank <= 3
+    """,
 }
 
 
@@ -1151,12 +1171,6 @@ PYTEST_ORACLES: dict[str, str] = {
     "dim_supplier_geo": ORACLE_DIM_SUPPLIER_GEO,
     # PII redaction: twin generated from the operator's own pattern
     # table (one source of truth; engines share the literal regexes)
-    "pii_scrub": text_queries.ORACLE_PII_SCRUB,
-    # r7 curation additions: twins share the operator's own pattern
-    # tables / constants (one source of truth each)
-    "normalize_text": text_queries.ORACLE_NORMALIZE_TEXT,
-    "domain_census": text_queries.ORACLE_DOMAIN_CENSUS,
-    "docs_capped_per_source": text_queries.ORACLE_DOCS_CAPPED_PER_SOURCE,
     # (the nine swept twins promoted to first-time DRIVER oracles in r7
     # — chunk_documents, clean_boilerplate, ngram_repetition,
     # dedup_clusters, event_anomalies, corpus_drift, doc_perplexity,

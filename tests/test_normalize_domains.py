@@ -107,6 +107,7 @@ def test_cap_per_stratum_binds_and_is_layout_independent(spark):
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 def test_catalog_twin_hash_parity(spark, name, sf):
     from lakehouse_adventureworks2022_spark.plans.catalog import (
+        ORACLES,
         PYTEST_ORACLES,
         QUERIES,
     )
@@ -118,7 +119,7 @@ def test_catalog_twin_hash_parity(spark, name, sf):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
     spark_pdf = normalize_pandas(QUERIES[name](spark, sf).toPandas())
-    duck_pdf = normalize_pandas(con.sql(PYTEST_ORACLES[name]).df())
+    duck_pdf = normalize_pandas(con.sql({**PYTEST_ORACLES, **ORACLES}[name]).df())
     con.close()
     assert canonical_hash(spark_pdf) == canonical_hash(duck_pdf)
     assert len(spark_pdf) > 0

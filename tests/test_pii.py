@@ -92,7 +92,10 @@ def test_detect_counts_match_python_re(spark):
 
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 def test_catalog_twin_hash_parity(spark, sf):
-    from lakehouse_adventureworks2022_spark.plans.catalog import PYTEST_ORACLES
+    from lakehouse_adventureworks2022_spark.plans.catalog import (
+        ORACLES,
+        PYTEST_ORACLES,
+    )
     from lakehouse_adventureworks2022_spark.plans.text_queries import q_pii_scrub
     from tools.check_oracles import TABLES, canonical_hash, normalize_pandas
 
@@ -102,7 +105,7 @@ def test_catalog_twin_hash_parity(spark, sf):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
     spark_pdf = normalize_pandas(q_pii_scrub(spark, sf).toPandas())
-    duck_pdf = normalize_pandas(con.sql(PYTEST_ORACLES["pii_scrub"]).df())
+    duck_pdf = normalize_pandas(con.sql({**PYTEST_ORACLES, **ORACLES}["pii_scrub"]).df())
     con.close()
     assert canonical_hash(spark_pdf) == canonical_hash(duck_pdf)
     assert len(spark_pdf) > 0

@@ -55,6 +55,13 @@ ROTATED = (
     "silver_lineitem_enriched",
     "event_value_stats",
     "xml_roundtrip",
+    # late-r7 second rotation: slots freed for the four new curation
+    # twins (pii_scrub, normalize_text, domain_census,
+    # docs_capped_per_source)
+    "sales_rollup",
+    "event_sessions",
+    "customer_order_distribution",
+    "nation_top_customers",
 )
 
 
