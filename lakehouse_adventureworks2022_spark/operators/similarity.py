@@ -1383,39 +1383,46 @@ def sq8_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    query_cap: int = QUERY_BATCH_CAP,
 ) -> DataFrame:
     """Approximate top-k over the compressed codes:
     ``dot(q, dequant(c)) = dot(q, mins) + Σ (q_i·scale_i)·code_i`` —
-    ``dot(q, mins)`` is constant per query and ``q_i·scale_i`` is a
-    per-query literal-free broadcast column, so the corpus-side work is
-    one ``zip_with``/``aggregate`` over the int codes. Ranked by the
-    dequantized cosine against the stored exact ``vnorm``."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn(
-        "qs",
-        F.zip_with(
-            F.col("qv"), F.lit(scales).cast("array<double>"), lambda x, s: x * s
+    ``dot(q, mins)``/``|q|`` are per-query constants and
+    ``q_i·scale_i`` a per-query vector, all computed DRIVER-side from
+    the :func:`_collect_query_batch`-capped batch (the module's loud
+    OOM guard), so the corpus-side work is one ``zip_with``/
+    ``aggregate`` over the int codes against a broadcast frame that is
+    PROVABLY ≤ query_cap rows (the audit's BOUNDED_NL_OK argument for
+    this tier). Ranked by the dequantized cosine against the stored
+    exact ``vnorm``."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    qrows = _collect_query_batch(
+        queries.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         ),
-    ).withColumn(
-        "qmin",
-        F.aggregate(
-            F.zip_with(
-                F.col("qv"), F.lit(mins).cast("array<double>"), lambda x, mn: x * mn
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        ),
-    ).withColumn(
-        "qnorm",
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col("qv"), lambda x: x * x),
-                F.lit(0.0),
-                lambda s, x: s + x,
+        cap=query_cap,
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, rank int, approx_cosine double"
+        )
+    mn = np.asarray(mins, dtype=np.float64)
+    sc = np.asarray(scales, dtype=np.float64)
+    qdata = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        qdata.append(
+            (
+                int(r["vec_id"]),
+                [float(x) for x in qv * sc],
+                float(qv @ mn),
+                float(np.sqrt(qv @ qv)),
             )
-        ),
+        )
+    q = spark.createDataFrame(
+        qdata, "query_id long, qs array<double>, qmin double, qnorm double"
     )
     dot = F.col("qmin") + F.aggregate(
         F.zip_with(F.col("qs"), F.col("codes"), lambda x, c: x * c),
@@ -1423,7 +1430,7 @@ def sq8_topk(
         lambda s, x: s + x,
     )
     scored = (
-        encoded.join(F.broadcast(q.drop("qv")), how="cross")
+        encoded.join(F.broadcast(q), how="cross")
         # every ANN tier's contract: a query never matches itself
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
