@@ -119,6 +119,9 @@ HEADLINE = [
     "docs_capped_per_source",
     "audience_overlap",
     "ann_cosine_topk_sq8",
+    # deployed-SQ8 twin: index built on the first rep, median reports
+    # the amortized (compressed scan + re-rank) cost
+    "ann_cosine_topk_sq8_amortized",
 ]
 
 

@@ -1489,3 +1489,67 @@ def cosine_topk_sq8(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cosine")
     )
+
+
+def sq8_index_save(
+    mins: list, scales: list, encoded: DataFrame, index_dir: str
+) -> None:
+    """Persist an SQ8 index: the (2·d)-float quantizer params + the
+    encoded codes table. Reload with :func:`sq8_index_load`; encode
+    cost amortizes over every query batch and the codes column scans
+    ~4-8× less than the raw vectors it stands in for."""
+    spark = encoded.sparkSession
+    encoded.write.mode("overwrite").parquet(f"{index_dir}/codes")
+    spark.createDataFrame(
+        [(mins, scales)], "mins array<double>, scales array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/params")
+
+
+def sq8_index_load(spark, index_dir: str) -> tuple:
+    """``(mins, scales, encoded)`` from a persisted SQ8 index."""
+    p = spark.read.parquet(f"{index_dir}/params").first()
+    encoded = spark.read.parquet(f"{index_dir}/codes")
+    return list(p["mins"]), list(p["scales"]), encoded
+
+
+def cosine_topk_sq8_amortized(
+    queries: DataFrame,
+    candidates: DataFrame,
+    index_dir: str,
+    k: int = 10,
+    rerank: int = 8,
+) -> DataFrame:
+    """SQ8 top-k against a persisted (built-on-first-use) codes index —
+    the amortized form of :func:`cosine_topk_sq8`, the same deployed
+    contract as the IVF/PQ tiers: steady state pays the compressed
+    scan + shortlist re-rank only; training and encoding are paid once
+    per corpus version (both are deterministic, so concurrent rebuilds
+    agree). Results are identical to the one-shot form (tested)."""
+    import os
+
+    spark = queries.sparkSession
+    if not os.path.exists(f"{index_dir}/codes/_SUCCESS"):
+        mins, scales = sq8_train(candidates)
+        sq8_index_save(mins, scales, sq8_encode(candidates, mins, scales), index_dir)
+    mins, scales, encoded = sq8_index_load(spark, index_dir)
+    shortlist = sq8_topk(queries, encoded, mins, scales, k=rerank * k)
+    e = candidates.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    qdf = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        shortlist.select("query_id", "cand_id")
+        .join(e, "cand_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id", "cand_id", _cosine(F.col("qv"), F.col("cv")).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )

@@ -368,6 +368,8 @@ QUERIES: dict[str, QueryFn] = {
     # SQ8 scalar-quantized ANN (r7 third compression tier; approximate
     # by design — recall/layout/code-range tests in pytest)
     "ann_cosine_topk_sq8": text_queries.q_ann_cosine_sq8,
+    # deployed-SQ8 steady state (persisted params+codes index)
+    "ann_cosine_topk_sq8_amortized": text_queries.q_ann_cosine_sq8_amortized,
 }
 
 
@@ -434,6 +436,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "kll_value_quantiles",  # KLL sketch: rank-bounded approx by design
         "audience_overlap",  # KMV/theta set estimates: approx by design
         "ann_cosine_topk_sq8",  # SQ8 shortlist: approx by design
+        "ann_cosine_topk_sq8_amortized",  # ≡ one-shot SQ8 via saved index
         "unigram_tokenize",  # exact; EM loop has no SQL twin
         # late-r7 second rotation out of the window (green since r1;
         # same hash-diff rigor in tests/test_rotated_oracles.py)

@@ -1718,3 +1718,15 @@ def q_ann_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_training_ops.py."""
     q, c = similarity.embedding_queries(spark, sf_dir)
     return similarity.cosine_topk_sq8(q, c, k=10)
+
+
+def q_ann_cosine_sq8_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployed-SQ8 shape: params+codes index built+persisted on first
+    use per corpus version; later calls pay the compressed scan +
+    re-rank only. Identical results to the one-shot form (tested)."""
+    import os
+
+    q, c = similarity.embedding_queries(spark, sf_dir)
+    idx = ivf_index_dir_for(sf_dir).replace("ivf_index_", "sq8_index_")
+    os.makedirs(idx, exist_ok=True)
+    return similarity.cosine_topk_sq8_amortized(q, c, idx, k=10)

@@ -753,3 +753,31 @@ def test_sq8_recall_and_determinism(spark):
         F.exists("codes", lambda x: (x < 0) | (x > 255))
     ).count()
     assert bad == 0
+
+
+def test_sq8_amortized_matches_one_shot_and_reuses_index(spark, tmp_path):
+    """The deployed SQ8 form: identical results to the one-shot tier,
+    and the second call must REUSE the persisted index (no re-encode —
+    verified by poisoning nothing and checking mtimes stay put)."""
+    import os
+
+    from lakehouse_adventureworks2022_spark.operators import similarity
+
+    q, c = similarity.embedding_queries(spark, "/root/testdata/sf0.001")
+    idx = str(tmp_path / "sq8_idx")
+    one_shot = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in similarity.cosine_topk_sq8(q, c, k=10).collect()
+    }
+    first = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in similarity.cosine_topk_sq8_amortized(q, c, idx, k=10).collect()
+    }
+    assert first == one_shot
+    stamp = os.path.getmtime(f"{idx}/codes/_SUCCESS")
+    again = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in similarity.cosine_topk_sq8_amortized(q, c, idx, k=10).collect()
+    }
+    assert again == one_shot
+    assert os.path.getmtime(f"{idx}/codes/_SUCCESS") == stamp  # not rebuilt
