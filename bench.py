@@ -122,6 +122,7 @@ HEADLINE = [
     # deployed-SQ8 twin: index built on the first rep, median reports
     # the amortized (compressed scan + re-rank) cost
     "ann_cosine_topk_sq8_amortized",
+    "dq_expectations_orders",
 ]
 
 

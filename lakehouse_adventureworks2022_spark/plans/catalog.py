@@ -360,6 +360,9 @@ QUERIES: dict[str, QueryFn] = {
     # mergeable KLL quantile sketches (rank-bounded approximate by
     # design; error/merge/roundtrip bounds in tests/test_sketches.py)
     "kll_value_quantiles": text_queries.q_kll_quantiles,
+    # declarative expectation suite over orders (r7; exact — swept
+    # DuckDB twin; gate form raises naming the failures)
+    "dq_expectations_orders": relational.dq_expectations_orders,
     # KMV/theta distinct-set sketches: pairwise audience overlap
     # (union/intersection/jaccard estimates HLL state cannot answer;
     # approximate by design — exact-differential bounds in
@@ -434,6 +437,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "daily_event_pivot",
         "tpch_q6_forecast_revenue",
         "kll_value_quantiles",  # KLL sketch: rank-bounded approx by design
+        "dq_expectations_orders",  # exact; swept SQL twin (window full)
         "audience_overlap",  # KMV/theta set estimates: approx by design
         "ann_cosine_topk_sq8",  # SQ8 shortlist: approx by design
         "ann_cosine_topk_sq8_amortized",  # ≡ one-shot SQ8 via saved index
@@ -1172,6 +1176,8 @@ PYTEST_ORACLES: dict[str, str] = {
     "docs_stratified_sample": text_queries.ORACLE_DOCS_STRATIFIED_SAMPLE,
     "docs_sample_exact_n": text_queries.ORACLE_DOCS_SAMPLE_EXACT_N,
     "dim_supplier_geo": ORACLE_DIM_SUPPLIER_GEO,
+    # declarative DQ expectation suite (r7)
+    "dq_expectations_orders": relational.ORACLE_DQ_EXPECTATIONS_ORDERS,
     # PII redaction: twin generated from the operator's own pattern
     # table (one source of truth; engines share the literal regexes)
     # (the nine swept twins promoted to first-time DRIVER oracles in r7

@@ -343,3 +343,86 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("est_intersection", 2).alias("est_intersection"),
         F.round("est_jaccard", 6).alias("est_jaccard"),
     )
+
+
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over orders (r7,
+    ``operators/expectations.py`` — the Deequ/dbt-tests analog): six
+    constraint kinds in TWO jobs (all row-level checks share one
+    conditional-count aggregation; the uniqueness check is one
+    groupBy). Exact — counts only — so the DuckDB twin matches by
+    hash."""
+    from lakehouse_adventureworks2022_spark.operators.expectations import (
+        expect_accepted_values,
+        expect_in_range,
+        expect_matches,
+        expect_not_null,
+        expect_row_count_between,
+        expect_unique,
+        run_expectations,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    return run_expectations(
+        orders,
+        [
+            expect_not_null("o_orderkey"),
+            expect_not_null("o_custkey"),
+            expect_accepted_values("o_orderstatus", ["O", "F", "P"]),
+            expect_in_range("o_totalprice", 0.0, 1e9),
+            expect_matches("o_orderpriority", "^[1-5]-"),
+            expect_unique(["o_orderkey"]),
+            expect_row_count_between(1, 10_000_000_000),
+        ],
+    )
+
+
+ORACLE_DQ_EXPECTATIONS_ORDERS = """
+    WITH t AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn_ok,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_nn_ck,
+             SUM(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O','F','P')
+                      THEN 1 ELSE 0 END) AS v_av,
+             SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 0.0 OR o_totalprice > 1e9)
+                      THEN 1 ELSE 0 END) AS v_ir,
+             SUM(CASE WHEN o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                      THEN 1 ELSE 0 END) AS v_rx
+      FROM orders
+    ),
+    u AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+               AS violations,
+             CAST(COALESCE(SUM(c), 0) AS BIGINT) AS total
+      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+    )
+    SELECT * FROM (
+      SELECT 'not_null' AS expectation, 'o_orderkey' AS "column",
+             CAST(v_nn_ok AS BIGINT) AS violations,
+             CAST(total AS BIGINT) AS total, v_nn_ok = 0 AS passed FROM t
+      UNION ALL
+      SELECT 'not_null', 'o_custkey', CAST(v_nn_ck AS BIGINT),
+             CAST(total AS BIGINT), v_nn_ck = 0 FROM t
+      UNION ALL
+      SELECT 'accepted_values', 'o_orderstatus', CAST(v_av AS BIGINT),
+             CAST(total AS BIGINT), v_av = 0 FROM t
+      UNION ALL
+      SELECT 'in_range', 'o_totalprice', CAST(v_ir AS BIGINT),
+             CAST(total AS BIGINT), v_ir = 0 FROM t
+      UNION ALL
+      SELECT 'matches', 'o_orderpriority', CAST(v_rx AS BIGINT),
+             CAST(total AS BIGINT), v_rx = 0 FROM t
+      UNION ALL
+      SELECT 'row_count_between', '*',
+             CAST(CASE WHEN total BETWEEN 1 AND 10000000000 THEN 0 ELSE 1 END AS BIGINT),
+             CAST(total AS BIGINT),
+             total BETWEEN 1 AND 10000000000 FROM t
+      UNION ALL
+      SELECT 'unique', 'o_orderkey', violations, total,
+             violations = 0 FROM u
+    )
+    ORDER BY expectation, "column"
+"""
