@@ -349,12 +349,17 @@ def _build_png_decoder():
         verdict #7: PNG is the one compressed codec implementable
         without PIL).
 
-        Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3
-        (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced. Gray
-        replicates across channels; alpha is dropped (features/dHash
-        read color structure). Interlaced (Adam7) and 16-bit files
-        raise ``NotImplementedError`` naming the variant — same honesty
-        contract as the JPEG/MP4 stubs."""
+        Supported: 8- and 16-bit depth (16-bit keeps the high byte —
+        the exact 255/65535 scaling the features read), color types 0
+        (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), both
+        non-interlaced and Adam7-interlaced (r7: each of the seven
+        passes is its own independently-filtered sub-image — unfilter
+        resets the previous-row state per pass — scattered into the
+        full frame by strided assignment). Gray replicates across
+        channels; alpha is dropped (features/dHash read color
+        structure). Sub-8-bit depths raise ``NotImplementedError``
+        naming the variant — same honesty contract as the JPEG/MP4
+        stubs."""
         import struct
         import zlib
 
@@ -383,22 +388,58 @@ def _build_png_decoder():
                 break
         if w is None:
             raise ValueError("PNG missing IHDR")
-        if depth != 8:
+        if depth not in (8, 16):
             raise NotImplementedError(
-                f"only 8-bit PNG supported, depth={depth}"
+                f"only 8/16-bit PNG supported, depth={depth}"
             )
-        if interlace:
-            raise NotImplementedError("interlaced (Adam7) PNG not supported")
+        if depth == 16 and color == 3:
+            raise ValueError("palette PNG cannot be 16-bit")
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
         if channels is None:
             raise ValueError(f"bad PNG color type {color}")
-        stride = w * channels
+        bpp = channels * (depth // 8)  # filter distance, bytes per pixel
         raw = zlib.decompress(bytes(idat))
-        if len(raw) != h * (stride + 1):
-            raise ValueError("PNG pixel data length mismatch")
-        px = np.frombuffer(
-            _unfilter(raw, h, stride, channels), dtype=np.uint8
-        ).reshape(h, w, channels)
+
+        def to_px(buf: bytes, ph: int, pw: int):
+            # unfiltered bytes of one (sub-)image → uint8 (ph, pw, ch);
+            # 16-bit keeps the big-endian high byte (value // 257 ± 1).
+            a = np.frombuffer(buf, dtype=np.uint8)
+            if depth == 16:
+                a = a.reshape(ph, pw, channels, 2)[..., 0]
+            return a.reshape(ph, pw, channels)
+
+        if interlace == 0:
+            stride = w * bpp
+            if len(raw) != h * (stride + 1):
+                raise ValueError("PNG pixel data length mismatch")
+            px = to_px(_unfilter(raw, h, stride, bpp), h, w)
+        elif interlace == 1:
+            # Adam7: seven passes at (x0, y0) with steps (dx, dy); a
+            # pass whose sub-image is empty contributes zero bytes.
+            px = np.zeros((h, w, channels), dtype=np.uint8)
+            pos = 0
+            for x0, y0, dx, dy in (
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            ):
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                pstride = pw * bpp
+                plen = ph * (pstride + 1)
+                if pos + plen > len(raw):
+                    raise ValueError("PNG interlaced data truncated")
+                px[y0::dy, x0::dx] = to_px(
+                    _unfilter(raw[pos : pos + plen], ph, pstride, bpp),
+                    ph,
+                    pw,
+                )
+                pos += plen
+            if pos != len(raw):
+                raise ValueError("PNG pixel data length mismatch")
+        else:
+            raise ValueError(f"bad PNG interlace method {interlace}")
         if color == 2:
             return px
         if color == 3:

@@ -365,22 +365,16 @@ def test_clean_assets_composite(spark):
 
 # ---- PNG decode (stdlib zlib; r6) -------------------------------------
 
-def _filtered_png(arr, filters):
-    """Build an RGB PNG applying the given per-row filter types (0-4) —
-    an independent encoder so decode_png's unfilter path is tested
-    against the spec, not against encode_png's filter-0-only output."""
-    import struct
-    import zlib
-
+def _filter_rows(rows, filters, bpp):
+    """Apply the given per-row PNG filter types (0-4) to a (h, stride)
+    byte matrix, returning the filtered stream (filter byte + row each).
+    Previous-row state starts at zeros — per image OR per Adam7 pass."""
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
-    h, w, _ = a.shape
-    bpp = 3
     raw = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.int16)
-    for r in range(h):
-        row = a[r].reshape(-1).astype(np.int16)
+    prev = np.zeros(rows.shape[1], dtype=np.int16)
+    for r in range(rows.shape[0]):
+        row = rows[r].astype(np.int16)
         ft = filters[r % len(filters)]
         if ft == 0:
             enc = row.copy()
@@ -403,17 +397,67 @@ def _filtered_png(arr, filters):
             enc = (row - pred) % 256
         raw += bytes([ft]) + enc.astype(np.uint8).tobytes()
         prev = row
+    return bytes(raw)
 
-    def chunk(tag, payload):
-        crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
-        return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
 
+def _png_chunk(tag, payload):
+    import struct
+    import zlib
+
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def _filtered_png(arr, filters):
+    """Build an RGB PNG applying the given per-row filter types (0-4) —
+    an independent encoder so decode_png's unfilter path is tested
+    against the spec, not against encode_png's filter-0-only output."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    raw = _filter_rows(a.reshape(h, w * 3), filters, bpp=3)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (
         multimodal.PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7_png(arr, filters):
+    """Independent Adam7-interlaced RGB encoder: each pass's sub-image
+    is filtered on its own (prev-row resets per pass, per the spec)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in ADAM7:
+        sub = a[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        raw += _filter_rows(sub.reshape(ph, pw * 3), filters, bpp=3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (
+        multimodal.PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -471,9 +515,85 @@ def test_png_color_type_variants_and_named_stub():
         multimodal.decode_png(build(6, rgba)), np.dstack([gray] * 3)
     )
 
-    # interlaced raises the NAMED stub error, honesty contract intact
-    with _pytest.raises(NotImplementedError, match="Adam7"):
-        multimodal.decode_png(build(0, gray, interlace=1))
+    # sub-8-bit depth raises the NAMED stub error, honesty contract intact
+    four_bit = multimodal.PNG_MAGIC + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 6, 4, 4, 0, 0, 0, 0)
+    ) + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 16)) + _png_chunk(
+        b"IEND", b""
+    )
+    with _pytest.raises(NotImplementedError, match="depth=4"):
+        multimodal.decode_png(four_bit)
+
+    # unknown interlace method is a hard error, not silent garbage
+    bad = multimodal.PNG_MAGIC + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 6, 4, 8, 0, 0, 0, 2)
+    ) + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 28)) + _png_chunk(
+        b"IEND", b""
+    )
+    with _pytest.raises(ValueError, match="interlace"):
+        multimodal.decode_png(bad)
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 decode (r7, closing the r6 named stub): every pass is
+    unfiltered independently and scattered by stride. Sizes chosen to
+    exercise empty passes (1x1 has six empty passes) and ragged pass
+    widths; the Up filter on each pass's first row proves the prev-row
+    state resets per pass, not per image."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (2, 3), (5, 7), (8, 8), (17, 13), (9, 16)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for filters in ([0], [2], [0, 1, 2, 3, 4]):
+            got = multimodal.decode_png(_adam7_png(arr, filters))
+            assert np.array_equal(got, arr), (h, w, filters)
+    # interlaced and sequential encodings of the same pixels agree
+    arr = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.decode_png(_adam7_png(arr, [4])),
+        multimodal.decode_png(_filtered_png(arr, [4])),
+    )
+
+
+def test_png_16bit_decode_keeps_high_byte():
+    """16-bit PNG (r7): the decoder keeps each sample's big-endian high
+    byte — the 255/65535 scaling the 8-bit feature path expects. The
+    filter distance is bpp=2*channels per the spec (checked by the Sub
+    filter over a two-pixel-wide image)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    hi = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    lo = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    samples16 = (hi.astype(np.uint16) << 8) | lo
+    payload = samples16.astype(">u2").tobytes()
+    stride = 6 * 3 * 2
+    raw = b"".join(
+        b"\x00" + payload[r * stride : (r + 1) * stride] for r in range(4)
+    )
+    png = multimodal.PNG_MAGIC + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 6, 4, 16, 2, 0, 0, 0)
+    ) + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    assert np.array_equal(multimodal.decode_png(png), hi)
+
+    # Sub filter at 16-bit: distance is 6 bytes (3 ch × 2 bytes)
+    a16 = np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint16) << 8
+    row = a16.astype(">u2").tobytes()
+    enc = bytearray(row)
+    for i in range(6, len(enc)):
+        enc[i] = (enc[i] - row[i - 6]) & 0xFF
+    png = multimodal.PNG_MAGIC + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
+    ) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x01" + bytes(enc))
+    ) + _png_chunk(b"IEND", b"")
+    assert np.array_equal(
+        multimodal.decode_png(png), (a16 >> 8).astype(np.uint8)
+    )
 
 
 def test_png_assets_flow_through_real_feature_and_hash_paths(spark):
