@@ -123,6 +123,9 @@ HEADLINE = [
     # the amortized (compressed scan + re-rank) cost
     "ann_cosine_topk_sq8_amortized",
     "dq_expectations_orders",
+    # real MP4 frame extraction: in-plan MJPEG mux -> ISO-BMFF
+    # sample-table parse -> per-frame dHash via the real JPEG decoder
+    "video_frame_harvest",
 ]
 
 

@@ -10,11 +10,15 @@ nearest-neighbor resize / channel+grid features** and **WAV (PCM16)
 audio decode / envelope features** (``wave`` is stdlib). ``fake=False``
 dispatches on the content's magic bytes and runs those for real. Since
 r6 **PNG decodes for real too**: stdlib ``zlib`` inflate + per-scanline
-unfilter (8-bit gray/RGB/palette/alpha variants, non-interlaced), and
-**baseline JPEG** (SOF0 Huffman, grayscale/4:4:4/4:2:0, restart
-markers — ``operators/jpeg.py``, numpy + stdlib per ITU-T T.81). What
-remains STUBBED: MP4/video (needs ffmpeg) and the exotic JPEG modes
-(progressive SOF2, arithmetic coding, 12-bit), which raise a
+unfilter (gray/RGB/palette/alpha variants; r7 adds Adam7 interlace and
+16-bit depth), and **baseline JPEG** (SOF0 Huffman, grayscale/4:4:4/
+4:2:0, restart markers — ``operators/jpeg.py``, numpy + stdlib per
+ITU-T T.81). Since r7 **MP4 frame extraction is real too**: pure-stdlib
+ISO-BMFF sample-table parsing (``operators/mp4.py``) pulls each frame's
+encoded bytes + timestamp, and MJPEG tracks decode end-to-end through
+the real JPEG path. What remains STUBBED: non-MJPEG video codecs
+(H.264/H.265 — bytes and timing extract, pixels don't) and the exotic
+JPEG modes (progressive SOF2, arithmetic coding, 12-bit), which raise a
 clearly-marked ``NotImplementedError`` identifying the format.
 ``fake=True`` keeps the md5-derived deterministic stand-in features
 for fixtures without real assets.
@@ -597,15 +601,19 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + feature-extract each asset in Arrow batches.
 
     ``fake=False`` dispatches on magic bytes: PPM (``P6``), PNG,
-    baseline JPEG and WAV (``RIFF..WAVE``) decode for REAL
-    (numpy/stdlib codecs — see module doc); the remaining formats
-    (MP4, progressive JPEG) raise ``NotImplementedError`` naming the
-    format. ``fake=True`` is the md5-derived stand-in encoder for
-    text-backed fixtures. Plumbing (batching, schema, memory shape) is
-    identical either way.
+    baseline JPEG, WAV (``RIFF..WAVE``) and MJPEG MP4 (ISO-BMFF
+    ``ftyp``; features of the REPRESENTATIVE middle frame, decoded
+    through the real JPEG path — one 16-float summary per video, same
+    contract as images) decode for REAL (numpy/stdlib codecs — see
+    module doc); the remaining formats (H.264 video, progressive JPEG)
+    raise ``NotImplementedError`` naming the format. ``fake=True`` is
+    the md5-derived stand-in encoder for text-backed fixtures. Plumbing
+    (batching, schema, memory shape) is identical either way.
     """
+    from .mp4 import build_frame_extractor
 
     feature_dim = FEATURE_DIM
+    extract_mjpeg = build_frame_extractor()  # by-value closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained closure: no references to module-level helpers.
@@ -697,10 +705,15 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
                 return image_features(decode_jpeg(content))
             if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
                 return wav_feats(content)
+            if content[4:8] == b"ftyp":  # ISO-BMFF: MJPEG decodes for real
+                frames = extract_mjpeg(content)
+                return image_features(
+                    decode_jpeg(frames[len(frames) // 2][1])
+                )
             raise NotImplementedError(
                 f"no codec for content starting {content[:4]!r}: only PPM, "
-                "PNG, baseline JPEG and PCM16 WAV decode in-container "
-                "(MP4 needs ffmpeg); use fake=True for the stand-in encoder"
+                "PNG, baseline JPEG, PCM16 WAV and MJPEG MP4 decode "
+                "in-container; use fake=True for the stand-in encoder"
             )
 
         feats = fake_feats if fake else real_feats
@@ -767,12 +780,17 @@ _HASH_SCHEMA = "asset_id long, dhash long"
 def image_hashes(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Perceptual 64-bit dHash per asset: ``(asset_id, dhash)``.
 
-    ``fake=False`` decodes PPM for real (compressed codecs raise the
-    named ``NotImplementedError``, as everywhere in this module);
+    ``fake=False`` decodes PPM/PNG/JPEG for real, and an MJPEG MP4
+    hashes its representative middle frame — video near-dup rides the
+    image machinery (unsupported codecs raise the named
+    ``NotImplementedError``, as everywhere in this module);
     ``fake=True`` derives a deterministic md5-based stand-in hash for
     text-backed fixture assets (identical bytes ⇒ identical hash, so
     exact-dup detection stays meaningful). Zero shuffle — one Arrow
     projection."""
+    from .mp4 import build_frame_extractor
+
+    extract_mjpeg = build_frame_extractor()  # by-value closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained closure (worker portability — see extract_features)
@@ -833,9 +851,12 @@ def image_hashes(assets: DataFrame, fake: bool = True) -> DataFrame:
                 return dhash64(decode_png(content))
             if content[:3] == JPEG_MAGIC:
                 return dhash64(decode_jpeg(content))
+            if content[4:8] == b"ftyp":  # MJPEG MP4: hash the middle frame
+                frames = extract_mjpeg(content)
+                return dhash64(decode_jpeg(frames[len(frames) // 2][1]))
             raise NotImplementedError(
                 f"no image codec for content starting {content[:4]!r}: only "
-                "PPM, PNG and baseline JPEG decode in-container; "
+                "PPM, PNG, baseline JPEG and MJPEG MP4 decode in-container; "
                 "use fake=True for the stand-in hash"
             )
 
@@ -1043,10 +1064,15 @@ def clean_assets(
         .drop("__md5__", "__rn__")
         .persist()
     )
-    is_image = F.col("mime").startswith("image/")
+    # video rides the image leg: image_hashes dHashes an MJPEG MP4's
+    # representative middle frame (r7), so near-dup videos collapse
+    # alongside near-dup images through the same pigeonhole machinery
+    is_visual = F.col("mime").startswith("image/") | F.col(
+        "mime"
+    ).startswith("video/")
     is_audio = F.col("mime").startswith("audio/")
     pairs = image_near_dup_pairs(
-        uniques.filter(is_image), max_hamming, fake=fake
+        uniques.filter(is_visual), max_hamming, fake=fake
     ).unionByName(
         audio_near_dup_pairs(uniques.filter(is_audio), max_hamming, fake=fake)
     )
@@ -1129,20 +1155,75 @@ def resize_images(assets: DataFrame, max_px: int = 512, fake: bool = True) -> Da
     return assets.mapInPandas(run, schema=ASSET_SCHEMA)
 
 
+#: One row per sampled video frame; content is the frame's own encoded
+#: image (MJPEG ⇒ a standalone baseline JPEG the real decode path reads).
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_offset_ms", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
 def sample_frames(assets: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
-    """Frame-sampling stage for video assets: one output row per sampled
-    frame offset (explode over the duration spine). Decode is stubbed;
-    the row-explosion shape — the part that matters for partition sizing
-    at scale — is real."""
-    if not fake:
-        raise NotImplementedError("real frame extraction requires ffmpeg")
-    offsets = F.sequence(
-        F.lit(0),
-        F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
-        F.lit(every_ms),
-    )
-    return assets.filter(F.col("duration_ms").isNotNull()).select(
-        "asset_id",
-        "mime",
-        F.explode(offsets).alias("frame_offset_ms"),
-    )
+    """Frame-sampling stage for video assets.
+
+    Fake mode: one output row per sampled frame offset (explode over
+    the duration spine) — the row-explosion shape that matters for
+    partition sizing, no decode.
+
+    Real mode (r7, closing the r6 named stub): MP4 container parsing in
+    pure stdlib (``operators/mp4.py``, ISO/IEC 14496-12 sample tables)
+    extracts the latest frame at or before each ``every_ms`` offset as
+    its own encoded image. MJPEG tracks yield standalone baseline JPEGs
+    — rename ``frame_offset_ms`` into a frame id and the rows flow
+    through the existing real ``extract_features``/``image_hashes``
+    paths (video near-dup = frame extraction + the image machinery).
+    Non-MJPEG codecs (H.264 …) raise a named ``NotImplementedError``
+    from the extractor: frame bytes and timing parse fine, pixel decode
+    needs the codec. Arrow-batched ``mapInPandas``; per-asset cost,
+    no shuffle."""
+    if fake:
+        offsets = F.sequence(
+            F.lit(0),
+            F.greatest(
+                F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)
+            ),
+            F.lit(every_ms),
+        )
+        return assets.filter(F.col("duration_ms").isNotNull()).select(
+            "asset_id",
+            "mime",
+            F.explode(offsets).alias("frame_offset_ms"),
+        )
+
+    from .mp4 import build_frame_extractor
+
+    extract = build_frame_extractor()  # by-value closure
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if not str(r["mime"]).startswith("video/"):
+                    continue
+                for ms, payload in extract(bytes(r["content"]), every_ms):
+                    rows.append(
+                        (
+                            r["asset_id"],
+                            ms,
+                            payload,
+                            "image/jpeg",
+                            r["width"],
+                            r["height"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(run, schema=FRAME_SCHEMA)

