@@ -1,15 +1,20 @@
-"""Baseline JPEG codec in numpy + stdlib — no PIL/libjpeg.
+"""JPEG codec in numpy + stdlib — no PIL/libjpeg.
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, Huffman entropy coding,
-grayscale / 4:4:4 / 4:2:0 (and any h,v ≤ 2 sampling), restart markers,
-byte stuffing. Encoder: 4:4:4 baseline with the Annex K example quant
-tables (IJG quality scaling) and the Annex K typical Huffman tables —
-enough to produce spec-conformant files for the decoder AND any other
-baseline decoder.
+Decoder: sequential baseline (SOF0/1) AND progressive (SOF2, r7 —
+spectral selection, successive approximation, EOB runs, correction
+bits per T.81 G.2), 8-bit, Huffman entropy coding, grayscale / 4:4:4 /
+4:2:0 (and any h,v ≤ 2 sampling), 8- and 16-bit quantization tables,
+restart markers, byte stuffing. Scans accumulate into per-component
+coefficient arrays; one vectorized dequant + batched-IDCT pass
+reconstructs at EOI. Encoders: 4:4:4/4:2:0 baseline with the Annex K
+example quant tables (IJG quality scaling) and Annex K typical Huffman
+tables, plus a progressive encoder twin (libjpeg-like scan script)
+whose quantized coefficients are bit-identical to the baseline's — the
+tests pin decode(progressive) == decode(baseline) exactly.
 
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise a
-named ``NotImplementedError`` — the same honesty contract as the other
-codecs in ``operators/multimodal.py``.
+Arithmetic coding, lossless/differential modes, and 12-bit precision
+raise a named ``NotImplementedError`` — the same honesty contract as
+the other codecs in ``operators/multimodal.py``.
 
 Worker portability: the public ``decode_jpeg``/``encode_jpeg`` are
 closures built by factories (non-importable qualnames ⇒ cloudpickle
@@ -113,12 +118,12 @@ def build_jpeg_decoder():
         idct_m = basis * alpha[None, :]  # x = M @ X @ M.T
 
         qt: dict = {}
-        huff: dict = {}  # (class, id) -> dict code-> (length ok) lookup
+        huff: dict = {}  # (class, id) -> (length, code) -> value
         frame = None
+        progressive = False
         restart_interval = 0
 
         def build_huff(bits, vals):
-            # map (length, code) -> value
             table = {}
             code = 0
             i = 0
@@ -130,77 +135,9 @@ def build_jpeg_decoder():
                 code <<= 1
             return table
 
-        pos = 2
-        scan = None
-        while pos < len(data):
-            if data[pos] != 0xFF:
-                raise ValueError(f"marker expected at {pos}")
-            marker = data[pos + 1]
-            pos += 2
-            if marker == 0xD8:
-                continue
-            if marker == 0xD9:
-                break
-            (seglen,) = struct.unpack(">H", data[pos : pos + 2])
-            seg = data[pos + 2 : pos + seglen]
-            if marker == 0xDB:  # DQT
-                p = 0
-                while p < len(seg):
-                    pq, tq = seg[p] >> 4, seg[p] & 0xF
-                    p += 1
-                    if pq:
-                        raise NotImplementedError("16-bit quant tables")
-                    qt[tq] = np.array(list(seg[p : p + 64]), dtype=np.int32)
-                    p += 64
-            elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
-                prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-                if prec != 8:
-                    raise NotImplementedError(f"{prec}-bit JPEG")
-                comps = []
-                for c in range(nc):
-                    cid, hv, tq = seg[6 + c * 3 : 9 + c * 3]
-                    comps.append(
-                        {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
-                    )
-                frame = {"h": h, "w": w, "comps": comps}
-            elif marker == 0xC2:
-                raise NotImplementedError("progressive JPEG (SOF2)")
-            elif marker in (0xC9, 0xCA, 0xCB):
-                raise NotImplementedError("arithmetic-coded JPEG")
-            elif marker == 0xC4:  # DHT
-                p = 0
-                while p < len(seg):
-                    tc, th = seg[p] >> 4, seg[p] & 0xF
-                    bits = list(seg[p + 1 : p + 17])
-                    nvals = sum(bits)
-                    vals = list(seg[p + 17 : p + 17 + nvals])
-                    huff[(tc, th)] = build_huff(bits, vals)
-                    p += 17 + nvals
-            elif marker == 0xDD:  # DRI
-                (restart_interval,) = struct.unpack(">H", seg[:2])
-            elif marker == 0xDA:  # SOS
-                ns = seg[0]
-                scan_comps = []
-                for c in range(ns):
-                    cs, tables = seg[1 + c * 2 : 3 + c * 2]
-                    scan_comps.append((cs, tables >> 4, tables & 0xF))
-                scan = (scan_comps, pos + seglen)
-                break
-            # APPn/COM/etc.: skip
-            pos += seglen
-        if frame is None or scan is None:
-            raise ValueError("JPEG missing SOF/SOS")
-
-        scan_comps, pos = scan
-        h, w, comps = frame["h"], frame["w"], frame["comps"]
-        hmax = max(c["h"] for c in comps)
-        vmax = max(c["v"] for c in comps)
-        mcux = -(-w // (8 * hmax))
-        mcuy = -(-h // (8 * vmax))
-
-        # entropy-coded bitstream with stuffing/restarts stripped lazily
+        # --- entropy bit reader (stuffing stripped lazily) -------------
         bitpos = 0
-        bytepos = pos
+        bytepos = 0
 
         def read_bit():
             nonlocal bitpos, bytepos
@@ -227,12 +164,16 @@ def build_jpeg_decoder():
                     return table[(ln, code)]
             raise ValueError("bad Huffman code")
 
-        def receive_extend(s):
-            if s == 0:
-                return 0
+        def receive(s):
             v = 0
             for _ in range(s):
                 v = (v << 1) | read_bit()
+            return v
+
+        def receive_extend(s):
+            if s == 0:
+                return 0
+            v = receive(s)
             if v < (1 << (s - 1)):
                 v -= (1 << s) - 1
             return v
@@ -251,64 +192,316 @@ def build_jpeg_decoder():
                 bytepos += 1
             raise ValueError("restart marker expected, hit end of data")
 
-        planes = {
-            c["id"]: np.zeros(
-                (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
-            )
-            for c in comps
-        }
-        pred = {c["id"]: 0 for c in comps}
-        by_id = {c["id"]: c for c in comps}
-        n_mcu = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                    sync_restart()
-                    for cid in pred:
-                        pred[cid] = 0
-                n_mcu += 1
-                for cs, tdc, tac in scan_comps:
-                    comp = by_id[cs]
-                    for by in range(comp["v"]):
-                        for bx in range(comp["h"]):
-                            zz = np.zeros(64, dtype=np.float64)
-                            s = decode_sym(huff[(0, tdc)])
-                            diff = receive_extend(s)
-                            pred[cs] += diff
-                            zz[0] = pred[cs]
-                            kpos = 1
-                            while kpos < 64:
-                                rs = decode_sym(huff[(1, tac)])
-                                r, sz = rs >> 4, rs & 0xF
-                                if sz == 0:
-                                    if r == 15:
-                                        kpos += 16
-                                        continue
-                                    break  # EOB
-                                kpos += r
-                                zz[kpos] = receive_extend(sz)
-                                kpos += 1
-                            # dequantize in zigzag order (DQT is stored
-                            # zigzag per spec), then unzigzag
-                            deq = zz * qt[comp["tq"]].astype(np.float64)
-                            blk = np.zeros(64, dtype=np.float64)
-                            blk[zigzag] = deq
-                            mat = blk.reshape(8, 8)
-                            px = idct_m @ mat @ idct_m.T + 128.0
-                            y0 = (my * comp["v"] + by) * 8
-                            x0 = (mx * comp["h"] + bx) * 8
-                            planes[cs][y0 : y0 + 8, x0 : x0 + 8] = px
-        # upsample to full resolution and crop
+        def next_marker():
+            # after the last MCU of a scan: flush the partial byte, then
+            # find the next true marker (skipping pad bytes / stray RSTs)
+            nonlocal bitpos, bytepos
+            if bitpos:
+                bitpos = 0
+                bytepos += 1
+            p = bytepos
+            while p + 1 < len(data):
+                if data[p] == 0xFF and data[p + 1] != 0x00:
+                    if 0xD0 <= data[p + 1] <= 0xD7:
+                        p += 2
+                        continue
+                    return p
+                p += 1
+            raise ValueError("unterminated entropy data (no trailing marker)")
+
+        # --- scan decoding into per-component coefficient arrays -------
+        # (zigzag order; filled across one sequential scan or many
+        # progressive scans, reconstructed once at the end)
+        coefs: dict = {}
+        geom: dict = {}
+
+        def alloc_coefs():
+            nonlocal geom
+            comps = frame["comps"]
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-frame["w"] // (8 * hmax))
+            mcuy = -(-frame["h"] // (8 * vmax))
+            geom = {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy}
+            for c in comps:
+                coefs[c["id"]] = np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                )
+
+        def decode_scan(scan_comps, ss, se, ah, al, start):
+            """Decode one entropy-coded scan starting at byte ``start``;
+            returns the position of the marker that ends it. Sequential
+            scans are the ss==0/se==63/ah==0 interleaved case; the four
+            progressive cases (T.81 G.2) dispatch on (ss==0, ah==0)."""
+            nonlocal bitpos, bytepos
+            bitpos, bytepos = 0, start
+            by_id = {c["id"]: c for c in frame["comps"]}
+            pred = {cs: 0 for cs, _, _ in scan_comps}
+            eobrun = 0
+
+            def dc_first(block, cs, tdc):
+                s = decode_sym(huff[(0, tdc)])
+                pred[cs] += receive_extend(s)
+                block[0] = pred[cs] << al
+
+            def dc_refine(block):
+                if read_bit():
+                    block[0] |= 1 << al
+
+            def ac_first(block, tac):
+                nonlocal eobrun
+                if eobrun:
+                    eobrun -= 1
+                    return
+                kk = ss
+                while kk <= se:
+                    rs = decode_sym(huff[(1, tac)])
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            kk += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += receive(r)
+                        return
+                    kk += r
+                    block[kk] = receive_extend(s) << al
+                    kk += 1
+
+            def ac_refine(block, tac):
+                # T.81 G.2.2 successive-approximation AC refinement:
+                # one new ±(1<<al) per nonzero symbol, correction bits
+                # for every already-nonzero coefficient passed over.
+                # eobrun counts blocks INCLUDING the one the EOBn symbol
+                # lands in — that block still consumes its remaining
+                # correction bits below before the run decrements.
+                nonlocal eobrun
+                p1, m1 = 1 << al, -1 << al
+                kk = ss
+                if eobrun == 0:
+                    while kk <= se:
+                        rs = decode_sym(huff[(1, tac)])
+                        r, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += receive(r)
+                                break
+                        else:
+                            val = p1 if read_bit() else m1
+                        while kk <= se:
+                            if block[kk] != 0:
+                                if read_bit() and (block[kk] & p1) == 0:
+                                    block[kk] += p1 if block[kk] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            kk += 1
+                        if val and kk <= se:
+                            block[kk] = val
+                        kk += 1
+                if eobrun:
+                    while kk <= se:
+                        if block[kk] != 0:
+                            if read_bit() and (block[kk] & p1) == 0:
+                                block[kk] += p1 if block[kk] > 0 else m1
+                        kk += 1
+                    eobrun -= 1
+
+            def sequential(block, cs, tdc, tac):
+                dc_first(block, cs, tdc)
+                kk = 1
+                while kk < 64:
+                    rs = decode_sym(huff[(1, tac)])
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            kk += 16
+                            continue
+                        break  # EOB
+                    kk += r
+                    block[kk] = receive_extend(s)
+                    kk += 1
+
+            def on_restart():
+                nonlocal eobrun
+                sync_restart()
+                for cs in pred:
+                    pred[cs] = 0
+                eobrun = 0
+
+            interleaved = len(scan_comps) > 1
+            if interleaved and progressive and ss != 0:
+                raise ValueError("progressive AC scans must be single-component")
+            n_unit = 0
+            if interleaved:
+                for my in range(geom["mcuy"]):
+                    for mx in range(geom["mcux"]):
+                        if (
+                            restart_interval
+                            and n_unit
+                            and n_unit % restart_interval == 0
+                        ):
+                            on_restart()
+                        n_unit += 1
+                        for cs, tdc, tac in scan_comps:
+                            comp = by_id[cs]
+                            arr = coefs[cs]
+                            for by in range(comp["v"]):
+                                for bx in range(comp["h"]):
+                                    block = arr[
+                                        my * comp["v"] + by,
+                                        mx * comp["h"] + bx,
+                                    ]
+                                    if not progressive:
+                                        sequential(block, cs, tdc, tac)
+                                    elif ah == 0:
+                                        dc_first(block, cs, tdc)
+                                    else:
+                                        dc_refine(block)
+            else:
+                (cs, tdc, tac) = scan_comps[0]
+                comp = by_id[cs]
+                arr = coefs[cs]
+                # non-interleaved: MCU = one block over the component's
+                # OWN (unpadded-to-MCU) block grid, T.81 A.2.2
+                comp_w = -(-frame["w"] * comp["h"] // geom["hmax"])
+                comp_h = -(-frame["h"] * comp["v"] // geom["vmax"])
+                bw = -(-comp_w // 8)
+                bh = -(-comp_h // 8)
+                for byy in range(bh):
+                    for bxx in range(bw):
+                        if (
+                            restart_interval
+                            and n_unit
+                            and n_unit % restart_interval == 0
+                        ):
+                            on_restart()
+                        n_unit += 1
+                        block = arr[byy, bxx]
+                        if not progressive:
+                            sequential(block, cs, tdc, tac)
+                        elif ss == 0:
+                            if ah == 0:
+                                dc_first(block, cs, tdc)
+                            else:
+                                dc_refine(block)
+                        elif ah == 0:
+                            ac_first(block, tac)
+                        else:
+                            ac_refine(block, tac)
+            return next_marker()
+
+        # --- marker loop: execute every scan up to EOI ------------------
+        pos = 2
+        saw_scan = False
+        while pos + 1 < len(data):
+            if data[pos] != 0xFF:
+                raise ValueError(f"marker expected at {pos}")
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0xD8:
+                continue
+            if marker == 0xD9:
+                break
+            (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+            seg = data[pos + 2 : pos + seglen]
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 0xF
+                    p += 1
+                    if pq:  # 16-bit table entries, big-endian
+                        qt[tq] = np.array(
+                            struct.unpack(">64H", seg[p : p + 128]),
+                            dtype=np.int32,
+                        )
+                        p += 128
+                    else:
+                        qt[tq] = np.array(
+                            list(seg[p : p + 64]), dtype=np.int32
+                        )
+                        p += 64
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+                prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+                if prec != 8:
+                    raise NotImplementedError(f"{prec}-bit JPEG")
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = seg[6 + c * 3 : 9 + c * 3]
+                    comps.append(
+                        {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                    )
+                frame = {"h": h, "w": w, "comps": comps}
+                progressive = marker == 0xC2
+                alloc_coefs()
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
+                raise NotImplementedError(
+                    f"JPEG SOF{marker - 0xC0} (lossless/differential)"
+                )
+            elif marker in (0xC9, 0xCA, 0xCB):
+                raise NotImplementedError("arithmetic-coded JPEG")
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p < len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 0xF
+                    bits = list(seg[p + 1 : p + 17])
+                    nvals = sum(bits)
+                    vals = list(seg[p + 17 : p + 17 + nvals])
+                    huff[(tc, th)] = build_huff(bits, vals)
+                    p += 17 + nvals
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    raise ValueError("SOS before SOF")
+                ns = seg[0]
+                scan_comps = []
+                for c in range(ns):
+                    cs, tsel = seg[1 + c * 2 : 3 + c * 2]
+                    scan_comps.append((cs, tsel >> 4, tsel & 0xF))
+                ss, se, a = seg[1 + ns * 2 : 4 + ns * 2]
+                pos = decode_scan(
+                    scan_comps, ss, se, a >> 4, a & 0xF, pos + seglen
+                )
+                saw_scan = True
+                continue
+            # APPn/COM/DNL/etc.: skip
+            pos += seglen
+        if frame is None or not saw_scan:
+            raise ValueError("JPEG missing SOF/SOS")
+
+        # --- reconstruction: dequant + batched IDCT + assemble ----------
+        h, w, comps = frame["h"], frame["w"], frame["comps"]
+        hmax, vmax = geom["hmax"], geom["vmax"]
         full = []
         for comp in comps:
-            p = planes[comp["id"]]
+            arr = coefs[comp["id"]]
+            bh, bw = arr.shape[:2]
+            deq = arr.reshape(-1, 64).astype(np.float64) * qt[
+                comp["tq"]
+            ].astype(np.float64)
+            nat = np.zeros_like(deq)
+            nat[:, zigzag] = deq  # unzigzag into natural order
+            blocks = nat.reshape(-1, 8, 8)
+            px = (
+                np.einsum("ij,njk,lk->nil", idct_m, blocks, idct_m) + 128.0
+            )
+            plane = (
+                px.reshape(bh, bw, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh * 8, bw * 8)
+            )
             ry, rx = vmax // comp["v"], hmax // comp["h"]
             if ry > 1 or rx > 1:
-                p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-            full.append(p[:h, :w])
+                plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+            full.append(plane[:h, :w])
         if len(full) == 1:
-            y = np.clip(full[0], 0, 255)
-            g = y.astype(np.uint8)
+            g = np.clip(full[0], 0, 255).astype(np.uint8)
             return np.dstack([g, g, g])
         y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
         r = y + 1.402 * cr
@@ -551,6 +744,362 @@ def build_jpeg_encoder():
     return encode_jpeg
 
 
+def build_progressive_encoder():
+    """Factory returning a progressive (SOF2) encoder as a by-value
+    closure — the encode-side twin that makes the progressive decode
+    path testable without libjpeg (same role as mux_mjpeg for MP4).
+
+    Scan script mirrors the libjpeg default: an interleaved DC-first
+    scan at Al=1, per-component AC-first scans with spectral selection
+    (luma split 1-5 / 6-63), then successive-approximation refinement
+    scans (AC Ah=2→Al=1 where used, DC Ah=1→Al=0, AC Ah=1→Al=0). Uses
+    ONE flat 256-symbol Huffman table (128 len-8 + 128 len-9 canonical
+    codes) for every class/id so EOBn run symbols (0x10, 0x20, …) —
+    which the Annex K tables lack — are codable; EOB runs batch across
+    blocks exactly as T.81 G.1.2.2 allows. Quantized coefficients are
+    IDENTICAL to the baseline encoder's at the same quality, so
+    ``decode(progressive(img)) == decode(baseline(img))`` exactly — the
+    cross-check the tests pin."""
+    zigzag = list(ZIGZAG)
+    ql, qc = list(QUANT_LUMA), list(QUANT_CHROMA)
+
+    def encode_jpeg_progressive(
+        arr, quality: int = 85, subsampling: str = "444", grayscale: bool = False
+    ) -> bytes:
+        import struct
+
+        import numpy as np
+
+        a = np.asarray(arr, dtype=np.float64)
+        if a.ndim == 2:
+            a, grayscale = a[:, :, None].repeat(3, axis=2), True
+        h, w, _ = a.shape
+        if subsampling not in ("444", "420"):
+            raise ValueError(f"subsampling must be 444 or 420, got {subsampling}")
+
+        q = max(1, min(100, quality))
+        scale = 5000 // q if q < 50 else 200 - 2 * q
+
+        def scaled(base):
+            t = (np.array(base, dtype=np.int64) * scale + 50) // 100
+            return np.clip(t, 1, 255).astype(np.int32)
+
+        qly_nat, qlc_nat = scaled(ql), scaled(qc)
+        zz_idx = np.array(zigzag)
+
+        k = np.arange(8)
+        basis = np.cos((2 * k[:, None] + 1) * k[None, :] * np.pi / 16)
+        alpha = np.full(8, np.sqrt(2.0 / 8.0))
+        alpha[0] = np.sqrt(1.0 / 8.0)
+        m = basis * alpha[None, :]
+
+        r_, g_, b_ = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+
+        def downsample2(p):
+            p2 = np.pad(
+                p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge"
+            )
+            return (
+                p2[0::2, 0::2] + p2[0::2, 1::2] + p2[1::2, 0::2] + p2[1::2, 1::2]
+            ) / 4.0
+
+        if grayscale:
+            plan = [(y, 1, 1, qly_nat, 0)]
+        elif subsampling == "420":
+            plan = [
+                (y, 2, 2, qly_nat, 0),
+                (downsample2(cb), 1, 1, qlc_nat, 1),
+                (downsample2(cr), 1, 1, qlc_nat, 1),
+            ]
+        else:
+            plan = [
+                (y, 1, 1, qly_nat, 0),
+                (cb, 1, 1, qlc_nat, 1),
+                (cr, 1, 1, qlc_nat, 1),
+            ]
+        hmax = max(p[1] for p in plan)
+        vmax = max(p[2] for p in plan)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+
+        # quantized zigzag coefficients per component, MCU-padded grid.
+        # BIT-IDENTICAL math to the baseline encoder (same per-block
+        # `m.T @ (block-128) @ m` expression, same np.round): a batched
+        # einsum changes float summation order and flips coefficients
+        # sitting exactly on a .5 rounding boundary, breaking the
+        # decode(progressive) == decode(baseline) exact-equality test
+        comp_coefs = []
+        for p, ch, cv, qnat, _tq in plan:
+            rows, cols = mcuy * cv * 8, mcux * ch * 8
+            p = np.pad(
+                p,
+                ((0, rows - p.shape[0]), (0, cols - p.shape[1])),
+                mode="edge",
+            )
+            bh, bw = rows // 8, cols // 8
+            nat_q = qnat.reshape(8, 8).astype(np.float64)
+            qz = np.zeros((bh, bw, 64), dtype=np.int64)
+            for byy in range(bh):
+                for bxx in range(bw):
+                    blockf = p[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8]
+                    co = m.T @ (blockf - 128.0) @ m
+                    qz[byy, bxx] = np.round(co / nat_q).reshape(64)
+            comp_coefs.append(qz[:, :, zz_idx])
+
+        # flat 256-symbol canonical Huffman table (len 8 ×128 + len 9 ×128)
+        flat_bits = [0] * 7 + [128, 128] + [0] * 7
+        flat_vals = list(range(256))
+        codes = {}
+        code = 0
+        i = 0
+        for ln in range(1, 17):
+            for _ in range(flat_bits[ln - 1]):
+                codes[flat_vals[i]] = (ln, code)
+                code += 1
+                i += 1
+            code <<= 1
+
+        out = bytearray()
+        bitbuf = 0
+        nbits = 0
+
+        def put(ln, c):
+            nonlocal bitbuf, nbits
+            bitbuf = (bitbuf << ln) | c
+            nbits += ln
+            while nbits >= 8:
+                nbits -= 8
+                byte = (bitbuf >> nbits) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+
+        def put_sym(sym):
+            ln, c = codes[sym]
+            put(ln, c)
+
+        def flush_bits():
+            nonlocal nbits, bitbuf
+            if nbits:
+                put(8 - nbits, (1 << (8 - nbits)) - 1)
+            bitbuf = 0
+
+        def magnitude(v):
+            av, s = abs(v), 0
+            while av:
+                av >>= 1
+                s += 1
+            return s
+
+        # ---- scan emitters (T.81 G.1.2) ----
+        def dc_first_scan(scan_plan, al):
+            preds = {ci: 0 for ci, _ in scan_plan}
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (ch, cv) in scan_plan:
+                        for by in range(cv):
+                            for bx in range(ch):
+                                dc = int(
+                                    comp_coefs[ci][my * cv + by, mx * ch + bx, 0]
+                                ) >> al
+                                diff = dc - preds[ci]
+                                preds[ci] = dc
+                                s = magnitude(diff)
+                                put_sym(s)
+                                if s:
+                                    d = diff if diff >= 0 else diff + (1 << s) - 1
+                                    put(s, d & ((1 << s) - 1))
+
+        def dc_refine_scan(scan_plan, al):
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (ch, cv) in scan_plan:
+                        for by in range(cv):
+                            for bx in range(ch):
+                                dc = int(
+                                    comp_coefs[ci][my * cv + by, mx * ch + bx, 0]
+                                )
+                                put(1, (dc >> al) & 1)
+
+        def comp_grid(ci):
+            ch, cv = plan[ci][1], plan[ci][2]
+            comp_w = -(-w * ch // hmax)
+            comp_h = -(-h * cv // vmax)
+            return -(-comp_h // 8), -(-comp_w // 8)
+
+        def ac_first_scan(ci, ss, se, al):
+            eobrun = 0
+
+            def emit_eobrun():
+                nonlocal eobrun
+                if eobrun:
+                    n = eobrun.bit_length() - 1
+                    put_sym(n << 4)
+                    if n:
+                        put(n, eobrun - (1 << n))
+                    eobrun = 0
+
+            bh, bw = comp_grid(ci)
+            for byy in range(bh):
+                for bxx in range(bw):
+                    block = comp_coefs[ci][byy, bxx]
+                    run = 0
+                    wrote = False
+                    for kk in range(ss, se + 1):
+                        v = int(block[kk])
+                        av = abs(v) >> al  # AC point transform: trunc to 0
+                        if av == 0:
+                            run += 1
+                            continue
+                        emit_eobrun()
+                        while run > 15:
+                            put_sym(0xF0)
+                            run -= 16
+                        s = magnitude(av)
+                        put_sym((run << 4) | s)
+                        vv = av if v > 0 else -av
+                        d = vv if vv >= 0 else vv + (1 << s) - 1
+                        put(s, d & ((1 << s) - 1))
+                        run = 0
+                        wrote = True
+                    if run or not wrote:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            emit_eobrun()
+            emit_eobrun()
+
+        def ac_refine_scan(ci, ss, se, al):
+            eobrun = 0
+            pending: list[int] = []  # correction bits owed after EOBn
+
+            def emit_eobrun():
+                nonlocal eobrun
+                if eobrun:
+                    n = eobrun.bit_length() - 1
+                    put_sym(n << 4)
+                    if n:
+                        put(n, eobrun - (1 << n))
+                    eobrun = 0
+                for bit in pending:
+                    put(1, bit)
+                pending.clear()
+
+            bh, bw = comp_grid(ci)
+            for byy in range(bh):
+                for bxx in range(bw):
+                    block = comp_coefs[ci][byy, bxx]
+                    absv = [abs(int(block[kk])) >> al for kk in range(ss, se + 1)]
+                    # last index (in-band) that is newly significant
+                    eob = -1
+                    for idx, av in enumerate(absv):
+                        if av == 1:
+                            eob = idx
+                    run = 0
+                    # correction bits owed after the NEXT symbol, each
+                    # tagged with how many zero-history coefficients
+                    # precede it since that symbol: a ZRL's 16-zero
+                    # window only carries the corrections INSIDE it
+                    # (the decoder stops reading at the 16th zero)
+                    br: list[tuple[int, int]] = []
+                    for idx, av in enumerate(absv):
+                        if av == 0:
+                            run += 1
+                            continue
+                        if av > 1:  # already significant: correction bit
+                            br.append((run, av & 1))
+                            continue
+                        # newly significant (av == 1)
+                        emit_eobrun()
+                        while run > 15 and idx <= eob:
+                            put_sym(0xF0)
+                            for tag, bit in [t for t in br if t[0] < 16]:
+                                put(1, bit)
+                            br = [(tag - 16, bit) for tag, bit in br if tag >= 16]
+                            run -= 16
+                        put_sym((run << 4) | 1)
+                        put(1, 1 if int(block[ss + idx]) > 0 else 0)
+                        for _tag, bit in br:
+                            put(1, bit)
+                        br = []
+                        run = 0
+                    if run or br:
+                        eobrun += 1
+                        pending.extend(bit for _tag, bit in br)
+                        if eobrun == 0x7FFF:
+                            emit_eobrun()
+            emit_eobrun()
+
+        # ---- headers ----
+        def seg(marker, payload):
+            return (
+                bytes([0xFF, marker])
+                + struct.pack(">H", len(payload) + 2)
+                + payload
+            )
+
+        header = bytearray(b"\xff\xd8")
+        header += seg(0xDB, bytes([0]) + bytes(int(x) for x in qly_nat[zz_idx]))
+        if not grayscale:
+            header += seg(
+                0xDB, bytes([1]) + bytes(int(x) for x in qlc_nat[zz_idx])
+            )
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(plan)])
+        for ci, (_, ch, cv, _, tq) in enumerate(plan):
+            sof += bytes([ci + 1, (ch << 4) | cv, tq])
+        header += seg(0xC2, sof)
+        for tc in (0, 1):
+            for th in (0, 1) if not grayscale else (0,):
+                header += seg(
+                    0xC4,
+                    bytes([(tc << 4) | th])
+                    + bytes(flat_bits)
+                    + bytes(flat_vals),
+                )
+
+        def sos(comp_ids, ss, se, ah, al):
+            body = bytes([len(comp_ids)])
+            for cid in comp_ids:
+                body += bytes([cid, 0])  # table 0 for both classes
+            body += bytes([ss, se, (ah << 4) | al])
+            return seg(0xDA, body)
+
+        result = bytearray(header)
+
+        def run_scan(emit, comp_ids, ss, se, ah, al):
+            nonlocal out
+            out = bytearray()
+            emit()
+            flush_bits()
+            result.extend(sos(comp_ids, ss, se, ah, al) + out)
+
+        all_ids = [ci + 1 for ci in range(len(plan))]
+        scan_plan = [(ci, (plan[ci][1], plan[ci][2])) for ci in range(len(plan))]
+        # the libjpeg-like script
+        run_scan(lambda: dc_first_scan(scan_plan, 1), all_ids, 0, 0, 0, 1)
+        if grayscale:
+            run_scan(lambda: ac_first_scan(0, 1, 63, 1), [1], 1, 63, 0, 1)
+            run_scan(lambda: dc_refine_scan(scan_plan, 0), all_ids, 0, 0, 1, 0)
+            run_scan(lambda: ac_refine_scan(0, 1, 63, 0), [1], 1, 63, 1, 0)
+        else:
+            run_scan(lambda: ac_first_scan(0, 1, 5, 2), [1], 1, 5, 0, 2)
+            run_scan(lambda: ac_first_scan(1, 1, 63, 1), [2], 1, 63, 0, 1)
+            run_scan(lambda: ac_first_scan(2, 1, 63, 1), [3], 1, 63, 0, 1)
+            run_scan(lambda: ac_first_scan(0, 6, 63, 2), [1], 6, 63, 0, 2)
+            run_scan(lambda: ac_refine_scan(0, 1, 63, 1), [1], 1, 63, 2, 1)
+            run_scan(lambda: dc_refine_scan(scan_plan, 0), all_ids, 0, 0, 1, 0)
+            run_scan(lambda: ac_refine_scan(0, 1, 63, 0), [1], 1, 63, 1, 0)
+            run_scan(lambda: ac_refine_scan(1, 1, 63, 0), [2], 1, 63, 1, 0)
+            run_scan(lambda: ac_refine_scan(2, 1, 63, 0), [3], 1, 63, 1, 0)
+        result += b"\xff\xd9"
+        return bytes(result)
+
+    return encode_jpeg_progressive
+
+
 #: by-value-picklable codec closures.
 decode_jpeg = build_jpeg_decoder()
 encode_jpeg = build_jpeg_encoder()
+encode_jpeg_progressive = build_progressive_encoder()

@@ -11,14 +11,15 @@ audio decode / envelope features** (``wave`` is stdlib). ``fake=False``
 dispatches on the content's magic bytes and runs those for real. Since
 r6 **PNG decodes for real too**: stdlib ``zlib`` inflate + per-scanline
 unfilter (gray/RGB/palette/alpha variants; r7 adds Adam7 interlace and
-16-bit depth), and **baseline JPEG** (SOF0 Huffman, grayscale/4:4:4/
-4:2:0, restart markers — ``operators/jpeg.py``, numpy + stdlib per
+16-bit depth), and **JPEG, both baseline AND progressive** (SOF0/SOF2
+Huffman, grayscale/4:4:4/4:2:0, restart markers, spectral selection +
+successive approximation — ``operators/jpeg.py``, numpy + stdlib per
 ITU-T T.81). Since r7 **MP4 frame extraction is real too**: pure-stdlib
 ISO-BMFF sample-table parsing (``operators/mp4.py``) pulls each frame's
 encoded bytes + timestamp, and MJPEG tracks decode end-to-end through
 the real JPEG path. What remains STUBBED: non-MJPEG video codecs
-(H.264/H.265 — bytes and timing extract, pixels don't) and the exotic
-JPEG modes (progressive SOF2, arithmetic coding, 12-bit), which raise a
+(H.264/H.265 — bytes and timing extract, pixels don't) and the rare
+JPEG modes (arithmetic coding, lossless, 12-bit), which raise a
 clearly-marked ``NotImplementedError`` identifying the format.
 ``fake=True`` keeps the md5-derived deterministic stand-in features
 for fixtures without real assets.
@@ -601,12 +602,13 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + feature-extract each asset in Arrow batches.
 
     ``fake=False`` dispatches on magic bytes: PPM (``P6``), PNG,
-    baseline JPEG, WAV (``RIFF..WAVE``) and MJPEG MP4 (ISO-BMFF
-    ``ftyp``; features of the REPRESENTATIVE middle frame, decoded
-    through the real JPEG path — one 16-float summary per video, same
-    contract as images) decode for REAL (numpy/stdlib codecs — see
-    module doc); the remaining formats (H.264 video, progressive JPEG)
-    raise ``NotImplementedError`` naming the format. ``fake=True`` is
+    JPEG (baseline + progressive), WAV (``RIFF..WAVE``) and MJPEG MP4
+    (ISO-BMFF ``ftyp``; features of the REPRESENTATIVE middle frame,
+    decoded through the real JPEG path — one 16-float summary per
+    video, same contract as images) decode for REAL (numpy/stdlib
+    codecs — see module doc); the remaining formats (H.264 video,
+    arithmetic/lossless/12-bit JPEG) raise ``NotImplementedError``
+    naming the format. ``fake=True`` is
     the md5-derived stand-in encoder for text-backed fixtures. Plumbing
     (batching, schema, memory shape) is identical either way.
     """

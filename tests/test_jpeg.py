@@ -158,23 +158,24 @@ def test_hand_packed_single_block_matches_spec_math():
 def test_named_stubs_and_malformed_input():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg at all")
-    # progressive: SOI then SOF2
-    prog = b"\xff\xd8\xff\xc2" + struct.pack(">H", 4) + b"\x00\x00"
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(prog)
     # arithmetic-coded: SOF9
     arith = b"\xff\xd8\xff\xc9" + struct.pack(">H", 4) + b"\x00\x00"
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(arith)
-    # 16-bit quant table (pq=1)
-    dqt16 = (
-        b"\xff\xd8\xff\xdb"
-        + struct.pack(">H", 3 + 128)
-        + bytes([0x10])
-        + bytes(128)
+    # lossless: SOF3
+    lossless = b"\xff\xd8\xff\xc3" + struct.pack(">H", 4) + b"\x00\x00"
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        decode_jpeg(lossless)
+    # 12-bit sample precision (SOF0 with prec=12)
+    sof12 = (
+        b"\xff\xd8\xff\xc0"
+        + struct.pack(">H", 11)
+        + bytes([12])
+        + struct.pack(">HH", 8, 8)
+        + bytes([1, 1, 0x11, 0])
     )
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        decode_jpeg(dqt16)
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(sof12)
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(_gradient(8, 8), subsampling="422")
 
@@ -250,3 +251,200 @@ def test_property_roundtrip_random_smooth_images():
         assert err <= budget, (seed, h, w, sub, ri, err)
 
     check()
+
+
+# ---- progressive (SOF2) decode: r7, closing the r6 named stub --------
+
+from lakehouse_adventureworks2022_spark.operators.jpeg import (  # noqa: E402
+    build_progressive_encoder,
+)
+
+encode_jpeg_progressive = build_progressive_encoder()
+
+
+def test_progressive_decode_equals_baseline_exactly():
+    """The progressive twin quantizes with bit-identical math to the
+    baseline encoder, so decoding its completely different packaging
+    (spectral bands, successive approximation, EOB runs, correction
+    bits) must reproduce the baseline decode EXACTLY — any refinement
+    bit mis-read shows as a pixel diff."""
+    rng = np.random.default_rng(42)
+    cases = []
+    for trial in range(18):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        kind = trial % 5
+        if kind == 0:
+            arr = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        elif kind == 1:  # flat: maximal EOB runs
+            arr = np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
+        elif kind == 2:
+            arr = _gradient(h, w)
+        elif kind == 3:  # sparse spikes: ZRL-heavy
+            arr = np.zeros((h, w, 3), np.uint8)
+            arr[::7, ::11] = 255
+        else:  # binary: dense high-magnitude AC, refinement-heavy
+            arr = (
+                rng.integers(0, 2, size=(h, w, 1)) * 255 * np.ones((1, 1, 3))
+            ).astype(np.uint8)
+        q = int(rng.choice([10, 50, 80, 95]))
+        sub = "420" if (h > 2 and w > 2 and trial % 2) else "444"
+        gray = trial % 7 == 3
+        cases.append((arr, q, sub, gray))
+    for arr, q, sub, gray in cases:
+        base = decode_jpeg(
+            encode_jpeg(arr, quality=q, subsampling=sub, grayscale=gray)
+        )
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                arr, quality=q, subsampling=sub, grayscale=gray
+            )
+        )
+        assert np.array_equal(base, prog), (arr.shape, q, sub, gray)
+
+
+def _flat_huff():
+    # all 256 symbols: 128 len-8 + 128 len-9 canonical codes (EOBn
+    # symbols included — the Annex K tables lack them)
+    bits = [0] * 7 + [128, 128] + [0] * 7
+    vals = list(range(256))
+    return bits, vals, _canonical_codes(bits, vals)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def put(self, ln, code):
+        self.buf = (self.buf << ln) | code
+        self.n += ln
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.buf >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0)
+
+    def flush(self):
+        if self.n:
+            self.put(8 - self.n, (1 << (8 - self.n)) - 1)
+        return bytes(self.out)
+
+
+def test_hand_packed_progressive_matches_spec_math():
+    """Spec-conformance anchor, independent of the module's encoder: a
+    two-block grayscale progressive stream packed by hand — DC first +
+    refinement, AC first with an EOBRUN spanning both blocks, an AC
+    refinement scan whose EOBn carries the blocks' correction bits, and
+    a 16-BIT (pq=1) quantization table. Expected pixels computed from
+    the raw IDCT math."""
+
+    def seg(mk, payload):
+        return bytes([0xFF, mk]) + struct.pack(">H", len(payload) + 2) + payload
+
+    bits, vals, codes = _flat_huff()
+
+    def wsym(bw, v):
+        ln, code = codes[v]
+        bw.put(ln, code)
+
+    hdr = bytearray(b"\xff\xd8")
+    hdr += seg(0xDB, bytes([0x10]) + struct.pack(">64H", *([1] * 64)))
+    hdr += seg(
+        0xC2, bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+    )
+    hdr += seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    hdr += seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+
+    def sos(ss, se, ah, al):
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    out = bytearray(hdr)
+    # block1 zigzag {0: 5, 1: 3, 10: -2}, block2 {0: 5}; qt all ones.
+    # scan 1 — DC first, Al=1: b1 dc>>1=2 (diff 2: size 2, bits '10'),
+    # b2 diff 0 (size 0)
+    b = _BitWriter()
+    wsym(b, 2)
+    b.put(2, 0b10)
+    wsym(b, 0)
+    out += sos(0, 0, 0, 1) + b.flush()
+    # scan 2 — AC first 1-63, Al=1: b1 zz1: 3>>1=1 -> (0,1)+'1';
+    # zz10: run of 8 zeros -> (8,1)+'0'; EOBRUN=2 covers the rest of b1
+    # AND all of b2 -> EOB1 symbol 0x10 + 1 extension bit '0'
+    b = _BitWriter()
+    wsym(b, 0x01)
+    b.put(1, 1)
+    wsym(b, 0x81)
+    b.put(1, 0)
+    wsym(b, 0x10)
+    b.put(1, 0)
+    out += sos(1, 63, 0, 1) + b.flush()
+    # scan 3 — DC refine to Al=0: both blocks' low bit is 1 (dc=5)
+    b = _BitWriter()
+    b.put(1, 1)
+    b.put(1, 1)
+    out += sos(0, 0, 1, 0) + b.flush()
+    # scan 4 — AC refine Ah=1 Al=0: no new significance -> EOBRUN=2
+    # (0x10 + ext '0'), then b1's correction bits in coefficient order
+    # (zz1: 3&1=1, zz10: 2&1=0); b2 has no nonzero history -> no bits
+    b = _BitWriter()
+    wsym(b, 0x10)
+    b.put(1, 0)
+    b.put(1, 1)
+    b.put(1, 0)
+    out += sos(1, 63, 1, 0) + b.flush()
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    k = np.arange(8)
+    basis = np.cos((2 * k[:, None] + 1) * k[None, :] * np.pi / 16)
+    alpha = np.full(8, np.sqrt(2.0 / 8.0))
+    alpha[0] = np.sqrt(1.0 / 8.0)
+    m = basis * alpha[None, :]
+
+    def block_px(zzmap):
+        nat = np.zeros(64)
+        for zi, v in zzmap.items():
+            nat[ZIGZAG[zi]] = v
+        return np.clip(m @ nat.reshape(8, 8) @ m.T + 128, 0, 255).astype(
+            np.uint8
+        )
+
+    exp = np.concatenate(
+        [block_px({0: 5, 1: 3, 10: -2}), block_px({0: 5})], axis=1
+    )
+    assert np.array_equal(got[:, :, 0], exp)
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])  # gray replicated
+
+
+def test_progressive_files_flow_through_real_asset_paths(spark):
+    """A progressive JPEG asset decodes through the fake=False feature
+    and dHash paths identically to its baseline twin — format variants
+    must not perturb the perceptual pipeline."""
+    arr = _gradient(24, 32)
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(encode_jpeg(arr, quality=90)), "image/jpeg", 32, 24, None),
+            (
+                2,
+                bytearray(encode_jpeg_progressive(arr, quality=90)),
+                "image/jpeg",
+                32,
+                24,
+                None,
+            ),
+        ],
+        multimodal.ASSET_SCHEMA,
+    )
+    feats = {
+        r["asset_id"]: r["features"]
+        for r in multimodal.extract_features(assets, fake=False).collect()
+    }
+    assert np.allclose(feats[1], feats[2])
+    hashes = {
+        r["asset_id"]: r["dhash"]
+        for r in multimodal.image_hashes(assets, fake=False).collect()
+    }
+    assert hashes[1] == hashes[2]
