@@ -91,9 +91,19 @@ DRIVER_WINDOW = 50
 
 QUERIES: dict[str, QueryFn] = {
     # ---- oracle-backed queries: exactly DRIVER_WINDOW of them, first ----
-    # marts (J7/J8, A4/A5, T1)
-    "top_products": marts.top_products,
-    "sales_summary": marts.sales_summary,
+    # (top_products / sales_summary — green since r1 — rotated to
+    # tests/test_rotated_oracles.py in the late-r7 third rotation; the
+    # J7/J8 star shapes stay driver-evidenced via tpch_q5/tpch_q9)
+    # late-r7 third rotation IN — first driver oracles for the two
+    # ex-scale-killer plans the r6 verdict flagged (global window ->
+    # 1-row-aggregate broadcast join), the EXISTS/top-supplier shapes,
+    # and two of the longest-swept exact twins:
+    "tpch_q22_idle_balances": tpch_extra.q22_idle_balances,
+    "tpch_q11_important_parts": tpch_extra.q11_important_parts,
+    "tpch_q4_priority_check": tpch_extra.q4_priority_check,
+    "tpch_q15_top_supplier": tpch_extra.q15_top_supplier,
+    "docs_hash_sample": text_queries.q_docs_hash_sample,
+    "dim_supplier_geo": dims.build_dim_supplier_geo,
     # (dim_customer_geo — green since r1 — rotated to
     # tests/test_rotated_oracles.py in r7; the J2 geo chain stays
     # hash-verified there alongside dim_supplier_geo)
@@ -121,7 +131,9 @@ QUERIES: dict[str, QueryFn] = {
     # ExactSubstr repeated-span removal (r7 first driver oracle;
     # literal-run-key SQL twin + Python-reference differential)
     "remove_repeated_spans": text_queries.q_remove_repeated_spans,
-    "event_windows": events.event_windows,
+    # (event_windows — green since r1 — rotated OUT late-r7; the
+    # time-bucket agg shape stays driver-evidenced in
+    # event_windows_sliding below)
     # SCD2 composite (O5: F1, J5/J6, P9-P11, WF1/WF2, W4/W5)
     "scd2_part_dimension": scd2_query.scd2_part_dimension,
     # training-data ops: text analysis
@@ -156,8 +168,9 @@ QUERIES: dict[str, QueryFn] = {
     # self-scored bigram perplexity gate (r7 first driver oracle; exact
     # smoothing ratios, 6dp-rounded log folds in BOTH engines)
     "doc_perplexity": text_queries.q_doc_perplexity,
-    "tpch_q5": tpch.tpch_q5,
-    "tpch_q8_market_share": tpch.tpch_q8_market_share,
+    # (tpch_q5 / tpch_q8_market_share — green since r1 — rotated OUT
+    # late-r7; the multi-join star + market-share-ratio shapes stay
+    # driver-evidenced via tpch_q7/q9/q14)
     # (silver_lineitem_enriched — green since r1 — rotated to
     # tests/test_rotated_oracles.py in r7; the J1 snowflake shape stays
     # driver-evidenced inside sales_summary/tpch_q5/tpch_q9)
@@ -229,7 +242,9 @@ QUERIES: dict[str, QueryFn] = {
     # advanced join shapes (as-of, banded range, EXISTS, correlated agg)
     "asof_click_attribution": advanced_joins.asof_click_attribution,
     "error_burst_context": advanced_joins.error_burst_context,
-    "late_shipment_priority": advanced_joins.late_shipment_priority,
+    # (late_shipment_priority — green since r1 — rotated OUT late-r7;
+    # the EXISTS shape gets its first driver oracle via
+    # tpch_q4_priority_check above)
     "small_quantity_part_revenue": advanced_joins.small_quantity_part_revenue,
     # product-analytics + SCD2 point-in-time (first driver oracles in
     # r6; DuckDB-diffed in pytest since r5)
@@ -276,12 +291,10 @@ QUERIES: dict[str, QueryFn] = {
     # run in tests/test_tpch_extra.py; the driver records rows-only
     # here ----
     "tpch_q19_disjunctive_revenue": tpch_extra.q19_disjunctive_revenue,
-    "tpch_q22_idle_balances": tpch_extra.q22_idle_balances,
-    "tpch_q15_top_supplier": tpch_extra.q15_top_supplier,
-    # r6 breadth: EXISTS priority check, scalar-subquery threshold,
-    # CASE bands, NOT-IN distinct counts
-    "tpch_q4_priority_check": tpch_extra.q4_priority_check,
-    "tpch_q11_important_parts": tpch_extra.q11_important_parts,
+    # (tpch_q22_idle_balances / tpch_q15_top_supplier /
+    # tpch_q4_priority_check / tpch_q11_important_parts promoted to
+    # first-time DRIVER oracles in the late-r7 third rotation)
+    # r6 breadth: CASE bands, NOT-IN distinct counts
     "tpch_q12_shipping_delay_bands": tpch_extra.q12_shipping_delay_bands,
     "tpch_q16_supplier_count_by_part": tpch_extra.q16_supplier_count_by_part,
     # ---- r7 third rotation out of the window (green since r1/r2; the
@@ -299,6 +312,14 @@ QUERIES: dict[str, QueryFn] = {
     "silver_lineitem_enriched": tpch.silver_lineitem_enriched,
     "event_value_stats": relational.event_value_stats,
     "xml_roundtrip": semistructured.xml_roundtrip,
+    # ---- late-r7 third rotation out (green since r1; slots freed for
+    # tpch_q22/q11/q4/q15, docs_hash_sample, dim_supplier_geo above) ----
+    "top_products": marts.top_products,
+    "sales_summary": marts.sales_summary,
+    "event_windows": events.event_windows,
+    "tpch_q5": tpch.tpch_q5,
+    "tpch_q8_market_share": tpch.tpch_q8_market_share,
+    "late_shipment_priority": advanced_joins.late_shipment_priority,
     # daily-ingest dedup vs historical state (signature-estimated
     # near-dup verify ⇒ approximate by design)
     "incremental_dedup": text_queries.q_incremental_dedup,
@@ -317,12 +338,10 @@ QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk_ivf_pq": text_queries.q_ann_cosine_ivf_pq,
     # deployed-PQ steady state (persisted codes index, ADC+re-rank only)
     "ann_cosine_topk_pq_amortized": text_queries.q_ann_cosine_pq_amortized,
-    # geo chain join twin of dim_customer_geo (rotated past the window
-    # for temperature_mixture in r5; DuckDB-diffed in tests/test_sampling.py)
-    "dim_supplier_geo": dims.build_dim_supplier_geo,
+    # (dim_supplier_geo and docs_hash_sample promoted to first-time
+    # DRIVER oracles in the late-r7 third rotation)
     # deterministic sampling family (exact; DuckDB-diffed in
     # tests/test_sampling.py — window full)
-    "docs_hash_sample": text_queries.q_docs_hash_sample,
     "docs_stratified_sample": text_queries.q_docs_stratified_sample,
     "docs_sample_exact_n": text_queries.q_docs_sample_exact_n,
     # SemDeDup cluster-bounded semantic dedup (deterministic, not
@@ -394,11 +413,8 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "event_value_stats_approx",  # t-digest percentiles
         "dedup_embedding_cosine",  # SRP-LSH candidates: recall < 1 by design
         # exact, window-full: DuckDB-diffed in tests/test_tpch_extra.py
+        # (q22/q11/q4/q15 promoted to driver oracles late-r7)
         "tpch_q19_disjunctive_revenue",
-        "tpch_q22_idle_balances",
-        "tpch_q15_top_supplier",
-        "tpch_q4_priority_check",
-        "tpch_q11_important_parts",
         "tpch_q12_shipping_delay_bands",
         "tpch_q16_supplier_count_by_part",
         "incremental_dedup",  # signature-estimated verify: approx by design
@@ -419,10 +435,17 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "dq_orderkey_integrity",
         "dq_lineitem_pk",
         # exact, window-full: DuckDB-diffed in tests/test_sampling.py
-        "dim_supplier_geo",
-        "docs_hash_sample",
+        # (dim_supplier_geo / docs_hash_sample promoted late-r7)
         "docs_stratified_sample",
         "docs_sample_exact_n",
+        # exact, late-r7 third rotation out (green since r1): same
+        # hash-diff rigor in tests/test_rotated_oracles.py
+        "top_products",
+        "sales_summary",
+        "event_windows",
+        "tpch_q5",
+        "tpch_q8_market_share",
+        "late_shipment_priority",
         "semdedup_prune",  # k-means clustering: no SQL twin
         "rag_retrieval",  # IVF probe pruning: recall < 1 by design
         "bpe_tokenize",  # exact; merge loop has no SQL twin
@@ -471,52 +494,46 @@ def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
 
+#: dim_supplier_geo's oracle (shared source of truth with
+#: tests/test_sampling.py since its r5 rotation; promoted back into the
+#: driver window in the late-r7 third rotation).
+ORACLE_DIM_SUPPLIER_GEO = """
+    SELECT s.s_suppkey AS supplier_key,
+           s.s_name AS supplier_name,
+           s.s_acctbal AS account_balance,
+           n.n_name AS nation_name,
+           r.r_name AS region_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
 ORACLES: dict[str, str] = {
-    "top_products": """
-        SELECT p.p_partkey, p.p_name, p.p_brand,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue,
-               ROUND(SUM(l.l_quantity), 4) AS total_qty,
-               COUNT(DISTINCT l.l_orderkey) AS order_count
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        GROUP BY p.p_partkey, p.p_name, p.p_brand
-        ORDER BY total_revenue DESC, p.p_partkey ASC
-        LIMIT 10
-    """,
-    "sales_summary": """
-        SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
-               o.o_orderpriority AS order_priority,
-               r.r_name AS region_name,
-               n.n_name AS nation_name,
-               c.c_mktsegment AS market_segment,
-               l.l_returnflag AS return_flag,
-               l.l_linestatus AS line_status,
-               COUNT(DISTINCT o.o_orderkey) AS order_count,
-               COUNT(*) AS line_count,
-               CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_qty,
-               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_revenue,
-               CAST(ROUND(SUM(CAST(l.l_extendedprice * l.l_discount AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_discount_amount,
-               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) / COUNT(*) AS avg_unit_price_ext
-        FROM lineitem l
-        JOIN orders o   ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation n   ON c.c_nationkey = n.n_nationkey
-        JOIN region r   ON n.n_regionkey = r.r_regionkey
-        GROUP BY 1, 2, 3, 4, 5, 6, 7
-    """,
+    # late-r7 third rotation: top_products / sales_summary inline SQL
+    # moved verbatim to ROTATED_ORACLES below; promoted in their place
+    # (twins already sweep-green at three SFs in tests):
+    "tpch_q22_idle_balances": tpch_extra.EXTRA_ORACLES[
+        "tpch_q22_idle_balances"
+    ],
+    "tpch_q11_important_parts": tpch_extra.EXTRA_ORACLES[
+        "tpch_q11_important_parts"
+    ],
+    "tpch_q4_priority_check": tpch_extra.EXTRA_ORACLES[
+        "tpch_q4_priority_check"
+    ],
+    "tpch_q15_top_supplier": tpch_extra.EXTRA_ORACLES[
+        "tpch_q15_top_supplier"
+    ],
+    "docs_hash_sample": text_queries.ORACLE_DOCS_HASH_SAMPLE,
+    "dim_supplier_geo": ORACLE_DIM_SUPPLIER_GEO,
     # r7 rotation: the inline SQL of dim_customer_geo / fact_sales /
     # latest_event_per_user moved verbatim to ROTATED_ORACLES below
     "chunk_documents": text_queries.ORACLE_CHUNK_DOCUMENTS,
     "temperature_mixture": text_queries.ORACLE_TEMPERATURE_MIXTURE,
     "dedup_clusters": text_queries.ORACLE_DEDUP_CLUSTERS,
     "remove_repeated_spans": text_queries.ORACLE_REMOVE_REPEATED_SPANS,
-    "event_windows": """
-        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-               event_type,
-               COUNT(*) AS event_count,
-               ROUND(SUM(value), 4) AS total_value
-        FROM events
-        GROUP BY 1, 2
-    """,
+    # late-r7 third rotation: event_windows inline SQL moved verbatim
+    # to ROTATED_ORACLES below
     "scd2_part_dimension": scd2_query.ORACLE,
     "text_stats": text_queries.ORACLE_TEXT_STATS,
     "corpus_report": text_queries.ORACLE_CORPUS_REPORT,
@@ -546,20 +563,8 @@ ORACLES: dict[str, str] = {
     # ROTATED_ORACLES below
     "ngram_repetition": text_queries.ORACLE_NGRAM_REPETITION,
     "doc_perplexity": text_queries.ORACLE_DOC_PERPLEXITY,
-    "tpch_q5": """
-        SELECT n.n_name AS nation_name,
-               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue
-        FROM lineitem l
-        JOIN orders o   ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                       AND c.c_nationkey = s.s_nationkey
-        JOIN nation n   ON s.s_nationkey = n.n_nationkey
-        JOIN region r   ON n.n_regionkey = r.r_regionkey
-        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o.o_orderdate < TIMESTAMP '1998-01-01'
-        GROUP BY n.n_name
-    """,
+    # late-r7 third rotation: tpch_q5 inline SQL moved verbatim to
+    # ROTATED_ORACLES below
     # r7 rotation: silver_lineitem_enriched inline SQL moved verbatim
     # to ROTATED_ORACLES below
     "corpus_drift": text_queries.ORACLE_CORPUS_DRIFT,
@@ -572,20 +577,8 @@ ORACLES: dict[str, str] = {
     "embedding_drift": text_queries.ORACLE_EMBEDDING_DRIFT,
     "event_anomalies": text_queries.ORACLE_EVENT_ANOMALIES,
     "normalize_text": text_queries.ORACLE_NORMALIZE_TEXT,
-    "tpch_q8_market_share": """
-        SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
-               CAST(ROUND(SUM(CAST(CASE WHEN sn.n_name = 'CHINA' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END AS DECIMAL(28,6))), 4) AS DOUBLE) AS china_revenue,
-               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_revenue,
-               ROUND(CAST(ROUND(SUM(CAST(CASE WHEN sn.n_name = 'CHINA' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END AS DECIMAL(28,6))), 4) AS DOUBLE) / CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE), 6) AS market_share
-        FROM lineitem l
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-        JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-        GROUP BY 1
-    """,
+    # late-r7 third rotation: tpch_q8_market_share inline SQL moved
+    # verbatim to ROTATED_ORACLES below
     "revenue_grouping_sets": """
         SELECT r.r_name AS region_name,
                c.c_mktsegment AS market_segment,
@@ -697,17 +690,8 @@ ORACLES: dict[str, str] = {
         WHERE e.event_type = 'error'
         GROUP BY 1, 2, 3
     """,
-    "late_shipment_priority": """
-        SELECT o.o_orderpriority AS order_priority,
-               COUNT(*) AS late_order_count
-        FROM orders o
-        WHERE EXISTS (
-          SELECT 1 FROM lineitem l
-          WHERE l.l_orderkey = o.o_orderkey
-            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-        )
-        GROUP BY 1
-    """,
+    # late-r7 third rotation: late_shipment_priority inline SQL moved
+    # verbatim to ROTATED_ORACLES below
     "small_quantity_part_revenue": """
         WITH pa AS (
           SELECT l_partkey, AVG(l_quantity) * 0.5 AS half_avg_qty
@@ -837,6 +821,87 @@ ORACLES: dict[str, str] = {
 #: for first-time oracles. tests/test_rotated_oracles.py applies the
 #: SAME row-count + schema + value-hash comparison the driver does.
 ROTATED_ORACLES: dict[str, str] = {
+    # ---- late-r7 third rotation (green since r1; slots freed for the
+    # ex-scale-killer plans tpch_q22/q11, the EXISTS/top-supplier
+    # shapes, and the sampling/geo twins) ----
+    "top_products": """
+        SELECT p.p_partkey, p.p_name, p.p_brand,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue,
+               ROUND(SUM(l.l_quantity), 4) AS total_qty,
+               COUNT(DISTINCT l.l_orderkey) AS order_count
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_partkey, p.p_name, p.p_brand
+        ORDER BY total_revenue DESC, p.p_partkey ASC
+        LIMIT 10
+    """,
+    "sales_summary": """
+        SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+               o.o_orderpriority AS order_priority,
+               r.r_name AS region_name,
+               n.n_name AS nation_name,
+               c.c_mktsegment AS market_segment,
+               l.l_returnflag AS return_flag,
+               l.l_linestatus AS line_status,
+               COUNT(DISTINCT o.o_orderkey) AS order_count,
+               COUNT(*) AS line_count,
+               CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_qty,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_revenue,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * l.l_discount AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_discount_amount,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) / COUNT(*) AS avg_unit_price_ext
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+    "event_windows": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS event_count,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "tpch_q5": """
+        SELECT n.n_name AS nation_name,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+    """,
+    "tpch_q8_market_share": """
+        SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+               CAST(ROUND(SUM(CAST(CASE WHEN sn.n_name = 'CHINA' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END AS DECIMAL(28,6))), 4) AS DOUBLE) AS china_revenue,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE) AS total_revenue,
+               ROUND(CAST(ROUND(SUM(CAST(CASE WHEN sn.n_name = 'CHINA' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END AS DECIMAL(28,6))), 4) AS DOUBLE) / CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE), 6) AS market_share
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        GROUP BY 1
+    """,
+    "late_shipment_priority": """
+        SELECT o.o_orderpriority AS order_priority,
+               COUNT(*) AS late_order_count
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY 1
+    """,
     # ---- late-r6 second rotation (green since r1/r2; slots freed for
     # the hard TPC-H-extra shapes, moving stats and heavy hitters) ----
     "token_counts": text_queries.ORACLE_TOKEN_COUNTS,
@@ -1139,11 +1204,9 @@ assert not _outside, (
 #: catalog-name → tpch_extra.EXTRA_ORACLES key (two shapes use shorter
 #: internal keys); used to assemble PYTEST_ORACLES below.
 _EXTRA_NAME_MAP: dict[str, str] = {
+    # (q22/q11/q4/q15 promoted to driver oracles in the late-r7 third
+    # rotation — their EXTRA_ORACLES entries now feed ORACLES directly)
     "tpch_q19_disjunctive_revenue": "tpch_q19_disjunctive",
-    "tpch_q22_idle_balances": "tpch_q22_idle_balances",
-    "tpch_q15_top_supplier": "tpch_q15_top_supplier",
-    "tpch_q4_priority_check": "tpch_q4_priority_check",
-    "tpch_q11_important_parts": "tpch_q11_important_parts",
     "tpch_q12_shipping_delay_bands": "tpch_q12_shipping_delay_bands",
     "tpch_q16_supplier_count_by_part": "tpch_q16_supplier_count_by_part",
 }
@@ -1153,33 +1216,17 @@ _EXTRA_NAME_MAP: dict[str, str] = {
 #: by construction (asserted below); tools/check_oracles.py folds these
 #: into its sweep so the health snapshot hash-checks every EXACT query,
 #: not only the driver window.
-#: dim_supplier_geo gave up its window seat in r5 (same J2/P1 shape as
-#: dim_customer_geo); its oracle lives here so the sweep and
-#: tests/test_sampling.py share one source of truth.
-ORACLE_DIM_SUPPLIER_GEO = """
-    SELECT s.s_suppkey AS supplier_key,
-           s.s_name AS supplier_name,
-           s.s_acctbal AS account_balance,
-           n.n_name AS nation_name,
-           r.r_name AS region_name
-    FROM supplier s
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-"""
-
 PYTEST_ORACLES: dict[str, str] = {
     **ROTATED_ORACLES,
     **{
         name: tpch_extra.EXTRA_ORACLES[key]
         for name, key in _EXTRA_NAME_MAP.items()
     },
-    # exact deterministic sampling family + the r5-rotated geo dim
-    # (hash-diffed in tests/test_sampling.py since r5; folded into the
-    # sweep late-r6)
-    "docs_hash_sample": text_queries.ORACLE_DOCS_HASH_SAMPLE,
+    # exact deterministic sampling family (hash-diffed in
+    # tests/test_sampling.py since r5; docs_hash_sample and
+    # dim_supplier_geo promoted to driver oracles late-r7)
     "docs_stratified_sample": text_queries.ORACLE_DOCS_STRATIFIED_SAMPLE,
     "docs_sample_exact_n": text_queries.ORACLE_DOCS_SAMPLE_EXACT_N,
-    "dim_supplier_geo": ORACLE_DIM_SUPPLIER_GEO,
     # declarative DQ expectation suite (r7)
     "dq_expectations_orders": relational.ORACLE_DQ_EXPECTATIONS_ORDERS,
     # PII redaction: twin generated from the operator's own pattern

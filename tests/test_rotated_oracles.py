@@ -62,6 +62,16 @@ ROTATED = (
     "event_sessions",
     "customer_order_distribution",
     "nation_top_customers",
+    # late-r7 third rotation: slots freed for the ex-scale-killer plans
+    # tpch_q22_idle_balances / tpch_q11_important_parts, the
+    # EXISTS/top-supplier shapes tpch_q4 / tpch_q15, and the
+    # longest-swept exact twins docs_hash_sample / dim_supplier_geo
+    "top_products",
+    "sales_summary",
+    "event_windows",
+    "tpch_q5",
+    "tpch_q8_market_share",
+    "late_shipment_priority",
 )
 
 

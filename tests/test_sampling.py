@@ -34,10 +34,12 @@ DIFFERENTIALS = {
 
 
 def test_sampling_family_is_swept():
-    """The exact sampling differentials (all but the in-window
-    temperature_mixture) are folded into the check_oracles sweep."""
+    """Every exact sampling differential is hash-verified in exactly one
+    channel: the driver window (temperature_mixture since r5;
+    docs_hash_sample and dim_supplier_geo promoted late-r7) or the
+    check_oracles sweep."""
     for name in DIFFERENTIALS:
-        if name == "temperature_mixture":
+        if name in ("temperature_mixture", "docs_hash_sample", "dim_supplier_geo"):
             assert name in ORACLES
         else:
             assert name in PYTEST_ORACLES
