@@ -254,6 +254,69 @@ def main() -> None:
 
     run("jpeg_decode_dhash", _jpeg_assets)
 
+    def _progressive_assets():
+        # late-r7: same shape with PROGRESSIVE files — the multi-scan
+        # decode path (spectral bands + refinement bits) at rep*500 rows
+        import numpy as np
+
+        from lakehouse_adventureworks2022_spark.operators.jpeg import (
+            build_progressive_encoder,
+        )
+
+        enc_p = build_progressive_encoder()
+        n_assets = rep * 500
+        payloads = []
+        base = np.zeros((24, 32, 3), dtype=np.uint8)
+        for i in range(24):
+            a = base.copy()
+            a[:, :, 0] = (i * 37) % 256
+            a[: 12 + (i % 12), :, 1] = (i * 101) % 256
+            payloads.append(bytearray(enc_p(a, quality=85)))
+        rows = [
+            (i, payloads[i % len(payloads)], "image/jpeg", 32, 24, None)
+            for i in range(n_assets)
+        ]
+        assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        return multimodal.image_hashes(assets.repartition(32), fake=False)
+
+    run("progressive_jpeg_decode_dhash", _progressive_assets)
+
+    def _video_frames():
+        # late-r7: MP4 parse + frame extraction + per-frame JPEG decode
+        # at rep*100 videos x 4 frames (the video_frame_harvest shape);
+        # container parse is per-asset metadata work, decode dominates
+        from lakehouse_adventureworks2022_spark.operators.mp4 import (
+            synth_mp4,
+        )
+
+        n_videos = rep * 100
+        payloads = [
+            bytearray(synth_mp4(4, 32, 24, seed=i)) for i in range(24)
+        ]
+        rows = [
+            (i, payloads[i % len(payloads)], "video/mp4", 32, 24, 400)
+            for i in range(n_videos)
+        ]
+        assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        frames = multimodal.sample_frames(
+            assets.repartition(32), every_ms=100, fake=False
+        )
+        return multimodal.image_hashes(
+            frames.select(
+                (F.col("asset_id") * 10_000 + F.col("frame_offset_ms") / 100)
+                .cast("long")
+                .alias("asset_id"),
+                "content",
+                "mime",
+                "width",
+                "height",
+                F.lit(None).cast("int").alias("duration_ms"),
+            ),
+            fake=False,
+        )
+
+    run("mp4_frame_extract_dhash", _video_frames)
+
     # ---- event-analytics family at rep× volume (r6): funnel,
     # retention, anomalies and the Q21 double-correlation, on a
     # replicated events stream with ids/users offset per copy so the
