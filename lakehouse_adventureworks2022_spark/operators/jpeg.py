@@ -426,22 +426,33 @@ def build_jpeg_decoder():
                             list(seg[p : p + 64]), dtype=np.int32
                         )
                         p += 64
-            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 DCT, SOF3 lossless
                 prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-                if prec != 8:
+                lossless = marker == 0xC3
+                if prec != 8 and not lossless:
                     raise NotImplementedError(f"{prec}-bit JPEG")
+                if lossless and not 2 <= prec <= 16:
+                    raise ValueError(f"bad lossless precision {prec}")
                 comps = []
                 for c in range(nc):
                     cid, hv, tq = seg[6 + c * 3 : 9 + c * 3]
                     comps.append(
                         {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                     )
-                frame = {"h": h, "w": w, "comps": comps}
+                frame = {"h": h, "w": w, "comps": comps, "prec": prec}
                 progressive = marker == 0xC2
-                alloc_coefs()
-            elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
+                if lossless:
+                    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                        raise NotImplementedError(
+                            "lossless JPEG with subsampled components"
+                        )
+                    for c in comps:
+                        coefs[c["id"]] = np.zeros((h, w), dtype=np.int32)
+                else:
+                    alloc_coefs()
+            elif marker in (0xC5, 0xC6, 0xC7):
                 raise NotImplementedError(
-                    f"JPEG SOF{marker - 0xC0} (lossless/differential)"
+                    f"JPEG SOF{marker - 0xC0} (differential)"
                 )
             elif marker in (0xC9, 0xCA, 0xCB):
                 raise NotImplementedError("arithmetic-coded JPEG")
