@@ -17,6 +17,18 @@ run and erased the round's bench evidence):
   reports the per-query MEDIAN, so a single GC pause / host-load spike
   can't masquerade as a plan regression (the round-3 "uniform 44%
   regression" and round-4's noisy IVF number were both host noise).
+
+Contention telemetry (round-8, after the r7 phantom-regression
+adjudication): this VM suffers variable hypervisor CPU steal (measured
+25% under load), which made a driver bench artifact indistinguishable
+from a real plan regression. Every rep now records the /proc/stat
+steal%% over its own window; reps whose window exceeds
+``$SPARK_GRAFT_STEAL_PCT_MAX`` (default 5.0) are re-run (up to 2 extra
+attempts per query) and excluded from the median when at least one
+clean rep exists. The JSON artifact carries per-query
+min/median/max + per-rep steal%% (``query_stats``) and a run-level
+``steal`` summary, so a contaminated run is *visible in the artifact*
+instead of needing out-of-band forensics.
 """
 
 from __future__ import annotations
@@ -122,23 +134,53 @@ HEADLINE = [
     # deployed-SQ8 twin: index built on the first rep, median reports
     # the amortized (compressed scan + re-rank) cost
     "ann_cosine_topk_sq8_amortized",
+    # r8 combined tier: IVF probe pruning bounds the SQ8-compressed
+    # scan (plain SQ8 scans every code row — the missing tier the r7
+    # verdict named); one-shot + deployed twin
+    "ann_cosine_topk_ivf_sq8",
+    "ann_cosine_topk_ivf_sq8_amortized",
     "dq_expectations_orders",
     # real MP4 frame extraction: in-plan MJPEG mux -> ISO-BMFF
     # sample-table parse -> per-frame dHash via the real JPEG decoder
     "video_frame_harvest",
+    # r8: deployed-shape twin over a persisted corpus — measures the
+    # harvest operator (parse -> decode -> dHash -> agg), not the
+    # fixture generation the one-shot form is dominated by
+    "video_frame_harvest_amortized",
 ]
 
 
-def _run_once(spark, sf_dir: str, name: str) -> float:
+def _cpu_times() -> tuple[int, int]:
+    """(steal jiffies, total jiffies) from the aggregate /proc/stat cpu
+    line; (0, 0) where /proc is unavailable (bench stays portable)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _run_once(spark, sf_dir: str, name: str) -> tuple[float, float]:
+    """Run one rep end-to-end; returns (elapsed_sec, steal_pct) where
+    steal_pct is hypervisor CPU steal over THIS rep's window."""
+    s0, t0 = _cpu_times()
     start = time.perf_counter()
     QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - start
+    elapsed = time.perf_counter() - start
+    s1, t1 = _cpu_times()
+    steal_pct = 100.0 * (s1 - s0) / (t1 - t0) if t1 > t0 else 0.0
+    return elapsed, steal_pct
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    steal_max = float(os.environ.get("SPARK_GRAFT_STEAL_PCT_MAX", "5.0"))
+    extra = 2  # extra attempts per query when a rep's window is stolen
     spark = get_spark("bench")
     # warm the JVM + parquet footers once so per-query numbers measure the
     # plans, not first-touch JIT/IO noise
@@ -148,20 +190,42 @@ def main() -> None:
         pass  # a broken warm-up query must not kill the run either
 
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    run_s0, run_t0 = _cpu_times()
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        samples: list[float] = []
-        for _ in range(reps):
+        clean: list[float] = []
+        dirty: list[float] = []
+        steals: list[float] = []
+        attempts = 0
+        while len(clean) < reps and attempts < reps + extra:
+            attempts += 1
             try:
-                samples.append(_run_once(spark, sf_dir, name))
+                elapsed, steal = _run_once(spark, sf_dir, name)
             except Exception as e:  # noqa: BLE001 - bench must always report
                 first = str(e).strip().splitlines()[0] if str(e).strip() else ""
                 errors[name] = f"{type(e).__name__}: {first[:200]}"
                 break  # same plan fails identically; don't retry the reps
+            steals.append(round(steal, 2))
+            (clean if steal <= steal_max else dirty).append(elapsed)
+        samples = clean or dirty  # all-stolen: report, flagged below
         if samples:
             timings[name] = round(statistics.median(samples), 3)
+            stats[name] = {
+                "min": round(min(samples), 3),
+                "med": timings[name],
+                "max": round(max(samples), 3),
+                "steal": steals,
+                "dirty": len(dirty),
+            }
+    run_s1, run_t1 = _cpu_times()
+    run_steal = (
+        100.0 * (run_s1 - run_s0) / (run_t1 - run_t0)
+        if run_t1 > run_t0
+        else 0.0
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -174,6 +238,16 @@ def main() -> None:
                 "errors": errors,
                 "reps": reps,
                 "sf": sf,
+                "query_stats": stats,
+                "steal": {
+                    "run_pct": round(run_steal, 2),
+                    "threshold_pct": steal_max,
+                    "dirty_reps": sum(s["dirty"] for s in stats.values()),
+                    "all_dirty_queries": [
+                        n for n, s in stats.items() if s["dirty"] and n in timings
+                        and len(s["steal"]) == s["dirty"]
+                    ],
+                },
             }
         )
     )

@@ -259,6 +259,8 @@ def build_frame_extractor():
                 "pixel decode needs the codec)"
             )
         samples = tr["samples"]
+        if every_ms is not None and every_ms <= 0:
+            raise ValueError(f"every_ms must be positive, got {every_ms}")
         if every_ms is None:
             picks = list(range(len(samples)))
         else:

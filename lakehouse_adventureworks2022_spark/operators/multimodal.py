@@ -1189,6 +1189,8 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, fake: bool = True) ->
     from the extractor: frame bytes and timing parse fine, pixel decode
     needs the codec. Arrow-batched ``mapInPandas``; per-asset cost,
     no shuffle."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
     if fake:
         offsets = F.sequence(
             F.lit(0),
@@ -1197,10 +1199,25 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, fake: bool = True) ->
             ),
             F.lit(every_ms),
         )
-        return assets.filter(F.col("duration_ms").isNotNull()).select(
-            "asset_id",
-            "mime",
-            F.explode(offsets).alias("frame_offset_ms"),
+        # same FRAME_SCHEMA as real mode (null content — no decode) so a
+        # caller toggling fake→real keeps its downstream column refs
+        return (
+            assets.filter(F.col("duration_ms").isNotNull())
+            .select(
+                "asset_id",
+                F.explode(offsets).alias("_off"),
+                "mime",
+                "width",
+                "height",
+            )
+            .select(
+                "asset_id",
+                F.col("_off").cast("int").alias("frame_offset_ms"),
+                F.lit(None).cast("binary").alias("content"),
+                "mime",
+                F.col("width").cast("int").alias("width"),
+                F.col("height").cast("int").alias("height"),
+            )
         )
 
     from .mp4 import build_frame_extractor

@@ -156,10 +156,18 @@ QUERIES: dict[str, QueryFn] = {
     # runs inside clean_corpus below)
     # C4-style boilerplate-line removal (r7 first driver oracle)
     "clean_boilerplate": text_queries.q_clean_boilerplate,
-    "dedup_ngram_jaccard_exact": text_queries.q_ngram_jaccard,
+    # (dedup_ngram_jaccard_exact / clean_corpus — green r4-r7 — rotated
+    # to tests/test_rotated_oracles.py in the r8 fifth rotation; the
+    # candidate-verify primitive stays driver-evidenced inside
+    # dedup_minhash_lsh, and the cleaning composite via
+    # clean_boilerplate/normalize_text/pii_scrub)
     "dedup_minhash_lsh": text_queries.q_minhash_lsh,
     "dedup_simhash": text_queries.q_simhash,
-    "clean_corpus": text_queries.q_clean_corpus,
+    # r8 fifth rotation IN: the exact deterministic-sampling family
+    # gains first-time DRIVER oracles (DuckDB-diffed in
+    # tests/test_sampling.py since r5; hashes judge-verified green)
+    "docs_stratified_sample": text_queries.q_docs_stratified_sample,
+    "docs_sample_exact_n": text_queries.q_docs_sample_exact_n,
     # (tpch_q1 / tpch_q3 — green since r1 — rotated to
     # tests/test_rotated_oracles.py in r7; the wide-agg and join+filter
     # shapes stay driver-evidenced by q5/q7/q9/q10 and the extras)
@@ -182,7 +190,10 @@ QUERIES: dict[str, QueryFn] = {
     # portable PII scrub with in-plan planted spans (late-r7 first
     # driver oracle; twin generated from the operator's pattern table)
     "pii_scrub": text_queries.q_pii_scrub,
-    "revenue_grouping_sets": relational.revenue_grouping_sets,
+    # (revenue_grouping_sets — green r4-r7 — rotated to
+    # tests/test_rotated_oracles.py in the r8 fifth rotation; its slot
+    # goes to the declarative DQ expectation suite below)
+    "dq_expectations_orders": relational.dq_expectations_orders,
     # (customers_without_orders / repeat_customers / user_churn_set_ops /
     # daily_event_pivot — green since r2 — rotated to
     # tests/test_rotated_oracles.py in late r6; anti/semi-join window
@@ -195,7 +206,10 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_drift": text_queries.q_embedding_drift,
     # trailing-window z-score anomalies (r7 first driver oracle)
     "event_anomalies": text_queries.q_event_anomalies,
-    "corpus_report": text_queries.q_corpus_report,
+    # (corpus_report — green r4-r7 — rotated to
+    # tests/test_rotated_oracles.py in the r8 fifth rotation; its
+    # component stats stay driver-evidenced via text_stats /
+    # corpus_vocabulary)
     # TPC-H-extra shapes promoted into the window in r6 (driver-green
     # for the first time; the dq_* gates they displaced — green since
     # r1 — keep the same hash-diff in tests/test_rotated_oracles.py;
@@ -213,6 +227,12 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q18_large_orders": tpch_extra.q18_large_orders,
     "tpch_q20_excess_shippers": tpch_extra.q20_excess_shippers,
     "tpch_q21_waiting_suppliers": tpch_extra.q21_waiting_suppliers,
+    # r8 fifth rotation IN: the last three swept TPC-H-extra shapes
+    # gain first-time DRIVER oracles (disjunctive OR-pushdown, CASE
+    # bands, NOT-IN distinct counts — hashes judge-verified green)
+    "tpch_q19_disjunctive_revenue": tpch_extra.q19_disjunctive_revenue,
+    "tpch_q12_shipping_delay_bands": tpch_extra.q12_shipping_delay_bands,
+    "tpch_q16_supplier_count_by_part": tpch_extra.q16_supplier_count_by_part,
     # training-data ops: similarity search (exact brute-force baseline)
     "ann_cosine_topk": text_queries.q_ann_cosine,
     # (customer_order_distribution / event_sessions /
@@ -227,14 +247,18 @@ QUERIES: dict[str, QueryFn] = {
     # per-domain URL census with planted links (late-r7 first driver
     # oracle; blocklist-policy input table)
     "domain_census": text_queries.q_domain_census,
-    # streaming batch twin (same F.window operator the streams run)
-    "event_windows_sliding": _sliding_windows,
+    # (event_windows_sliding — green r4-r7 — rotated to
+    # tests/test_rotated_oracles.py in the r8 fifth rotation; the
+    # time-bucket agg shape stays tested there at two SFs)
     # balanced-source cap: exact-N per stratum (late-r7 first driver
     # oracle; partial WindowGroupLimit plan shape pinned in tests)
     "docs_capped_per_source": text_queries.q_docs_capped_per_source,
     # window-function breadth (frames, lag, ratio-to-total)
     "customer_running_revenue": windowed.customer_running_revenue,
-    "priority_revenue_share": windowed.priority_revenue_share,
+    # (priority_revenue_share — green r4-r7 — rotated to
+    # tests/test_rotated_oracles.py in the r8 fifth rotation;
+    # ratio-to-total window evidence continues there and via
+    # customer_running_revenue / user_value_moving_stats in-window)
     # trailing-frame moving stats (late-r6 first driver oracle)
     "user_value_moving_stats": tpch_extra.user_value_moving_stats,
     # time-series gap fill
@@ -285,18 +309,18 @@ QUERIES: dict[str, QueryFn] = {
     # steady state (bench medians show the amortized cost; results are
     # identical to the one-shot form — build is deterministic)
     "ann_cosine_topk_ivf_amortized": text_queries.q_ann_cosine_ivf_amortized,
-    # ---- exact TPC-H-extra shapes still past the window (q6/q7/q10/q14
-    # promoted in r6; q2/q9/q18/q20/q21 + user_value_moving_stats in
-    # late r6): DuckDB differential checks of the same hash-diff rigor
-    # run in tests/test_tpch_extra.py; the driver records rows-only
-    # here ----
-    "tpch_q19_disjunctive_revenue": tpch_extra.q19_disjunctive_revenue,
-    # (tpch_q22_idle_balances / tpch_q15_top_supplier /
-    # tpch_q4_priority_check / tpch_q11_important_parts promoted to
-    # first-time DRIVER oracles in the late-r7 third rotation)
-    # r6 breadth: CASE bands, NOT-IN distinct counts
-    "tpch_q12_shipping_delay_bands": tpch_extra.q12_shipping_delay_bands,
-    "tpch_q16_supplier_count_by_part": tpch_extra.q16_supplier_count_by_part,
+    # (tpch_q19/q12/q16 — the last swept TPC-H-extra shapes — promoted
+    # to first-time DRIVER oracles in the r8 fifth rotation above;
+    # every TPC-H shape in the catalog has now held a driver row)
+    # ---- r8 fifth rotation out of the window (green r4-r7; the
+    # identical hash-diff rigor continues in
+    # tests/test_rotated_oracles.py at sf0.001 AND sf0.01) ----
+    "dedup_ngram_jaccard_exact": text_queries.q_ngram_jaccard,
+    "clean_corpus": text_queries.q_clean_corpus,
+    "revenue_grouping_sets": relational.revenue_grouping_sets,
+    "corpus_report": text_queries.q_corpus_report,
+    "event_windows_sliding": _sliding_windows,
+    "priority_revenue_share": windowed.priority_revenue_share,
     # ---- r7 third rotation out of the window (green since r1/r2; the
     # identical hash-diff rigor continues in
     # tests/test_rotated_oracles.py at sf0.001 AND sf0.01) ----
@@ -339,11 +363,9 @@ QUERIES: dict[str, QueryFn] = {
     # deployed-PQ steady state (persisted codes index, ADC+re-rank only)
     "ann_cosine_topk_pq_amortized": text_queries.q_ann_cosine_pq_amortized,
     # (dim_supplier_geo and docs_hash_sample promoted to first-time
-    # DRIVER oracles in the late-r7 third rotation)
-    # deterministic sampling family (exact; DuckDB-diffed in
-    # tests/test_sampling.py — window full)
-    "docs_stratified_sample": text_queries.q_docs_stratified_sample,
-    "docs_sample_exact_n": text_queries.q_docs_sample_exact_n,
+    # DRIVER oracles in the late-r7 third rotation;
+    # docs_stratified_sample / docs_sample_exact_n promoted in the r8
+    # fifth rotation — the whole sampling family is now driver-verified)
     # SemDeDup cluster-bounded semantic dedup (deterministic, not
     # SQL-expressible - planted-dup differentials in tests)
     "semdedup_prune": text_queries.q_semdedup,
@@ -379,9 +401,8 @@ QUERIES: dict[str, QueryFn] = {
     # mergeable KLL quantile sketches (rank-bounded approximate by
     # design; error/merge/roundtrip bounds in tests/test_sketches.py)
     "kll_value_quantiles": text_queries.q_kll_quantiles,
-    # declarative expectation suite over orders (r7; exact — swept
-    # DuckDB twin; gate form raises naming the failures)
-    "dq_expectations_orders": relational.dq_expectations_orders,
+    # (dq_expectations_orders promoted to a first-time DRIVER oracle in
+    # the r8 fifth rotation)
     # KMV/theta distinct-set sketches: pairwise audience overlap
     # (union/intersection/jaccard estimates HLL state cannot answer;
     # approximate by design — exact-differential bounds in
@@ -390,11 +411,17 @@ QUERIES: dict[str, QueryFn] = {
     # SQ8 scalar-quantized ANN (r7 third compression tier; approximate
     # by design — recall/layout/code-range tests in pytest)
     "ann_cosine_topk_sq8": text_queries.q_ann_cosine_sq8,
+    # r8 combined tier: probe-pruned cells × SQ8-compressed scan
+    "ann_cosine_topk_ivf_sq8": text_queries.q_ann_cosine_ivf_sq8,
+    "ann_cosine_topk_ivf_sq8_amortized": text_queries.q_ann_cosine_ivf_sq8_amortized,
     # deployed-SQ8 steady state (persisted params+codes index)
     "ann_cosine_topk_sq8_amortized": text_queries.q_ann_cosine_sq8_amortized,
     # real MP4 frame extraction (r7: pure-stdlib ISO-BMFF sample-table
     # parse + per-frame dHash through the real JPEG decode path)
     "video_frame_harvest": text_queries.q_video_frame_harvest,
+    # deployed-shape twin: persisted synthetic corpus, measures the
+    # harvest (parse→decode→dHash→agg) without fixture generation
+    "video_frame_harvest_amortized": text_queries.q_video_frame_harvest_amortized,
 }
 
 
@@ -412,11 +439,16 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "ann_cosine_topk_ivf_amortized",  # same IVF result via persisted index
         "event_value_stats_approx",  # t-digest percentiles
         "dedup_embedding_cosine",  # SRP-LSH candidates: recall < 1 by design
-        # exact, window-full: DuckDB-diffed in tests/test_tpch_extra.py
-        # (q22/q11/q4/q15 promoted to driver oracles late-r7)
-        "tpch_q19_disjunctive_revenue",
-        "tpch_q12_shipping_delay_bands",
-        "tpch_q16_supplier_count_by_part",
+        # (tpch_q19/q12/q16 promoted to driver oracles in the r8 fifth
+        # rotation — no TPC-H shape is rows-only any more)
+        # exact, r8 fifth rotation out of the window (green r4-r7):
+        # same hash-diff rigor in tests/test_rotated_oracles.py
+        "dedup_ngram_jaccard_exact",
+        "clean_corpus",
+        "revenue_grouping_sets",
+        "corpus_report",
+        "event_windows_sliding",
+        "priority_revenue_share",
         "incremental_dedup",  # signature-estimated verify: approx by design
         "packed_corpus",  # exact; end-to-end invariants in pytest
         "quality_classifier",  # learned scores: no SQL twin
@@ -434,10 +466,8 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "dq_null_profile",
         "dq_orderkey_integrity",
         "dq_lineitem_pk",
-        # exact, window-full: DuckDB-diffed in tests/test_sampling.py
-        # (dim_supplier_geo / docs_hash_sample promoted late-r7)
-        "docs_stratified_sample",
-        "docs_sample_exact_n",
+        # (docs_stratified_sample / docs_sample_exact_n promoted to
+        # driver oracles in the r8 fifth rotation)
         # exact, late-r7 third rotation out (green since r1): same
         # hash-diff rigor in tests/test_rotated_oracles.py
         "top_products",
@@ -463,12 +493,15 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "daily_event_pivot",
         "tpch_q6_forecast_revenue",
         "kll_value_quantiles",  # KLL sketch: rank-bounded approx by design
-        "dq_expectations_orders",  # exact; swept SQL twin (window full)
+        # (dq_expectations_orders promoted to a driver oracle in r8)
         "audience_overlap",  # KMV/theta set estimates: approx by design
         "ann_cosine_topk_sq8",  # SQ8 shortlist: approx by design
         "ann_cosine_topk_sq8_amortized",  # ≡ one-shot SQ8 via saved index
+        "ann_cosine_topk_ivf_sq8",  # probe-pruned SQ8: approx by design
+        "ann_cosine_topk_ivf_sq8_amortized",  # ≡ one-shot via saved index
         "unigram_tokenize",  # exact; EM loop has no SQL twin
         "video_frame_harvest",  # binary video assets have no oracle tables
+        "video_frame_harvest_amortized",  # ≡ one-shot via persisted corpus
         # late-r7 second rotation out of the window (green since r1;
         # same hash-diff rigor in tests/test_rotated_oracles.py)
         "sales_rollup",
@@ -536,29 +569,35 @@ ORACLES: dict[str, str] = {
     # to ROTATED_ORACLES below
     "scd2_part_dimension": scd2_query.ORACLE,
     "text_stats": text_queries.ORACLE_TEXT_STATS,
-    "corpus_report": text_queries.ORACLE_CORPUS_REPORT,
+    # r8 fifth rotation: corpus_report / dedup_ngram_jaccard_exact /
+    # clean_corpus constants and the event_windows_sliding /
+    # revenue_grouping_sets / priority_revenue_share inline SQL moved
+    # verbatim to ROTATED_ORACLES below
     "corpus_vocabulary": text_queries.ORACLE_CORPUS_VOCABULARY,
     "heavy_hitters_event_types": text_queries.ORACLE_HEAVY_HITTERS,
     "clean_boilerplate": text_queries.ORACLE_CLEAN_BOILERPLATE,
-    "dedup_ngram_jaccard_exact": text_queries.ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": text_queries.ORACLE_MINHASH_LSH,
     "ann_cosine_topk": text_queries.ORACLE_ANN_COSINE,
     # ann_cosine_topk_np: GEMM float-sum order differs ⇒ rows-only check
     # ann_cosine_topk_lsh: approximate by design ⇒ rows-only check
-    "event_windows_sliding": """
-        SELECT time_bucket(INTERVAL '15 minutes', ts)
-                 - k.i * (INTERVAL '15 minutes') AS window_start,
-               event_type,
-               COUNT(*) AS event_count,
-               ROUND(SUM(value), 4) AS total_value
-        FROM events, range(4) k(i)
-        GROUP BY 1, 2
-    """,
     "dedup_simhash": text_queries.ORACLE_SIMHASH,
     # dedup_embedding_cosine: SRP-LSH scale path ⇒ rows-only check; the
     # exact all-pairs oracle (ORACLE_EMBEDDING_NEAR_DUP) is exercised in
     # tests/test_training_ops.py against the exact form directly.
-    "clean_corpus": text_queries.ORACLE_CLEAN_CORPUS,
+    # r8 fifth rotation IN (constants shared with the pytest sweeps
+    # that hash-verified them since r5/r7):
+    "docs_stratified_sample": text_queries.ORACLE_DOCS_STRATIFIED_SAMPLE,
+    "docs_sample_exact_n": text_queries.ORACLE_DOCS_SAMPLE_EXACT_N,
+    "dq_expectations_orders": relational.ORACLE_DQ_EXPECTATIONS_ORDERS,
+    "tpch_q19_disjunctive_revenue": tpch_extra.EXTRA_ORACLES[
+        "tpch_q19_disjunctive"
+    ],
+    "tpch_q12_shipping_delay_bands": tpch_extra.EXTRA_ORACLES[
+        "tpch_q12_shipping_delay_bands"
+    ],
+    "tpch_q16_supplier_count_by_part": tpch_extra.EXTRA_ORACLES[
+        "tpch_q16_supplier_count_by_part"
+    ],
     # r7 rotation: tpch_q1 / tpch_q3 inline SQL moved verbatim to
     # ROTATED_ORACLES below
     "ngram_repetition": text_queries.ORACLE_NGRAM_REPETITION,
@@ -579,21 +618,6 @@ ORACLES: dict[str, str] = {
     "normalize_text": text_queries.ORACLE_NORMALIZE_TEXT,
     # late-r7 third rotation: tpch_q8_market_share inline SQL moved
     # verbatim to ROTATED_ORACLES below
-    "revenue_grouping_sets": """
-        SELECT r.r_name AS region_name,
-               c.c_mktsegment AS market_segment,
-               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE)
-                 AS total_revenue,
-               COUNT(*) AS line_count,
-               CAST(GROUPING(r.r_name, c.c_mktsegment) AS INT)
-                 AS grouping_level
-        FROM lineitem l
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        JOIN region r ON n.n_regionkey = r.r_regionkey
-        GROUP BY GROUPING SETS ((r.r_name), (c.c_mktsegment), ())
-    """,
     "user_hourly_gapfill": """
         WITH bounds AS (
           SELECT date_trunc('hour', MIN(ts)) AS lo,
@@ -635,19 +659,6 @@ ORACLES: dict[str, str] = {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
     "docs_capped_per_source": text_queries.ORACLE_DOCS_CAPPED_PER_SOURCE,
-    "priority_revenue_share": """
-        WITH per AS (
-          SELECT CAST(year(o_orderdate) AS INT) AS order_year,
-                 o_orderpriority AS order_priority,
-                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue,
-                 COUNT(*) AS order_count
-          FROM orders GROUP BY 1, 2
-        )
-        SELECT order_year, order_priority, revenue, order_count,
-               ROUND(revenue / SUM(revenue) OVER (PARTITION BY order_year), 6)
-                 AS revenue_share
-        FROM per
-    """,
     "asof_click_attribution": """
         WITH tagged AS (
           SELECT event_id, user_id, ts, value,
@@ -821,6 +832,49 @@ ORACLES: dict[str, str] = {
 #: for first-time oracles. tests/test_rotated_oracles.py applies the
 #: SAME row-count + schema + value-hash comparison the driver does.
 ROTATED_ORACLES: dict[str, str] = {
+    # ---- r8 fifth rotation (green r4-r7; slots freed for the last six
+    # never-driver-verified oracles: the sampling family, the DQ
+    # expectation suite, and tpch_q19/q12/q16) ----
+    "dedup_ngram_jaccard_exact": text_queries.ORACLE_NGRAM_JACCARD,
+    "clean_corpus": text_queries.ORACLE_CLEAN_CORPUS,
+    "corpus_report": text_queries.ORACLE_CORPUS_REPORT,
+    "event_windows_sliding": """
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - k.i * (INTERVAL '15 minutes') AS window_start,
+               event_type,
+               COUNT(*) AS event_count,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events, range(4) k(i)
+        GROUP BY 1, 2
+    """,
+    "revenue_grouping_sets": """
+        SELECT r.r_name AS region_name,
+               c.c_mktsegment AS market_segment,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 4) AS DOUBLE)
+                 AS total_revenue,
+               COUNT(*) AS line_count,
+               CAST(GROUPING(r.r_name, c.c_mktsegment) AS INT)
+                 AS grouping_level
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r.r_name), (c.c_mktsegment), ())
+    """,
+    "priority_revenue_share": """
+        WITH per AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+                 o_orderpriority AS order_priority,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue,
+                 COUNT(*) AS order_count
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT order_year, order_priority, revenue, order_count,
+               ROUND(revenue / SUM(revenue) OVER (PARTITION BY order_year), 6)
+                 AS revenue_share
+        FROM per
+    """,
     # ---- late-r7 third rotation (green since r1; slots freed for the
     # ex-scale-killer plans tpch_q22/q11, the EXISTS/top-supplier
     # shapes, and the sampling/geo twins) ----
@@ -1203,34 +1257,16 @@ assert not _outside, (
 )
 #: catalog-name → tpch_extra.EXTRA_ORACLES key (two shapes use shorter
 #: internal keys); used to assemble PYTEST_ORACLES below.
-_EXTRA_NAME_MAP: dict[str, str] = {
-    # (q22/q11/q4/q15 promoted to driver oracles in the late-r7 third
-    # rotation — their EXTRA_ORACLES entries now feed ORACLES directly)
-    "tpch_q19_disjunctive_revenue": "tpch_q19_disjunctive",
-    "tpch_q12_shipping_delay_bands": "tpch_q12_shipping_delay_bands",
-    "tpch_q16_supplier_count_by_part": "tpch_q16_supplier_count_by_part",
-}
-
-#: EVERY pytest-side oracle keyed by catalog name: the r6-rotated
-#: window veterans plus the TPC-H-extra shapes. Disjoint from ORACLES
-#: by construction (asserted below); tools/check_oracles.py folds these
-#: into its sweep so the health snapshot hash-checks every EXACT query,
-#: not only the driver window.
+#: EVERY pytest-side oracle keyed by catalog name. After the r8 fifth
+#: rotation promoted the last six swept twins (the sampling family, the
+#: DQ expectation suite, tpch_q19/q12/q16) into the driver window, this
+#: is exactly the rotated-veteran set: every oracle-checkable query in
+#: the catalog has now held a driver row at least once. Disjoint from
+#: ORACLES by construction (asserted below); tools/check_oracles.py
+#: folds these into its sweep so the health snapshot hash-checks every
+#: EXACT query, not only the driver window.
 PYTEST_ORACLES: dict[str, str] = {
     **ROTATED_ORACLES,
-    **{
-        name: tpch_extra.EXTRA_ORACLES[key]
-        for name, key in _EXTRA_NAME_MAP.items()
-    },
-    # exact deterministic sampling family (hash-diffed in
-    # tests/test_sampling.py since r5; docs_hash_sample and
-    # dim_supplier_geo promoted to driver oracles late-r7)
-    "docs_stratified_sample": text_queries.ORACLE_DOCS_STRATIFIED_SAMPLE,
-    "docs_sample_exact_n": text_queries.ORACLE_DOCS_SAMPLE_EXACT_N,
-    # declarative DQ expectation suite (r7)
-    "dq_expectations_orders": relational.ORACLE_DQ_EXPECTATIONS_ORDERS,
-    # PII redaction: twin generated from the operator's own pattern
-    # table (one source of truth; engines share the literal regexes)
     # (the nine swept twins promoted to first-time DRIVER oracles in r7
     # — chunk_documents, clean_boilerplate, ngram_repetition,
     # dedup_clusters, event_anomalies, corpus_drift, doc_perplexity,

@@ -965,28 +965,16 @@ def q_clean_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_video_frame_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real MP4 frame extraction at query scale (r7, closing the r6
-    "MP4 remains stubbed" gap): every 20th document becomes a 4-frame
-    MJPEG MP4 (deterministic md5-seeded content, encoded in-plan by the
-    real T.81 JPEG encoder + ISO-BMFF muxer), ``sample_frames``
-    extracts each frame's encoded bytes + timestamp by parsing the
-    container's sample tables — no ffmpeg — and every frame dHashes
-    through the real JPEG decode path. Returns per-video frame counts,
-    distinct perceptual hashes, and the covered time span.
-
-    Scale posture: generation and extraction are zero-shuffle Arrow
-    ``mapInPandas`` stages after one repartition of (id, text) rows;
-    the only exchange is the final per-video aggregation on a uniform
-    key. Rows-only (binary by design); container spec-conformance and
-    codec round-trips in tests/test_mp4.py."""
+def _synth_video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MJPEG-MP4 corpus: every 20th document becomes a
+    4-frame MJPEG MP4 (md5-seeded content, encoded by the real T.81
+    JPEG encoder + ISO-BMFF muxer). Zero-shuffle Arrow generation after
+    one repartition of (id, text) rows."""
     from lakehouse_adventureworks2022_spark.operators.mp4 import (
         build_synth_mp4,
     )
     from lakehouse_adventureworks2022_spark.operators.multimodal import (
         ASSET_SCHEMA,
-        image_hashes,
-        sample_frames,
     )
 
     docs = read_table(spark, sf_dir, "documents").filter(
@@ -1016,11 +1004,23 @@ def q_video_frame_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["duration_ms"] = 400
             yield out[[f.name for f in ASSET_SCHEMA.fields]]
 
-    videos = (
+    return (
         docs.select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(make_videos, schema=ASSET_SCHEMA)
     )
+
+
+def _harvest_frames(videos: DataFrame) -> DataFrame:
+    """The measured harvest operator: parse the containers' sample
+    tables (no ffmpeg), decode every extracted frame through the real
+    JPEG path, dHash, and aggregate per video. Zero-shuffle Arrow
+    stages + one uniform-key aggregation."""
+    from lakehouse_adventureworks2022_spark.operators.multimodal import (
+        image_hashes,
+        sample_frames,
+    )
+
     frames = sample_frames(videos, every_ms=100, fake=False)
     hashed = image_hashes(
         frames.select(
@@ -1044,9 +1044,59 @@ def q_video_frame_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_frames"),
             F.countDistinct("dhash").alias("distinct_hashes"),
+            # composite id is video_id*10_000 + offset_ms/100: recover
+            # the last sampled offset for the covered time span
+            (F.max(F.col("asset_id") % 10_000) * 100)
+            .cast("int")
+            .alias("span_ms"),
         )
         .orderBy("video_id")
     )
+
+
+def mp4_corpus_dir_for(sf_dir: str) -> str:
+    """Per-corpus-version synthetic-MP4 location (documents-file
+    identity key — same contract as ivf_index_dir_for)."""
+    import hashlib
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|mjpeg-4f-v1".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"mp4_corpus_{tag}")
+
+
+def q_video_frame_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MP4 frame extraction at query scale (r7, closing the r6
+    "MP4 remains stubbed" gap): one-shot form — synthesizes the MJPEG
+    corpus in-plan (``_synth_video_corpus``), then parses each
+    container's sample tables, decodes every frame through the real
+    JPEG path, dHashes, and aggregates per video (frame count, distinct
+    perceptual hashes, covered time span).
+
+    The bench number for THIS form conflates fixture generation (JPEG
+    encode + mux per doc — CPU-bound by design, no ffmpeg in-container)
+    with the harvest operator; ``q_video_frame_harvest_amortized``
+    below measures the harvest alone. Rows-only (binary by design);
+    container spec-conformance and codec round-trips in
+    tests/test_mp4.py."""
+    return _harvest_frames(_synth_video_corpus(spark, sf_dir))
+
+
+def q_video_frame_harvest_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployed-shape twin of ``q_video_frame_harvest``: the synthetic
+    MP4 corpus is persisted once per fixture version (first call) and
+    the measured path is parse → decode → dHash → aggregate only —
+    the operator a user actually runs over an EXISTING video corpus.
+    Same result as the one-shot form (generation is deterministic)."""
+    import os
+
+    d = mp4_corpus_dir_for(sf_dir)
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        _synth_video_corpus(spark, sf_dir).write.mode("overwrite").parquet(d)
+    return _harvest_frames(spark.read.parquet(d))
 
 
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1814,3 +1864,27 @@ def q_ann_cosine_sq8_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ivf_index_dir_for(sf_dir).replace("ivf_index_", "sq8_index_")
     os.makedirs(idx, exist_ok=True)
     return similarity.cosine_topk_sq8_amortized(q, c, idx, k=10)
+
+
+def q_ann_cosine_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+SQ8 combined tier (r8): probe cells bound WHICH rows are
+    scanned, SQ8 codes shrink WHAT each row reads — closes the r7
+    gap where plain SQ8 scanned every code row (the slowest ANN
+    variant). Approximate by design ⇒ rows-only; recall-vs-IVF parity
+    + probe monotonicity + amortized-identity tests in
+    tests/test_training_ops.py."""
+    q, c = similarity.embedding_queries(spark, sf_dir)
+    return similarity.cosine_topk_ivf_sq8(q, c, k=10)
+
+
+def q_ann_cosine_ivf_sq8_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployed IVF+SQ8: cell-clustered codes index built+persisted on
+    first use per corpus version; steady state pays the probe-pruned
+    compressed scan + re-rank only. Identical results to the one-shot
+    form (tested)."""
+    import os
+
+    q, c = similarity.embedding_queries(spark, sf_dir)
+    idx = ivf_index_dir_for(sf_dir).replace("ivf_index_", "ivf_sq8_index_")
+    os.makedirs(idx, exist_ok=True)
+    return similarity.cosine_topk_ivf_sq8_amortized(q, c, idx, k=10)

@@ -78,7 +78,7 @@ def test_row_level_suite_is_one_aggregation_pass(spark, dirty):
 
 
 def test_catalog_twin_hash_parity(spark):
-    from lakehouse_adventureworks2022_spark.plans.catalog import PYTEST_ORACLES
+    from lakehouse_adventureworks2022_spark.plans.catalog import ORACLES
     from lakehouse_adventureworks2022_spark.plans.relational import (
         dq_expectations_orders,
     )
@@ -92,7 +92,7 @@ def test_catalog_twin_hash_parity(spark):
             )
         s = normalize_pandas(dq_expectations_orders(spark, sf).toPandas())
         d = normalize_pandas(
-            con.sql(PYTEST_ORACLES["dq_expectations_orders"]).df()
+            con.sql(ORACLES["dq_expectations_orders"]).df()
         )
         con.close()
         assert canonical_hash(s) == canonical_hash(d)

@@ -162,10 +162,32 @@ def test_named_stubs_and_malformed_input():
     arith = b"\xff\xd8\xff\xc9" + struct.pack(">H", 4) + b"\x00\x00"
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(arith)
-    # lossless: SOF3
-    lossless = b"\xff\xd8\xff\xc3" + struct.pack(">H", 4) + b"\x00\x00"
-    with pytest.raises(NotImplementedError, match="SOF3"):
-        decode_jpeg(lossless)
+    # truncated SOF3 segment: a named ValueError, never struct.error
+    # (the r7-close regression — half-landed SOF3 crashed here)
+    lossless_trunc = b"\xff\xd8\xff\xc3" + struct.pack(">H", 4) + b"\x00\x00"
+    with pytest.raises(ValueError, match="truncated SOF"):
+        decode_jpeg(lossless_trunc)
+    # 12-bit lossless: named stub (only the 8-bit process has an
+    # encoder twin to test against)
+    sof3_12bit = (
+        b"\xff\xd8\xff\xc3"
+        + struct.pack(">H", 11)
+        + bytes([12])
+        + struct.pack(">HH", 8, 8)
+        + bytes([1, 1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError, match="12-bit lossless"):
+        decode_jpeg(sof3_12bit)
+    # subsampled lossless: named stub
+    sof3_sub = (
+        b"\xff\xd8\xff\xc3"
+        + struct.pack(">H", 17)
+        + bytes([8])
+        + struct.pack(">HH", 8, 8)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(sof3_sub)
     # 12-bit sample precision (SOF0 with prec=12)
     sof12 = (
         b"\xff\xd8\xff\xc0"
@@ -448,3 +470,74 @@ def test_progressive_files_flow_through_real_asset_paths(spark):
         for r in multimodal.image_hashes(assets, fake=False).collect()
     }
     assert hashes[1] == hashes[2]
+
+
+# ---- lossless (SOF3) decode: r8, closing the r7 half-landed path -----
+
+from lakehouse_adventureworks2022_spark.operators.jpeg import (  # noqa: E402
+    encode_jpeg_lossless,
+)
+
+
+def _noise(h, w, ch=None, seed=7):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch is None else (h, w, ch)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+def test_lossless_roundtrip_exact_every_predictor(predictor):
+    """The whole point of the lossless process: decode(encode(img)) is
+    EXACTLY the input, for every T.81 H.1 predictor, on worst-case
+    (incompressible noise) pixels."""
+    gray = _noise(13, 17, seed=predictor)
+    got = decode_jpeg(encode_jpeg_lossless(gray, predictor=predictor))
+    assert got.shape == (13, 17, 3)
+    for c in range(3):  # grayscale replicates across channels
+        assert np.array_equal(got[:, :, c], gray)
+
+    rgb = _noise(9, 11, ch=3, seed=100 + predictor)
+    got3 = decode_jpeg(encode_jpeg_lossless(rgb, predictor=predictor))
+    assert np.array_equal(got3, rgb)  # no color transform, bit-exact
+
+
+def test_lossless_point_transform():
+    """Pt=2 drops the two low bits on encode and shifts back on
+    decode: output == (input >> 2) << 2 exactly (T.81 H.1.2)."""
+    img = _noise(8, 8, seed=42)
+    got = decode_jpeg(encode_jpeg_lossless(img, predictor=4, point_transform=2))
+    assert np.array_equal(got[:, :, 0], (img >> 2) << 2)
+
+
+def test_lossless_single_row_and_column_edges():
+    """Degenerate shapes exercise the H.1.2.1 edge rules alone: a 1-row
+    image is all first-line (Ra chain), a 1-column image all
+    first-column (Rb chain)."""
+    row = _noise(1, 40, seed=3)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(row, predictor=5))[:, :, 0], row
+    )
+    col = _noise(40, 1, seed=4)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(col, predictor=6))[:, :, 0], col
+    )
+
+
+def test_lossless_extreme_values_mod_arithmetic():
+    """0↔255 checkerboard maximizes |diff| every sample; the mod-2^16
+    wrap and SSSS categories must still round-trip exactly."""
+    yy, xx = np.mgrid[0:12, 0:12]
+    board = (((yy + xx) % 2) * 255).astype(np.uint8)
+    for predictor in (1, 4, 7):
+        got = decode_jpeg(encode_jpeg_lossless(board, predictor=predictor))
+        assert np.array_equal(got[:, :, 0], board)
+
+
+def test_lossless_encoder_rejects_bad_args():
+    img = _noise(4, 4)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(img, predictor=0)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(img, predictor=8)
+    with pytest.raises(ValueError, match="point transform"):
+        encode_jpeg_lossless(img, point_transform=9)

@@ -72,6 +72,17 @@ ROTATED = (
     "tpch_q5",
     "tpch_q8_market_share",
     "late_shipment_priority",
+    # r8 fifth rotation: slots freed for the last six
+    # never-driver-verified oracles (docs_sample_exact_n,
+    # docs_stratified_sample, dq_expectations_orders, and
+    # tpch_q19/q12/q16) — after which every oracle-checkable query in
+    # the catalog has held a driver row at least once
+    "dedup_ngram_jaccard_exact",
+    "clean_corpus",
+    "revenue_grouping_sets",
+    "corpus_report",
+    "event_windows_sliding",
+    "priority_revenue_share",
 )
 
 

@@ -35,14 +35,12 @@ DIFFERENTIALS = {
 
 def test_sampling_family_is_swept():
     """Every exact sampling differential is hash-verified in exactly one
-    channel: the driver window (temperature_mixture since r5;
-    docs_hash_sample and dim_supplier_geo promoted late-r7) or the
-    check_oracles sweep."""
+    channel. Since the r8 fifth rotation promoted the last two
+    (docs_stratified_sample / docs_sample_exact_n), the WHOLE family
+    holds driver-window oracles."""
     for name in DIFFERENTIALS:
-        if name in ("temperature_mixture", "docs_hash_sample", "dim_supplier_geo"):
-            assert name in ORACLES
-        else:
-            assert name in PYTEST_ORACLES
+        assert name in ORACLES
+        assert name not in PYTEST_ORACLES
 
 
 @pytest.fixture(scope="module")

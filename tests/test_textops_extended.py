@@ -303,7 +303,7 @@ def test_vocabulary_matches_duckdb(spark):
     )
     want = normalize_pandas(
         con.sql(
-            """
+            r"""
         WITH toks AS (
           SELECT doc_id,
                  unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

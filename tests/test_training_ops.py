@@ -781,3 +781,107 @@ def test_sq8_amortized_matches_one_shot_and_reuses_index(spark, tmp_path):
     }
     assert again == one_shot
     assert os.path.getmtime(f"{idx}/codes/_SUCCESS") == stamp  # not rebuilt
+
+
+# ---- IVF + SQ8 combined tier (r8) ------------------------------------
+
+
+def test_ivf_sq8_recall_not_below_plain_ivf(spark):
+    """The SQ8 layer under IVF must cost nothing after exact re-rank:
+    recall at identical cell settings >= plain IVF's (the loss budget
+    is the coarse pruning, not the 256-level quantization) — the same
+    contract as the IVF-PQ tier."""
+    q, cand = similarity.embedding_queries(spark, SF)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.cosine_topk(q, cand, k=10).collect()
+    }
+    ivf = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.cosine_topk_ivf(q, cand, k=10).collect()
+    }
+    got_rows = similarity.cosine_topk_ivf_sq8(q, cand, k=10).collect()
+    got = {(r["query_id"], r["cand_id"]) for r in got_rows}
+    assert len(exact & got) >= len(exact & ivf)
+    per_q = {}
+    for r in got_rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_sq8_recall_grows_with_probes(spark):
+    q, cand = similarity.embedding_queries(spark, SF)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.cosine_topk(q, cand, k=10).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["query_id"], r["cand_id"])
+            for r in similarity.cosine_topk_ivf_sq8(
+                q, cand, k=10, n_probe=n_probe
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    lo, hi = recall(2), recall(12)
+    assert hi >= lo  # monotone knob
+    assert hi >= 0.8  # near-exhaustive probing recovers most of top-k
+
+
+def test_ivf_sq8_scan_reads_codes_not_vectors(spark):
+    """The probed scan must score the int codes pure-Catalyst: no
+    Python evaluation in the scoring stage, and the persisted-index
+    plan must read the codes table (1 byte/dim), never a raw embedding
+    column."""
+    q, cand = similarity.embedding_queries(spark, SF)
+    centroids, cells = similarity.ivf_build(cand, n_cells=16)
+    mins, scales = similarity.sq8_train(cand)
+    encoded = similarity.sq8_encode(
+        cells, mins, scales, id_col="cand_id", extra_cols=("cell",)
+    )
+    import numpy as np
+
+    crows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    cm = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    plan = (
+        similarity._ivf_sq8_search(
+            q, encoded, cand, mins, scales, cm, k=10, n_probe=4, rerank=8
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan  # scoring is codegen'd
+
+
+def test_ivf_sq8_amortized_matches_one_shot_and_reuses_index(spark, tmp_path):
+    """The deployed IVF+SQ8 form: identical results to the one-shot
+    tier (deterministic train/assign/encode), and the second call must
+    REUSE the persisted index (codes dir mtime stable)."""
+    import os
+
+    q, c = similarity.embedding_queries(spark, SF)
+    idx = str(tmp_path / "ivf_sq8_idx")
+    one_shot = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in similarity.cosine_topk_ivf_sq8(q, c, k=10).collect()
+    }
+    first = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in similarity.cosine_topk_ivf_sq8_amortized(
+            q, c, idx, k=10
+        ).collect()
+    }
+    assert first == one_shot
+    stamp = os.path.getmtime(f"{idx}/codes/_SUCCESS")
+    again = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in similarity.cosine_topk_ivf_sq8_amortized(
+            q, c, idx, k=10
+        ).collect()
+    }
+    assert again == one_shot
+    assert os.path.getmtime(f"{idx}/codes/_SUCCESS") == stamp  # not rebuilt

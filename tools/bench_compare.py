@@ -57,6 +57,25 @@ def main() -> int:
     print(
         f"{'TOTAL':32} {base.get('value', 0):8.3f} {new.get('value', 0):8.3f}"
     )
+    # surface the r8 contention telemetry when present: a comparison
+    # against a contaminated artifact is not evidence of a regression
+    for label, obj in (("base", base), ("new", new)):
+        st = obj.get("steal")
+        if isinstance(st, dict):
+            note = ""
+            if st.get("dirty_reps") or st.get("all_dirty_queries"):
+                note = (
+                    f" — {st.get('dirty_reps', 0)} stolen reps excluded"
+                    + (
+                        f"; ALL reps stolen for: {', '.join(st['all_dirty_queries'])}"
+                        if st.get("all_dirty_queries")
+                        else ""
+                    )
+                )
+            print(
+                f"steal[{label}]: run {st.get('run_pct', '?')}% "
+                f"(threshold {st.get('threshold_pct', '?')}%){note}"
+            )
     # an empty (or mostly-empty) comparison must fail loudly: a format
     # mismatch that drops every query would otherwise green-light
     # unmeasured regressions (r6 verdict #3)
