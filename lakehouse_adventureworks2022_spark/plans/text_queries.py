@@ -1096,7 +1096,15 @@ def q_video_frame_harvest_amortized(spark: SparkSession, sf_dir: str) -> DataFra
     d = mp4_corpus_dir_for(sf_dir)
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
         _synth_video_corpus(spark, sf_dir).write.mode("overwrite").parquet(d)
-    return _harvest_frames(spark.read.parquet(d))
+    # the corpus is kilobytes-per-video: without an explicit repartition
+    # maxPartitionBytes folds the whole read into ONE input split and
+    # the Arrow decode stages run on a single core (observed 12.9 s vs
+    # 5.0 s one-shot at sf0.1 — the r8 bench caught it)
+    return _harvest_frames(
+        spark.read.parquet(d).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
 
 
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
