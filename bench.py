@@ -147,6 +147,9 @@ HEADLINE = [
     # harvest operator (parse -> decode -> dHash -> agg), not the
     # fixture generation the one-shot form is dominated by
     "video_frame_harvest_amortized",
+    # r8: codec-agnostic bytes-level video near-dup (keyframe payload
+    # hashes out of the sample tables — no pixel decode)
+    "video_keyframe_dedup",
 ]
 
 

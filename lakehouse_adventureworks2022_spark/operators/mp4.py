@@ -292,12 +292,25 @@ def build_mjpeg_muxer():
     MJPEG frame is a sync sample, per the spec's absent-stss rule)."""
 
     def mux_mjpeg(
-        frames: list[bytes], fps: int = 10, width: int = 0, height: int = 0
+        frames: list[bytes],
+        fps: int = 10,
+        width: int = 0,
+        height: int = 0,
+        codec: bytes = b"jpeg",
+        keyframes: list[int] | None = None,
     ) -> bytes:
+        """``codec`` overrides the sample-entry fourcc (e.g. ``b"avc1"``
+        to build H.264-shaped containers whose SAMPLE TABLES are real —
+        the bytes-level test fixture for codecs we don't pixel-decode).
+        ``keyframes`` (0-based sample indices) emits an ``stss`` sync
+        table; omitted means every sample is a sync sample (the MJPEG
+        absent-stss rule)."""
         import struct
 
         if not frames:
             raise ValueError("mux_mjpeg needs at least one frame")
+        if len(codec) != 4:
+            raise ValueError(f"codec fourcc must be 4 bytes, got {codec!r}")
 
         def box(tag: bytes, payload: bytes) -> bytes:
             return struct.pack(">I", len(payload) + 8) + tag + payload
@@ -367,7 +380,7 @@ def build_mjpeg_muxer():
         dinf = box(b"dinf", dref)
         entry = (
             struct.pack(">I", 86)  # VisualSampleEntry, no extensions
-            + b"jpeg"
+            + codec
             + b"\x00" * 6
             + struct.pack(">H", 1)  # data ref index
             + b"\x00" * 16
@@ -390,7 +403,17 @@ def build_mjpeg_muxer():
             b"stco",
             struct.pack(">I", n) + b"".join(struct.pack(">I", o) for o in offs),
         )
-        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        stbl_body = stsd + stts + stsc + stsz + stco
+        if keyframes is not None:
+            ks = sorted({int(k) for k in keyframes})
+            if any(k < 0 or k >= n for k in ks):
+                raise ValueError(f"keyframe index out of range 0..{n-1}")
+            stbl_body += full(
+                b"stss",
+                struct.pack(">I", len(ks))
+                + b"".join(struct.pack(">I", k + 1) for k in ks),
+            )
+        stbl = box(b"stbl", stbl_body)
         minf = box(b"minf", vmhd + dinf + stbl)
         mdia = box(b"mdia", mdhd + hdlr + minf)
         trak = box(b"trak", tkhd + mdia)

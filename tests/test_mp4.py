@@ -228,3 +228,80 @@ def test_clean_assets_collapses_duplicate_videos(spark):
         for r in multimodal.clean_assets(assets, fake=False).collect()
     )
     assert kept == [1, 3]
+
+
+# ---- bytes-level video near-dup for non-decodable codecs (r8) --------
+
+
+def _fake_h264_mp4(payloads, keyframes, fps=10):
+    """An H.264-shaped container via the real muxer: avc1 sample entry,
+    real sample tables, an explicit stss — the payloads are opaque NAL
+    stand-ins (the keyframe-hash path never decodes them)."""
+    return mp4.mux_mjpeg(
+        payloads, fps=fps, width=64, height=48,
+        codec=b"avc1", keyframes=keyframes,
+    )
+
+
+def test_muxer_stss_and_codec_fourcc_roundtrip():
+    payloads = [bytes([i]) * (20 + i) for i in range(5)]
+    data = _fake_h264_mp4(payloads, keyframes=[0, 3])
+    meta = mp4.parse_mp4(data)
+    tr = meta["tracks"][0]
+    assert tr["codec"] == "avc1"
+    keys = [bool(k) for (_, _, _, k) in tr["samples"]]
+    assert keys == [True, False, False, True, False]
+    # payload bytes come back exactly
+    for (off, size, _, _), want in zip(tr["samples"], payloads):
+        assert data[off : off + size] == want
+    # pixel decode for avc1 stays the named stub
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mp4.extract_mjpeg_frames(data)
+    with pytest.raises(ValueError, match="fourcc"):
+        mp4.mux_mjpeg(payloads, codec=b"toolong5")
+    with pytest.raises(ValueError, match="out of range"):
+        mp4.mux_mjpeg(payloads, keyframes=[5])
+
+
+def test_video_keyframe_hashes_and_near_dup_pairs(spark):
+    """Planted-duplicate H.264 containers: A and B share the same
+    keyframe payloads (B re-muxed at another fps with extra non-key
+    frames), C is different material, D is MJPEG (absent stss ⇒ every
+    frame a keyframe). The near-dup pair must be exactly (A, B), found
+    WITHOUT any pixel decode."""
+    import hashlib
+
+    kf1, kf2 = b"\x65" + b"I-frame-one" * 9, b"\x65" + b"I-frame-two" * 9
+    delta = b"\x41" + b"p" * 40
+    vid_a = _fake_h264_mp4([kf1, delta, kf2], keyframes=[0, 2], fps=10)
+    vid_b = _fake_h264_mp4(
+        [kf1, delta, delta, kf2, delta], keyframes=[0, 3], fps=25
+    )
+    other = b"\x65" + b"different material" * 6
+    vid_c = _fake_h264_mp4([other, delta], keyframes=[0], fps=10)
+    vid_d = mp4.synth_mp4(3, 32, 24, seed=9)  # MJPEG, no stss
+    rows = [
+        (1, bytearray(vid_a), "video/mp4", 64, 48, 300),
+        (2, bytearray(vid_b), "video/mp4", 64, 48, 200),
+        (3, bytearray(vid_c), "video/mp4", 64, 48, 200),
+        (4, bytearray(vid_d), "video/mp4", 32, 24, 300),
+        (5, bytearray(b"not a video"), "text/plain", None, None, None),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    keys = multimodal.video_keyframe_hashes(assets).collect()
+    by_asset = {}
+    for r in keys:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert set(by_asset) == {1, 2, 3, 4}  # non-video filtered out
+    assert len(by_asset[1]) == 2 and len(by_asset[2]) == 2
+    assert len(by_asset[3]) == 1
+    assert len(by_asset[4]) == 3  # MJPEG: every frame is a sync sample
+    assert {r["codec"] for r in by_asset[1]} == {"avc1"}
+    # md5 is of the exact payload bytes
+    want = hashlib.md5(kf1).hexdigest()
+    assert want in {r["payload_md5"] for r in by_asset[1]}
+    assert want in {r["payload_md5"] for r in by_asset[2]}
+
+    pairs = multimodal.video_near_dup_pairs(assets, min_overlap=0.5).collect()
+    assert [(p["a"], p["b"], p["shared"]) for p in pairs] == [(1, 2, 2)]
+    assert pairs[0]["overlap"] == 1.0

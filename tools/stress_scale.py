@@ -317,6 +317,17 @@ def main() -> None:
 
     run("mp4_frame_extract_dhash", _video_frames)
 
+    # ---- the FULL real-codec clean_assets composite at rep× volume
+    # (r8, the r7 verdict's #7 ask: its pieces were stressed, the whole
+    # wasn't). big_docs' replicated texts yield byte-identical assets —
+    # the exact-dup worst case — while the id%4 modality cycle keeps
+    # all four codecs (JPEG/PNG/PPM/WAV) in the encode+decode path.
+    def _clean_assets_full():
+        assets = multimodal.attach_real_assets(big_docs)
+        return multimodal.clean_assets(assets, fake=False)
+
+    run("clean_assets_full_composite", _clean_assets_full)
+
     # ---- event-analytics family at rep× volume (r6): funnel,
     # retention, anomalies and the Q21 double-correlation, on a
     # replicated events stream with ids/users offset per copy so the
