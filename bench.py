@@ -150,6 +150,9 @@ HEADLINE = [
     # r8: codec-agnostic bytes-level video near-dup (keyframe payload
     # hashes out of the sample tables — no pixel decode)
     "video_keyframe_dedup",
+    # r8: benchmark-hygiene n-gram decontamination (explode -> broadcast
+    # gram join -> per-doc agg; exact, swept DuckDB twin)
+    "eval_decontamination",
 ]
 
 

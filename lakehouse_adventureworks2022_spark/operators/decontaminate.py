@@ -1,0 +1,106 @@
+"""Eval-set decontamination: remove (or report) training documents that
+share word n-grams with a held-out evaluation set — the standard
+benchmark-hygiene step of a large-scale training-data pipeline (13-gram
+exact match is the widely published convention; ``n`` is a knob because
+real corpora and fixtures differ in document length).
+
+Spark-first shape, zero UDFs:
+
+- n-grams are pure Catalyst: split → filter empties → ``transform`` over
+  a ``sequence`` of start offsets → ``array_join(slice(...))`` — one
+  projection, then ONE explode (a flatMap, linear in corpus size; this
+  never goes quadratic the way pairwise comparison would).
+- the EVAL side is small by definition (benchmarks are thousands of
+  documents, not billions), so its distinct gram table broadcasts and
+  the train-side probe is a broadcast hash join — the 100 TB cost is one
+  linear scan of train plus a per-doc aggregation on a uniform key
+  (``doc_id``). ``broadcast_eval=False`` falls back to a shuffle join on
+  the gram hash (uniform by construction) for oversized eval unions.
+- ``hash_grams=True`` joins on ``xxhash64`` of the gram instead of the
+  string — 8 bytes through the broadcast/shuffle instead of ~6-13 words
+  of text. Collisions are negligible at any realistic gram count
+  (~2^-64 per pair) and a collision can only OVER-flag, never leak a
+  contaminated doc through.
+
+Reference parity: the reference pipeline has no decontamination step —
+this is beyond-reference scope from the brief's training-data-pipeline
+list (dedup family), same category as the MinHash/SimHash operators in
+``operators/dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "gram",
+) -> DataFrame:
+    """One row per word n-gram: ``(id_col, out)``. Tokenization is the
+    module-standard whitespace split on lowercased trimmed text (the
+    same convention as textops/BM25, so decontamination agrees with the
+    rest of the text stack about what a word is). Documents shorter
+    than ``n`` words contribute nothing (guarded — ``sequence`` would
+    otherwise run descending and fabricate grams)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    starts = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(starts, lambda i: F.array_join(F.slice(words, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(grams).alias(out))
+
+
+def contamination_report(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """``(id_col, n_contaminated_ngrams)`` for every train document
+    sharing at least one word n-gram with any eval document. The count
+    is DISTINCT shared grams (a doc repeating one leaked gram five
+    times is one leak, not five)."""
+    tg = word_ngrams(train, n, text_col, id_col)
+    eg = word_ngrams(evalset, n, text_col, id_col).select("gram").distinct()
+    if hash_grams:
+        tg = tg.select(id_col, F.xxhash64("gram").alias("gram"))
+        eg = eg.select(F.xxhash64("gram").alias("gram")).distinct()
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    return (
+        tg.join(eg, "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("n_contaminated_ngrams"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train minus every document :func:`contamination_report` flags —
+    the pipeline step itself. Anti-join on the (small) flagged-id set;
+    train columns pass through untouched."""
+    flagged = contamination_report(
+        train, evalset, n, text_col, id_col, hash_grams, broadcast_eval
+    ).select(id_col)
+    return train.join(F.broadcast(flagged), id_col, "left_anti")

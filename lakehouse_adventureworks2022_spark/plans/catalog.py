@@ -425,6 +425,9 @@ QUERIES: dict[str, QueryFn] = {
     # bytes-level video near-dup from keyframe payload hashes (r8):
     # codec-agnostic — covers H.264-class tracks without pixel decode
     "video_keyframe_dedup": text_queries.q_video_keyframe_dedup,
+    # benchmark-hygiene n-gram decontamination (r8; exact — swept
+    # DuckDB twin; window full, sweeps in check_oracles + pytest)
+    "eval_decontamination": text_queries.q_eval_decontamination,
 }
 
 
@@ -1271,6 +1274,9 @@ assert not _outside, (
 #: EXACT query, not only the driver window.
 PYTEST_ORACLES: dict[str, str] = {
     **ROTATED_ORACLES,
+    # r8 newcomer past the full window: benchmark-hygiene n-gram
+    # contamination report (exact; sweeps at every health check)
+    "eval_decontamination": text_queries.ORACLE_EVAL_DECONTAMINATION,
     # (the nine swept twins promoted to first-time DRIVER oracles in r7
     # — chunk_documents, clean_boilerplate, ngram_repetition,
     # dedup_clusters, event_anomalies, corpus_drift, doc_perplexity,

@@ -1949,3 +1949,49 @@ def q_ann_cosine_ivf_sq8_amortized(spark: SparkSession, sf_dir: str) -> DataFram
     idx = ivf_index_dir_for(sf_dir).replace("ivf_index_", "ivf_sq8_index_")
     os.makedirs(idx, exist_ok=True)
     return similarity.cosine_topk_ivf_sq8_amortized(q, c, idx, k=10)
+
+
+def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-hygiene contamination report (r8): every 97th document
+    stands in for a held-out eval set; the rest is the training corpus;
+    any train doc sharing a word 3-gram with any eval doc is flagged
+    with its DISTINCT shared-gram count. n=3 because the fixture's docs
+    are 10-99 words of a small shared vocabulary — production default
+    is the published 13-gram convention (tested with planted 13-gram
+    leaks in tests/test_decontaminate.py). EXACT (swept DuckDB twin
+    below): xxhash64 gram hashing changes nothing but bytes moved."""
+    from lakehouse_adventureworks2022_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(train, evalset, n=3).orderBy("doc_id")
+
+
+#: DuckDB twin of q_eval_decontamination: same whitespace tokenization,
+#: same 97-modulus split, same DISTINCT-gram count — joined on the gram
+#: STRING (the operator's xxhash64 join is count-identical absent a
+#: 2^-64 collision).
+ORACLE_EVAL_DECONTAMINATION = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         t -> len(t) > 0) AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest([array_to_string(w[i:i+2], ' ')
+                     for i in range(1, len(w) - 1)]) AS gram
+      FROM tok
+    )
+    SELECT a.doc_id,
+           COUNT(DISTINCT a.gram) AS n_contaminated_ngrams
+    FROM g a
+    JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) e USING (gram)
+    WHERE a.doc_id % 97 != 0
+    GROUP BY a.doc_id
+    ORDER BY a.doc_id
+"""
