@@ -151,8 +151,10 @@ HEADLINE = [
     # hashes out of the sample tables — no pixel decode)
     "video_keyframe_dedup",
     # r8: benchmark-hygiene n-gram decontamination (explode -> broadcast
-    # gram join -> per-doc agg; exact, swept DuckDB twin)
+    # gram join -> per-doc agg; exact, swept DuckDB twin) + the fuzzy
+    # MinHash cross-corpus tier over planted perturbed eval twins
     "eval_decontamination",
+    "eval_decontamination_fuzzy",
 ]
 
 

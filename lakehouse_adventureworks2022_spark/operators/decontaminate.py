@@ -104,3 +104,120 @@ def decontaminate(
         train, evalset, n, text_col, id_col, hash_grams, broadcast_eval
     ).select(id_col)
     return train.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def fuzzy_contamination_pairs(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 3,
+    k: int | None = None,
+    band_rows: int | None = None,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy decontamination tier: exact n-gram matching misses
+    paraphrased/lightly-edited leaks, so this runs the corpus-scale
+    MinHash-LSH machinery (``operators/dedup.py`` — the same tested
+    shingle/signature/band helpers) ACROSS the two corpora: band
+    buckets join train×eval only (never train×train — the wasted work a
+    union-then-filter reuse would pay), candidates verify with exact
+    shingle Jaccard, and pairs at/above ``threshold`` come back as
+    ``(train_id, eval_id, n_common, jaccard)``.
+
+    Deterministic end-to-end (md5 signatures, exact verify) — the
+    catalog query holds a hash-verified DuckDB twin. At 100 TB: the
+    eval side is benchmark-sized, so its band table broadcasts; the
+    train side pays one shingle explode + one (doc_id)-keyed signature
+    aggregation + the candidates-only verify joins."""
+    from .dedup import (
+        BAND_ROWS,
+        MINHASH_K,
+        _signatures_from_shingles,
+        bands_from_signatures,
+        shingles_df,
+    )
+
+    k = MINHASH_K if k is None else k
+    band_rows = BAND_ROWS if band_rows is None else band_rows
+    t = train.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    e = evalset.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    tsh = shingles_df(t, "text", n).persist()
+    esh = shingles_df(e, "text", n).persist()
+    tsig = _signatures_from_shingles(tsh, k)
+    esig = _signatures_from_shingles(esh, k)
+    tb = bands_from_signatures(tsig, k, band_rows)
+    eb = bands_from_signatures(esig, k, band_rows)
+    candidates = (
+        tb.withColumnRenamed("doc_id", "train_id")
+        .join(
+            F.broadcast(eb.withColumnRenamed("doc_id", "eval_id")),
+            ["band", "band_sig"],
+        )
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    common = (
+        candidates.alias("c")
+        .join(tsh.alias("sa"), F.col("c.train_id") == F.col("sa.doc_id"))
+        .join(
+            esh.alias("sb"),
+            (F.col("c.eval_id") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("c.train_id", "c.eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(
+            F.col("train_id"), F.col("eval_id"), F.col("n_common")
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("tn") + F.col("en") - F.col("n_common")
+    )
+    pairs = (
+        common.join(
+            tsig.select(
+                F.col("doc_id").alias("train_id"),
+                F.col("n_shingles").alias("tn"),
+            ),
+            "train_id",
+        )
+        .join(
+            F.broadcast(
+                esig.select(
+                    F.col("doc_id").alias("eval_id"),
+                    F.col("n_shingles").alias("en"),
+                )
+            ),
+            "eval_id",
+        )
+        .select("train_id", "eval_id", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from .dedup import _attach_cached_input
+
+    return _attach_cached_input(_attach_cached_input(pairs, tsh), esh)
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int | None = None,
+    band_rows: int | None = None,
+) -> DataFrame:
+    """Train minus every doc :func:`fuzzy_contamination_pairs` pairs
+    with any eval doc — the paraphrase-robust pipeline step, composable
+    after the exact :func:`decontaminate` pass."""
+    flagged = (
+        fuzzy_contamination_pairs(
+            train, evalset, n=n, threshold=threshold,
+            text_col=text_col, id_col=id_col, k=k, band_rows=band_rows,
+        )
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(F.broadcast(flagged), id_col, "left_anti")

@@ -428,6 +428,10 @@ QUERIES: dict[str, QueryFn] = {
     # benchmark-hygiene n-gram decontamination (r8; exact — swept
     # DuckDB twin; window full, sweeps in check_oracles + pytest)
     "eval_decontamination": text_queries.q_eval_decontamination,
+    # fuzzy (MinHash cross-corpus) decontamination over planted
+    # perturbed eval twins (r8; deterministic LSH + exact verify ⇒
+    # exact — swept DuckDB twin)
+    "eval_decontamination_fuzzy": text_queries.q_eval_decontamination_fuzzy,
 }
 
 
@@ -1274,9 +1278,11 @@ assert not _outside, (
 #: EXACT query, not only the driver window.
 PYTEST_ORACLES: dict[str, str] = {
     **ROTATED_ORACLES,
-    # r8 newcomer past the full window: benchmark-hygiene n-gram
-    # contamination report (exact; sweeps at every health check)
+    # r8 newcomers past the full window: benchmark-hygiene n-gram
+    # contamination report + the fuzzy MinHash cross-corpus tier
+    # (both exact; sweep at every health check)
     "eval_decontamination": text_queries.ORACLE_EVAL_DECONTAMINATION,
+    "eval_decontamination_fuzzy": text_queries.ORACLE_EVAL_DECONTAMINATION_FUZZY,
     # (the nine swept twins promoted to first-time DRIVER oracles in r7
     # — chunk_documents, clean_boilerplate, ngram_repetition,
     # dedup_clusters, event_anomalies, corpus_drift, doc_perplexity,

@@ -1995,3 +1995,87 @@ ORACLE_EVAL_DECONTAMINATION = r"""
     GROUP BY a.doc_id
     ORDER BY a.doc_id
 """
+
+
+def q_eval_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (paraphrase-robust) decontamination (r8): every 50th
+    document becomes a PERTURBED eval item — first two words dropped, a
+    marker suffix appended — so no 13-gram (often no 3-gram run) of the
+    edit boundary survives verbatim, yet shingle Jaccard with the
+    source doc stays high. The cross-corpus MinHash-LSH tier must
+    recover the planted (train, eval) pairs it was built for. EXACT
+    despite the LSH (md5 band signatures + exact-Jaccard verify are
+    deterministic): swept DuckDB twin below, hash-verified."""
+    from lakehouse_adventureworks2022_spark.operators.decontaminate import (
+        fuzzy_contamination_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    evalset = docs.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.concat(
+            F.array_join(F.slice(toks, 3, F.size(toks)), " "),
+            F.lit(" held out benchmark answer key"),
+        ).alias("text"),
+    )
+    return (
+        fuzzy_contamination_pairs(docs, evalset, n=3, threshold=0.5)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy("train_id", "eval_id")
+    )
+
+
+#: DuckDB twin of q_eval_decontamination_fuzzy: the same perturbation
+#: (1-based toks[3:] == Spark slice(toks, 3, size)), the same md5
+#: minhash/band machinery as ORACLE_MINHASH_LSH, joined train×eval.
+ORACLE_EVAL_DECONTAMINATION_FUZZY = f"""
+    WITH tr AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ev AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               array_to_string(({_TOKS})[3:], ' ')
+                 || ' held out benchmark answer key', '\\s+') AS toks
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    tsh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tr),
+    esh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM ev),
+    seeds AS (SELECT lpad(CAST(i AS VARCHAR), 2, '0') AS seed
+              FROM range({_K}) r(i)),
+    tmh AS (SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS minhash
+            FROM tsh, seeds GROUP BY doc_id, seed),
+    emh AS (SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS minhash
+            FROM esh, seeds GROUP BY doc_id, seed),
+    tbands AS (
+      SELECT doc_id, CAST(seed AS INT) // {_BR} AS band,
+             md5(string_agg(seed || ':' || minhash, '|' ORDER BY seed)) AS band_sig
+      FROM tmh GROUP BY doc_id, band
+    ),
+    ebands AS (
+      SELECT doc_id, CAST(seed AS INT) // {_BR} AS band,
+             md5(string_agg(seed || ':' || minhash, '|' ORDER BY seed)) AS band_sig
+      FROM emh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+      FROM tbands t JOIN ebands e
+        ON t.band = e.band AND t.band_sig = e.band_sig
+    ),
+    tsizes AS (SELECT doc_id, COUNT(*) AS n FROM tsh GROUP BY doc_id),
+    esizes AS (SELECT doc_id, COUNT(*) AS n FROM esh GROUP BY doc_id),
+    common AS (
+      SELECT train_id, eval_id, COUNT(*) AS n_common
+      FROM cand
+      JOIN tsh sa ON train_id = sa.doc_id
+      JOIN esh sb ON eval_id = sb.doc_id AND sa.shingle = sb.shingle
+      GROUP BY train_id, eval_id
+    )
+    SELECT train_id, eval_id, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / (zt.n + ze.n - n_common), 6)
+             AS jaccard
+    FROM common
+    JOIN tsizes zt ON train_id = zt.doc_id
+    JOIN esizes ze ON eval_id = ze.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (zt.n + ze.n - n_common) >= 0.5
+    ORDER BY train_id, eval_id
+"""

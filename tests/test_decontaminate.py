@@ -101,3 +101,78 @@ def test_catalog_twin_hash_parity(spark, sf):
     assert len(got) == len(want) > 0
     assert list(got.columns) == list(want.columns)
     assert canonical_hash(got) == canonical_hash(want)
+
+
+# ---- fuzzy (MinHash cross-corpus) tier --------------------------------
+
+from lakehouse_adventureworks2022_spark.operators.decontaminate import (  # noqa: E402
+    fuzzy_contamination_pairs,
+    fuzzy_decontaminate,
+)
+
+BASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu one two three four"
+)  # 30 words
+
+
+def test_fuzzy_catches_the_paraphrase_exact_13gram_misses(spark):
+    # eval item = the train doc with every 10th word swapped out: no 13
+    # consecutive words survive, so the exact tier at n=13 sees nothing
+    words = BASE.split()
+    edited = [
+        (f"EDIT{i}" if i % 10 == 9 else w) for i, w in enumerate(words)
+    ]
+    train = _docs(spark, [(1, BASE), (2, "totally unrelated text " * 8)])
+    ev = _docs(spark, [(100, " ".join(edited))])
+    assert contamination_report(train, ev, n=13).count() == 0  # exact: blind
+    # band_rows=2 = the high-recall banding (6 bands of 2 rows): at
+    # J≈0.6 the default 4×3 banding only catches the pair with ~0.5
+    # probability per md5 draw — the knob IS the recall/cost trade
+    pairs = fuzzy_contamination_pairs(
+        train, ev, n=3, threshold=0.3, band_rows=2
+    ).collect()
+    assert [(p["train_id"], p["eval_id"]) for p in pairs] == [(1, 100)]
+    assert 0.3 <= pairs[0]["jaccard"] < 1.0
+    clean = fuzzy_decontaminate(train, ev, n=3, threshold=0.3, band_rows=2)
+    assert [r["doc_id"] for r in clean.collect()] == [2]
+
+
+def test_fuzzy_pairs_only_cross_corpus_and_deterministic(spark):
+    # two near-identical TRAIN docs must NOT pair with each other here —
+    # the operator's contract is train×eval only
+    train = _docs(spark, [(1, BASE), (2, BASE + " extra")])
+    ev = _docs(spark, [(9, "completely different words everywhere now")])
+    assert fuzzy_contamination_pairs(train, ev, n=3, threshold=0.2).count() == 0
+    # determinism: same inputs -> identical pair set twice
+    ev2 = _docs(spark, [(9, BASE + " tail")])
+    a = {(r["train_id"], r["eval_id"], r["n_common"])
+         for r in fuzzy_contamination_pairs(train, ev2, n=3, threshold=0.2).collect()}
+    b = {(r["train_id"], r["eval_id"], r["n_common"])
+         for r in fuzzy_contamination_pairs(train, ev2, n=3, threshold=0.2).collect()}
+    assert a == b and {t for t, _, _ in a} == {1, 2}
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_fuzzy_catalog_twin_hash_parity(spark, sf):
+    from lakehouse_adventureworks2022_spark.plans.catalog import (
+        PYTEST_ORACLES,
+        QUERIES,
+    )
+    from tools.check_oracles import TABLES, canonical_hash, normalize_pandas
+
+    got = normalize_pandas(
+        QUERIES["eval_decontamination_fuzzy"](spark, sf).toPandas()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = normalize_pandas(
+        con.sql(PYTEST_ORACLES["eval_decontamination_fuzzy"]).df()
+    )
+    con.close()
+    assert len(got) == len(want) > 0
+    assert canonical_hash(got) == canonical_hash(want)
