@@ -8,16 +8,19 @@ restart markers, byte stuffing. Scans accumulate into per-component
 coefficient arrays; one vectorized dequant + batched-IDCT pass
 reconstructs at EOI. Also decodes predictive LOSSLESS JPEG (SOF3, r8 —
 T.81 Annex H: all 7 predictors, point transform, mod-2^16 difference
-arithmetic, 8-bit, 1×1 sampling). Encoders: 4:4:4/4:2:0 baseline with
-the Annex K example quant tables (IJG quality scaling) and Annex K
-typical Huffman tables, a progressive encoder twin (libjpeg-like scan
-script) whose quantized coefficients are bit-identical to the
-baseline's — the tests pin decode(progressive) == decode(baseline)
-exactly — and a lossless encoder twin whose round-trip the tests pin
-EXACT for every predictor.
+arithmetic, 8-bit, 1×1 sampling) and 12-BIT extended-sequential /
+progressive DCT (r8 — level shift 2048, uint16 output 0..4095).
+Encoders: 4:4:4/4:2:0 baseline with the Annex K example quant tables
+(IJG quality scaling) and Annex K typical Huffman tables, a progressive
+encoder twin (libjpeg-like scan script) whose quantized coefficients
+are bit-identical to the baseline's — the tests pin
+decode(progressive) == decode(baseline) exactly — a lossless encoder
+twin whose round-trip the tests pin EXACT for every predictor, and a
+12-bit SOF1 twin (flat 16-category DC table: 12-bit DC diffs exceed
+Annex K's 11 categories).
 
-Arithmetic coding, differential modes, 12-bit precision, and the
-lossless corner cases without an encoder twin to test against
+Arithmetic coding, differential modes, precisions other than 8/12, and
+the lossless corner cases without an encoder twin to test against
 (subsampled components, restart markers, non-8-bit precision) raise a
 named ``NotImplementedError`` — the same honesty contract as the other
 codecs in ``operators/multimodal.py``.
@@ -496,7 +499,10 @@ def build_jpeg_decoder():
                     raise ValueError("truncated SOF segment")
                 prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
                 lossless = marker == 0xC3
-                if prec != 8:
+                # DCT processes: 8-bit baseline + 12-bit extended
+                # sequential/progressive (r8). Lossless has an encoder
+                # twin only at 8-bit — other precisions stay named stubs.
+                if prec != 8 and (lossless or prec != 12):
                     raise NotImplementedError(
                         f"{prec}-bit {'lossless ' if lossless else ''}JPEG"
                     )
@@ -580,6 +586,13 @@ def build_jpeg_decoder():
         # --- reconstruction: dequant + batched IDCT + assemble ----------
         h, w, comps = frame["h"], frame["w"], frame["comps"]
         hmax, vmax = geom["hmax"], geom["vmax"]
+        # level shift / clip range / output dtype follow the sample
+        # precision (T.81 A.3.1: shift = 2^(P-1)); 12-bit returns uint16
+        # with values 0..4095 — the downstream feature/dHash math is
+        # scale-tolerant float
+        center = float(1 << (frame["prec"] - 1))
+        maxv = (1 << frame["prec"]) - 1
+        out_dtype = np.uint8 if frame["prec"] == 8 else np.uint16
         full = []
         for comp in comps:
             arr = coefs[comp["id"]]
@@ -591,7 +604,7 @@ def build_jpeg_decoder():
             nat[:, zigzag] = deq  # unzigzag into natural order
             blocks = nat.reshape(-1, 8, 8)
             px = (
-                np.einsum("ij,njk,lk->nil", idct_m, blocks, idct_m) + 128.0
+                np.einsum("ij,njk,lk->nil", idct_m, blocks, idct_m) + center
             )
             plane = (
                 px.reshape(bh, bw, 8, 8)
@@ -603,13 +616,13 @@ def build_jpeg_decoder():
                 plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
             full.append(plane[:h, :w])
         if len(full) == 1:
-            g = np.clip(full[0], 0, 255).astype(np.uint8)
+            g = np.clip(full[0], 0, maxv).astype(out_dtype)
             return np.dstack([g, g, g])
-        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        y, cb, cr = full[0], full[1] - center, full[2] - center
         r = y + 1.402 * cr
         g = y - 0.344136 * cb - 0.714136 * cr
         b = y + 1.772 * cb
-        return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+        return np.clip(np.dstack([r, g, b]), 0, maxv).astype(out_dtype)
 
     return decode_jpeg
 
@@ -1202,6 +1215,189 @@ def build_progressive_encoder():
 
 
 #: by-value-picklable codec closures.
+def build_extended_encoder():
+    """Factory returning a 12-bit extended-sequential (SOF1) encoder as
+    a by-value closure — the encode-side twin that makes the 12-bit
+    decode path testable without libjpeg (the third twin after the
+    progressive and lossless ones; r8, shrinking the stub list again).
+
+    Grayscale or 4:4:4 RGB, level shift 2048 (T.81 A.3.1), YCbCr
+    centered at 2048, Annex K quant tables under IJG quality scaling
+    emitted as 16-bit DQT entries (low qualities scale past 255), ONE
+    flat 16-symbol DC table (SSSS categories 0-15 — 12-bit DC diffs
+    exceed the Annex K tables' 11) and the progressive encoder's flat
+    256-symbol AC table (every run/size byte codable)."""
+    zigzag = list(ZIGZAG)
+    ql, qc = list(QUANT_LUMA), list(QUANT_CHROMA)
+
+    def encode_jpeg_12bit(arr, quality: int = 95, grayscale: bool = False) -> bytes:
+        import struct
+
+        import numpy as np
+
+        a = np.asarray(arr, dtype=np.float64)
+        if a.ndim == 2:
+            a, grayscale = a[:, :, None].repeat(3, axis=2), True
+        if a.max() > 4095 or a.min() < 0:
+            raise ValueError("12-bit samples must be in 0..4095")
+        h, w, _ = a.shape
+
+        q = max(1, min(100, quality))
+        scale = 5000 // q if q < 50 else 200 - 2 * q
+
+        def scaled(base):
+            return [max(1, min(65535, (v * scale + 50) // 100)) for v in base]
+
+        qly, qlc = scaled(ql), scaled(qc)
+
+        # flat canonical tables: DC = 15 len-4 + 1 len-5 codes over
+        # categories 0-15 (never the all-ones len-4 code); AC = the
+        # progressive twin's 128 len-8 + 128 len-9 over all 256 bytes
+        dc_bits = [0, 0, 0, 15, 1] + [0] * 11
+        dc_vals = list(range(16))
+        ac_bits = [0] * 7 + [128, 128] + [0] * 7
+        ac_vals = list(range(256))
+
+        def enc_table(bits, vals):
+            codes, code, i = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    codes[vals[i]] = (ln, code)
+                    code += 1
+                    i += 1
+                code <<= 1
+            return codes
+
+        dc_codes, ac_codes = enc_table(dc_bits, dc_vals), enc_table(ac_bits, ac_vals)
+
+        k = np.arange(8)
+        basis = np.cos((2 * k[:, None] + 1) * k[None, :] * np.pi / 16)
+        alpha = np.full(8, np.sqrt(2.0 / 8.0))
+        alpha[0] = np.sqrt(1.0 / 8.0)
+        m = basis * alpha[None, :]
+
+        out = bytearray()
+        bitbuf = 0
+        nbits = 0
+
+        def put(ln, code):
+            nonlocal bitbuf, nbits
+            bitbuf = (bitbuf << ln) | code
+            nbits += ln
+            while nbits >= 8:
+                nbits -= 8
+                byte = (bitbuf >> nbits) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+
+        def magnitude(v):
+            av, s = abs(v), 0
+            while av:
+                av >>= 1
+                s += 1
+            return s
+
+        def encode_block(blockf, qtab, pred):
+            coeffs = m.T @ (blockf - 2048.0) @ m
+            nat_q = np.zeros(64)
+            nat_q[zigzag] = qtab
+            qz = np.round(coeffs.reshape(64) / nat_q).astype(np.int64)
+            zz = qz[zigzag]
+            diff = int(zz[0]) - pred
+            s = magnitude(diff)
+            ln, code = dc_codes[s]
+            put(ln, code)
+            if s:
+                d = diff if diff >= 0 else diff + (1 << s) - 1
+                put(s, d & ((1 << s) - 1))
+            run = 0
+            last = 63
+            while last > 0 and zz[last] == 0:
+                last -= 1
+            for i in range(1, last + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_codes[0xF0]
+                    put(ln, code)
+                    run -= 16
+                s = magnitude(v)
+                ln, code = ac_codes[(run << 4) | s]
+                put(ln, code)
+                d = v if v >= 0 else v + (1 << s) - 1
+                put(s, d & ((1 << s) - 1))
+                run = 0
+            if last < 63:
+                ln, code = ac_codes[0x00]
+                put(ln, code)
+            return int(zz[0])
+
+        r_, g_, b_ = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 2048.0
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 2048.0
+        plan = (
+            [(y, qly, 0)]
+            if grayscale
+            else [(y, qly, 0), (cb, qlc, 1), (cr, qlc, 1)]
+        )
+        bh, bw = -(-h // 8), -(-w // 8)
+
+        def pad(p):
+            return np.pad(
+                p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+            )
+
+        plan = [(pad(p), qt_, tq) for p, qt_, tq in plan]
+        preds = [0] * len(plan)
+        for by in range(bh):
+            for bx in range(bw):
+                for ci, (p, qt_, _) in enumerate(plan):
+                    preds[ci] = encode_block(
+                        p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                        qt_,
+                        preds[ci],
+                    )
+        if nbits:
+            put(8 - nbits, (1 << (8 - nbits)) - 1)
+
+        def seg(marker, payload):
+            return (
+                bytes([0xFF, marker])
+                + struct.pack(">H", len(payload) + 2)
+                + payload
+            )
+
+        def dqt16(tid, tab):  # pq=1: 16-bit big-endian entries
+            return seg(
+                0xDB,
+                bytes([0x10 | tid])
+                + b"".join(struct.pack(">H", int(v)) for v in tab),
+            )
+
+        def dht(tc, th, bits, vals):
+            return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+        nc = len(plan)
+        sof_body = bytes([12]) + struct.pack(">HH", h, w) + bytes([nc])
+        sos_body = bytes([nc])
+        for ci, (_, _, tq) in enumerate(plan):
+            sof_body += bytes([ci + 1, 0x11, tq])
+            sos_body += bytes([ci + 1, 0x00])  # DC 0 / AC 0 for all
+        sos_body += bytes([0, 63, 0])
+        header = b"\xff\xd8" + dqt16(0, qly)
+        if not grayscale:
+            header += dqt16(1, qlc)
+        header += seg(0xC1, sof_body)
+        header += dht(0, 0, dc_bits, dc_vals) + dht(1, 0, ac_bits, ac_vals)
+        return header + seg(0xDA, sos_body) + bytes(out) + b"\xff\xd9"
+
+    return encode_jpeg_12bit
+
+
 def build_lossless_encoder():
     """Factory returning a predictive lossless (SOF3) encoder as a
     by-value closure — the encode-side twin that makes the lossless
@@ -1349,3 +1545,4 @@ decode_jpeg = build_jpeg_decoder()
 encode_jpeg = build_jpeg_encoder()
 encode_jpeg_progressive = build_progressive_encoder()
 encode_jpeg_lossless = build_lossless_encoder()
+encode_jpeg_12bit = build_extended_encoder()

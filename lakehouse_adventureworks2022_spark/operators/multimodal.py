@@ -17,10 +17,14 @@ successive approximation — ``operators/jpeg.py``, numpy + stdlib per
 ITU-T T.81). Since r7 **MP4 frame extraction is real too**: pure-stdlib
 ISO-BMFF sample-table parsing (``operators/mp4.py``) pulls each frame's
 encoded bytes + timestamp, and MJPEG tracks decode end-to-end through
-the real JPEG path. What remains STUBBED: non-MJPEG video codecs
-(H.264/H.265 — bytes and timing extract, pixels don't) and the rare
-JPEG modes (arithmetic coding, lossless, 12-bit), which raise a
-clearly-marked ``NotImplementedError`` identifying the format.
+the real JPEG path. Since r8 **lossless
+(SOF3) and 12-bit JPEG decode for real too** (predictive Annex H +
+extended sequential, each with an encoder twin). What remains STUBBED:
+non-MJPEG video codecs (H.264/H.265 — bytes and timing extract, pixels
+don't; keyframe-BYTES near-dup covers them — see
+``video_keyframe_hashes``) and the JPEG corners without a twin to test
+against (arithmetic coding, differential modes, other precisions),
+which raise a clearly-marked ``NotImplementedError`` naming the format.
 ``fake=True`` keeps the md5-derived deterministic stand-in features
 for fixtures without real assets.
 

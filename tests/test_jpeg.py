@@ -188,16 +188,17 @@ def test_named_stubs_and_malformed_input():
     )
     with pytest.raises(NotImplementedError, match="subsampled"):
         decode_jpeg(sof3_sub)
-    # 12-bit sample precision (SOF0 with prec=12)
-    sof12 = (
+    # non-8/12 sample precision stays a named stub (12-bit DCT decodes
+    # for real since r8 — see the extended-sequential tests below)
+    sof10 = (
         b"\xff\xd8\xff\xc0"
         + struct.pack(">H", 11)
-        + bytes([12])
+        + bytes([10])
         + struct.pack(">HH", 8, 8)
         + bytes([1, 1, 0x11, 0])
     )
-    with pytest.raises(NotImplementedError, match="12-bit"):
-        decode_jpeg(sof12)
+    with pytest.raises(NotImplementedError, match="10-bit"):
+        decode_jpeg(sof10)
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(_gradient(8, 8), subsampling="422")
 
@@ -541,3 +542,51 @@ def test_lossless_encoder_rejects_bad_args():
         encode_jpeg_lossless(img, predictor=8)
     with pytest.raises(ValueError, match="point transform"):
         encode_jpeg_lossless(img, point_transform=9)
+
+
+# ---- 12-bit extended sequential (SOF1) decode: r8 ---------------------
+
+from lakehouse_adventureworks2022_spark.operators.jpeg import (  # noqa: E402
+    encode_jpeg_12bit,
+)
+
+
+def _gradient12(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.dstack(
+        [
+            xx * 4095 / max(w - 1, 1),
+            yy * 4095 / max(h - 1, 1),
+            (xx + yy) * 4095 / max(w + h - 2, 1),
+        ]
+    ).astype(np.uint16)
+
+
+def test_12bit_roundtrip_accuracy_and_dtype():
+    img = _gradient12(21, 29)
+    for q, bound in [(100, 40), (95, 60)]:
+        dec = decode_jpeg(encode_jpeg_12bit(img, quality=q))
+        assert dec.dtype == np.uint16 and dec.shape == img.shape
+        assert dec.max() <= 4095
+        err = np.abs(dec.astype(float) - img.astype(float))
+        # 12-bit pixels span 16x the 8-bit range: the q-scaled Annex K
+        # tables leave absolute errors ~16x the 8-bit bounds, i.e. the
+        # SAME relative accuracy the 8-bit suite pins
+        assert err.max() <= bound, (q, err.max())
+
+
+def test_12bit_grayscale_and_dc_categories_past_11():
+    # a hard step image drives 12-bit DC diffs past the Annex K tables'
+    # 11-category ceiling — the flat 16-category DC table must carry it
+    img = np.zeros((16, 16), dtype=np.uint16)
+    img[:, 8:] = 4095
+    dec = decode_jpeg(encode_jpeg_12bit(img, quality=95))
+    assert dec.dtype == np.uint16
+    assert np.array_equal(dec[:, :, 0], dec[:, :, 1])
+    assert float(np.mean(dec[:, :4, 0])) < 300
+    assert float(np.mean(dec[:, 12:, 0])) > 3800
+
+
+def test_12bit_rejects_out_of_range_samples():
+    with pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg_12bit(np.full((8, 8), 5000, dtype=np.uint16))
