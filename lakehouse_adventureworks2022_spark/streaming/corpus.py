@@ -326,3 +326,76 @@ def stream_drift_monitor(
         .outputMode("update")
         .start()
     )
+
+
+def stream_contamination_alerts(
+    docs: DataFrame,
+    eval_grams: DataFrame,
+    n: int = 13,
+) -> DataFrame:
+    """Streaming eval-leak monitor (r8): one row per (arriving doc ×
+    shared eval n-gram hash) — the ingest-time twin of
+    ``operators/decontaminate.contamination_report``. The eval side is
+    a STATIC frame of distinct gram hashes (build it once with
+    ``eval_gram_hashes``); stream×static INNER joins are fully
+    supported in append mode, and the broadcast keeps per-batch cost at
+    one linear pass over arrivals. No state accumulates — the alert
+    sink is the record."""
+    from lakehouse_adventureworks2022_spark.operators.decontaminate import (
+        word_ngrams,
+    )
+
+    grams = word_ngrams(docs, n).select(
+        "doc_id", F.xxhash64("gram").alias("gram")
+    )
+    return grams.join(F.broadcast(eval_grams), "gram").select(
+        "doc_id", "gram"
+    )
+
+
+def eval_gram_hashes(evalset: DataFrame, n: int = 13) -> DataFrame:
+    """Distinct xxhash64'd word n-grams of a (batch) eval set — the
+    static side for :func:`stream_contamination_alerts` and
+    :func:`stream_decontaminate`."""
+    from lakehouse_adventureworks2022_spark.operators.decontaminate import (
+        word_ngrams,
+    )
+
+    return (
+        word_ngrams(evalset, n)
+        .select(F.xxhash64("gram").alias("gram"))
+        .distinct()
+    )
+
+
+def stream_decontaminate(
+    docs: DataFrame,
+    evalset: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 13,
+):
+    """Ingest-time decontamination: every micro-batch runs the SAME
+    batch operator (``operators/decontaminate.decontaminate``) against
+    the static eval set and appends only the clean documents to
+    ``out_dir`` — the foreachBatch escape hatch because stream-side
+    LEFT ANTI joins aren't supported declaratively (same pattern as
+    ``stream_drift_monitor``). Stream result ≡ the batch operator over
+    the union of batches (tested): per-doc membership is a pure
+    function of (doc text, eval set), so batch boundaries can't change
+    it."""
+    from lakehouse_adventureworks2022_spark.operators.decontaminate import (
+        decontaminate,
+    )
+
+    def clean(batch_df: DataFrame, batch_id: int) -> None:
+        decontaminate(batch_df, evalset, n=n).write.mode("append").parquet(
+            out_dir
+        )
+
+    return (
+        docs.writeStream.foreachBatch(clean)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

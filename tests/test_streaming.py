@@ -499,3 +499,71 @@ def test_stream_classifier_gate_matches_batch_predictions(spark, tmp_path):
     }
     assert got  # stream landed something
     assert got <= batch_pred  # nothing the model rejects got through
+
+
+def test_stream_decontamination_alerts_and_removal_equal_batch(spark, tmp_path):
+    """Streaming eval-leak coverage (r8): the alert stream flags exactly
+    the docs the BATCH contamination_report flags, and the foreachBatch
+    decontaminate sink keeps exactly the batch operator's survivors —
+    membership is per-doc, so batch boundaries can't change it."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators.decontaminate import (
+        contamination_report,
+        decontaminate,
+    )
+    from lakehouse_adventureworks2022_spark.streaming.corpus import (
+        eval_gram_hashes,
+        stream_contamination_alerts,
+        stream_decontaminate,
+    )
+
+    leak = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    ev = spark.createDataFrame(
+        [(900, f"benchmark question {leak} answer")], "doc_id long, text string"
+    )
+    rows1 = [(1, f"copied {leak} verbatim"), (2, "clean document alpha")]
+    rows2 = [(3, "clean document beta"), (4, leak)]
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "decon_stream")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    shutil.rmtree(src + "/_spark_metadata", ignore_errors=True)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    batch_all = spark.createDataFrame(rows1 + rows2, schema)
+
+    reader = lambda: (  # noqa: E731
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    # alert stream == batch report's flagged ids
+    alerts = stream_contamination_alerts(reader(), eval_gram_hashes(ev, n=13), n=13)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("t_decon_alerts")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    flagged_stream = {r["doc_id"] for r in spark.table("t_decon_alerts").collect()}
+    q.stop()
+    flagged_batch = {
+        r["doc_id"] for r in contamination_report(batch_all, ev, n=13).collect()
+    }
+    assert flagged_stream == flagged_batch == {1, 4}
+
+    # foreachBatch removal == batch decontaminate over the union
+    out = str(tmp_path / "decon_out")
+    ck = str(tmp_path / "decon_ck")
+    q2 = stream_decontaminate(reader(), ev, out, ck, n=13)
+    q2.processAllAvailable()
+    q2.stop()
+    kept_stream = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    kept_batch = sorted(
+        r["doc_id"] for r in decontaminate(batch_all, ev, n=13).collect()
+    )
+    assert kept_stream == kept_batch == [2, 3]
