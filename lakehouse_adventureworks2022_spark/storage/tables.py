@@ -298,6 +298,76 @@ class TableManager:
         )
         self.overwrite(parted.sortWithinPartitions(*cols), name)
 
+    def merge_upsert(
+        self,
+        source: DataFrame,
+        name: str,
+        keys: str | list[str],
+        delete_col: str | None = None,
+        partition_by: str | list[str] | None = None,
+    ) -> None:
+        """Delta ``MERGE INTO`` analog (r8) in its dominant CDC shape:
+        matched keys UPDATE to the source row, unmatched keys INSERT,
+        and — when ``delete_col`` names a boolean tombstone column in
+        ``source`` — flagged matched keys DELETE (a tombstone for an
+        absent key is a no-op, per MERGE semantics).
+
+        The whole merge is ONE anti join + union: rows whose keys are
+        untouched pass through, every surviving source row carries its
+        own values (update and insert are the same arm once matched
+        rows take the source side wholesale — the common upsert case).
+        Source must be key-unique — duplicate keys raise, the analog of
+        Delta's multiple-source-rows-match error (a nondeterministic
+        merge must never write). Atomic staging+swap like
+        :meth:`overwrite`; a crash mid-merge leaves the old table.
+
+        Scale: the anti join shuffles on the merge keys (or broadcasts
+        a small CDC batch — the usual case, left to AQE); nothing else
+        touches the untouched rows. At Delta/Iceberg this becomes
+        file-level copy-on-write; the semantics here are identical.
+        """
+        from pyspark.sql import functions as F
+
+        key_cols = [keys] if isinstance(keys, str) else list(keys)
+        dup = (
+            source.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            vals = {k: dup[0][k] for k in key_cols}
+            raise ValueError(
+                f"merge source has multiple rows for key {vals} — a "
+                "nondeterministic merge; deduplicate the source first"
+            )
+        tombstones = None
+        if delete_col is not None:
+            tombstones = source.filter(F.col(delete_col))
+            source = source.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+        if not self.exists(name):
+            nxt = source
+        else:
+            target = self.read(name)
+            t_cols, s_cols = set(target.columns), set(source.columns)
+            if t_cols != s_cols:
+                raise ValueError(
+                    f"merge schema mismatch: target-only {sorted(t_cols - s_cols)}, "
+                    f"source-only {sorted(s_cols - t_cols)} (use append_evolve "
+                    "for additive schema changes first)"
+                )
+            touched = source.select(*key_cols)
+            if tombstones is not None:
+                touched = touched.unionByName(
+                    tombstones.select(*key_cols)
+                )
+            untouched = target.join(touched.distinct(), key_cols, "left_anti")
+            nxt = untouched.unionByName(source.select(*target.columns))
+        self.overwrite(nxt, name, partition_by=partition_by)
+
     def compact(
         self, name: str, target_files: int, partition_by: str | list[str] | None = None
     ) -> None:
