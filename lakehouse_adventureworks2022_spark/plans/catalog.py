@@ -513,6 +513,9 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "video_frame_harvest",  # binary video assets have no oracle tables
         "video_frame_harvest_amortized",  # ≡ one-shot via persisted corpus
         "video_keyframe_dedup",  # binary video assets have no oracle tables
+        # exact, swept SQL twins in check_oracles + pytest (window full)
+        "eval_decontamination",
+        "eval_decontamination_fuzzy",
         # late-r7 second rotation out of the window (green since r1;
         # same hash-diff rigor in tests/test_rotated_oracles.py)
         "sales_rollup",

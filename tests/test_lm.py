@@ -109,7 +109,13 @@ def test_score_under_persisted_model_and_vocab_shortcut(spark, tiny_corpus):
         r["doc_id"]: r["ppl"]
         for r in lm.score_perplexity(batch, model, vocab_size=v).collect()
     }
-    assert a == b
+    # same tolerance as test_partitioning_invariance: the log-prob sum's
+    # fold order varies with runtime partitioning (observed once under
+    # heavy host contention), and float fold order is not contractual —
+    # the catalog query's 6dp display rounding is
+    assert set(a) == set(b)
+    for doc_id, p in a.items():
+        assert b[doc_id] == pytest.approx(p, rel=1e-9)
     assert a[11] > a[10]  # unseen text scores worse under the model
 
 
