@@ -70,6 +70,11 @@ def contamination_check(
     Returns (train_doc_id, bench_doc_id, n_common_shingles,
     bench_overlap_ratio) — ratio = hits / benchmark doc's shingle count,
     the usual decontamination threshold input.
+
+    This is the forensic PAIR view; the removal step (per-train-doc
+    flagging at the 13-gram convention, anti-join removal, fuzzy
+    MinHash tier, streaming twins) lives in
+    ``operators/decontaminate.py`` (r8).
     """
     t = shingles_df(train, text_col, n).withColumnRenamed("doc_id", "train_doc_id")
     b = shingles_df(bench, text_col, n).withColumnRenamed("doc_id", "bench_doc_id")

@@ -22,6 +22,14 @@ Spark-first shape, zero UDFs:
   (~2^-64 per pair) and a collision can only OVER-flag, never leak a
   contaminated doc through.
 
+Relation to ``operators/curation.contamination_check``: that scan
+reports per-(train, bench) PAIR shingle overlap with a benchmark-side
+ratio (the forensic view — which eval item leaked where); this module
+is the pipeline STEP — per-train-doc flagging at the published n-gram
+convention, hashed joins, the anti-join removal, a fuzzy MinHash tier
+for paraphrases, and streaming twins. The two share the whitespace
+tokenizer contract.
+
 Reference parity: the reference pipeline has no decontamination step —
 this is beyond-reference scope from the brief's training-data-pipeline
 list (dedup family), same category as the MinHash/SimHash operators in

@@ -334,3 +334,48 @@ def score_perplexity_kn(
         F.exp(nll).alias("ppl"),
     )
     return _attach_cached_input(out, lm) if manage_cache else out
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    k_buckets: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 2,
+    k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style quality bucketing (r8): self-scored perplexity split
+    into per-source ntiles — bucket 1 ("head" at the conventional
+    ``k_buckets=3``) is the most-fluent third of each source, "tail"
+    the least. Downstream mixtures oversample head, audit tail.
+
+    Ordering is (ppl rounded to 6dp, doc_id) — the module's display
+    rounding plus a total tie-break, so buckets are a pure function of
+    the corpus (layout-independent, and an exact DuckDB ntile twin
+    exists). Scale: one window sort PER SOURCE (provenance labels — a
+    config-time cardinality, same posture as docs_capped_per_source);
+    for a corpus dominated by one giant source, split on
+    approx-percentile thresholds instead and accept rows-only checks.
+    """
+    from pyspark.sql import Window
+
+    if k_buckets < 2:
+        raise ValueError(f"k_buckets must be >= 2, got {k_buckets}")
+    scored = doc_perplexity(docs, text_col, n, k).select(
+        "doc_id", F.round("ppl", 6).alias("ppl")
+    )
+    labeled = docs.select("doc_id", source_col).join(scored, "doc_id")
+    w = Window.partitionBy(source_col).orderBy("ppl", "doc_id")
+    out = labeled.withColumn("bucket", F.ntile(k_buckets).over(w))
+    if k_buckets == 3:
+        out = out.withColumn(
+            "bucket_label",
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail"),
+        )
+    else:
+        out = out.withColumn(
+            "bucket_label", F.concat(F.lit("b"), F.col("bucket"))
+        )
+    return out.select("doc_id", source_col, "ppl", "bucket", "bucket_label")

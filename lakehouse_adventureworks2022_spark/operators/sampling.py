@@ -242,3 +242,57 @@ def hash_sample_cap_per_stratum(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_sk", "_rk")
     )
+
+
+def materialize_mixture(
+    df: DataFrame,
+    epochs: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "epochs-v1",
+) -> DataFrame:
+    """Weighted-epochs mixture materialization (r8) — the DoReMi-style
+    step AFTER mixture weights are chosen: source ``s`` with weight
+    ``e_s`` epochs contributes each of its documents ``floor(e_s)``
+    times plus one more with probability ``frac(e_s)`` (a deterministic
+    md5 draw on (key, seed) — the module's standard membership
+    function, so replays and layout changes can't alter the corpus).
+    Sources absent from ``epochs`` are dropped (an explicit 0.0 reads
+    better, but absence must not silently mean 1.0). Output = the input
+    columns plus ``copy_idx`` (0-based) — downstream shuffling
+    interleaves the copies.
+
+    Scale: pure projection + one explode (output is exactly
+    Σ n_s·e_s rows in expectation — the explosion IS the product); no
+    joins, no shuffles, no state. Exact (swept DuckDB twin generated
+    from the same epochs table)."""
+    if any(e < 0 for e in epochs.values()):
+        raise ValueError("epochs must be >= 0")
+    whole = None
+    thr = None
+    for s, e in epochs.items():
+        w = int(e)
+        t = _threshold_lit(e - w)
+        whole = (
+            F.when(F.col(source_col) == s, F.lit(w))
+            if whole is None
+            else whole.when(F.col(source_col) == s, F.lit(w))
+        )
+        thr = (
+            F.when(F.col(source_col) == s, F.lit(t))
+            if thr is None
+            else thr.when(F.col(source_col) == s, F.lit(t))
+        )
+    whole = whole.otherwise(F.lit(None))
+    thr = thr.otherwise(F.lit(None))
+    extra = F.when(_hash_prefix(key_col, seed) < thr, 1).otherwise(0)
+    n_copies = (whole + extra).alias("_n_copies")
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") >= 1)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)),
+        )
+        .drop("_n_copies")
+    )

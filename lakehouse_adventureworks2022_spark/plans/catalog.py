@@ -432,6 +432,12 @@ QUERIES: dict[str, QueryFn] = {
     # perturbed eval twins (r8; deterministic LSH + exact verify ⇒
     # exact — swept DuckDB twin)
     "eval_decontamination_fuzzy": text_queries.q_eval_decontamination_fuzzy,
+    # CCNet-style per-source perplexity terciles (r8; exact — ntile
+    # over the 6dp-rounded ppl total order; swept DuckDB twin)
+    "perplexity_quality_buckets": text_queries.q_perplexity_quality_buckets,
+    # weighted-epochs mixture materialization (r8; exact — twin
+    # generated from the same weights table)
+    "docs_epoch_mixture": text_queries.q_docs_epoch_mixture,
 }
 
 
@@ -516,6 +522,8 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         # exact, swept SQL twins in check_oracles + pytest (window full)
         "eval_decontamination",
         "eval_decontamination_fuzzy",
+        "perplexity_quality_buckets",
+        "docs_epoch_mixture",
         # late-r7 second rotation out of the window (green since r1;
         # same hash-diff rigor in tests/test_rotated_oracles.py)
         "sales_rollup",
@@ -1286,6 +1294,8 @@ PYTEST_ORACLES: dict[str, str] = {
     # (both exact; sweep at every health check)
     "eval_decontamination": text_queries.ORACLE_EVAL_DECONTAMINATION,
     "eval_decontamination_fuzzy": text_queries.ORACLE_EVAL_DECONTAMINATION_FUZZY,
+    "perplexity_quality_buckets": text_queries.ORACLE_PERPLEXITY_QUALITY_BUCKETS,
+    "docs_epoch_mixture": text_queries.ORACLE_DOCS_EPOCH_MIXTURE,
     # (the nine swept twins promoted to first-time DRIVER oracles in r7
     # — chunk_documents, clean_boilerplate, ngram_repetition,
     # dedup_clusters, event_anomalies, corpus_drift, doc_perplexity,

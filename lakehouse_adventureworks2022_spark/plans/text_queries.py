@@ -2079,3 +2079,97 @@ ORACLE_EVAL_DECONTAMINATION_FUZZY = f"""
     WHERE CAST(n_common AS DOUBLE) / (zt.n + ze.n - n_common) >= 0.5
     ORDER BY train_id, eval_id
 """
+
+
+def q_perplexity_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-source head/middle/tail split (r8): self-scored
+    bigram perplexity, 6dp-rounded (the module's cross-engine display
+    policy — the hash-verified doc_perplexity rounding), ntile(3) per
+    source ordered by (ppl, doc_id). EXACT: ntile over an identical
+    total order is engine-independent; swept DuckDB twin below."""
+    from lakehouse_adventureworks2022_spark.operators.lm import (
+        perplexity_buckets,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, 3).orderBy("doc_id")
+
+
+ORACLE_PERPLEXITY_QUALITY_BUCKETS = f"""
+    WITH pp AS ({ORACLE_DOC_PERPLEXITY}),
+    lab AS (
+      SELECT d.doc_id, d.source, pp.ppl,
+             CAST(ntile(3) OVER (
+               PARTITION BY d.source ORDER BY pp.ppl, d.doc_id
+             ) AS INT) AS bucket
+      FROM documents d JOIN pp ON d.doc_id = pp.doc_id
+    )
+    SELECT doc_id, source, ppl, bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket_label
+    FROM lab ORDER BY doc_id
+"""
+
+
+#: Per-source epoch weights for the materialized-mixture query: the 20
+#: fixture sources cycle through 0.25 / 1.0 / 1.75 / 2.5 epochs;
+#: src19 is deliberately ABSENT (absence drops — tested).
+EPOCH_WEIGHTS: dict[str, float] = {
+    f"src{i}": 0.25 + 0.75 * (i % 4) for i in range(19)
+}
+
+
+def q_docs_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-epochs mixture materialization (r8): each source's docs
+    appear floor(e) times plus a deterministic-md5 fractional copy —
+    the step that turns chosen mixture weights (DoReMi et al.) into an
+    actual training corpus. EXACT (twin generated from the same weights
+    table)."""
+    from lakehouse_adventureworks2022_spark.operators.sampling import (
+        materialize_mixture,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        materialize_mixture(docs, EPOCH_WEIGHTS)
+        .select("doc_id", "source", F.col("copy_idx").cast("int").alias("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+def _epoch_mixture_sql() -> str:
+    """DuckDB twin GENERATED from EPOCH_WEIGHTS + the sampling module's
+    threshold encoding (one source of truth — edit the weights and the
+    twin follows)."""
+    from lakehouse_adventureworks2022_spark.operators.sampling import (
+        _threshold_lit,
+    )
+
+    whole = " ".join(
+        f"WHEN source = '{s}' THEN {int(e)}" for s, e in EPOCH_WEIGHTS.items()
+    )
+    thr = " ".join(
+        f"WHEN source = '{s}' THEN '{_threshold_lit(e - int(e))}'"
+        for s, e in EPOCH_WEIGHTS.items()
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE {whole} ELSE NULL END AS whole,
+             CASE {thr} ELSE NULL END AS thr
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, source,
+             whole + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)
+                                          || ':epochs-v1'), 1, 4) < thr
+                          THEN 1 ELSE 0 END AS n_copies
+      FROM t WHERE whole IS NOT NULL
+    )
+    SELECT doc_id, source, CAST(unnest(range(n_copies)) AS INT) AS copy_idx
+    FROM n
+    ORDER BY doc_id, copy_idx
+    """
+
+
+ORACLE_DOCS_EPOCH_MIXTURE = _epoch_mixture_sql()

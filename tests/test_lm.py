@@ -9,6 +9,7 @@ import math
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from lakehouse_adventureworks2022_spark.operators import lm
 from lakehouse_adventureworks2022_spark.sources.readers import read_table
@@ -301,3 +302,31 @@ def test_kn_finite_on_oov_and_empty(spark, tiny_corpus):
     rows = {r["doc_id"]: r for r in lm.score_perplexity_kn(probe, model).collect()}
     for r in rows.values():
         assert math.isfinite(r["ppl"]) and r["ppl"] > 0
+
+
+def test_perplexity_buckets_ntile_semantics(spark, tiny_corpus):
+    """CCNet split: per-source bucket sizes differ by at most one, head
+    never scores worse than tail within a source, labels map 1/2/3 ->
+    head/middle/tail, and k_buckets guards."""
+    docs, _ = tiny_corpus
+    labeled = docs.withColumn(
+        "source", (F.col("doc_id") % 2).cast("string")
+    )
+    out = lm.perplexity_buckets(labeled, 3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        sizes = {}
+        for r in rows:
+            sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (src, sizes)
+        heads = [r["ppl"] for r in rows if r["bucket_label"] == "head"]
+        tails = [r["ppl"] for r in rows if r["bucket_label"] == "tail"]
+        if heads and tails:
+            assert max(heads) <= min(tails)
+        assert {r["bucket_label"] for r in rows} <= {"head", "middle", "tail"}
+    k4 = lm.perplexity_buckets(labeled, 4).collect()
+    assert {r["bucket_label"] for r in k4} <= {"b1", "b2", "b3", "b4"}
+    with pytest.raises(ValueError, match="k_buckets"):
+        lm.perplexity_buckets(labeled, 1)

@@ -183,3 +183,41 @@ def test_stratified_unlisted_strata_use_default_rate(spark):
     langs = {r[0] for r in out.select("lang").distinct().collect()}
     assert langs == {"en"}
     assert out.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_materialize_mixture_epoch_semantics(spark):
+    from lakehouse_adventureworks2022_spark.operators.sampling import (
+        materialize_mixture,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "c", "d"][i % 4]) for i in range(80)],
+        "doc_id long, source string",
+    )
+    out = materialize_mixture(
+        docs, {"a": 2.0, "b": 0.5, "c": 0.0, "d": 1.25}
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], {}).setdefault(r["doc_id"], []).append(
+            r["copy_idx"]
+        )
+    # whole epochs: every 'a' doc exactly twice, copy_idx 0 and 1
+    assert all(sorted(v) == [0, 1] for v in by_src["a"].values())
+    assert len(by_src["a"]) == 20
+    # 0.0 epochs and ABSENT sources are dropped
+    assert "c" not in by_src
+    # fractional: 'b' docs appear 0 or 1 times; 'd' docs 1 or 2 times
+    assert all(v == [0] for v in by_src["b"].values())
+    assert 0 < len(by_src["b"]) < 20
+    assert all(sorted(v) in ([0], [0, 1]) for v in by_src["d"].values())
+    assert any(len(v) == 2 for v in by_src["d"].values())
+    # deterministic across physical layout
+    again = materialize_mixture(
+        docs.repartition(7), {"a": 2.0, "b": 0.5, "c": 0.0, "d": 1.25}
+    ).collect()
+    assert {(r["doc_id"], r["copy_idx"]) for r in again} == {
+        (r["doc_id"], r["copy_idx"]) for r in out
+    }
+    with pytest.raises(ValueError, match=">= 0"):
+        materialize_mixture(docs, {"a": -1.0})
