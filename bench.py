@@ -155,6 +155,9 @@ HEADLINE = [
     # MinHash cross-corpus tier over planted perturbed eval twins
     "eval_decontamination",
     "eval_decontamination_fuzzy",
+    # r8: CCNet perplexity terciles + weighted-epochs materialization
+    "perplexity_quality_buckets",
+    "docs_epoch_mixture",
 ]
 
 
