@@ -77,13 +77,32 @@ def contamination_report(
     id_col: str = "doc_id",
     hash_grams: bool = True,
     broadcast_eval: bool = True,
+    max_eval_gram_df: int | None = None,
 ) -> DataFrame:
     """``(id_col, n_contaminated_ngrams)`` for every train document
     sharing at least one word n-gram with any eval document. The count
     is DISTINCT shared grams (a doc repeating one leaked gram five
-    times is one leak, not five)."""
+    times is one leak, not five).
+
+    ``max_eval_gram_df`` drops grams appearing in MORE than that many
+    eval documents before the join (the stop-gram pruning
+    ``curation.contamination_check`` applies to shingles): boilerplate
+    grams shared across the whole eval set produce the hot join keys
+    and carry no leak signal. At the 13-gram default this rarely
+    matters; at small ``n`` on a narrow-vocabulary corpus it bounds the
+    match volume the per-doc distinct aggregation must shuffle."""
     tg = word_ngrams(train, n, text_col, id_col)
-    eg = word_ngrams(evalset, n, text_col, id_col).select("gram").distinct()
+    eg = word_ngrams(evalset, n, text_col, id_col)
+    if max_eval_gram_df is not None:
+        eg = (
+            eg.distinct()
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_eval_gram_df)
+            .select("gram")
+        )
+    else:
+        eg = eg.select("gram").distinct()
     if hash_grams:
         tg = tg.select(id_col, F.xxhash64("gram").alias("gram"))
         eg = eg.select(F.xxhash64("gram").alias("gram")).distinct()

@@ -8,8 +8,10 @@ restart markers, byte stuffing. Scans accumulate into per-component
 coefficient arrays; one vectorized dequant + batched-IDCT pass
 reconstructs at EOI. Also decodes predictive LOSSLESS JPEG (SOF3, r8 —
 T.81 Annex H: all 7 predictors, point transform, mod-2^16 difference
-arithmetic, 8-bit, 1×1 sampling) and 12-BIT extended-sequential /
-progressive DCT (r8 — level shift 2048, uint16 output 0..4095).
+arithmetic, 8-bit, 1×1 sampling) and 12-BIT extended-sequential DCT
+(r8 — level shift 2048, uint16 output 0..4095; the progressive scan
+machinery is precision-agnostic and accepts 12-bit SOF2 streams, but
+only the sequential path has an encoder twin pinning it in tests).
 Encoders: 4:4:4/4:2:0 baseline with the Annex K example quant tables
 (IJG quality scaling) and Annex K typical Huffman tables, a progressive
 encoder twin (libjpeg-like scan script) whose quantized coefficients

@@ -487,3 +487,69 @@ def build_synth_mp4():
 
 #: by-value-picklable synthetic-video generator.
 synth_mp4 = build_synth_mp4()
+
+
+#: H.264 nal_unit_type values (ITU-T H.264 Table 7-1, public spec).
+NAL_TYPES = {
+    1: "slice",  # non-IDR coded slice
+    5: "idr",  # IDR coded slice — the keyframe
+    6: "sei",
+    7: "sps",
+    8: "pps",
+    9: "aud",
+}
+
+
+def build_nal_parser():
+    """Factory returning ``parse_nal_units`` as a by-value closure:
+    splits an ISO/IEC 14496-15 length-prefixed H.264 SAMPLE into its
+    NAL units — the bytes-level structure layer under the sample
+    tables. No bitstream (CABAC/CAVLC) decode: the NAL header byte is
+    plain structure (forbidden_zero_bit | nal_ref_idc | nal_unit_type,
+    H.264 §7.3.1), so unit boundaries and types parse exactly while
+    pixel reconstruction stays behind the named stub. Lets the
+    keyframe machinery cross-check ``stss`` against the stream itself
+    (an IDR slice IS a sync point) and lets dedup hash per-NAL instead
+    of per-sample when containers disagree about SEI padding."""
+
+    def parse_nal_units(
+        sample: bytes, length_size: int = 4
+    ) -> list[tuple[int, str, int]]:
+        """``[(nal_unit_type, type_name, payload_len), …]`` in stream
+        order. Raises ``ValueError`` on truncated length prefixes,
+        overruns, empty units, or a set forbidden_zero_bit — malformed
+        media must fail loudly, never parse as garbage."""
+        if length_size not in (1, 2, 4):
+            raise ValueError(f"length_size must be 1, 2 or 4, got {length_size}")
+        out = []
+        p, n = 0, len(sample)
+        while p < n:
+            if p + length_size > n:
+                raise ValueError(f"truncated NAL length prefix at {p}")
+            ln = int.from_bytes(sample[p : p + length_size], "big")
+            p += length_size
+            if ln < 1:
+                raise ValueError(f"empty NAL unit at {p}")
+            if p + ln > n:
+                raise ValueError(
+                    f"NAL unit at {p} overruns the sample ({ln} > {n - p})"
+                )
+            hdr = sample[p]
+            if hdr & 0x80:
+                raise ValueError(f"forbidden_zero_bit set at {p}")
+            t = hdr & 0x1F
+            out.append((t, NAL_TYPES.get(t, f"type{t}"), ln))
+            p += ln
+        return out
+
+    return parse_nal_units
+
+
+def sample_is_idr(sample: bytes, length_size: int = 4) -> bool:
+    """True iff the H.264 sample contains an IDR slice (type 5) — the
+    stream-level keyframe test, independent of the container's ``stss``
+    (which encoders sometimes omit or mis-write)."""
+    return any(t == 5 for t, _, _ in parse_nal_units(sample, length_size))
+
+
+parse_nal_units = build_nal_parser()

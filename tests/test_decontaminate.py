@@ -176,3 +176,36 @@ def test_fuzzy_catalog_twin_hash_parity(spark, sf):
     con.close()
     assert len(got) == len(want) > 0
     assert canonical_hash(got) == canonical_hash(want)
+
+
+def test_stop_gram_pruning_drops_boilerplate_keeps_leaks(spark):
+    """max_eval_gram_df: a gram in EVERY eval doc (boilerplate header)
+    stops matching; a genuinely leaked rare gram still flags."""
+    header = "standard benchmark header text"
+    ev = _docs(
+        spark,
+        [
+            (100, header + " question one about alpha beta gamma delta"),
+            (101, header + " question two about epsilon zeta eta theta"),
+            (102, header + " question three about iota kappa lam mu"),
+        ],
+    )
+    train = _docs(
+        spark,
+        [
+            (1, "prefix " + header + " suffix"),  # shares ONLY boilerplate
+            (2, "copied alpha beta gamma delta verbatim"),  # real leak
+        ],
+    )
+    no_prune = {
+        r["doc_id"]
+        for r in contamination_report(train, ev, n=4).collect()
+    }
+    pruned = {
+        r["doc_id"]
+        for r in contamination_report(
+            train, ev, n=4, max_eval_gram_df=1
+        ).collect()
+    }
+    assert no_prune == {1, 2}
+    assert pruned == {2}  # boilerplate-only doc 1 no longer flags

@@ -305,3 +305,54 @@ def test_video_keyframe_hashes_and_near_dup_pairs(spark):
     pairs = multimodal.video_near_dup_pairs(assets, min_overlap=0.5).collect()
     assert [(p["a"], p["b"], p["shared"]) for p in pairs] == [(1, 2, 2)]
     assert pairs[0]["overlap"] == 1.0
+
+
+def _nal(t, payload_len=10, ref_idc=1):
+    return bytes([(ref_idc << 5) | t]) + b"\x00" * (payload_len - 1)
+
+
+def _avc_sample(*units, length_size=4):
+    return b"".join(
+        len(u).to_bytes(length_size, "big") + u for u in units
+    )
+
+
+def test_nal_unit_parsing_and_idr_detection():
+    """ISO 14496-15 length-prefixed samples split into typed NAL units;
+    IDR presence is the stream-level keyframe test, agreeing with the
+    container's stss on well-formed files."""
+    idr_sample = _avc_sample(_nal(7, 8), _nal(8, 4), _nal(5, 40))
+    p_sample = _avc_sample(_nal(1, 40))
+    got = mp4.parse_nal_units(idr_sample)
+    assert [(t, name) for t, name, _ in got] == [
+        (7, "sps"), (8, "pps"), (5, "idr")
+    ]
+    assert [ln for _, _, ln in got] == [8, 4, 40]
+    assert mp4.sample_is_idr(idr_sample)
+    assert not mp4.sample_is_idr(p_sample)
+    # 2-byte length prefixes parse too
+    two = _avc_sample(_nal(5, 6), length_size=2)
+    assert mp4.sample_is_idr(two, length_size=2)
+    # cross-check against the container: mux with stss marking sample 0,
+    # payloads built so the stream agrees
+    data = mp4.mux_mjpeg(
+        [idr_sample, p_sample, p_sample], codec=b"avc1", keyframes=[0]
+    )
+    tr = mp4.parse_mp4(data)["tracks"][0]
+    for (off, size, _, key) in tr["samples"]:
+        assert mp4.sample_is_idr(data[off : off + size]) == bool(key)
+
+
+def test_nal_parser_rejects_malformed():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated NAL length"):
+        mp4.parse_nal_units(b"\x00\x00\x01")  # 3 bytes < 4-byte prefix
+    with _pytest.raises(ValueError, match="overruns"):
+        mp4.parse_nal_units(b"\x00\x00\x00\x10" + b"\x65")  # claims 16, has 1
+    with _pytest.raises(ValueError, match="empty NAL"):
+        mp4.parse_nal_units(b"\x00\x00\x00\x00")
+    with _pytest.raises(ValueError, match="forbidden_zero_bit"):
+        mp4.parse_nal_units(_avc_sample(b"\xe5" + b"\x00" * 5))
+    with _pytest.raises(ValueError, match="length_size"):
+        mp4.parse_nal_units(b"", length_size=3)
