@@ -8,10 +8,10 @@ restart markers, byte stuffing. Scans accumulate into per-component
 coefficient arrays; one vectorized dequant + batched-IDCT pass
 reconstructs at EOI. Also decodes predictive LOSSLESS JPEG (SOF3, r8 —
 T.81 Annex H: all 7 predictors, point transform, mod-2^16 difference
-arithmetic, 8-bit, 1×1 sampling) and 12-BIT extended-sequential DCT
-(r8 — level shift 2048, uint16 output 0..4095; the progressive scan
-machinery is precision-agnostic and accepts 12-bit SOF2 streams, but
-only the sequential path has an encoder twin pinning it in tests).
+arithmetic, 8-bit, 1×1 sampling) and 12-BIT DCT, both extended
+sequential AND progressive (r8 — level shift 2048, uint16 output
+0..4095; the progressive encoder twin takes ``precision=12`` and the
+tests pin decode(progressive-12) == decode(sequential-12) exactly).
 Encoders: 4:4:4/4:2:0 baseline with the Annex K example quant tables
 (IJG quality scaling) and Annex K typical Huffman tables, a progressive
 encoder twin (libjpeg-like scan script) whose quantized coefficients
@@ -881,15 +881,26 @@ def build_progressive_encoder():
     ql, qc = list(QUANT_LUMA), list(QUANT_CHROMA)
 
     def encode_jpeg_progressive(
-        arr, quality: int = 85, subsampling: str = "444", grayscale: bool = False
+        arr,
+        quality: int = 85,
+        subsampling: str = "444",
+        grayscale: bool = False,
+        precision: int = 8,
     ) -> bytes:
         import struct
 
         import numpy as np
 
+        if precision not in (8, 12):
+            raise ValueError(f"precision must be 8 or 12, got {precision}")
+        center = float(1 << (precision - 1))
         a = np.asarray(arr, dtype=np.float64)
         if a.ndim == 2:
             a, grayscale = a[:, :, None].repeat(3, axis=2), True
+        if a.max() > (1 << precision) - 1 or a.min() < 0:
+            raise ValueError(
+                f"{precision}-bit samples must be in 0..{(1 << precision) - 1}"
+            )
         h, w, _ = a.shape
         if subsampling not in ("444", "420"):
             raise ValueError(f"subsampling must be 444 or 420, got {subsampling}")
@@ -912,8 +923,8 @@ def build_progressive_encoder():
 
         r_, g_, b_ = a[:, :, 0], a[:, :, 1], a[:, :, 2]
         y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
-        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
-        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + center
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + center
 
         def downsample2(p):
             p2 = np.pad(
@@ -962,7 +973,7 @@ def build_progressive_encoder():
             for byy in range(bh):
                 for bxx in range(bw):
                     blockf = p[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8]
-                    co = m.T @ (blockf - 128.0) @ m
+                    co = m.T @ (blockf - center) @ m
                     qz[byy, bxx] = np.round(co / nat_q).reshape(64)
             comp_coefs.append(qz[:, :, zz_idx])
 
@@ -1163,7 +1174,7 @@ def build_progressive_encoder():
             header += seg(
                 0xDB, bytes([1]) + bytes(int(x) for x in qlc_nat[zz_idx])
             )
-        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(plan)])
+        sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes([len(plan)])
         for ci, (_, ch, cv, _, tq) in enumerate(plan):
             sof += bytes([ci + 1, (ch << 4) | cv, tq])
         header += seg(0xC2, sof)
@@ -1250,7 +1261,12 @@ def build_extended_encoder():
         def scaled(base):
             return [max(1, min(65535, (v * scale + 50) // 100)) for v in base]
 
+        # like the baseline encoder: quality-scale in NATURAL order,
+        # hand encode_block (and the DQT payload) the ZIGZAG layout —
+        # encode_block's nat_q[zigzag] = qtab unscatters it back
         qly, qlc = scaled(ql), scaled(qc)
+        qly = [qly[z] for z in zigzag]
+        qlc = [qlc[z] for z in zigzag]
 
         # flat canonical tables: DC = 15 len-4 + 1 len-5 codes over
         # categories 0-15 (never the all-ones len-4 code); AC = the

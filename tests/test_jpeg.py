@@ -590,3 +590,30 @@ def test_12bit_grayscale_and_dc_categories_past_11():
 def test_12bit_rejects_out_of_range_samples():
     with pytest.raises(ValueError, match="0..4095"):
         encode_jpeg_12bit(np.full((8, 8), 5000, dtype=np.uint16))
+
+
+def test_12bit_progressive_decode_equals_12bit_sequential_exactly():
+    """The progressive scan machinery is precision-agnostic: at
+    qualities where the quality-scaled quant tables stay ≤255, the
+    12-bit progressive twin quantizes bit-identically to the 12-bit
+    sequential twin, so the two decodes must be EXACTLY equal — the
+    same cross-packaging pin the 8-bit suite holds."""
+    img = _gradient12(19, 23)
+    seq = decode_jpeg(encode_jpeg_12bit(img, quality=95))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=95, precision=12)
+    )
+    assert prog.dtype == np.uint16
+    assert np.array_equal(prog, seq)
+    gray = _noise(16, 16, seed=5).astype(np.uint16) * 16  # 0..4080
+    sg = decode_jpeg(encode_jpeg_12bit(gray, quality=90))
+    pg = decode_jpeg(
+        encode_jpeg_progressive(gray, quality=90, precision=12)
+    )
+    assert np.array_equal(pg, sg)
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg_progressive(img, precision=10)
+    with pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg_progressive(
+            np.full((8, 8), 5000, dtype=np.uint16), precision=12
+        )
