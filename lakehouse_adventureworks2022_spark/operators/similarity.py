@@ -1803,3 +1803,62 @@ def truncate_embeddings(
         )
         v = F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
     return vectors.withColumn(vec_col, v)
+
+
+def ivf_sq8_index_append(
+    spark,
+    new_vectors: DataFrame,
+    index_dir: str,
+    n_files: int = 4,
+    batch_tag: str | None = None,
+) -> None:
+    """Grow a persisted IVF+SQ8 index without retraining (r8 — the
+    combined tier gets the same daily-ingest contract as the plain IVF
+    index): assign the batch to the FROZEN centroids, encode with the
+    FROZEN quantizer params, and append the new cell-clustered code
+    files. Existing files never rewrite, old results stay stable;
+    drift-retraining is a rebuild, same policy as ``ivf_index_append``.
+
+    ``batch_tag`` makes the append idempotent for at-least-once
+    delivery: the batch lands in its own overwrite-mode directory
+    ``codes_appends/<tag>`` that a replay rewrites wholesale;
+    :func:`ivf_sq8_index_load_all` unions only COMMITTED (_SUCCESS)
+    batch dirs back in — a crash mid-append stays invisible."""
+    import numpy as np
+
+    centroids, mins, scales, _ = ivf_sq8_index_load(spark, index_dir)
+    crows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    cm = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    assigned = _assign_cells_df(new_vectors, cm)
+    encoded = (
+        sq8_encode(assigned, mins, scales, id_col="cand_id", extra_cols=("cell",))
+        .repartitionByRange(n_files, "cell")
+        .sortWithinPartitions("cell")
+    )
+    if batch_tag is None:
+        encoded.write.mode("append").parquet(f"{index_dir}/codes")
+    else:
+        encoded.write.mode("overwrite").parquet(
+            f"{index_dir}/codes_appends/{batch_tag}"
+        )
+
+
+def ivf_sq8_index_load_all(spark, index_dir: str) -> tuple:
+    """``(centroids, mins, scales, encoded)`` including committed
+    per-batch append dirs — the read-side twin of
+    :func:`ivf_sq8_index_append` (same _SUCCESS-gated union contract
+    as ``ivf_index_load``)."""
+    import os
+
+    centroids, mins, scales, encoded = ivf_sq8_index_load(spark, index_dir)
+    appends = f"{index_dir}/codes_appends"
+    if os.path.isdir(appends):
+        committed = sorted(
+            os.path.join(appends, n)
+            for n in os.listdir(appends)
+            if not n.startswith((".", "_"))
+            and os.path.exists(os.path.join(appends, n, "_SUCCESS"))
+        )
+        if committed:
+            encoded = encoded.unionByName(spark.read.parquet(*committed))
+    return centroids, mins, scales, encoded

@@ -950,3 +950,38 @@ def test_truncate_embeddings_composes_with_ann_tiers(spark):
         for r in similarity.cosine_topk_ivf(tq, tc, k=10, n_probe=12).collect()
     }
     assert len(trunc_exact & ivf) / len(trunc_exact) >= 0.8
+
+
+def test_ivf_sq8_index_append_idempotent_and_searchable(spark, tmp_path):
+    """The combined index grows under ingest like the plain IVF one:
+    frozen centroids + frozen quantizer encode the batch, a replayed
+    batch_tag rewrites instead of duplicating, and searches over the
+    grown index surface the appended vectors."""
+    import numpy as np
+
+    q, c = similarity.embedding_queries(spark, SF)
+    idx = str(tmp_path / "ivf_sq8_grow")
+    base = similarity.cosine_topk_ivf_sq8_amortized(q, c, idx, k=10)
+    base.collect()  # builds + persists
+    newv = c.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    similarity.ivf_sq8_index_append(spark, newv, idx, batch_tag="b1")
+    similarity.ivf_sq8_index_append(spark, newv, idx, batch_tag="b1")  # replay
+    cents, mins, scales, enc = similarity.ivf_sq8_index_load_all(spark, idx)
+    n = c.count()
+    assert enc.count() == 2 * n  # replay did not duplicate
+    # appended codes carry valid cells and byte-range values
+    row = enc.filter(F.col("cand_id") >= 10_000).first()
+    assert row is not None and all(0 <= x <= 255 for x in row["codes"])
+    # search over the grown index: the appended exact duplicates of the
+    # corpus vectors must appear among results
+    crows = sorted(cents.collect(), key=lambda r: r["cell"])
+    cm = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    all_cand = c.select("vec_id", "embedding").unionByName(
+        newv.select("vec_id", "embedding")
+    )
+    got = similarity._ivf_sq8_search(
+        q, enc, all_cand, mins, scales, cm, k=10, n_probe=4, rerank=8
+    ).collect()
+    assert any(r["cand_id"] >= 10_000 for r in got)
