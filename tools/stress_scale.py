@@ -223,6 +223,25 @@ def main() -> None:
 
     run("bm25_build_and_search", _bm25)
 
+    # corpus-scaling view of the same op: the variant above scales its
+    # QUERY set with rep (doc_id % 997 over id-offset copies), so its
+    # number conflates workload growth with corpus growth (2× data =
+    # 2× queries × 2× postings ≈ 4× work). Fixed 32 queries isolates
+    # the corpus side: build + per-query postings growth only.
+    def _bm25_fixed_queries():
+        postings, stats = bm25.build_bm25_index(big_docs, max_df_ratio=1.0)
+        queries = (
+            big_docs.orderBy("doc_id")
+            .limit(32)
+            .select(
+                (F.col("doc_id") + F.lit(9_000_000_000)).alias("query_id"),
+                F.substring("text", 1, 150).alias("query_text"),
+            )
+        )
+        return bm25.bm25_search(queries, postings, stats, k=10)
+
+    run("bm25_fixed_queries", _bm25_fixed_queries)
+
     # multimodal real-decode throughput: rep×500 distinct synthetic
     # JPEGs (content varies per asset — no codec result reuse) through
     # the Arrow-batched fake=False dHash path; linear in assets, zero
