@@ -125,12 +125,16 @@ def decontaminate(
     broadcast_eval: bool = True,
 ) -> DataFrame:
     """Train minus every document :func:`contamination_report` flags —
-    the pipeline step itself. Anti-join on the (small) flagged-id set;
-    train columns pass through untouched."""
+    the pipeline step itself. Anti-join on the flagged-id set; train
+    columns pass through untouched. The flagged set scales with corpus
+    CONTAMINATION (not with the small eval set), so no broadcast hint
+    is forced here — AQE picks broadcast when the set is actually
+    small and falls back to a shuffled anti-join when a badly leaked
+    corpus flags millions of ids (a forced broadcast would OOM)."""
     flagged = contamination_report(
         train, evalset, n, text_col, id_col, hash_grams, broadcast_eval
     ).select(id_col)
-    return train.join(F.broadcast(flagged), id_col, "left_anti")
+    return train.join(flagged, id_col, "left_anti")
 
 
 def fuzzy_contamination_pairs(
@@ -238,7 +242,10 @@ def fuzzy_decontaminate(
 ) -> DataFrame:
     """Train minus every doc :func:`fuzzy_contamination_pairs` pairs
     with any eval doc — the paraphrase-robust pipeline step, composable
-    after the exact :func:`decontaminate` pass."""
+    after the exact :func:`decontaminate` pass. Like
+    :func:`decontaminate`, the flagged set scales with contamination,
+    so the anti-join strategy is left to AQE rather than a forced
+    broadcast."""
     flagged = (
         fuzzy_contamination_pairs(
             train, evalset, n=n, threshold=threshold,
@@ -247,4 +254,4 @@ def fuzzy_decontaminate(
         .select(F.col("train_id").alias(id_col))
         .distinct()
     )
-    return train.join(F.broadcast(flagged), id_col, "left_anti")
+    return train.join(flagged, id_col, "left_anti")

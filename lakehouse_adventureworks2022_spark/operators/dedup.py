@@ -147,14 +147,45 @@ def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.4
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct word n-grams; the
     division is int/int in both engines ⇒ bit-identical, no rounding.
-    """
+
+    This is the VERIFICATION primitive (LSH is the deployed path): the
+    shingle self-join emits one row per co-occurring doc pair, so a
+    shingle present in D documents costs D² rows. ``max_df`` (r9)
+    stop-lists shingles whose document frequency exceeds it BEFORE the
+    self-join — the same statistical stop-listing as ``bm25.py``'s
+    ``max_df_ratio`` — which bounds the candidate volume to
+    ``max_df × n_shingle_rows`` (linear in the corpus) and makes the
+    exact form safe to run casually on a big corpus. Boilerplate-grade
+    shingles carry no near-dup signal, but dropping them DOES redefine
+    the measure: jaccard is then computed over the capped shingle
+    universe (``n_shingles`` counts surviving shingles only), so pairs
+    whose entire overlap was stop-listed disappear. Default ``None``
+    keeps the exact semantics bit-for-bit (the rotated oracle
+    ``dedup_ngram_jaccard_exact`` runs the default)."""
     sh = shingles_df(df, text_col, n)
+    if max_df is not None:
+        # hot list via aggregation (map-side partial combine absorbs the
+        # skewed key before the shuffle — a shingle-partitioned window
+        # would pile the hot shingle's D rows into one task) and a
+        # broadcast anti-join: the HOT list is small by construction
+        # (each entry accounts for > max_df rows of the shingle table).
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     common = (
         sh.alias("a")

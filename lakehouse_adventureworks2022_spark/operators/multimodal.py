@@ -1291,9 +1291,14 @@ def video_keyframe_hashes(assets: DataFrame) -> DataFrame:
                     continue
                 data = bytes(r["content"])
                 meta = parse(data)
+                # Only 'vide' handler tracks count as keyframes: hashing
+                # a non-video sample (e.g. an audio track) would let two
+                # unrelated videos sharing one soundtrack pair up in
+                # video_near_dup_pairs. Assets with no video track yield
+                # no rows rather than fabricated "keyframes".
                 tracks = [
                     t for t in meta["tracks"] if t["handler"] == "vide"
-                ] or meta["tracks"]
+                ]
                 for tr in tracks:
                     for idx, (off, size, ms, key) in enumerate(tr["samples"]):
                         if not key:

@@ -266,6 +266,8 @@ def materialize_mixture(
     Σ n_s·e_s rows in expectation — the explosion IS the product); no
     joins, no shuffles, no state. Exact (swept DuckDB twin generated
     from the same epochs table)."""
+    if not epochs:
+        raise ValueError("epochs must be non-empty")
     if any(e < 0 for e in epochs.values()):
         raise ValueError("epochs must be >= 0")
     whole = None

@@ -1747,7 +1747,13 @@ def cosine_topk_ivf_sq8_amortized(
     scan + shortlist re-rank only; centroid training, cell assignment
     and SQ8 encoding are paid once per corpus version (all
     deterministic, so concurrent rebuilds agree). Results identical to
-    the one-shot form (tested)."""
+    the one-shot form (tested).
+
+    Committed :func:`ivf_sq8_index_append` batches are unioned into
+    the compressed scan (``ivf_sq8_index_load_all``), matching the
+    plain-IVF amortized contract: vectors ingested after the initial
+    build are retrievable. ``candidates`` must cover the appended ids
+    too -- the exact re-rank joins raw vectors from it."""
     import os
 
     import numpy as np
@@ -1765,7 +1771,7 @@ def cosine_topk_ivf_sq8_amortized(
             sq8_encode(cells, mins, scales, id_col="cand_id", extra_cols=("cell",)),
             index_dir,
         )
-    centroids, mins, scales, encoded = ivf_sq8_index_load(spark, index_dir)
+    centroids, mins, scales, encoded = ivf_sq8_index_load_all(spark, index_dir)
     crows = sorted(centroids.collect(), key=lambda r: r["cell"])
     cm = np.array([r["centroid"] for r in crows], dtype=np.float64)
     return _ivf_sq8_search(

@@ -307,6 +307,22 @@ def test_video_keyframe_hashes_and_near_dup_pairs(spark):
     assert pairs[0]["overlap"] == 1.0
 
 
+def test_keyframe_hashes_skip_assets_without_video_track(spark):
+    """(r9) An MP4 whose only track is audio ('soun' handler) yields NO
+    keyframe rows: hashing audio samples as 'keyframes' would let two
+    unrelated videos sharing one soundtrack pair up in
+    video_near_dup_pairs."""
+    payloads = [bytes([65 + i]) * 40 for i in range(5)]
+    data = _handpacked_mp4(payloads)
+    assert data.count(b"vide") == 1  # only the hdlr box
+    audio_only = data.replace(b"vide", b"soun")
+    (tr,) = mp4.parse_mp4(audio_only)["tracks"]
+    assert tr["handler"] == "soun"
+    rows = [(1, bytearray(audio_only), "video/mp4", None, None, 1000)]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    assert multimodal.video_keyframe_hashes(assets).count() == 0
+
+
 def _nal(t, payload_len=10, ref_idc=1):
     return bytes([(ref_idc << 5) | t]) + b"\x00" * (payload_len - 1)
 

@@ -221,3 +221,6 @@ def test_materialize_mixture_epoch_semantics(spark):
     }
     with pytest.raises(ValueError, match=">= 0"):
         materialize_mixture(docs, {"a": -1.0})
+    # empty epochs is a clear error, not an AttributeError deep inside
+    with pytest.raises(ValueError, match="non-empty"):
+        materialize_mixture(docs, {})

@@ -79,6 +79,38 @@ def test_minhash_recall_at_high_similarity(spark, docs):
     assert len(lsh & exact_hi) / len(exact_hi) >= 0.9
 
 
+def test_ngram_jaccard_max_df_bounds_hot_shingle_pairs(spark):
+    """(r9) A boilerplate shingle shared by D docs costs D² candidate
+    pairs in the exact self-join; ``max_df`` stop-lists it so the
+    candidate volume stays linear. Planted: 30 docs with distinct
+    content plus one shared 3-word footer, and one true near-dup pair
+    with private overlap."""
+    rows = [
+        (i, f"unique{i}a unique{i}b unique{i}c standard legal footer")
+        for i in range(30)
+    ]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "alpha beta gamma delta epsilon eta"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # uncapped at threshold 0: the hot footer shingle alone pairs every
+    # boilerplate doc with every other one — C(30,2) quadratic blowup
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    assert len(uncapped) >= 30 * 29 // 2
+    # capped: footer df=30 > 5 is stop-listed; only the true pair's
+    # private shingles survive, so the output is exactly that pair
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_df=5).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in capped] == [(100, 101)]
+    # jaccard over the capped universe: both docs keep their 4 private
+    # shingles, 3 shared -> 3 / (4 + 4 - 3)
+    assert abs(capped[0]["jaccard"] - 3 / 5) < 1e-12
+    # default (max_df=None) stays bit-identical for the rotated oracle
+    base = dedup.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    again = dedup.ngram_jaccard_pairs(docs, threshold=0.4, max_df=None).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, again))
+
+
 def test_shingles_short_doc_edge(spark):
     df = spark.createDataFrame(
         [(1, "only two"), (2, "a b c d"), (3, "")], ["doc_id", "text"]
@@ -985,3 +1017,11 @@ def test_ivf_sq8_index_append_idempotent_and_searchable(spark, tmp_path):
         q, enc, all_cand, mins, scales, cm, k=10, n_probe=4, rerank=8
     ).collect()
     assert any(r["cand_id"] >= 10_000 for r in got)
+    # and through the public amortized entry point (r9): the deployed
+    # search path itself must union committed appends — a grown index
+    # whose amortized search silently drops ingested vectors would
+    # violate the daily-ingest contract the append docstring promises
+    pub = similarity.cosine_topk_ivf_sq8_amortized(
+        q, all_cand, idx, k=10
+    ).collect()
+    assert any(r["cand_id"] >= 10_000 for r in pub)
