@@ -120,9 +120,22 @@ def train_ngram_lm(
 
 def lm_vocab_size(lm: DataFrame) -> int:
     """Training vocabulary size V (distinct predicted words, EOS
-    included) — the one scalar the smoothing formula needs; a bounded
-    single-row collect."""
+    included) — a bounded single-row collect for callers who want the
+    scalar up front (e.g. to pass ``vocab_size`` when scoring many
+    batches under one persisted model). The scorers themselves no
+    longer call this: they fold V in as a broadcast one-row subplan so
+    scoring stays fully lazy (r9 — the blocking driver job between
+    train and score was half of doc_perplexity's bench cost)."""
     return lm.select(F.countDistinct("word").alias("v")).collect()[0]["v"]
+
+
+def _scalars(lm: DataFrame, **aggs: Column) -> DataFrame:
+    """One-row frame of model-level scalars (vocab size, token total,
+    type count) to ``crossJoin(broadcast(...))`` into a scoring plan —
+    the lazy substitute for per-scalar driver collects. Aggregations
+    without grouping always yield exactly one row, so the cross join
+    never changes cardinality."""
+    return F.broadcast(lm.agg(*[c.alias(k) for k, c in aggs.items()]))
 
 
 def score_perplexity(
@@ -139,7 +152,7 @@ def score_perplexity(
     under the training corpus; pipelines gate on a ppl threshold or
     bucket into quality tiers.
 
-    ``vocab_size`` skips the V-collect when the caller already knows it
+    ``vocab_size`` folds V in as a literal when the caller already knows it
     (e.g. scoring many batches under one persisted model).
 
     The model frame is consumed three times (vocabulary scalar, the
@@ -162,21 +175,32 @@ def score_perplexity(
 
     if manage_cache:
         lm = lm.persist()
-    v = float(vocab_size if vocab_size is not None else lm_vocab_size(lm))
     ctx_totals = lm.groupBy("context").agg(F.sum("c").alias("ctx_c"))
     grams = _gram_frame(docs, text_col, n, with_doc_id=True)
-    joined = (
-        grams.join(lm, ["context", "word"], "left")
-        .join(ctx_totals, ["context"], "left")
-        .select(
-            "doc_id",
-            (
-                F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(k))
-                    / (F.coalesce(F.col("ctx_c"), F.lit(0)) + F.lit(k) * v)
-                )
-            ).alias("logp"),
+    joined = grams.join(lm, ["context", "word"], "left").join(
+        ctx_totals, ["context"], "left"
+    )
+    if vocab_size is not None:
+        v: Column = F.lit(float(vocab_size))
+    else:
+        # V as a broadcast one-row subplan, not a driver collect: the
+        # collect ran a whole blocking job (train agg + countDistinct)
+        # before the scoring job could even be submitted — measured at
+        # half of doc_perplexity's bench cost at sf0.1 (r9). Same exact
+        # value, same arithmetic, one scheduler round-trip instead of
+        # two, and the operator is now fully lazy.
+        joined = joined.crossJoin(
+            _scalars(lm, __v__=F.countDistinct("word").cast("double"))
         )
+        v = F.col("__v__")
+    joined = joined.select(
+        "doc_id",
+        (
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("ctx_c"), F.lit(0)) + F.lit(k) * v)
+            )
+        ).alias("logp"),
     )
     nll = -F.avg("logp")
     out = (
@@ -218,27 +242,35 @@ def score_perplexity_interpolated(
 
     if manage_cache:
         lm = lm.persist()
-    v = float(vocab_size if vocab_size is not None else lm_vocab_size(lm))
     ctx_totals = lm.groupBy("context").agg(F.sum("c").alias("ctx_c"))
     uni = lm.groupBy("word").agg(F.sum("c").alias("uc"))
-    total_tokens = float(
-        lm.agg(F.sum("c").alias("t")).collect()[0]["t"] or 0
-    )
+    # model-level scalars as one broadcast subplan (no driver collects
+    # — see score_perplexity): V and the unigram token total together
+    scalar_aggs: dict[str, Column] = {
+        "__tt__": F.coalesce(F.sum("c"), F.lit(0)).cast("double")
+    }
+    if vocab_size is not None:
+        v: Column = F.lit(float(vocab_size))
+    else:
+        scalar_aggs["__v__"] = F.countDistinct("word").cast("double")
     grams = _gram_frame(docs, text_col, n, with_doc_id=True)
-    p_n = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(k)) / (
-        F.coalesce(F.col("ctx_c"), F.lit(0)) + F.lit(k) * v
-    )
-    p_1 = (F.coalesce(F.col("uc"), F.lit(0)) + F.lit(k)) / (
-        F.lit(total_tokens) + F.lit(k) * v
-    )
     joined = (
         grams.join(lm, ["context", "word"], "left")
         .join(ctx_totals, ["context"], "left")
         .join(uni, ["word"], "left")
-        .select(
-            "doc_id",
-            F.log(F.lit(lam) * p_n + F.lit(1.0 - lam) * p_1).alias("logp"),
-        )
+        .crossJoin(_scalars(lm, **scalar_aggs))
+    )
+    if vocab_size is None:
+        v = F.col("__v__")
+    p_n = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(k)) / (
+        F.coalesce(F.col("ctx_c"), F.lit(0)) + F.lit(k) * v
+    )
+    p_1 = (F.coalesce(F.col("uc"), F.lit(0)) + F.lit(k)) / (
+        F.col("__tt__") + F.lit(k) * v
+    )
+    joined = joined.select(
+        "doc_id",
+        F.log(F.lit(lam) * p_n + F.lit(1.0 - lam) * p_1).alias("logp"),
     )
     nll = -F.avg("logp")
     out = joined.groupBy("doc_id").agg(
@@ -302,16 +334,31 @@ def score_perplexity_kn(
 
     if manage_cache:
         lm = lm.persist()
-    v = float(vocab_size if vocab_size is not None else lm_vocab_size(lm))
     ctx_stats = lm.groupBy("context").agg(
         F.sum("c").alias("ctx_c"),
         F.count(F.lit(1)).alias("ctx_types"),
     )
     cont = lm.groupBy("word").agg(F.count(F.lit(1)).alias("cont_w"))
-    total_types = float(lm.count())
+    # model-level scalars as one broadcast subplan (no driver collects
+    # — see score_perplexity): the global bigram-type count and V
+    scalar_aggs: dict[str, Column] = {
+        "__tty__": F.count(F.lit(1)).cast("double")
+    }
+    if vocab_size is not None:
+        v: Column = F.lit(float(vocab_size))
+    else:
+        scalar_aggs["__v__"] = F.countDistinct("word").cast("double")
     grams = _gram_frame(docs, text_col, n, with_doc_id=True)
+    joined = (
+        grams.join(lm, ["context", "word"], "left")
+        .join(ctx_stats, ["context"], "left")
+        .join(cont, ["word"], "left")
+        .crossJoin(_scalars(lm, **scalar_aggs))
+    )
+    if vocab_size is None:
+        v = F.col("__v__")
     p_cont = (F.coalesce(F.col("cont_w"), F.lit(0)) + F.lit(k)) / (
-        F.lit(total_types) + F.lit(k) * v
+        F.col("__tty__") + F.lit(k) * v
     )
     d = F.lit(float(discount))
     seen_ctx = F.coalesce(F.col("ctx_c"), F.lit(0)) > 0
@@ -321,12 +368,7 @@ def score_perplexity_kn(
         / F.col("ctx_c")
         + d * F.col("ctx_types") / F.col("ctx_c") * p_cont,
     ).otherwise(p_cont)
-    joined = (
-        grams.join(lm, ["context", "word"], "left")
-        .join(ctx_stats, ["context"], "left")
-        .join(cont, ["word"], "left")
-        .select("doc_id", F.log(p_kn).alias("logp"))
-    )
+    joined = joined.select("doc_id", F.log(p_kn).alias("logp"))
     nll = -F.avg("logp")
     out = joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_transitions"),

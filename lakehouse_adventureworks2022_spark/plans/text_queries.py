@@ -1959,14 +1959,27 @@ def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     are 10-99 words of a small shared vocabulary — production default
     is the published 13-gram convention (tested with planted 13-gram
     leaks in tests/test_decontaminate.py). EXACT (swept DuckDB twin
-    below): xxhash64 gram hashing changes nothing but bytes moved."""
+    below): xxhash64 gram hashing changes nothing but bytes moved.
+
+    The train side repartitions to defaultParallelism before the gram
+    explode (r9): the sf0.1 fixture is ONE sub-megabyte parquet file,
+    so the scan is one input split and the whole train explode ran on
+    a single task (~5 s of the 9-10 s r8 bench entry — profiled; r8's
+    SCALE.md had mis-attributed the cost to fixture gram density). At
+    100 TB the corpus is thousands of splits and the explode
+    parallelizes for free — the repartition makes the bench measure
+    the operator, not the toy file layout (same fix as
+    video_frame_harvest_amortized). Values are unchanged: the oracle
+    twin is layout-independent."""
     from lakehouse_adventureworks2022_spark.operators.decontaminate import (
         contamination_report,
     )
 
     docs = read_table(spark, sf_dir, "documents")
     evalset = docs.filter(F.col("doc_id") % 97 == 0)
-    train = docs.filter(F.col("doc_id") % 97 != 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return contamination_report(train, evalset, n=3).orderBy("doc_id")
 
 
