@@ -158,6 +158,10 @@ HEADLINE = [
     # r8: CCNet perplexity terciles + weighted-epochs materialization
     "perplexity_quality_buckets",
     "docs_epoch_mixture",
+    # r9: CDC merge through TableManager.merge_upsert (exact, swept
+    # twin) + IVF+SQ8 replay-idempotent ingest-and-search steady state
+    "cdc_upsert",
+    "ivf_sq8_index_ingest",
 ]
 
 

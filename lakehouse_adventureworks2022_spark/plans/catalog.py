@@ -438,6 +438,12 @@ QUERIES: dict[str, QueryFn] = {
     # weighted-epochs mixture materialization (r8; exact — twin
     # generated from the same weights table)
     "docs_epoch_mixture": text_queries.q_docs_epoch_mixture,
+    # end-to-end CDC merge through TableManager.merge_upsert (r9; exact
+    # — the merge result is plain relational algebra, swept DuckDB twin)
+    "cdc_upsert": facts.q_cdc_upsert,
+    # IVF+SQ8 daily-ingest steady state: replay-idempotent batch append
+    # + search over base ∪ appends (r9; approximate ANN ⇒ rows-only)
+    "ivf_sq8_index_ingest": text_queries.q_ivf_sq8_index_ingest,
 }
 
 
@@ -524,6 +530,8 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "eval_decontamination_fuzzy",
         "perplexity_quality_buckets",
         "docs_epoch_mixture",
+        "cdc_upsert",
+        "ivf_sq8_index_ingest",  # probe-pruned ANN: approx by design
         # late-r7 second rotation out of the window (green since r1;
         # same hash-diff rigor in tests/test_rotated_oracles.py)
         "sales_rollup",
@@ -1296,6 +1304,9 @@ PYTEST_ORACLES: dict[str, str] = {
     "eval_decontamination_fuzzy": text_queries.ORACLE_EVAL_DECONTAMINATION_FUZZY,
     "perplexity_quality_buckets": text_queries.ORACLE_PERPLEXITY_QUALITY_BUCKETS,
     "docs_epoch_mixture": text_queries.ORACLE_DOCS_EPOCH_MIXTURE,
+    # r9 newcomer: CDC merge — the write path's result hash-checked as
+    # relational algebra (sweep at every health check)
+    "cdc_upsert": facts.ORACLE_CDC_UPSERT,
     # (the nine swept twins promoted to first-time DRIVER oracles in r7
     # — chunk_documents, clean_boilerplate, ngram_repetition,
     # dedup_clusters, event_anomalies, corpus_drift, doc_perplexity,

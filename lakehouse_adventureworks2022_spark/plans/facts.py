@@ -52,3 +52,78 @@ def build_fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").alias("line_status"),
         )
     )
+
+
+def cdc_upsert_dir_for(sf_dir: str) -> str:
+    """Per-fixture-version warehouse dir for the CDC merge bench (same
+    size+mtime fingerprint trick as the ANN index dirs — a regenerated
+    fixture gets a fresh target table, and bench reps overwrite the same
+    paths instead of accreting /tmp garbage)."""
+    import hashlib
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "customer.parquet"))
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|cdc-v1".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"cdc_upsert_{tag}")
+
+
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC merge (r9 — benches ``TableManager.merge_upsert``,
+    the Delta ``MERGE INTO`` analog, which was tested but unbenched):
+    seed a customer dimension, apply one deterministic CDC batch
+    (updates: ``key % 10 = 3`` gets +100 balance; inserts: ``key % 50 =
+    7`` re-keyed +1_000_000 at zero balance; deletes: tombstones for
+    ``key % 25 = 11`` — the three mod classes are pairwise disjoint), and
+    return the post-merge table. EXACT: the merge result is plain
+    relational algebra (untouched ∪ updated ∪ inserted minus deleted), so
+    a swept DuckDB twin hash-checks it.
+
+    Scale shape: ONE key anti-join (broadcast for a small CDC batch —
+    left to AQE) + union + atomic staged overwrite; at Delta/Iceberg the
+    same call becomes file-level copy-on-write (``storage/tables.py``
+    docstring, reference ``dags/sales.py:102-106``'s non-idempotent
+    append is the anti-pattern this replaces)."""
+    from lakehouse_adventureworks2022_spark.storage.tables import TableManager
+
+    tm = TableManager(spark, cdc_upsert_dir_for(sf_dir))
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    tm.overwrite(cust, "dim_customer")
+    upd = cust.filter(F.col("c_custkey") % 10 == 3).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+    )
+    ins = cust.filter(F.col("c_custkey") % 50 == 7).select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+        "c_name",
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    dels = cust.filter(F.col("c_custkey") % 25 == 11)
+    batch = (
+        upd.withColumn("__deleted", F.lit(False))
+        .unionByName(ins.withColumn("__deleted", F.lit(False)))
+        .unionByName(dels.withColumn("__deleted", F.lit(True)))
+    )
+    tm.merge_upsert(batch, "dim_customer", keys="c_custkey", delete_col="__deleted")
+    return tm.read("dim_customer").orderBy("c_custkey")
+
+
+#: DuckDB twin of q_cdc_upsert: the merge result expressed as plain
+#: relational algebra over the same disjoint mod classes. The +100.0 /
+#: 0.0 literals are DOUBLE in both engines (IEEE add — bit-identical).
+ORACLE_CDC_UPSERT = """
+    WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+    SELECT c_custkey, c_name, c_acctbal FROM t
+    WHERE c_custkey % 10 != 3 AND c_custkey % 25 != 11
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal + CAST(100.0 AS DOUBLE) AS c_acctbal
+    FROM t WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT c_custkey + 1000000 AS c_custkey, c_name,
+           CAST(0.0 AS DOUBLE) AS c_acctbal
+    FROM t WHERE c_custkey % 50 = 7
+    ORDER BY c_custkey
+"""

@@ -1951,6 +1951,39 @@ def q_ann_cosine_ivf_sq8_amortized(spark: SparkSession, sf_dir: str) -> DataFram
     return similarity.cosine_topk_ivf_sq8_amortized(q, c, idx, k=10)
 
 
+def q_ivf_sq8_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest steady state of the persisted IVF+SQ8 index (r9 —
+    benches ``ivf_sq8_index_append``, tested-but-unbenched in r8): a
+    deterministic 10% batch (``vec_id % 10 = 0`` re-keyed +1_000_000 —
+    daily ingest is batch << corpus) lands via
+    the replay-idempotent ``batch_tag`` path (each rep REWRITES the same
+    committed batch dir — the index never grows across reps), then the
+    amortized search runs over base ∪ appends. Measures encode-assign-
+    append + grown-index search, i.e. the recurring cost an ingest
+    pipeline pays per batch; the base build amortizes into the first
+    call per fixture version. Own index dir — the plain amortized query
+    must never see these appends. Approximate by design ⇒ rows-only;
+    the append/replay/searchability contracts are pinned in
+    tests/test_training_ops.py."""
+    import os
+
+    q, c = similarity.embedding_queries(spark, sf_dir)
+    idx = ivf_index_dir_for(sf_dir).replace("ivf_index_", "ivf_sq8_ingest_")
+    os.makedirs(idx, exist_ok=True)
+    newv = c.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    if not os.path.exists(f"{idx}/codes/_SUCCESS"):
+        # base build, paid once per fixture version (same contract as
+        # the other amortized ANN entries)
+        similarity.cosine_topk_ivf_sq8_amortized(q, c, idx, k=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    similarity.ivf_sq8_index_append(spark, newv, idx, batch_tag="bench_ingest")
+    all_cand = c.select("vec_id", "embedding").unionByName(newv)
+    return similarity.cosine_topk_ivf_sq8_amortized(q, all_cand, idx, k=10)
+
+
 def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-hygiene contamination report (r8): every 97th document
     stands in for a held-out eval set; the rest is the training corpus;
