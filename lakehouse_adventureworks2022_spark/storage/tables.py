@@ -2,9 +2,15 @@
 
 The reference writes managed Delta tables (append W1, overwrite W2/W4,
 CTAS W7, schema DDL W8-W10); this container has no Delta jars, so the
-manager provides the same *semantics* over plain parquet paths and is the
-single seam where ``format("delta")`` + real ``MERGE INTO``/``replaceWhere``
-drop in on a cluster:
+DEFAULT backend provides the same *semantics* over plain parquet paths.
+``fmt="delta"`` (r9) is the deployed backend behind the same seam: when
+delta-spark is importable, overwrite becomes a transactional snapshot
+commit, merge_upsert runs a real ``MERGE INTO`` (file-level
+copy-on-write), appends use ``mergeSchema``, and evolved reads come off
+the table log. Contract tests parameterize over both backends
+(tests/test_schema_evolution.py, tests/test_watermark_storage.py) and
+skip-mark delta where jars are absent — semantics stay pinned either
+way:
 
 - :meth:`TableManager.append` — bronze-style partitioned append
   (reference ``extract_load_template.py:171-175``);
@@ -33,28 +39,72 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+def delta_available() -> bool:
+    """True when the delta-spark package is importable (the jars ride
+    along with the pip package). The test container has neither, so the
+    delta-parameterized contract tests skip here and run on a real
+    lakehouse deployment — the seam this module documents."""
+    import importlib.util
+
+    return importlib.util.find_spec("delta") is not None
+
+
 class TableManager:
-    """Path-addressed managed tables under a warehouse root."""
+    """Path-addressed managed tables under a warehouse root.
+
+    ``fmt`` is the storage seam: ``"parquet"`` (default — the sandbox
+    analog with staged-rename atomicity) or ``"delta"`` (real
+    transactional writes when delta-spark is on the session; build the
+    session with ``extra_conf={"spark.sql.extensions":
+    "io.delta.sql.DeltaSparkSessionExtension",
+    "spark.sql.catalog.spark_catalog":
+    "org.apache.spark.sql.delta.catalog.DeltaCatalog"}`` — the
+    reference's ``spark-defaults.conf:9-10``). Method semantics are
+    identical across backends; the contract tests in
+    tests/test_schema_evolution.py and tests/test_watermark_storage.py
+    parameterize over both and skip delta where jars are absent.
+    """
 
     def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+        if fmt == "delta" and not delta_available():
+            raise ValueError(
+                "fmt='delta' requires the delta-spark package (pip "
+                "install delta-spark) and its session extension"
+            )
         self.spark = spark
         self.root = Path(root)
         self.fmt = fmt
+
+    @property
+    def _is_delta(self) -> bool:
+        return self.fmt == "delta"
 
     def path(self, name: str) -> str:
         # one directory per table; dots allowed for layer.table naming
         return str(self.root / name)
 
     def exists(self, name: str) -> bool:
+        if self._is_delta:
+            # a half-initialized dir without a log is not a Delta table
+            return (Path(self.path(name)) / "_delta_log").exists()
         return Path(self.path(name)).exists()
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.format(self.fmt).load(self.path(name))
 
     def append(
-        self, df: DataFrame, name: str, partition_by: str | list[str] | None = None
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: str | list[str] | None = None,
+        merge_schema: bool = False,
     ) -> None:
         w = df.write.format(self.fmt).mode("append")
+        if merge_schema and self._is_delta:
+            # Delta refuses schema-widening appends unless told; plain
+            # parquet needs no option (footers are per-file and
+            # read_evolved unions them)
+            w = w.option("mergeSchema", "true")
         if partition_by:
             cols = [partition_by] if isinstance(partition_by, str) else partition_by
             w = w.partitionBy(*cols)
@@ -83,6 +133,29 @@ class TableManager:
         the whole key range. Pure write-side metadata: readers that
         ignore it see a normal parquet table.
         """
+        if self._is_delta:
+            # Delta's overwrite IS transactional (new snapshot commits
+            # atomically in _delta_log; readers see old or new, never a
+            # mix) — the staging+rename dance below exists only to give
+            # plain parquet the same guarantee. overwriteSchema matches
+            # this method's full-rebuild contract. Data files are still
+            # parquet, so the bloom-filter options apply unchanged.
+            w = df.write.format("delta").mode("overwrite").option(
+                "overwriteSchema", "true"
+            )
+            for c in bloom_filter_cols:
+                w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+                    f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
+                )
+            if partition_by:
+                cols = (
+                    [partition_by]
+                    if isinstance(partition_by, str)
+                    else partition_by
+                )
+                w = w.partitionBy(*cols)
+            w.save(self.path(name))
+            return
         target = Path(self.path(name))
         staging = target.parent / f"._staging_{target.name}_{uuid.uuid4().hex[:8]}"
         w = df.write.format(self.fmt).mode("overwrite")
@@ -106,7 +179,10 @@ class TableManager:
     ) -> None:
         """Idempotent partition-level replacement (Delta ``replaceWhere``
         analog): dynamic partition overwrite rewrites exactly the
-        partitions present in ``df`` and leaves the rest untouched."""
+        partitions present in ``df`` and leaves the rest untouched.
+        The same write works against Delta (dynamic partition overwrite
+        is supported there since 2.0), where it additionally commits as
+        one transaction."""
         cols = [partition_by] if isinstance(partition_by, str) else partition_by
         if not self.exists(name):
             self.overwrite(df, name, partition_by=cols)
@@ -196,7 +272,7 @@ class TableManager:
         for col, old_t in current.items():
             if col not in incoming:
                 df = df.withColumn(col, F.lit(None).cast(old_t))
-        self.append(df, name, partition_by=partition_by)
+        self.append(df, name, partition_by=partition_by, merge_schema=True)
 
     def read_evolved(self, name: str, target: DataFrame | None = None) -> DataFrame:
         """Read across schema generations: ``mergeSchema`` unions every
@@ -207,11 +283,18 @@ class TableManager:
         the evolution contract."""
         from pyspark.sql import functions as F
 
-        df = (
-            self.spark.read.format(self.fmt)
-            .option("mergeSchema", "true")
-            .load(self.path(name))
-        )
+        if self._is_delta:
+            # Delta tracks the union schema in the table log; a plain
+            # read already yields every generation's columns (older
+            # files null-fill) — the parquet-side mergeSchema footer
+            # union is exactly what the log replaces.
+            df = self.spark.read.format("delta").load(self.path(name))
+        else:
+            df = (
+                self.spark.read.format(self.fmt)
+                .option("mergeSchema", "true")
+                .load(self.path(name))
+            )
         if target is None:
             return df
         cols = []
@@ -323,8 +406,11 @@ class TableManager:
 
         Scale: the anti join shuffles on the merge keys (or broadcasts
         a small CDC batch — the usual case, left to AQE); nothing else
-        touches the untouched rows. At Delta/Iceberg this becomes
-        file-level copy-on-write; the semantics here are identical.
+        touches the untouched rows. On ``fmt="delta"`` the same call
+        runs a REAL ``MERGE INTO`` through DeltaTable (file-level
+        copy-on-write: only files holding matched keys rewrite, the
+        rest of the table is untouched metadata) — identical semantics,
+        strictly less IO on a mostly-cold table.
         """
         from pyspark.sql import functions as F
 
@@ -342,6 +428,36 @@ class TableManager:
                 f"merge source has multiple rows for key {vals} — a "
                 "nondeterministic merge; deduplicate the source first"
             )
+        if self._is_delta and self.exists(name):
+            from delta.tables import DeltaTable
+
+            data_cols = [c for c in source.columns if c != delete_col]
+            t_cols, s_cols = set(self.read(name).columns), set(data_cols)
+            if t_cols != s_cols:
+                raise ValueError(
+                    f"merge schema mismatch: target-only "
+                    f"{sorted(t_cols - s_cols)}, source-only "
+                    f"{sorted(s_cols - t_cols)} (use append_evolve for "
+                    "additive schema changes first)"
+                )
+            target_dt = DeltaTable.forPath(self.spark, self.path(name))
+            cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key_cols)
+            m = target_dt.alias("t").merge(source.alias("s"), cond)
+            if delete_col is not None:
+                # NULL tombstone reads as False, matching the parquet arm
+                tomb = f"coalesce(s.`{delete_col}`, false)"
+                m = (
+                    m.whenMatchedDelete(condition=tomb)
+                    .whenMatchedUpdate(set={c: f"s.`{c}`" for c in data_cols})
+                    .whenNotMatchedInsert(
+                        condition=f"NOT {tomb}",
+                        values={c: f"s.`{c}`" for c in data_cols},
+                    )
+                )
+            else:
+                m = m.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+            m.execute()
+            return
         tombstones = None
         if delete_col is not None:
             tombstones = source.filter(F.col(delete_col))

@@ -1,18 +1,37 @@
-"""Schema evolution on plain parquet (storage/tables.py): the Delta
-mergeSchema-append analog — additive columns, upward batch casts,
-loud refusals for anything lossy, and the conforming merged read."""
+"""Schema evolution through the TableManager seam: the Delta
+mergeSchema-append contract — additive columns, upward batch casts,
+loud refusals for anything lossy, and the conforming merged read.
+
+Parameterized over both storage backends (r9): the parquet analog runs
+everywhere; the real Delta backend runs wherever delta-spark is
+importable (skip-marked in the jar-less test container) so a lakehouse
+deployment re-pins the SAME semantics against real transactions."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from lakehouse_adventureworks2022_spark.storage.tables import TableManager
+from lakehouse_adventureworks2022_spark.storage.tables import (
+    TableManager,
+    delta_available,
+)
+
+BACKENDS = [
+    "parquet",
+    pytest.param(
+        "delta",
+        marks=pytest.mark.skipif(
+            not delta_available(),
+            reason="delta-spark not installed in this container",
+        ),
+    ),
+]
 
 
-@pytest.fixture()
-def tm(spark, tmp_path):
-    return TableManager(spark, str(tmp_path))
+@pytest.fixture(params=BACKENDS)
+def tm(spark, tmp_path, request):
+    return TableManager(spark, str(tmp_path), fmt=request.param)
 
 
 def test_additive_column_evolves_and_backfills_null(spark, tm):

@@ -13,7 +13,29 @@ from lakehouse_adventureworks2022_spark.sources.watermark import (
     incremental_filter,
     normalize_event_time,
 )
-from lakehouse_adventureworks2022_spark.storage.tables import TableManager
+from lakehouse_adventureworks2022_spark.storage.tables import (
+    TableManager,
+    delta_available,
+)
+import pytest
+
+#: both storage backends behind the TableManager seam (r9): parquet
+#: everywhere, real Delta wherever delta-spark is importable
+TM_BACKENDS = [
+    "parquet",
+    pytest.param(
+        "delta",
+        marks=pytest.mark.skipif(
+            not delta_available(),
+            reason="delta-spark not installed in this container",
+        ),
+    ),
+]
+
+
+@pytest.fixture(params=TM_BACKENDS)
+def tm_fmt(request):
+    return request.param
 
 
 def test_normalize_event_time_truncates_to_millis():
@@ -60,8 +82,8 @@ def test_ms_truncation_is_conservative(spark, sf_dir):
     assert truncated >= exact  # ms sources: re-read, never skip
 
 
-def test_table_manager_append_overwrite(spark, tmp_path):
-    tm = TableManager(spark, str(tmp_path))
+def test_table_manager_append_overwrite(spark, tmp_path, tm_fmt):
+    tm = TableManager(spark, str(tmp_path), fmt=tm_fmt)
     df = spark.range(10).withColumn("p", F.col("id") % 2)
     tm.append(df, "bronze.t", partition_by="p")
     tm.append(df, "bronze.t", partition_by="p")
@@ -70,8 +92,8 @@ def test_table_manager_append_overwrite(spark, tmp_path):
     assert tm.read("bronze.t").count() == 10
 
 
-def test_replace_where_is_idempotent(spark, tmp_path):
-    tm = TableManager(spark, str(tmp_path))
+def test_replace_where_is_idempotent(spark, tmp_path, tm_fmt):
+    tm = TableManager(spark, str(tmp_path), fmt=tm_fmt)
     d1 = spark.range(5).withColumn("day", F.lit("2024-01-01"))
     d2 = spark.range(7).withColumn("day", F.lit("2024-01-02"))
     tm.replace_where(d1, "gold.fact", "day")
@@ -206,14 +228,15 @@ def test_versioned_table_retention_prunes_old_snapshots(spark, tmp_path):
         vt.read(version=1)
 
 
-def test_merge_upsert_update_insert_delete_semantics(spark, tmp_path):
+def test_merge_upsert_update_insert_delete_semantics(spark, tmp_path, tm_fmt):
     """Delta MERGE analog (r8): matched keys update, unmatched insert,
     tombstoned matched keys delete (absent-key tombstones are no-ops),
     duplicate source keys refuse loudly, and a first merge on a missing
-    table is a plain create."""
+    table is a plain create. On the delta backend the same contract runs
+    through a real MERGE INTO (r9 seam)."""
     import pytest
 
-    tm = TableManager(spark, str(tmp_path))
+    tm = TableManager(spark, str(tmp_path), fmt=tm_fmt)
     base = spark.createDataFrame(
         [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, v string, x int"
     )
@@ -251,8 +274,8 @@ def test_merge_upsert_update_insert_delete_semantics(spark, tmp_path):
     assert {r["id"] for r in tm.read("silver.m").collect()} == {1, 2, 4}
 
 
-def test_merge_upsert_composite_keys_and_partitions(spark, tmp_path):
-    tm = TableManager(spark, str(tmp_path))
+def test_merge_upsert_composite_keys_and_partitions(spark, tmp_path, tm_fmt):
+    tm = TableManager(spark, str(tmp_path), fmt=tm_fmt)
     base = spark.createDataFrame(
         [("us", 1, 10), ("us", 2, 20), ("eu", 1, 30)],
         "region string, id long, x int",
