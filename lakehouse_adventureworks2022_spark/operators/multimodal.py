@@ -218,7 +218,9 @@ def attach_real_assets(
                 }
             )
 
-    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    from lakehouse_adventureworks2022_spark.session import default_parallelism
+
+    n_parts = partitions or default_parallelism(df.sparkSession)
     return (
         df.select(id_col, text_col)
         .repartition(n_parts)

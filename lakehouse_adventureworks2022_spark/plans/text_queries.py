@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_adventureworks2022_spark.operators import dedup, similarity, textops
+from lakehouse_adventureworks2022_spark.session import default_parallelism
 from lakehouse_adventureworks2022_spark.sources.readers import read_table
 
 
@@ -1006,7 +1007,7 @@ def _synth_video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         docs.select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(default_parallelism(spark))
         .mapInPandas(make_videos, schema=ASSET_SCHEMA)
     )
 
@@ -1101,9 +1102,7 @@ def q_video_frame_harvest_amortized(spark: SparkSession, sf_dir: str) -> DataFra
     # the Arrow decode stages run on a single core (observed 12.9 s vs
     # 5.0 s one-shot at sf0.1 — the r8 bench caught it)
     return _harvest_frames(
-        spark.read.parquet(d).repartition(
-            spark.sparkContext.defaultParallelism
-        )
+        spark.read.parquet(d).repartition(default_parallelism(spark))
     )
 
 
@@ -1132,9 +1131,7 @@ def q_video_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = mp4_corpus_dir_for(sf_dir)
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
         _synth_video_corpus(spark, sf_dir).write.mode("overwrite").parquet(d)
-    videos = spark.read.parquet(d).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    videos = spark.read.parquet(d).repartition(default_parallelism(spark))
 
     extract = build_frame_extractor()  # by-value closures
     mux = build_mjpeg_muxer()
@@ -2011,7 +2008,7 @@ def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     evalset = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0).repartition(
-        spark.sparkContext.defaultParallelism
+        default_parallelism(spark)
     )
     return contamination_report(train, evalset, n=3).orderBy("doc_id")
 

@@ -13,6 +13,13 @@ per entity, bounded by timeout, survives across micro-batches.
 Scale: state is partitioned by user_id across executors (HDFS/RocksDB
 state store on a cluster); the closure is self-contained (worker
 portability — see tests/test_worker_portability.py).
+
+Spark Connect (r9 audit): ``applyInPandasWithState`` is NOT part of the
+Connect API surface — :func:`user_running_totals` raises a clear error
+on a Connect session instead of failing deep inside the plan. Run this
+pipeline on a classic session, or port to the ``transformWithState``
+family where the server offers it; every other streaming module in this
+package is foreachBatch over batch operators and is Connect-clean.
 """
 
 from __future__ import annotations
@@ -36,8 +43,17 @@ def user_running_totals(
 ) -> DataFrame:
     """Stateful per-user running totals over a stream of events.
 
-    ``events`` must be a streaming DataFrame with (user_id, ts, value).
+    ``events`` must be a streaming DataFrame with (user_id, ts, value),
+    on a CLASSIC session (see module docstring re Spark Connect).
     """
+    from lakehouse_adventureworks2022_spark.session import is_connect
+
+    if is_connect(events.sparkSession):
+        raise RuntimeError(
+            "applyInPandasWithState is not available over Spark Connect; "
+            "run user_running_totals on a classic session (see "
+            "streaming/stateful.py docstring)"
+        )
 
     def update(
         key: tuple[Any, ...],
