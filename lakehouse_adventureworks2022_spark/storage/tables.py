@@ -312,6 +312,24 @@ class TableManager:
                 )
         return df.select(*cols)
 
+    def read_version(self, name: str, version: int) -> DataFrame:
+        """Time travel (r9, delta backend): read the table as of a past
+        snapshot (`versionAsOf`). The parquet backend keeps its explicit
+        snapshot contract in ``storage/versioned.py`` (`VersionedTable`
+        — pointer-file publish, rollback, retention) rather than faking
+        log semantics here, so this raises with the pointer."""
+        if not self._is_delta:
+            raise ValueError(
+                "time travel on the parquet backend goes through "
+                "storage.versioned.VersionedTable (explicit snapshots); "
+                "read_version is the fmt='delta' path"
+            )
+        return (
+            self.spark.read.format("delta")
+            .option("versionAsOf", str(version))
+            .load(self.path(name))
+        )
+
     def drop(self, name: str) -> None:
         p = Path(self.path(name))
         if p.exists():

@@ -142,3 +142,12 @@ def test_conflict_check_sees_every_generation(spark, tm):
     got = tm.read_evolved("t")
     assert dict(got.dtypes)["extra"] == "bigint"
     assert got.count() == 3
+
+
+def test_read_version_parquet_points_to_versioned_table(spark, tmp_path):
+    """(r9) time travel on the parquet backend is VersionedTable's job —
+    TableManager.read_version refuses with the pointer instead of faking
+    log semantics over bare files."""
+    mgr = TableManager(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="VersionedTable"):
+        mgr.read_version("t", 0)

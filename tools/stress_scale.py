@@ -7,7 +7,11 @@ docs are exact duplicates — the documented hazard for LSH band buckets —
 so this exercises the exact-dedup-first mitigation and the skew behavior
 of every bucketed join at ~10-20× the bench volume.
 
-Usage: python tools/stress_scale.py [rep] [sf_dir]
+Usage: python tools/stress_scale.py [rep] [sf_dir] [only_op,only_op,...]
+
+The optional third argument re-runs ONLY the named ops (comma-separated
+— r9, for re-probing steal-contaminated rows in a quiet window without
+paying the full matrix).
 """
 
 from __future__ import annotations
@@ -30,6 +34,7 @@ from lakehouse_adventureworks2022_spark.sources.readers import read_table  # noq
 def main() -> None:
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     spark = get_spark("stress")
 
     docs = read_table(spark, sf_dir, "documents")
@@ -50,11 +55,30 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    steals: dict[str, float] = {}
+
+    def _cpu_times() -> tuple[int, int]:
+        """(steal, total) jiffies from /proc/stat; (0, 0) off-Linux."""
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(v) for v in f.readline().split()[1:]]
+            return (vals[7] if len(vals) > 7 else 0), sum(vals)
+        except (OSError, ValueError, IndexError):
+            return 0, 0
+
+    run_s0, run_t0 = _cpu_times()
 
     def run(name, df_fn):
+        if only is not None and name not in only:
+            return
+        s0, t0 = _cpu_times()
         t = time.perf_counter()
         df_fn().write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t, 2)
+        s1, t1 = _cpu_times()
+        steals[name] = round(
+            100.0 * (s1 - s0) / (t1 - t0) if t1 > t0 else 0.0, 2
+        )
 
     run("exact_dedup", lambda: dedup.dedup_exact(big_docs))
     run("clean_corpus", lambda: dedup.clean_corpus(big_docs))
@@ -174,6 +198,25 @@ def main() -> None:
         return vectorize.retrieval_search(queries, centroids, cells, k=5)
 
     run("rag_retrieval", _rag)
+
+    # corpus-scaling view of retrieval (r9, the bm25_fixed_queries
+    # pattern): the variant above scales its QUERY set with rep
+    # (doc_id % 500 over id-offset copies), so its number conflates
+    # workload growth with corpus growth. Fixed 32 queries isolates
+    # index build + per-query search cost against corpus size only.
+    def _rag_fixed_queries():
+        centroids, cells, _ = vectorize.build_chunk_index(big_docs)
+        queries = (
+            big_docs.orderBy("doc_id")
+            .limit(32)
+            .select(
+                (F.col("doc_id") + F.lit(5_000_000_000)).alias("query_id"),
+                F.substring("text", 1, 200).alias("query_text"),
+            )
+        )
+        return vectorize.retrieval_search(queries, centroids, cells, k=5)
+
+    run("rag_fixed_queries", _rag_fixed_queries)
 
     # substring dedup on the replicated corpus: every doc's every window
     # is duplicated rep× — near-total flagged volume, the worst case for
@@ -511,6 +554,12 @@ def main() -> None:
         lambda: tpch_extra.q21_waiting_suppliers(spark, stress_dir),
     )
 
+    run_s1, run_t1 = _cpu_times()
+    run_steal = (
+        100.0 * (run_s1 - run_s0) / (run_t1 - run_t0)
+        if run_t1 > run_t0
+        else 0.0
+    )
     print(
         json.dumps(
             {
@@ -518,6 +567,8 @@ def main() -> None:
                 "docs": n_docs * rep,
                 "vectors": big_emb.count(),
                 "timings_sec": timings,
+                "steal_pct": steals,
+                "run_steal_pct": round(run_steal, 2),
             }
         )
     )
