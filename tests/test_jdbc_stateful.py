@@ -3,6 +3,7 @@ custom stateful streaming operator."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from lakehouse_adventureworks2022_spark.sources.jdbc import (
@@ -83,6 +84,85 @@ def test_stateful_running_totals(spark, sf_dir):
         for r in spark.table("t_stateful").filter("NOT closed").collect()
     }
     q.stop()
+
+    want = {
+        r["user_id"]: (r["c"], r["v"])
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("value"), 4).alias("v"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState's worker protocol needs google.protobuf "
+    "(not installed in this container; runs on a real deployment)",
+)
+def test_stateful_running_totals_tws(spark, sf_dir):
+    """(r9) The transformWithStateInPandas twin: same state machine on
+    the Spark-4 successor API (typed value state + explicit timers,
+    RocksDB store, Connect-compatible). The final running snapshot per
+    user must equal the batch aggregate — the same contract as the
+    classic operator's test."""
+    import time
+
+    from lakehouse_adventureworks2022_spark.streaming.events import (
+        stream_events_source,
+    )
+    from lakehouse_adventureworks2022_spark.streaming.stateful import (
+        user_running_totals_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = user_running_totals_tws(
+            stream_events_source(spark, sf_dir).select("user_id", "ts", "value")
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_stateful_tws")
+            .outputMode("append")
+            .start()
+        )
+        n_users = (
+            read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("t_stateful_tws").filter("NOT closed").count() >= n_users:
+                break
+            time.sleep(2)
+        got = {
+            r["user_id"]: (r["event_count"], r["total_value"])
+            for r in spark.table("t_stateful_tws").filter("NOT closed").collect()
+        }
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
 
     want = {
         r["user_id"]: (r["c"], r["v"])
