@@ -287,3 +287,62 @@ def test_merge_upsert_composite_keys_and_partitions(spark, tmp_path, tm_fmt):
     tm.merge_upsert(upd, "silver.rk", keys=["region", "id"], partition_by="region")
     got = {(r["region"], r["id"]): r["x"] for r in tm.read("silver.rk").collect()}
     assert got == {("us", 1): 10, ("us", 2): 99, ("eu", 1): 30, ("eu", 2): 40}
+
+
+def test_merge_upsert_matches_python_reference_for_any_cdc_sequence(
+    spark, tmp_path
+):
+    """(r9) Property differential: for ANY sequence of key-unique CDC
+    batches (update/insert/delete mixes), the table after each
+    merge_upsert equals a dict-based Python reference applying MERGE
+    semantics (matched+tombstone ⇒ delete, matched ⇒ update, unmatched
+    non-tombstone ⇒ insert, unmatched tombstone ⇒ no-op)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    batch_strategy = st.dictionaries(
+        st.integers(min_value=0, max_value=7),      # key
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # value
+            st.booleans(),                           # tombstone
+        ),
+        max_size=8,
+    )
+
+    counter = {"n": 0}
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(run=st.lists(batch_strategy, min_size=1, max_size=3))
+    def check(run):
+        counter["n"] += 1
+        tm = TableManager(spark, str(tmp_path / f"prop{counter['n']}"))
+        ref: dict[int, int] = {}
+        wrote = False
+        for batch in run:
+            if not batch:
+                continue
+            rows = [(k, v, dead) for k, (v, dead) in batch.items()]
+            src = spark.createDataFrame(
+                rows, "id long, v int, is_deleted boolean"
+            )
+            if not wrote:
+                # first merge on a missing table = create; a tombstone
+                # arm needs the delete column stripped like later merges
+                tm.merge_upsert(src, "t", keys="id", delete_col="is_deleted")
+                wrote = True
+            else:
+                tm.merge_upsert(src, "t", keys="id", delete_col="is_deleted")
+            for k, (v, dead) in batch.items():
+                if dead:
+                    ref.pop(k, None)
+                else:
+                    ref[k] = v
+        if wrote:
+            got = {r["id"]: r["v"] for r in tm.read("t").collect()}
+            assert got == ref
+
+    check()
