@@ -42,10 +42,13 @@ def test_jdbc_reader_configuration(spark):
             url="jdbc:sqlserver://host:1433;databaseName=db",
             table="Sales.SalesOrderDetail",
             options={"user": "u", "password": "p"},
-            partition_column="SalesOrderDetailID",
         ),
     )
-    # reader builds without a live DB; load() would need the driver
+    # an unpartitioned reader builds without a live DB; load() would
+    # need the driver. A partitioned reader now performs the MIN/MAX
+    # bounds roundtrip at build time (r9 — Spark rejects
+    # partitionColumn without bounds), so its live behavior is covered
+    # by tests/test_jdbc_live.py against an embedded Derby database.
     assert src._reader() is not None
 
 
