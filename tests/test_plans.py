@@ -129,3 +129,43 @@ def test_latest_event_agg_equals_window_form(spark, sf_dir):
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_cdc_upsert_anti_join_is_broadcast_not_cartesian(spark, sf_dir, tmp_path):
+    """(r9) The merge's key anti-join must resolve as a hash join on the
+    merge keys (broadcast for this CDC-batch size — AQE's call), never a
+    cartesian/NL shape, and the staged overwrite must not inject a
+    global sort."""
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+    from lakehouse_adventureworks2022_spark.storage.tables import TableManager
+
+    tm = TableManager(spark, str(tmp_path))
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    tm.overwrite(cust, "t")
+    target = tm.read("t")
+    batch = cust.filter(F.col("c_custkey") % 10 == 3).select("c_custkey")
+    merged = target.join(batch.distinct(), "c_custkey", "left_anti")
+    plan = plan_of(merged)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Join LeftAnti" in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_ivf_sq8_ingest_search_prunes_probed_cells(spark, sf_dir, tmp_path):
+    """(r9) After an append, the amortized search over base ∪ appends
+    must still push the probed-cell IN filter to the codes scans (both
+    the base index AND the committed batch dirs are cell-clustered, so
+    footer min-max prunes unprobed files on each side)."""
+    from lakehouse_adventureworks2022_spark.operators import similarity
+
+    q, c = similarity.embedding_queries(spark, sf_dir)
+    idx = str(tmp_path / "ingest_idx")
+    similarity.cosine_topk_ivf_sq8_amortized(q, c, idx, k=5).collect()
+    newv = c.select((F.col("vec_id") + 500_000).alias("vec_id"), "embedding")
+    similarity.ivf_sq8_index_append(spark, newv, idx, batch_tag="b")
+    all_cand = c.select("vec_id", "embedding").unionByName(newv)
+    out = similarity.cosine_topk_ivf_sq8_amortized(q, all_cand, idx, k=5)
+    plan = plan_of(out)
+    assert "In(cell" in plan  # probe pruning pushed to the codes scan
+    assert "CartesianProduct" not in plan
