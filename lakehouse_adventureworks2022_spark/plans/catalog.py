@@ -136,8 +136,14 @@ QUERIES: dict[str, QueryFn] = {
     # event_windows_sliding below)
     # SCD2 composite (O5: F1, J5/J6, P9-P11, WF1/WF2, W4/W5)
     "scd2_part_dimension": scd2_query.scd2_part_dimension,
-    # training-data ops: text analysis
-    "text_stats": text_queries.q_text_stats,
+    # (text_stats — driver-green r1-r9, the longest-tenured text row —
+    # rotated to tests/test_rotated_oracles.py in the r10 sixth
+    # rotation; text-family window evidence continues via
+    # corpus_vocabulary / clean_boilerplate / normalize_text /
+    # ngram_repetition / pii_scrub)
+    # weighted-epochs mixture materialization (r8; exact — twin
+    # generated from the same weights table; r10 first driver oracle)
+    "docs_epoch_mixture": text_queries.q_docs_epoch_mixture,
     # (token_counts / lang_id — green since r1 — rotated to
     # tests/test_rotated_oracles.py in late r6; text-family window
     # evidence continues via text_stats / corpus_vocabulary /
@@ -210,14 +216,19 @@ QUERIES: dict[str, QueryFn] = {
     # tests/test_rotated_oracles.py in the r8 fifth rotation; its
     # component stats stay driver-evidenced via text_stats /
     # corpus_vocabulary)
-    # TPC-H-extra shapes promoted into the window in r6 (driver-green
-    # for the first time; the dq_* gates they displaced — green since
-    # r1 — keep the same hash-diff in tests/test_rotated_oracles.py;
-    # q6 — the simplest filter+agg — joined the rotation late-r6 to
-    # free a slot for the shapes below)
-    "tpch_q7_nation_volume": tpch_extra.q7_nation_volume,
-    "tpch_q10_returned_items": tpch_extra.q10_returned_items,
-    "tpch_q14_promo_revenue_ratio": tpch_extra.q14_promo_revenue_ratio,
+    # (tpch_q7_nation_volume / tpch_q10_returned_items /
+    # tpch_q14_promo_revenue_ratio — driver-green r6-r9 — rotated to
+    # tests/test_rotated_oracles.py in the r10 sixth rotation; the
+    # multi-join volume, returned-items and CASE-ratio shapes stay
+    # driver-evidenced via tpch_q9/q21, q18/q20 and q12/q19 in-window)
+    # r10 sixth rotation IN: the five exact queries that were swept
+    # (check_oracles + pytest) but never held a driver CORRECTNESS row
+    # because the window was full — benchmark-hygiene decontamination
+    # (exact 13-gram + fuzzy MinHash cross-corpus), CCNet perplexity
+    # terciles, weighted-epochs mixture, and the CDC merge result:
+    "eval_decontamination": text_queries.q_eval_decontamination,
+    "eval_decontamination_fuzzy": text_queries.q_eval_decontamination_fuzzy,
+    "perplexity_quality_buckets": text_queries.q_perplexity_quality_buckets,
     # late-r6 second promotion: the hardest extra shapes gain
     # first-time driver oracles (correlated-min lookup, 5-join profit
     # rollup, HAVING-subquery, nested-agg semi-join chain, and the Q21
@@ -233,8 +244,15 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q19_disjunctive_revenue": tpch_extra.q19_disjunctive_revenue,
     "tpch_q12_shipping_delay_bands": tpch_extra.q12_shipping_delay_bands,
     "tpch_q16_supplier_count_by_part": tpch_extra.q16_supplier_count_by_part,
-    # training-data ops: similarity search (exact brute-force baseline)
-    "ann_cosine_topk": text_queries.q_ann_cosine,
+    # (ann_cosine_topk — driver-green r2-r9, the exact brute-force
+    # similarity baseline — rotated to tests/test_rotated_oracles.py in
+    # the r10 sixth rotation; exact array-math window evidence
+    # continues via embedding_drift, and every approximate ANN tier
+    # keeps its recall-floor differential in pytest)
+    # end-to-end CDC merge through TableManager.merge_upsert (r9; exact
+    # — the merge result is plain relational algebra; r10 first driver
+    # oracle for the WRITE path's result)
+    "cdc_upsert": facts.q_cdc_upsert,
     # (customer_order_distribution / event_sessions /
     # nation_top_customers — green since r1 — rotated to
     # tests/test_rotated_oracles.py late-r7; the Q13 histogram,
@@ -425,22 +443,19 @@ QUERIES: dict[str, QueryFn] = {
     # bytes-level video near-dup from keyframe payload hashes (r8):
     # codec-agnostic — covers H.264-class tracks without pixel decode
     "video_keyframe_dedup": text_queries.q_video_keyframe_dedup,
-    # benchmark-hygiene n-gram decontamination (r8; exact — swept
-    # DuckDB twin; window full, sweeps in check_oracles + pytest)
-    "eval_decontamination": text_queries.q_eval_decontamination,
-    # fuzzy (MinHash cross-corpus) decontamination over planted
-    # perturbed eval twins (r8; deterministic LSH + exact verify ⇒
-    # exact — swept DuckDB twin)
-    "eval_decontamination_fuzzy": text_queries.q_eval_decontamination_fuzzy,
-    # CCNet-style per-source perplexity terciles (r8; exact — ntile
-    # over the 6dp-rounded ppl total order; swept DuckDB twin)
-    "perplexity_quality_buckets": text_queries.q_perplexity_quality_buckets,
-    # weighted-epochs mixture materialization (r8; exact — twin
-    # generated from the same weights table)
-    "docs_epoch_mixture": text_queries.q_docs_epoch_mixture,
-    # end-to-end CDC merge through TableManager.merge_upsert (r9; exact
-    # — the merge result is plain relational algebra, swept DuckDB twin)
-    "cdc_upsert": facts.q_cdc_upsert,
+    # (eval_decontamination / eval_decontamination_fuzzy /
+    # perplexity_quality_buckets / docs_epoch_mixture / cdc_upsert —
+    # the five exact-but-never-driver-verified queries — promoted to
+    # first-time DRIVER oracles in the r10 sixth rotation above; every
+    # oracle-checkable query in the catalog has again held a driver row)
+    # ---- r10 sixth rotation out of the window (driver-green r1-r9 /
+    # r6-r9; the identical hash-diff rigor continues in
+    # tests/test_rotated_oracles.py at sf0.001 AND sf0.01) ----
+    "text_stats": text_queries.q_text_stats,
+    "ann_cosine_topk": text_queries.q_ann_cosine,
+    "tpch_q7_nation_volume": tpch_extra.q7_nation_volume,
+    "tpch_q10_returned_items": tpch_extra.q10_returned_items,
+    "tpch_q14_promo_revenue_ratio": tpch_extra.q14_promo_revenue_ratio,
     # IVF+SQ8 daily-ingest steady state: replay-idempotent batch append
     # + search over base ∪ appends (r9; approximate ANN ⇒ rows-only)
     "ivf_sq8_index_ingest": text_queries.q_ivf_sq8_index_ingest,
@@ -525,12 +540,18 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "video_frame_harvest",  # binary video assets have no oracle tables
         "video_frame_harvest_amortized",  # ≡ one-shot via persisted corpus
         "video_keyframe_dedup",  # binary video assets have no oracle tables
-        # exact, swept SQL twins in check_oracles + pytest (window full)
-        "eval_decontamination",
-        "eval_decontamination_fuzzy",
-        "perplexity_quality_buckets",
-        "docs_epoch_mixture",
-        "cdc_upsert",
+        # (eval_decontamination / eval_decontamination_fuzzy /
+        # perplexity_quality_buckets / docs_epoch_mixture / cdc_upsert
+        # promoted to first-time driver oracles in the r10 sixth
+        # rotation)
+        # exact, r10 sixth rotation out of the window (driver-green
+        # r1-r9 / r2-r9 / r6-r9): same hash-diff rigor continues in
+        # tests/test_rotated_oracles.py at two SFs
+        "text_stats",
+        "ann_cosine_topk",
+        "tpch_q7_nation_volume",
+        "tpch_q10_returned_items",
+        "tpch_q14_promo_revenue_ratio",
         "ivf_sq8_index_ingest",  # probe-pruned ANN: approx by design
         # late-r7 second rotation out of the window (green since r1;
         # same hash-diff rigor in tests/test_rotated_oracles.py)
@@ -598,7 +619,14 @@ ORACLES: dict[str, str] = {
     # late-r7 third rotation: event_windows inline SQL moved verbatim
     # to ROTATED_ORACLES below
     "scd2_part_dimension": scd2_query.ORACLE,
-    "text_stats": text_queries.ORACLE_TEXT_STATS,
+    # r10 sixth rotation: text_stats / ann_cosine_topk inline constants
+    # moved to ROTATED_ORACLES below; promoted in their place (twins
+    # already sweep-green in check_oracles + pytest since r8/r9):
+    "eval_decontamination": text_queries.ORACLE_EVAL_DECONTAMINATION,
+    "eval_decontamination_fuzzy": text_queries.ORACLE_EVAL_DECONTAMINATION_FUZZY,
+    "perplexity_quality_buckets": text_queries.ORACLE_PERPLEXITY_QUALITY_BUCKETS,
+    "docs_epoch_mixture": text_queries.ORACLE_DOCS_EPOCH_MIXTURE,
+    "cdc_upsert": facts.ORACLE_CDC_UPSERT,
     # r8 fifth rotation: corpus_report / dedup_ngram_jaccard_exact /
     # clean_corpus constants and the event_windows_sliding /
     # revenue_grouping_sets / priority_revenue_share inline SQL moved
@@ -607,7 +635,7 @@ ORACLES: dict[str, str] = {
     "heavy_hitters_event_types": text_queries.ORACLE_HEAVY_HITTERS,
     "clean_boilerplate": text_queries.ORACLE_CLEAN_BOILERPLATE,
     "dedup_minhash_lsh": text_queries.ORACLE_MINHASH_LSH,
-    "ann_cosine_topk": text_queries.ORACLE_ANN_COSINE,
+    # ann_cosine_topk: rotated out in r10 — constant in ROTATED_ORACLES
     # ann_cosine_topk_np: GEMM float-sum order differs ⇒ rows-only check
     # ann_cosine_topk_lsh: approximate by design ⇒ rows-only check
     "dedup_simhash": text_queries.ORACLE_SIMHASH,
@@ -747,12 +775,8 @@ ORACLES: dict[str, str] = {
         WHERE l.l_quantity < pa.half_avg_qty
         GROUP BY 1
     """,
-    # TPC-H-extra shapes promoted into the window in r6 — same SQL the
-    # pytest differential (tests/test_tpch_extra.py) has hash-diffed
-    # since they were written
-    "tpch_q7_nation_volume": tpch_extra.EXTRA_ORACLES["tpch_q7_nation_volume"],
-    "tpch_q10_returned_items": tpch_extra.EXTRA_ORACLES["tpch_q10_returned_items"],
-    "tpch_q14_promo_revenue_ratio": tpch_extra.EXTRA_ORACLES["tpch_q14_promo_ratio"],
+    # (tpch_q7/q10/q14 — driver-green r6-r9 — rotated out in r10; their
+    # EXTRA_ORACLES references moved verbatim to ROTATED_ORACLES below)
     # late-r6 second promotion — same single-source SQL the pytest
     # sweep has hash-diffed all round
     "tpch_q2_min_balance_supplier": tpch_extra.EXTRA_ORACLES["tpch_q2_min_balance_supplier"],
@@ -862,6 +886,15 @@ ORACLES: dict[str, str] = {
 #: for first-time oracles. tests/test_rotated_oracles.py applies the
 #: SAME row-count + schema + value-hash comparison the driver does.
 ROTATED_ORACLES: dict[str, str] = {
+    # ---- r10 sixth rotation (driver-green r1-r9 / r2-r9 / r6-r9;
+    # slots freed for the five exact-but-never-driver-verified queries:
+    # eval_decontamination, eval_decontamination_fuzzy,
+    # perplexity_quality_buckets, docs_epoch_mixture, cdc_upsert) ----
+    "text_stats": text_queries.ORACLE_TEXT_STATS,
+    "ann_cosine_topk": text_queries.ORACLE_ANN_COSINE,
+    "tpch_q7_nation_volume": tpch_extra.EXTRA_ORACLES["tpch_q7_nation_volume"],
+    "tpch_q10_returned_items": tpch_extra.EXTRA_ORACLES["tpch_q10_returned_items"],
+    "tpch_q14_promo_revenue_ratio": tpch_extra.EXTRA_ORACLES["tpch_q14_promo_ratio"],
     # ---- r8 fifth rotation (green r4-r7; slots freed for the last six
     # never-driver-verified oracles: the sampling family, the DQ
     # expectation suite, and tpch_q19/q12/q16) ----
@@ -1297,22 +1330,13 @@ assert not _outside, (
 #: EXACT query, not only the driver window.
 PYTEST_ORACLES: dict[str, str] = {
     **ROTATED_ORACLES,
-    # r8 newcomers past the full window: benchmark-hygiene n-gram
-    # contamination report + the fuzzy MinHash cross-corpus tier
-    # (both exact; sweep at every health check)
-    "eval_decontamination": text_queries.ORACLE_EVAL_DECONTAMINATION,
-    "eval_decontamination_fuzzy": text_queries.ORACLE_EVAL_DECONTAMINATION_FUZZY,
-    "perplexity_quality_buckets": text_queries.ORACLE_PERPLEXITY_QUALITY_BUCKETS,
-    "docs_epoch_mixture": text_queries.ORACLE_DOCS_EPOCH_MIXTURE,
-    # r9 newcomer: CDC merge — the write path's result hash-checked as
-    # relational algebra (sweep at every health check)
-    "cdc_upsert": facts.ORACLE_CDC_UPSERT,
-    # (the nine swept twins promoted to first-time DRIVER oracles in r7
-    # — chunk_documents, clean_boilerplate, ngram_repetition,
-    # dedup_clusters, event_anomalies, corpus_drift, doc_perplexity,
-    # embedding_drift, remove_repeated_spans — now live in ORACLES; the
-    # Python-reference / planted-case differentials in pytest keep the
-    # algorithmic worked examples either way)
+    # (the r8/r9 newcomers — eval_decontamination,
+    # eval_decontamination_fuzzy, perplexity_quality_buckets,
+    # docs_epoch_mixture, cdc_upsert — were promoted to first-time
+    # DRIVER oracles in the r10 sixth rotation; after it, every exact
+    # past-window query is a rotated veteran, so this set currently
+    # equals ROTATED_ORACLES — kept as the stable import surface for
+    # tests/tools and for the next past-window newcomer)
 }
 
 # rotated oracles cover only past-window queries and never shadow a

@@ -83,6 +83,7 @@ def test_hash_join_equals_string_join_and_shuffle_fallback(spark):
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 def test_catalog_twin_hash_parity(spark, sf):
     from lakehouse_adventureworks2022_spark.plans.catalog import (
+        ORACLES,
         PYTEST_ORACLES,
         QUERIES,
     )
@@ -96,7 +97,7 @@ def test_catalog_twin_hash_parity(spark, sf):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
-    want = normalize_pandas(con.sql(PYTEST_ORACLES["eval_decontamination"]).df())
+    want = normalize_pandas(con.sql({**PYTEST_ORACLES, **ORACLES}["eval_decontamination"]).df())
     con.close()
     assert len(got) == len(want) > 0
     assert list(got.columns) == list(want.columns)
@@ -157,6 +158,7 @@ def test_fuzzy_pairs_only_cross_corpus_and_deterministic(spark):
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 def test_fuzzy_catalog_twin_hash_parity(spark, sf):
     from lakehouse_adventureworks2022_spark.plans.catalog import (
+        ORACLES,
         PYTEST_ORACLES,
         QUERIES,
     )
@@ -171,7 +173,7 @@ def test_fuzzy_catalog_twin_hash_parity(spark, sf):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
     want = normalize_pandas(
-        con.sql(PYTEST_ORACLES["eval_decontamination_fuzzy"]).df()
+        con.sql({**PYTEST_ORACLES, **ORACLES}["eval_decontamination_fuzzy"]).df()
     )
     con.close()
     assert len(got) == len(want) > 0

@@ -83,6 +83,15 @@ ROTATED = (
     "corpus_report",
     "event_windows_sliding",
     "priority_revenue_share",
+    # r10 sixth rotation: slots freed for the five exact queries that
+    # were swept but never held a driver CORRECTNESS row
+    # (eval_decontamination, eval_decontamination_fuzzy,
+    # perplexity_quality_buckets, docs_epoch_mixture, cdc_upsert)
+    "text_stats",
+    "ann_cosine_topk",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue_ratio",
 )
 
 
