@@ -176,16 +176,20 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         # hot list via aggregation (map-side partial combine absorbs the
         # skewed key before the shuffle — a shingle-partitioned window
-        # would pile the hot shingle's D rows into one task) and a
-        # broadcast anti-join: the HOT list is small by construction
-        # (each entry accounts for > max_df rows of the shingle table).
+        # would pile the hot shingle's D rows into one task). No forced
+        # broadcast on the anti-join: the hot-list row count is bounded
+        # only by n_shingle_rows / max_df, which at the corpus scale
+        # max_df exists for (small max_df over a huge corpus) can reach
+        # millions of shingles — AQE picks broadcast when the built list
+        # is actually small and falls back to a shuffled anti-join when
+        # it isn't (same rationale as decontaminate.py's flagged-id set).
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     common = (
         sh.alias("a")

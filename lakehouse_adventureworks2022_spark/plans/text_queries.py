@@ -97,7 +97,7 @@ def q_ann_cosine_pq_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     q, c = similarity.embedding_queries(spark, sf_dir)
-    idx = ivf_index_dir_for(sf_dir).replace("ivf_index_", "pq_index_")
+    idx = ivf_index_dir_for(sf_dir, "pq_index_")
     os.makedirs(idx, exist_ok=True)
     return similarity.cosine_topk_pq_amortized(q, c, idx, k=10)
 
@@ -111,10 +111,17 @@ def q_ann_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_ivf_pq(q, c, k=10)
 
 
-def ivf_index_dir_for(sf_dir: str) -> str:
+def ivf_index_dir_for(sf_dir: str, prefix: str = "ivf_index_") -> str:
     """Deterministic per-corpus-version index location: keyed to the
     embeddings file's identity (size + mtime), so a regenerated fixture
-    gets a fresh index instead of stale cells."""
+    gets a fresh index instead of stale cells.
+
+    ``prefix`` names the index family sharing the identity key
+    (``pq_index_``, ``sq8_index_``, ``ivf_sq8_index_``,
+    ``ivf_sq8_ingest_``) — a parameter instead of the previous
+    ``.replace("ivf_index_", ...)`` string rewriting, which would
+    silently no-op (and cross-contaminate index dirs) if this
+    function's naming ever changed (r9 ADVICE)."""
     import hashlib
     import os
     import tempfile
@@ -123,7 +130,7 @@ def ivf_index_dir_for(sf_dir: str) -> str:
     tag = hashlib.md5(
         f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+    return os.path.join(tempfile.gettempdir(), f"{prefix}{tag}")
 
 
 def q_packed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1919,7 +1926,7 @@ def q_ann_cosine_sq8_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     q, c = similarity.embedding_queries(spark, sf_dir)
-    idx = ivf_index_dir_for(sf_dir).replace("ivf_index_", "sq8_index_")
+    idx = ivf_index_dir_for(sf_dir, "sq8_index_")
     os.makedirs(idx, exist_ok=True)
     return similarity.cosine_topk_sq8_amortized(q, c, idx, k=10)
 
@@ -1943,7 +1950,7 @@ def q_ann_cosine_ivf_sq8_amortized(spark: SparkSession, sf_dir: str) -> DataFram
     import os
 
     q, c = similarity.embedding_queries(spark, sf_dir)
-    idx = ivf_index_dir_for(sf_dir).replace("ivf_index_", "ivf_sq8_index_")
+    idx = ivf_index_dir_for(sf_dir, "ivf_sq8_index_")
     os.makedirs(idx, exist_ok=True)
     return similarity.cosine_topk_ivf_sq8_amortized(q, c, idx, k=10)
 
@@ -1965,7 +1972,7 @@ def q_ivf_sq8_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     q, c = similarity.embedding_queries(spark, sf_dir)
-    idx = ivf_index_dir_for(sf_dir).replace("ivf_index_", "ivf_sq8_ingest_")
+    idx = ivf_index_dir_for(sf_dir, "ivf_sq8_ingest_")
     os.makedirs(idx, exist_ok=True)
     newv = c.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"

@@ -28,11 +28,42 @@ from lakehouse_adventureworks2022_spark.sources.watermark import (
     incremental_filter,
 )
 
+#: message fragments that identify a column-resolution / identifier
+#: failure across common JDBC dialects (Derby SQLSyntaxError "is either
+#: not in any table", Postgres "does not exist", SQL Server "Invalid
+#: column name", MySQL "Unknown column", generic "cannot be resolved").
+#: Anything else (auth, network, missing table) is a REAL failure and
+#: must surface from the FIRST attempt, not be masked by a quoted retry.
+_COLUMN_RESOLUTION_MARKERS = (
+    "column",
+    "identifier",
+    "cannot be resolved",
+    "does not exist",
+    "not found",
+    "undefined",
+    "invalid object",
+    "syntax",
+)
+
+
+def _is_column_resolution_error(e: Exception) -> bool:
+    msg = str(e).lower()
+    return any(m in msg for m in _COLUMN_RESOLUTION_MARKERS)
+
 
 @dataclass
 class JdbcSourceConfig:
     """Connection + parallelism settings (credentials via options, not
-    inline strings — fixes SURVEY.md §4.6)."""
+    inline strings — fixes SURVEY.md §4.6).
+
+    ``lower_bound``/``upper_bound`` (r10): explicit partition bounds for
+    the parallel read. When set, NO MIN/MAX probe query runs — the right
+    posture for an append-mostly table read on a schedule, where the
+    orchestrator already knows the key range (e.g. from the previous
+    watermark) and two extra remote full-column scans per cycle are
+    pure waste. When unset, the bounds are probed once per
+    :class:`JdbcSource` instance and cached (``refresh_bounds()`` to
+    re-probe a long-lived source)."""
 
     url: str
     table: str
@@ -40,14 +71,29 @@ class JdbcSourceConfig:
     partition_column: str | None = None
     num_partitions: int = 8
     fetch_size: int = 10_000
+    lower_bound: str | int | None = None
+    upper_bound: str | int | None = None
 
 
 class JdbcSource:
+    #: sentinel distinguishing "never probed" from "probed: empty table"
+    _UNPROBED = object()
+
     def __init__(self, spark: SparkSession, config: JdbcSourceConfig):
         self.spark = spark
         self.config = config
+        self._cached_bounds: object = self._UNPROBED
+        self._col_form: str | None = None  # quoting that resolved last time
 
-    def _bounds(self) -> tuple | None:
+    def refresh_bounds(self) -> None:
+        """Invalidate the cached MIN/MAX bounds so the next read
+        re-probes — for long-lived sources on tables whose key range
+        grows between reads (the partition SPLITS go stale, never the
+        results: rows outside [lower, upper] still land in the edge
+        partitions per Spark's JDBC contract)."""
+        self._cached_bounds = self._UNPROBED
+
+    def _probe_bounds(self) -> tuple | None:
         """One MIN/MAX roundtrip for the partition-column bounds Spark's
         partitioned JDBC read requires (r9 — the live-Derby integration
         test exposed that setting partitionColumn without lower/upper
@@ -60,9 +106,15 @@ class JdbcSource:
         # a case-folding database like Derby stores them case-SENSITIVE
         # lowercase — unquoted MIN(col) then fails to resolve). Try the
         # unquoted form first (matches hand-created tables), fall back
-        # to ANSI double quotes (matches Spark-written tables).
+        # to ANSI double quotes (matches Spark-written tables) — but
+        # ONLY when the failure is a column-resolution error: an auth /
+        # network / missing-table failure on the unquoted attempt must
+        # surface as-is, not be masked by the quoted-retry's error (r9
+        # ADVICE). A previously successful quoting form is remembered so
+        # refresh_bounds() re-probes don't pay the failing attempt again.
+        forms = [self._col_form] if self._col_form else [pc, f'"{pc}"']
         last_err: Exception | None = None
-        for col in (pc, f'"{pc}"'):
+        for col in forms:
             q = (
                 self.spark.read.format("jdbc")
                 .option("url", self.config.url)
@@ -76,15 +128,30 @@ class JdbcSource:
                 q = q.option(k, v)
             try:
                 row = q.load().first()
-            except Exception as e:  # noqa: BLE001 - dialect probe
-                last_err = e
-                continue
+            except Exception as e:
+                if col != forms[-1] and _is_column_resolution_error(e):
+                    last_err = e
+                    continue
+                raise
+            self._col_form = col
             # positional access: case-folding dialects may return the
             # unquoted aliases upper-cased (Derby: mn -> MN)
             if row is None or row[0] is None:
                 return None
             return row[0], row[1]
-        raise last_err
+        raise last_err  # pragma: no cover - loop always raises or returns
+
+    def _bounds(self) -> tuple | None:
+        """Partition bounds: explicit config wins (zero remote probes),
+        else the cached probe result (one MIN/MAX roundtrip per source
+        instance, not per read — r9 ADVICE: read_incremental cycles were
+        paying two extra remote scans per call)."""
+        cfg = self.config
+        if cfg.lower_bound is not None and cfg.upper_bound is not None:
+            return cfg.lower_bound, cfg.upper_bound
+        if self._cached_bounds is self._UNPROBED:
+            self._cached_bounds = self._probe_bounds()
+        return self._cached_bounds  # type: ignore[return-value]
 
     def _reader(self):
         r = (
@@ -97,7 +164,7 @@ class JdbcSource:
             r = r.option(k, v)
         if self.config.partition_column:
             # parallel cursors instead of the reference's
-            # single-partition read; bounds from one MIN/MAX roundtrip
+            # single-partition read; bounds explicit or cached-probed
             bounds = self._bounds()
             if bounds is not None:
                 r = (
@@ -116,8 +183,7 @@ class JdbcSource:
         self, event_col: str, wm: Watermark | None, ms_precision: bool = True
     ) -> DataFrame:
         """S2+S3: watermark-filtered scan; the filter is declarative and
-        Catalyst pushes it into the remote query (no string building).
-        ``ms_precision`` applies the DATETIME2(3) truncation rule."""
+        Catalyst pushes it into the remote query (no string building)."""
         return incremental_filter(
             self.read_full(), event_col, wm, truncate_to_ms=ms_precision
         )

@@ -174,3 +174,85 @@ def test_incremental_extract_load_cycle_end_to_end(spark, derby, tmp_path):
         .collect()
     }
     assert got_ids == {1000, 1001, 1002, 1003, 1004}
+
+
+# ---- r10: bounds caching / explicit bounds / narrowed retry ----------
+
+
+def test_bounds_probed_once_per_source_and_refreshable(spark, derby):
+    """(r10 ADVICE) _reader() ran the MIN/MAX probe on EVERY call, so
+    each read_incremental cycle paid two extra remote scans; now the
+    probe result is cached per source instance and refresh_bounds()
+    re-probes on demand."""
+    # the module-shared events table grows in other tests (the
+    # extract-load cycle appends): take the truth count via a fresh
+    # single-cursor read, not a literal
+    expected = _source(spark, derby).read_full().count()
+    src = _source(spark, derby, partition_column="event_id", num_partitions=4)
+    calls = []
+    orig = src._probe_bounds
+    src._probe_bounds = lambda: (calls.append(1), orig())[1]
+    assert src.read_full().count() == expected
+    assert (
+        src.read_incremental(
+            "ts", Watermark("events", last_event_time="2024-01-15 10:00:00")
+        ).count()
+        > 0
+    )
+    assert src.read_full().rdd.getNumPartitions() == 4
+    assert len(calls) == 1  # one probe across three reads
+    src.refresh_bounds()
+    assert src.read_full().count() == expected
+    assert len(calls) == 2  # explicit invalidation re-probes
+
+
+def test_explicit_config_bounds_skip_the_probe_entirely(spark, derby):
+    """(r10) lower/upper in JdbcSourceConfig means ZERO probe queries —
+    the append-mostly scheduled-extract posture where the orchestrator
+    already knows the key range."""
+    expected = _source(spark, derby).read_full().count()
+    src = _source(
+        spark,
+        derby,
+        partition_column="event_id",
+        num_partitions=4,
+        # bounds need not be tight: rows outside [lower, upper] land in
+        # the edge partitions per Spark's JDBC partitioning contract
+        lower_bound=0,
+        upper_bound=199,
+    )
+
+    def boom():
+        raise AssertionError("MIN/MAX probe must not run with explicit bounds")
+
+    src._probe_bounds = boom
+    df = src.read_full()
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == expected
+    assert df.select("event_id").distinct().count() == expected
+
+
+def test_quoted_retry_only_on_column_resolution_errors():
+    """(r10 ADVICE) the quoting-probe loop used to catch ALL exceptions,
+    masking genuine failures (auth, network, missing table) behind the
+    quoted-retry's error. The classifier gates the retry."""
+    from lakehouse_adventureworks2022_spark.sources.jdbc import (
+        _is_column_resolution_error,
+    )
+
+    retryable = [
+        "Column 'EVENT_ID' is either not in any table in the FROM list",
+        'column "event_id" does not exist',
+        "Invalid column name 'event_id'.",
+        "Unknown column 'event_id' in 'field list'",
+        "Syntax error: Encountered \"\\\"\" at line 1, column 12.",
+        "cannot be resolved",
+    ]
+    fatal = [
+        "Connection authentication failure occurred. Reason: Invalid authentication.",
+        "java.net.ConnectException: Connection refused",
+        "Login failed for user 'etl'.",
+        "Communications link failure",
+    ]
+    assert all(_is_column_resolution_error(Exception(m)) for m in retryable)
+    assert not any(_is_column_resolution_error(Exception(m)) for m in fatal)
