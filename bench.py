@@ -165,6 +165,10 @@ HEADLINE = [
     # twin) + IVF+SQ8 replay-idempotent ingest-and-search steady state
     "cdc_upsert",
     "ivf_sq8_index_ingest",
+    # r10: chunk-index daily ingest — per-batch chunk+encode+append +
+    # grown-index retrieval (the incremental path that replaces the
+    # full chunk-index rebuild corpus growth used to pay)
+    "rag_index_ingest",
 ]
 
 

@@ -459,6 +459,10 @@ QUERIES: dict[str, QueryFn] = {
     # IVF+SQ8 daily-ingest steady state: replay-idempotent batch append
     # + search over base ∪ appends (r9; approximate ANN ⇒ rows-only)
     "ivf_sq8_index_ingest": text_queries.q_ivf_sq8_index_ingest,
+    # chunk-index daily ingest: per-batch chunk+encode+append instead of
+    # the full rebuild (r10 — closes the r9 20× ledger's >5× row;
+    # approximate IVF probing ⇒ rows-only)
+    "rag_index_ingest": text_queries.q_rag_index_ingest,
 }
 
 
@@ -553,6 +557,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "tpch_q10_returned_items",
         "tpch_q14_promo_revenue_ratio",
         "ivf_sq8_index_ingest",  # probe-pruned ANN: approx by design
+        "rag_index_ingest",  # probe-pruned ANN: approx by design
         # late-r7 second rotation out of the window (green since r1;
         # same hash-diff rigor in tests/test_rotated_oracles.py)
         "sales_rollup",

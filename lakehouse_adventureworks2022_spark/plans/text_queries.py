@@ -912,9 +912,10 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rag_index_dir_for(sf_dir: str) -> str:
+def rag_index_dir_for(sf_dir: str, prefix: str = "rag_index_") -> str:
     """Per-corpus-version chunk-index location (documents-file identity
-    key — same contract as ivf_index_dir_for)."""
+    key — same contract as ivf_index_dir_for; ``prefix`` names the
+    index family sharing the key, e.g. the ingest bench's own dir)."""
     import hashlib
     import os
     import tempfile
@@ -926,7 +927,7 @@ def rag_index_dir_for(sf_dir: str) -> str:
     tag = hashlib.md5(
         f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|ivf-auto-v2".encode()
     ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"rag_index_{tag}")
+    return os.path.join(tempfile.gettempdir(), f"{prefix}{tag}")
 
 
 def q_rag_retrieval_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,6 +945,51 @@ def q_rag_retrieval_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, cells = chunk_index_ensure(
         spark, docs, rag_index_dir_for(sf_dir)
     )
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(5_000_000_000)).alias("query_id"),
+        F.substring("text", 1, 200).alias("query_text"),
+    )
+    return retrieval_search(queries, centroids, cells, k=5)
+
+
+def q_rag_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest steady state of the persisted CHUNK index (r10 —
+    closes the one >5× row in the r9 20× scaling ledger: corpus growth
+    used to pay ``rag_retrieval``'s full chunk-index rebuild, linear in
+    the CORPUS; now it pays ``vectorize.chunk_index_append``, linear in
+    the BATCH): a deterministic 10% new-docs batch (``doc_id % 10 = 0``
+    re-keyed +1_000_000 — daily ingest is batch << corpus) lands via
+    the replay-idempotent ``batch_tag`` path (each rep REWRITES the
+    same committed batch dir — the index never grows across reps), then
+    probe-pruned retrieval runs over base ∪ appends (``ivf_index_load``
+    unions committed batches automatically, so appended chunks are
+    retrievable through the SAME load path every rag query uses).
+    Measures chunk-encode-assign-append + grown-index search; the base
+    build amortizes into the first call per fixture version. Own index
+    dir — the plain amortized query must never see these appends.
+    Approximate by design (IVF probing) ⇒ rows-only; the
+    append/replay/retrievability contracts are pinned in
+    tests/test_vectorize.py."""
+    import os
+
+    from lakehouse_adventureworks2022_spark.operators.vectorize import (
+        chunk_index_append,
+        chunk_index_ensure,
+        retrieval_search,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    idx = rag_index_dir_for(sf_dir, "rag_ingest_index_")
+    os.makedirs(idx, exist_ok=True)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    # base build paid once per fixture version (9/10ths of the corpus —
+    # the other tenth arrives as "today's batch" below)
+    chunk_index_ensure(spark, base, idx)
+    chunk_index_append(spark, new_docs, idx, batch_tag="bench_ingest")
+    centroids, cells = chunk_index_ensure(spark, base, idx)  # loads appends
     queries = docs.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + F.lit(5_000_000_000)).alias("query_id"),
         F.substring("text", 1, 200).alias("query_text"),

@@ -366,3 +366,102 @@ def test_ann_query_batch_cap_raises_readably(spark):
         sim.ivf_search(vecs, cents, cells, k=3, query_cap=10)
     # under the cap everything works unchanged
     assert sim.ivf_search(vecs.limit(5), cents, cells, k=3).count() > 0
+
+
+# ---- r10: incremental chunk-index growth (chunk_index_append) --------
+
+
+def test_chunk_index_append_makes_new_docs_retrievable(spark, tmp_path):
+    """Appended documents must come back through the SAME load path
+    every retrieval query uses (chunk_index_ensure → ivf_index_load
+    unions committed batches)."""
+    from lakehouse_adventureworks2022_spark.operators.vectorize import (
+        chunk_index_append,
+        chunk_index_ensure,
+    )
+
+    docs = read_table(spark, SF, "documents").limit(80)
+    idx = str(tmp_path / "chunk_idx")
+    chunk_index_ensure(spark, docs, idx)
+    marker = (
+        "zanzibar quokka paradox theorem "  # tokens absent from the fixture
+        * 16
+    )
+    new_docs = spark.createDataFrame(
+        [(7_000_000, marker)], "doc_id long, text string"
+    )
+    chunk_index_append(spark, new_docs, idx, batch_tag="b1")
+    centroids, cells = chunk_index_ensure(spark, docs, idx)
+    queries = spark.createDataFrame(
+        [(1, marker[:200])], "query_id long, query_text string"
+    )
+    hits = retrieval_search(queries, centroids, cells, k=3, n_probe=4).collect()
+    assert hits, "appended doc not retrievable"
+    top = hits[0]
+    assert top["cand_id"] // 1_000_000 == 7_000_000  # decodes to the new doc
+    assert top["cosine"] > 0.99  # same text ⇒ same hashed vector
+
+
+def test_chunk_index_append_replay_is_idempotent(spark, tmp_path):
+    """At-least-once delivery: replaying the same batch_tag rewrites the
+    same committed dir — the index must not grow."""
+    from lakehouse_adventureworks2022_spark.operators.vectorize import (
+        chunk_index_append,
+        chunk_index_ensure,
+    )
+
+    docs = read_table(spark, SF, "documents").limit(60)
+    idx = str(tmp_path / "chunk_idx")
+    chunk_index_ensure(spark, docs, idx)
+    new_docs = read_table(spark, SF, "documents").limit(100).filter(
+        F.col("doc_id") >= 60
+    ).select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+    chunk_index_append(spark, new_docs, idx, batch_tag="replay_me")
+    _, cells1 = chunk_index_ensure(spark, docs, idx)
+    n1 = cells1.count()
+    chunk_index_append(spark, new_docs, idx, batch_tag="replay_me")  # replay
+    _, cells2 = chunk_index_ensure(spark, docs, idx)
+    assert cells2.count() == n1  # rewrote, not duplicated
+    # a DIFFERENT tag is a new batch and must grow the index
+    chunk_index_append(spark, new_docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    ), idx, batch_tag="b2")
+    _, cells3 = chunk_index_ensure(spark, docs, idx)
+    assert cells3.count() > n1
+
+
+def test_chunk_index_append_results_match_full_rebuild(spark, tmp_path):
+    """Growth path vs rebuild: searching base∪appends with FROZEN
+    centroids must rank the planted near-exact match identically to a
+    from-scratch index over the union (the centroids differ, so general
+    rankings may not be identical — but top-1 self-retrieval of a
+    planted doc is invariant, which is the user-visible contract)."""
+    from lakehouse_adventureworks2022_spark.operators.vectorize import (
+        build_chunk_index,
+        chunk_index_append,
+        chunk_index_ensure,
+    )
+    from lakehouse_adventureworks2022_spark.operators.similarity import (
+        ivf_search,
+    )
+
+    base = read_table(spark, SF, "documents").select("doc_id", "text").limit(80)
+    planted = spark.createDataFrame(
+        [(8_000_000, "unique sentinel text for rebuild parity check " * 8)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "grown_idx")
+    chunk_index_ensure(spark, base, idx)
+    chunk_index_append(spark, planted, idx, batch_tag="b1")
+    grown_c, grown_cells = chunk_index_ensure(spark, base, idx)
+
+    rebuilt_c, rebuilt_cells, _ = build_chunk_index(base.unionByName(planted))
+
+    q = spark.createDataFrame(
+        [(1, "unique sentinel text for rebuild parity check")],
+        "query_id long, query_text string",
+    )
+    top_grown = retrieval_search(q, grown_c, grown_cells, k=1).collect()[0]
+    top_rebuilt = retrieval_search(q, rebuilt_c, rebuilt_cells, k=1).collect()[0]
+    assert top_grown["cand_id"] == top_rebuilt["cand_id"]
+    assert top_grown["cand_id"] // 1_000_000 == 8_000_000
