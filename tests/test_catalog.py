@@ -59,3 +59,46 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "total_revenue" in df.columns
+
+
+def test_coverage_md_totals_match_catalog():
+    """COVERAGE.md is the coverage ledger; its Totals paragraph drifted
+    from the catalog twice (r9 verdict #3). Recompute the accounting
+    from the catalog imports and fail on any mismatch, so the ledger
+    stays correct BY CONSTRUCTION."""
+    import re
+    from pathlib import Path
+
+    from lakehouse_adventureworks2022_spark.plans.catalog import (
+        PYTEST_ORACLES,
+        ROTATED_ORACLES,
+    )
+
+    total = len(QUERIES)
+    hash_verified = (
+        len(ORACLES)
+        + len(ROTATED_ORACLES)
+        + len(set(PYTEST_ORACLES) - set(ROTATED_ORACLES))
+    )
+    rows_only = total - hash_verified
+
+    text = Path(__file__).resolve().parent.parent.joinpath(
+        "COVERAGE.md"
+    ).read_text()
+    m = re.search(
+        r"Totals: (\d+) catalog queries — (\d+) hash-verified.*?"
+        r"and (\d+) rows-only",
+        text,
+        re.S,
+    )
+    assert m, "COVERAGE.md Totals paragraph not found / format changed"
+    assert (int(m[1]), int(m[2]), int(m[3])) == (
+        total,
+        hash_verified,
+        rows_only,
+    ), (
+        f"COVERAGE.md claims {m[1]}/{m[2]}/{m[3]} "
+        f"(total/hash-verified/rows-only) but the catalog has "
+        f"{total}/{hash_verified}/{rows_only} — update the Totals "
+        f"paragraph"
+    )
