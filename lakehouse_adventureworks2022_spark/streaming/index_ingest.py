@@ -36,17 +36,10 @@ import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from lakehouse_adventureworks2022_spark.operators.curation import (
-    chunk_documents,
-)
-from lakehouse_adventureworks2022_spark.operators.similarity import (
-    ivf_index_append,
-)
 from lakehouse_adventureworks2022_spark.operators.vectorize import (
-    hashing_vectorizer,
+    chunk_index_append,
 )
 from lakehouse_adventureworks2022_spark.streaming.corpus import quality_gate
 
@@ -61,23 +54,24 @@ def index_batch(
     batch_tag: str | None = None,
 ) -> None:
     """Index ONE document batch into the persisted chunk index (shared
-    by the streaming sink and batch backfills — one code path).
+    by the streaming sink and batch backfills — one code path: quality
+    gate, then ``vectorize.chunk_index_append`` — since r10 the SAME
+    chunk→vectorize→frozen-centroid-append the batch ingest query
+    (``rag_index_ingest``) runs, rather than a parallel copy of it).
 
     ``batch_tag`` routes the append through its own overwrite-mode
     directory (``ivf_index_append``'s idempotent form) — REQUIRED for
     at-least-once delivery, where a replayed batch must rewrite rather
     than duplicate."""
-    gated = quality_gate(batch_df)
-    chunks = chunk_documents(
-        gated, chunk_tokens=chunk_tokens, overlap_tokens=overlap_tokens
-    ).withColumn(
-        "vec_id",
-        (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_id")).cast("long"),
+    chunk_index_append(
+        spark,
+        quality_gate(batch_df),
+        index_dir,
+        chunk_tokens=chunk_tokens,
+        overlap_tokens=overlap_tokens,
+        dim=dim,
+        batch_tag=batch_tag,
     )
-    vectors = hashing_vectorizer(
-        chunks, text_col="chunk_text", dim=dim, keep_cols=("vec_id",)
-    )
-    ivf_index_append(spark, vectors, index_dir, batch_tag=batch_tag)
 
 
 def stream_index_ingest(
