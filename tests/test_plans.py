@@ -169,3 +169,33 @@ def test_ivf_sq8_ingest_search_prunes_probed_cells(spark, sf_dir, tmp_path):
     plan = plan_of(out)
     assert "In(cell" in plan  # probe pruning pushed to the codes scan
     assert "CartesianProduct" not in plan
+
+
+def test_rag_ingest_search_prunes_probed_cells(spark, sf_dir, tmp_path):
+    """(r10) After a chunk_index_append, retrieval over base ∪ appended
+    batches must still push the probed-cell IN filter to the cells
+    scans — both the base table and the committed batch dirs are
+    cell-clustered, so footer min-max prunes unprobed files on each
+    side; the append must not degrade the search into a full scan."""
+    from lakehouse_adventureworks2022_spark.operators.vectorize import (
+        chunk_index_append,
+        chunk_index_ensure,
+        retrieval_search,
+    )
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(60)
+    idx = str(tmp_path / "rag_idx")
+    chunk_index_ensure(spark, docs, idx)
+    new_docs = spark.createDataFrame(
+        [(9_000_000, "fresh ingest doc " * 30)], "doc_id long, text string"
+    )
+    chunk_index_append(spark, new_docs, idx, batch_tag="b")
+    centroids, cells = chunk_index_ensure(spark, docs, idx)
+    queries = spark.createDataFrame(
+        [(1, "fresh ingest doc")], "query_id long, query_text string"
+    )
+    out = retrieval_search(queries, centroids, cells, k=3)
+    plan = plan_of(out)
+    assert "In(cell" in plan  # probe pruning pushed to the cells scan
+    assert "CartesianProduct" not in plan
