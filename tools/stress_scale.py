@@ -146,15 +146,21 @@ def main() -> None:
         lambda: textops.remove_boilerplate_lines(big_docs),
     )
 
-    def _ppl():
-        out = lm.doc_perplexity(big_docs)
-        return out
-
-    t = time.perf_counter()
-    ppl_out = _ppl()
-    ppl_out.write.format("noop").mode("overwrite").save()
-    dedup.release_cached_inputs(ppl_out)
-    timings["lm_perplexity"] = round(time.perf_counter() - t, 2)
+    # timed inline (not via run()) because the scorer's cached count
+    # frame must be released after materialization — but it honors the
+    # only-filter like every other row (r10: it used to run un-gated,
+    # polluting targeted re-probes with an unasked-for op)
+    if only is None or "lm_perplexity" in only:
+        s0, t0 = _cpu_times()
+        t = time.perf_counter()
+        ppl_out = lm.doc_perplexity(big_docs)
+        ppl_out.write.format("noop").mode("overwrite").save()
+        dedup.release_cached_inputs(ppl_out)
+        timings["lm_perplexity"] = round(time.perf_counter() - t, 2)
+        s1, t1 = _cpu_times()
+        steals["lm_perplexity"] = round(
+            100.0 * (s1 - s0) / (t1 - t0) if t1 > t0 else 0.0, 2
+        )
 
     def _clf():
         labeled = big_docs.join(
