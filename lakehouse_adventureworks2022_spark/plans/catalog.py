@@ -1324,15 +1324,14 @@ assert not _outside, (
     f"verification window (would silently lose correctness rows): {_outside}"
 )
 #: catalog-name → tpch_extra.EXTRA_ORACLES key (two shapes use shorter
-#: internal keys); used to assemble PYTEST_ORACLES below.
-#: EVERY pytest-side oracle keyed by catalog name. After the r8 fifth
-#: rotation promoted the last six swept twins (the sampling family, the
-#: DQ expectation suite, tpch_q19/q12/q16) into the driver window, this
-#: is exactly the rotated-veteran set: every oracle-checkable query in
-#: the catalog has now held a driver row at least once. Disjoint from
-#: ORACLES by construction (asserted below); tools/check_oracles.py
-#: folds these into its sweep so the health snapshot hash-checks every
-#: EXACT query, not only the driver window.
+#: EVERY pytest-side oracle keyed by catalog name. After the r10 sixth
+#: rotation promoted the last five swept twins (the decontamination
+#: tiers, perplexity buckets, epoch mixture, cdc_upsert) into the
+#: driver window, this is exactly the rotated-veteran set: every
+#: oracle-checkable query in the catalog has held a driver row at least
+#: once. Disjoint from ORACLES by construction (asserted below);
+#: tools/check_oracles.py folds these into its sweep so the health
+#: snapshot hash-checks every EXACT query, not only the driver window.
 PYTEST_ORACLES: dict[str, str] = {
     **ROTATED_ORACLES,
     # (the r8/r9 newcomers — eval_decontamination,
