@@ -169,6 +169,10 @@ HEADLINE = [
     # grown-index retrieval (the incremental path that replaces the
     # full chunk-index rebuild corpus growth used to pay)
     "rag_index_ingest",
+    # r10: DSIR importance weighting toward a target domain (exact,
+    # swept DuckDB twin; two linear explode+agg passes + broadcast
+    # bounded models)
+    "docs_dsir_weights",
 ]
 
 

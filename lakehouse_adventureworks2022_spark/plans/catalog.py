@@ -463,6 +463,10 @@ QUERIES: dict[str, QueryFn] = {
     # the full rebuild (r10 — closes the r9 20× ledger's >5× row;
     # approximate IVF probing ⇒ rows-only)
     "rag_index_ingest": text_queries.q_rag_index_ingest,
+    # DSIR-style importance weighting toward a target domain (r10;
+    # exact — md5-bucketed hashed-n-gram models, swept DuckDB twin;
+    # window full, sweeps in check_oracles + pytest)
+    "docs_dsir_weights": text_queries.q_docs_dsir_weights,
 }
 
 
@@ -558,6 +562,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "tpch_q14_promo_revenue_ratio",
         "ivf_sq8_index_ingest",  # probe-pruned ANN: approx by design
         "rag_index_ingest",  # probe-pruned ANN: approx by design
+        "docs_dsir_weights",  # exact, swept twin (window full)
         # late-r7 second rotation out of the window (green since r1;
         # same hash-diff rigor in tests/test_rotated_oracles.py)
         "sales_rollup",
@@ -1337,10 +1342,11 @@ PYTEST_ORACLES: dict[str, str] = {
     # (the r8/r9 newcomers — eval_decontamination,
     # eval_decontamination_fuzzy, perplexity_quality_buckets,
     # docs_epoch_mixture, cdc_upsert — were promoted to first-time
-    # DRIVER oracles in the r10 sixth rotation; after it, every exact
-    # past-window query is a rotated veteran, so this set currently
-    # equals ROTATED_ORACLES — kept as the stable import surface for
-    # tests/tools and for the next past-window newcomer)
+    # DRIVER oracles in the r10 sixth rotation)
+    # r10 newcomer past the full window: DSIR importance weighting
+    # (exact; sweeps at every health check; promotion candidate for the
+    # next rotation)
+    "docs_dsir_weights": text_queries.ORACLE_DOCS_DSIR_WEIGHTS,
 }
 
 # rotated oracles cover only past-window queries and never shadow a

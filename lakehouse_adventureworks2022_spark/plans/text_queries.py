@@ -2269,3 +2269,70 @@ def _epoch_mixture_sql() -> str:
 
 
 ORACLE_DOCS_EPOCH_MIXTURE = _epoch_mixture_sql()
+
+
+def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (r10): every 7th document stands
+    in for the TARGET domain sample; the rest is the raw corpus; each
+    raw doc gets its log importance ratio under add-k smoothed
+    hashed-n-gram (uni+bi, 4096 md5 buckets) target/raw bucket models —
+    the published cheap domain-selection signal (Xie et al. 2023).
+    EXACT (swept DuckDB twin below): md5 bucketing and the add-k math
+    are engine-independent; the float fold is 6dp-display-rounded in
+    both engines per the cross-engine float policy. The Gumbel-top-k
+    resampler (``dsir.dsir_select``) is equally deterministic and is
+    pinned by worked-example/property tests in tests/test_dsir.py."""
+    from lakehouse_adventureworks2022_spark.operators.dsir import dsir_weights
+
+    docs = read_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    return dsir_weights(raw, target, buckets=4096)
+
+
+#: DuckDB twin of q_docs_dsir_weights: same whitespace tokenization,
+#: same uni+bigram bag (multiplicity kept), same md5-prefix buckets,
+#: same add-k (k=0.5, B=4096) smoothing and 6dp display rounding.
+ORACLE_DOCS_DSIR_WEIGHTS = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> len(t) > 0) AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(w) AS gram FROM tok
+      UNION ALL
+      SELECT doc_id,
+             unnest([array_to_string(w[i:i+1], ' ')
+                     for i in range(1, len(w))]) AS gram
+      FROM tok
+    ),
+    feats AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % 4096 AS bucket,
+             COUNT(*) AS n
+      FROM grams GROUP BY 1, 2
+    ),
+    p AS (SELECT bucket, SUM(n) AS c FROM feats WHERE doc_id % 7 = 0 GROUP BY 1),
+    q AS (SELECT bucket, SUM(n) AS c FROM feats WHERE doc_id % 7 <> 0 GROUP BY 1),
+    pn AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM p),
+    qn AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM q),
+    w AS (
+      SELECT f.doc_id,
+             SUM(f.n) AS n_features,
+             SUM(f.n * (ln((COALESCE(p.c, 0) + 0.5) / (pn.n + 0.5 * 4096))
+                      - ln((COALESCE(q.c, 0) + 0.5) / (qn.n + 0.5 * 4096))))
+               AS lw
+      FROM feats f
+      LEFT JOIN p USING (bucket)
+      LEFT JOIN q USING (bucket), pn, qn
+      WHERE f.doc_id % 7 <> 0
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(w.n_features, 0) AS BIGINT) AS n_features,
+           ROUND(COALESCE(w.lw, 0.0), 6) AS log_weight
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+    LEFT JOIN w USING (doc_id)
+    """
