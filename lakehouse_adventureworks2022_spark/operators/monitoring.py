@@ -261,3 +261,109 @@ def value_anomalies(
         )
         .drop("__n__")
     )
+
+
+def ivf_ingest_drift(spark, index_dir: str, table: str = "cells") -> DataFrame:
+    """Per-cell occupancy drift of an ingest-grown IVF-family index:
+    the BASE table's cell-share distribution vs the distribution of all
+    COMMITTED appended batches (r10 — the online re-train trigger the
+    recall-vs-append-fraction sweep in SCALE.md calls for: recall decay
+    under frozen centroids is a DRIFT phenomenon, and drifted appends
+    show up as appended mass piling into cells out of proportion to the
+    base long before recall is measurably gone).
+
+    ``table`` = ``"cells"`` (plain IVF / chunk indexes) or ``"codes"``
+    (SQ8 tiers) — the append layout is identical
+    (``<table>_appends/<tag>`` batch dirs, ``_SUCCESS``-gated).
+
+    Output: one row per cell —
+    ``(cell, n_base, n_appended, share_base, share_appended,
+    share_delta)`` — full-outer so a cell receiving appends the base
+    never had (or starved cells) still surfaces. Aggregate with
+    :func:`ivf_retrain_trigger` for the scalar decision.
+
+    Shape: two cell-keyed count aggregations over cell-clustered
+    parquet (footer-sorted scans, map-side combine) + one join on the
+    bounded cell key — never reads embeddings/codes payload columns."""
+    import os
+
+    base = spark.read.parquet(f"{index_dir}/{table}")
+    appends_dir = f"{index_dir}/{table}_appends"
+    committed = []
+    if os.path.isdir(appends_dir):
+        committed = sorted(
+            os.path.join(appends_dir, n)
+            for n in os.listdir(appends_dir)
+            if not n.startswith((".", "_"))
+            and os.path.exists(os.path.join(appends_dir, n, "_SUCCESS"))
+        )
+    if committed:
+        appended = spark.read.parquet(*committed)
+    else:
+        appended = base.limit(0)  # no appends yet: zero drift by definition
+
+    def _shares(df: DataFrame, n_name: str, s_name: str) -> DataFrame:
+        counts = df.groupBy("cell").agg(F.count(F.lit(1)).alias(n_name))
+        tot = F.broadcast(
+            counts.agg(F.sum(n_name).cast("double").alias("__tot__"))
+        )
+        return counts.crossJoin(tot).select(
+            "cell",
+            n_name,
+            (F.col(n_name) / F.greatest(F.col("__tot__"), F.lit(1.0))).alias(
+                s_name
+            ),
+        )
+
+    b = _shares(base, "n_base", "share_base")
+    a = _shares(appended, "n_appended", "share_appended")
+    return b.join(a, "cell", "full_outer").select(
+        "cell",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_appended", F.lit(0)).alias("n_appended"),
+        F.coalesce("share_base", F.lit(0.0)).alias("share_base"),
+        F.coalesce("share_appended", F.lit(0.0)).alias("share_appended"),
+        (
+            F.coalesce("share_appended", F.lit(0.0))
+            - F.coalesce("share_base", F.lit(0.0))
+        ).alias("share_delta"),
+    )
+
+
+def ivf_retrain_trigger(
+    drift: DataFrame, tv_threshold: float = 0.25
+) -> DataFrame:
+    """One-row decision frame over :func:`ivf_ingest_drift` output:
+    ``(total_variation, max_cell_delta, n_appended, retrain)`` where
+    ``total_variation = 0.5·Σ|share_delta|`` (TV distance between the
+    base and appended cell distributions, 0 = identical, 1 = disjoint).
+
+    Threshold guidance from the measured sweep (SCALE.md): iid appends
+    sit in a TV noise band well under 0.2 at fixture scale, while the
+    drifted append stream that costs ~11 recall points by 50% append
+    fraction concentrates its mass into few cells (TV ≥ ~0.4). The
+    default 0.25 splits the two regimes with margin; tune per corpus
+    by replaying the sweep. A no-appends index reads TV 0 / retrain
+    false."""
+    agg = drift.agg(
+        F.round(F.sum(F.abs(F.col("share_delta"))) / 2.0, 6).alias("__tv__"),
+        F.round(F.max(F.abs(F.col("share_delta"))), 6).alias("__mx__"),
+        F.sum("n_appended").alias("n_appended"),
+    )
+    # with zero appended rows every share_appended is 0 and the raw TV
+    # degenerates to 0.5 against any base — an empty comparison, not
+    # drift; report 0 (nothing has been appended to drift)
+    has = F.col("n_appended") > 0
+    return agg.select(
+        F.when(has, F.col("__tv__")).otherwise(0.0).alias("total_variation"),
+        F.when(has, F.col("__mx__")).otherwise(0.0).alias("max_cell_delta"),
+        "n_appended",
+    ).select(
+        "total_variation",
+        "max_cell_delta",
+        "n_appended",
+        (
+            (F.col("total_variation") > F.lit(tv_threshold))
+            & (F.col("n_appended") > 0)
+        ).alias("retrain"),
+    )
