@@ -173,6 +173,9 @@ HEADLINE = [
     # swept DuckDB twin; two linear explode+agg passes + broadcast
     # bounded models)
     "docs_dsir_weights",
+    # r10: cross-source n-gram overlap matrix (exact, swept twin; one
+    # distinct agg + per-gram source-list pair expansion)
+    "source_overlap_matrix",
 ]
 
 

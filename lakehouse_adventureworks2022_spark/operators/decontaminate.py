@@ -255,3 +255,94 @@ def fuzzy_decontaminate(
         .distinct()
     )
     return train.join(flagged, id_col, "left_anti")
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise cross-SOURCE n-gram overlap (r10 — dataset-mixing
+    diligence: before weighting a mixture, know which provenance
+    sources substantially duplicate each other, and which eval-adjacent
+    slice leaks into which training slice; the per-document
+    decontamination tiers above answer "which doc", this answers
+    "which corpus").
+
+    For every unordered source pair (a < b): the DISTINCT n-gram
+    overlap count, each side's distinct-gram count, Jaccard
+    |A∩B| / (|A|+|B|−|A∩B|), and containment |A∩B|/min(|A|,|B|) (the
+    asymmetric signal — a small source fully swallowed by a big one has
+    tiny Jaccard but containment 1.0). Exact int/int math — 6dp display
+    rounding only.
+
+    Shape: one gram explode (linear), ONE ``(source, gram)`` distinct
+    aggregation, a gram-keyed self-join of the per-gram SOURCE LISTS —
+    each gram's row fans out only to the sources it actually appears
+    in (≤ S, a config-time cardinality, never corpus-sized) — then one
+    aggregation over pairs. Per-source totals join in as a bounded
+    (≤ S rows, broadcast) frame. No doc×doc anything; linear in corpus
+    grams at any scale."""
+    grams = word_ngrams(
+        docs.select(F.col(source_col).alias("__src__"), text_col),
+        n,
+        text_col=text_col,
+        id_col="__src__",
+    ).dropDuplicates(["__src__", "gram"])
+    sizes = F.broadcast(
+        grams.groupBy("__src__").agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    # per-gram source list (bounded by the source cardinality), then
+    # unordered pairs within each list — the self-join never touches a
+    # second corpus-sized side
+    by_gram = grams.groupBy("gram").agg(
+        F.sort_array(F.collect_set("__src__")).alias("__ss__")
+    )
+    pairs = by_gram.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("__ss__"),
+                        lambda a: F.transform(
+                            F.col("__ss__"),
+                            lambda b: F.struct(
+                                a.alias("source_a"), b.alias("source_b")
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p["source_a"] < p["source_b"],
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    overlap = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared_grams")
+    )
+    sa = sizes.select(
+        F.col("__src__").alias("source_a"), F.col("n_grams").alias("n_grams_a")
+    )
+    sb = sizes.select(
+        F.col("__src__").alias("source_b"), F.col("n_grams").alias("n_grams_b")
+    )
+    shared = F.col("n_shared_grams").cast("double")
+    return (
+        overlap.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_grams",
+            "n_grams_a",
+            "n_grams_b",
+            F.round(
+                shared
+                / (F.col("n_grams_a") + F.col("n_grams_b") - shared),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                shared / F.least("n_grams_a", "n_grams_b"), 6
+            ).alias("containment"),
+        )
+    )

@@ -467,6 +467,9 @@ QUERIES: dict[str, QueryFn] = {
     # exact — md5-bucketed hashed-n-gram models, swept DuckDB twin;
     # window full, sweeps in check_oracles + pytest)
     "docs_dsir_weights": text_queries.q_docs_dsir_weights,
+    # cross-source n-gram overlap matrix (r10; exact — distinct-set
+    # intersections, swept DuckDB twin; window full)
+    "source_overlap_matrix": text_queries.q_source_overlap,
 }
 
 
@@ -563,6 +566,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "ivf_sq8_index_ingest",  # probe-pruned ANN: approx by design
         "rag_index_ingest",  # probe-pruned ANN: approx by design
         "docs_dsir_weights",  # exact, swept twin (window full)
+        "source_overlap_matrix",  # exact, swept twin (window full)
         # late-r7 second rotation out of the window (green since r1;
         # same hash-diff rigor in tests/test_rotated_oracles.py)
         "sales_rollup",
@@ -1347,6 +1351,9 @@ PYTEST_ORACLES: dict[str, str] = {
     # (exact; sweeps at every health check; promotion candidate for the
     # next rotation)
     "docs_dsir_weights": text_queries.ORACLE_DOCS_DSIR_WEIGHTS,
+    # r10 newcomer: cross-source overlap matrix (exact; sweeps at every
+    # health check; promotion candidate for the next rotation)
+    "source_overlap_matrix": text_queries.ORACLE_SOURCE_OVERLAP,
 }
 
 # rotated oracles cover only past-window queries and never shadow a

@@ -2336,3 +2336,64 @@ ORACLE_DOCS_DSIR_WEIGHTS = r"""
     FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
     LEFT JOIN w USING (doc_id)
     """
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix (r10): for every unordered
+    pair of provenance sources in the documents table, the distinct
+    3-gram overlap with Jaccard and containment — the corpus-level
+    mixing-diligence twin of the per-document decontamination tiers
+    (which source duplicates which, which slice leaks into which).
+    n=3 for the same fixture reason as q_eval_decontamination. EXACT
+    (swept DuckDB twin below): distinct-set intersection counts and
+    int/int ratios, 6dp display rounding only."""
+    from lakehouse_adventureworks2022_spark.operators.decontaminate import (
+        source_overlap_matrix,
+    )
+
+    # the sf0.1 fixture is ONE parquet file = one input split: without
+    # this the whole gram explode runs on a single task (the same
+    # layout artifact q_eval_decontamination repartitions away; at
+    # 100 TB the corpus is thousands of splits and this is a no-op
+    # cost-wise). Values are layout-independent.
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        default_parallelism(spark)
+    )
+    return source_overlap_matrix(docs, n=3)
+
+
+#: DuckDB twin of q_source_overlap: same tokenization, same distinct
+#: (source, 3-gram) sets, same pair/ratio math.
+ORACLE_SOURCE_OVERLAP = r"""
+    WITH tok AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> len(t) > 0) AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT source,
+             unnest([array_to_string(w[i:i+2], ' ')
+                     for i in range(1, len(w) - 1)]) AS gram
+      FROM tok
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1),
+    ov AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared_grams
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a,
+           source_b,
+           n_shared_grams,
+           sa.n AS n_grams_a,
+           sb.n AS n_grams_b,
+           ROUND(n_shared_grams
+                 / CAST(sa.n + sb.n - n_shared_grams AS DOUBLE), 6) AS jaccard,
+           ROUND(n_shared_grams / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6)
+             AS containment
+    FROM ov
+    JOIN sizes sa ON ov.source_a = sa.source
+    JOIN sizes sb ON ov.source_b = sb.source
+    """

@@ -211,3 +211,49 @@ def test_stop_gram_pruning_drops_boilerplate_keeps_leaks(spark):
     }
     assert no_prune == {1, 2}
     assert pruned == {2}  # boilerplate-only doc 1 no longer flags
+
+
+# ---- r10: cross-source overlap matrix --------------------------------
+
+
+def test_source_overlap_worked_example(spark):
+    from lakehouse_adventureworks2022_spark.operators.decontaminate import (
+        source_overlap_matrix,
+    )
+
+    rows = [
+        # src A: grams {a b, b c} ; src B: {a b, b c, c d} (A ⊂ B)
+        (1, "A", "a b c"),
+        (2, "B", "a b c d"),
+        # src C shares nothing
+        (3, "C", "x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(df, n=2).collect()
+    }
+    ab = got[("A", "B")]
+    assert ab["n_shared_grams"] == 2
+    assert (ab["n_grams_a"], ab["n_grams_b"]) == (2, 3)
+    assert ab["jaccard"] == round(2 / 3, 6)
+    assert ab["containment"] == 1.0  # A fully swallowed by B
+    # disjoint pairs produce NO row (count over an inner gram join)
+    assert ("A", "C") not in got and ("B", "C") not in got
+
+
+def test_source_overlap_distinct_semantics(spark):
+    """Repeated grams inside a source count once (set, not bag)."""
+    from lakehouse_adventureworks2022_spark.operators.decontaminate import (
+        source_overlap_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", "a b a b a b"), (2, "B", "a b")],
+        "doc_id long, source string, text string",
+    )
+    row = source_overlap_matrix(df, n=2).collect()[0]
+    # A's distinct bigrams: {a b, b a}; B's: {a b}
+    assert (row["n_grams_a"], row["n_grams_b"]) == (2, 1)
+    assert row["n_shared_grams"] == 1
+    assert row["containment"] == 1.0
