@@ -262,6 +262,34 @@ def main() -> None:
 
         run("rag_incremental_ingest", _rag_incremental_ingest)
 
+    # DSIR weighting (r10): the raw corpus is the rep-scaled side and
+    # is touched by exactly two linear explode+agg passes; the target
+    # model is fit on a FIXED small domain sample (batch << corpus in
+    # deployment). Expected shape: ~linear in rep.
+    from lakehouse_adventureworks2022_spark.operators import dsir  # noqa: E402
+
+    run(
+        "dsir_weights",
+        lambda: dsir.dsir_weights(
+            big_docs, docs.limit(500), buckets=4096
+        ),
+    )
+
+    # cross-source overlap matrix (r10): replicated docs multiply the
+    # gram EXPLODE volume ×rep but the distinct (source, gram) frame is
+    # unchanged (copies carry identical text), so the pair expansion and
+    # everything after it is constant — expected shape: ~linear in the
+    # explode volume (the map-side distinct still reads every copy),
+    # with the pair/ratio stages contributing a fixed tail.
+    from lakehouse_adventureworks2022_spark.operators import (  # noqa: E402
+        decontaminate,
+    )
+
+    run(
+        "source_overlap_matrix",
+        lambda: decontaminate.source_overlap_matrix(big_docs, n=3),
+    )
+
     # substring dedup on the replicated corpus: every doc's every window
     # is duplicated rep× — near-total flagged volume, the worst case for
     # the fingerprint join-back and the per-doc interval folds
