@@ -176,6 +176,13 @@ HEADLINE = [
     # r10: cross-source n-gram overlap matrix (exact, swept twin; one
     # distinct agg + per-gram source-list pair expansion)
     "source_overlap_matrix",
+    # r10: bloom-gated incremental dedup — the deployed steady state of
+    # the vs-history exact stage (persisted bloom + In() pushdown);
+    # first rep builds state+bloom, median reports the gated batch cost
+    "incremental_dedup_bloom",
+    # r10: WET-style HTML→text extraction (exact, generated swept twin;
+    # zero-shuffle codegen regex pipeline)
+    "html_extract",
 ]
 
 

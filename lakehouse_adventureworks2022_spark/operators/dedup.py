@@ -37,11 +37,15 @@ ids are zero-padded so lexicographic string sort == numeric seed order.
 from __future__ import annotations
 
 import weakref
+from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lakehouse_adventureworks2022_spark.operators.textops import tokens_col
+
+if TYPE_CHECKING:  # runtime import stays inside incremental_dedup
+    from lakehouse_adventureworks2022_spark.operators.bloom import BloomFilter
 
 
 def _safe_unpersist(cached: DataFrame) -> None:
@@ -695,6 +699,8 @@ def incremental_dedup(
     k: int = MINHASH_K,
     band_rows: int = BAND_ROWS,
     threshold: float = 0.5,
+    bloom: "BloomFilter | None" = None,
+    max_pushdown_hashes: int = 1024,
 ) -> DataFrame:
     """Surviving rows of ``new_df`` after dedup against BOTH the
     historical state and the batch itself:
@@ -713,21 +719,69 @@ def incremental_dedup(
        duplicates never slip the estimator;
     4. near-dup within batch — :func:`minhash_lsh_pairs` (exact-Jaccard
        verified; the batch's own shingles are at hand), lower-id keeper.
+
+    When a ``bloom`` sketch of the historical hashes is supplied
+    (:mod:`operators.bloom` — built once, OR-grown per accepted batch),
+    stage 1 is bloom-gated: bloom-NEGATIVE batch rows are definite-new
+    (no false negatives) and skip the state probe entirely; the
+    bloom-positive hash list (true dups + fpr×batch — tiny on an
+    append-mostly corpus) is collected when ≤ ``max_pushdown_hashes``
+    (a bounded driver list, the centroid/merge-table pattern) and pushed
+    into the state scan as an ``In()`` filter, so clustered/bloom-
+    filtered state parquet prunes row groups instead of full-scanning.
+    A dup-heavy batch that overflows the list falls back to the ungated
+    broadcast-semi plan above. Output is IDENTICAL either way
+    (equivalence + planted-false-positive tests in tests/test_bloom.py).
     """
     new_hashed = new_df.withColumn("__hash__", content_hash_col(text_col))
-    batch_hashes = new_hashed.select(
-        F.col("__hash__").alias("content_hash")
-    ).distinct()
-    # stream the big state past the broadcast batch set; ship the small
-    # intersection back
-    matched = state_hashes.join(
-        F.broadcast(batch_hashes), "content_hash", "left_semi"
-    )
-    fresh = new_hashed.join(
-        F.broadcast(matched),
-        new_hashed["__hash__"] == matched["content_hash"],
-        "left_anti",
-    )
+    if bloom is not None:
+        from lakehouse_adventureworks2022_spark.operators import (
+            bloom as bloom_mod,
+        )
+
+        flagged = bloom_mod.contains_col(
+            new_hashed, "__hash__", bloom, "__maybe_dup__"
+        )
+        probe = (
+            flagged.filter("__maybe_dup__")
+            .select(F.col("__hash__").alias("content_hash"))
+            .distinct()
+        )
+        cand_rows = probe.limit(max_pushdown_hashes + 1).collect()
+        new_hashed = flagged.drop("__maybe_dup__")
+        if not cand_rows:
+            # every batch row is definite-new: the state table is never
+            # even scanned this ingest
+            fresh = new_hashed
+        elif len(cand_rows) <= max_pushdown_hashes:
+            cand = [r[0] for r in cand_rows]
+            matched = state_hashes.filter(F.col("content_hash").isin(cand))
+            fresh = new_hashed.join(
+                F.broadcast(matched),
+                new_hashed["__hash__"] == matched["content_hash"],
+                "left_anti",
+            )
+        else:
+            matched = state_hashes.join(F.broadcast(probe), "content_hash", "left_semi")
+            fresh = new_hashed.join(
+                F.broadcast(matched),
+                new_hashed["__hash__"] == matched["content_hash"],
+                "left_anti",
+            )
+    else:
+        batch_hashes = new_hashed.select(
+            F.col("__hash__").alias("content_hash")
+        ).distinct()
+        # stream the big state past the broadcast batch set; ship the
+        # small intersection back
+        matched = state_hashes.join(
+            F.broadcast(batch_hashes), "content_hash", "left_semi"
+        )
+        fresh = new_hashed.join(
+            F.broadcast(matched),
+            new_hashed["__hash__"] == matched["content_hash"],
+            "left_anti",
+        )
     # exact within batch. The exact-deduped batch feeds FOUR downstream
     # subtrees (signatures, the vs-history anti-join, the within-batch
     # LSH, and the final output) — persist it once so the hash scan +

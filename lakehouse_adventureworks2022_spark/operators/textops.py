@@ -607,3 +607,60 @@ def filter_blocked_domains(
         .distinct()
     )
     return df.join(F.broadcast(offenders), id_col, "left_anti")
+
+
+# ---- HTML -> training text extraction (r10) ---------------------------
+
+#: the ordered regexp_replace pipeline of :func:`extract_html_text`.
+#: Order is load-bearing and part of the contract: payload-bearing
+#: containers (script/style/comments — whose CONTENT may contain ``<``,
+#: ``&&``, or even tag-lookalikes) are removed before any generic tag
+#: handling; block-closing tags become newlines BEFORE the generic tag
+#: strip eats them; entities decode only AFTER tags are gone (a decoded
+#: ``&lt;p&gt;`` must never be re-parsed as markup), with ``&amp;``
+#: decoded last (the classic double-decode hazard); whitespace
+#: normalization runs at the end. Every pattern stays in the
+#: Java-regex ∩ RE2 subset (inline ``(?is)`` flags, non-greedy ``.*?``,
+#: alternation, anchors — no lookaround, no backreferences) so the
+#: DuckDB catalog twin (`ORACLE_HTML_EXTRACT`) is GENERATED from this
+#: same table and stays exact by construction.
+HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?is)<!--.*?-->", " "),
+    (r"(?i)<br\s*/?\s*>", "\n"),
+    (r"(?i)</(p|div|li|tr|td|th|h1|h2|h3|h4|h5|h6|title|blockquote)\s*>", "\n"),
+    (r"<[^>]*>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    (r"[ \t\r\f]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{2,}", "\n"),
+    (r"^\s+|\s+$", ""),
+)
+
+
+def extract_html_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "text_plain"
+) -> DataFrame:
+    """WET-style plain-text extraction from raw HTML — the front door of
+    every web-corpus training pipeline (raw crawl pages in, one line per
+    block element out, script/style payloads and markup gone, entities
+    decoded). A full DOM parse is deliberately out of scope (boilerplate
+    REMOVAL is the separate, structural :func:`remove_boilerplate_lines`
+    pass this feeds); this is the high-throughput regex tier the WET
+    extractors of CommonCrawl-scale pipelines use.
+
+    Zero shuffle, zero UDF: one codegen projection chaining
+    :data:`HTML_STRIP_STEPS` — at 100 TB this runs at scan speed,
+    pipelined into whatever gate or dedup stage consumes it.
+    """
+    cur = F.col(html_col)
+    for pat, repl in HTML_STRIP_STEPS:
+        cur = F.regexp_replace(cur, pat, repl)
+    keep = [c for c in df.columns if c != out_col]
+    return df.select(*keep, cur.alias(out_col))

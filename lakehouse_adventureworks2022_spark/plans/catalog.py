@@ -470,6 +470,16 @@ QUERIES: dict[str, QueryFn] = {
     # cross-source n-gram overlap matrix (r10; exact — distinct-set
     # intersections, swept DuckDB twin; window full)
     "source_overlap_matrix": text_queries.q_source_overlap,
+    # bloom-gated incremental dedup steady state (r10; output ≡
+    # incremental_dedup — the persisted bloom sketch only changes the
+    # vs-history plan: definite-new rows skip the state table, the tiny
+    # maybe-dup list pushes into the state scan as In(); equivalence +
+    # planted-FP differentials in tests/test_bloom.py)
+    "incremental_dedup_bloom": text_queries.q_incremental_dedup_bloom,
+    # WET-style HTML→text extraction (r10; exact — the ordered strip
+    # pipeline is shared with the GENERATED DuckDB twin; window full,
+    # sweeps in check_oracles + pytest)
+    "html_extract": text_queries.q_html_extract,
 }
 
 
@@ -567,6 +577,8 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "rag_index_ingest",  # probe-pruned ANN: approx by design
         "docs_dsir_weights",  # exact, swept twin (window full)
         "source_overlap_matrix",  # exact, swept twin (window full)
+        "incremental_dedup_bloom",  # ≡ incremental_dedup: approx by design
+        "html_extract",  # exact, swept GENERATED twin (window full)
         # late-r7 second rotation out of the window (green since r1;
         # same hash-diff rigor in tests/test_rotated_oracles.py)
         "sales_rollup",
@@ -1354,6 +1366,10 @@ PYTEST_ORACLES: dict[str, str] = {
     # r10 newcomer: cross-source overlap matrix (exact; sweeps at every
     # health check; promotion candidate for the next rotation)
     "source_overlap_matrix": text_queries.ORACLE_SOURCE_OVERLAP,
+    # r10 newcomer: HTML→text extraction (exact; twin GENERATED from
+    # textops.HTML_STRIP_STEPS; sweeps at every health check; promotion
+    # candidate for the next rotation)
+    "html_extract": text_queries.ORACLE_HTML_EXTRACT,
 }
 
 # rotated oracles cover only past-window queries and never shadow a

@@ -356,6 +356,44 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same daily-ingest dedup shape as ``q_incremental_dedup`` in
+    its deployed steady state: the exact vs-history stage is gated by
+    the PERSISTED Bloom sketch of the historical hashes
+    (operators/bloom.py — kilobytes-to-megabytes of state read instead
+    of the O(corpus) hash table). Bloom-negative batch rows never touch
+    the state table; the tiny maybe-dup hash list is pushed into the
+    state scan as an ``In()`` filter (row-group pruning on clustered
+    state). Output ≡ ``incremental_dedup`` ungated — bloom has no false
+    negatives and positives are exactly confirmed; equivalence,
+    planted-FP, FPR-bound and plan-shape tests in tests/test_bloom.py.
+    First call per fixture builds hash/sig state + the bloom (the
+    amortized-index pattern); later calls pay the gated batch cost only.
+    """
+    import os
+
+    from lakehouse_adventureworks2022_spark.operators.dedup import (
+        incremental_dedup,
+    )
+    from lakehouse_adventureworks2022_spark.streaming.corpus import (
+        ensure_dedup_bloom,
+        init_dedup_state,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    hist = docs.filter("doc_id % 10 != 0")
+    batch = docs.filter("doc_id % 10 == 0")
+    state_dir = _dedup_state_dir_for(sf_dir)
+    if not os.path.exists(f"{state_dir}/hashes/_SUCCESS"):
+        init_dedup_state(hist, state_dir)
+    bf = ensure_dedup_bloom(spark, state_dir)
+    hashes = spark.read.parquet(f"{state_dir}/hashes")
+    sigs = spark.read.parquet(f"{state_dir}/sigs")
+    return incremental_dedup(batch, hashes, sigs, bloom=bf).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster canonicalization: MinHash-LSH pairs → connected
     components via min-label propagation (component = min reachable
@@ -2397,3 +2435,84 @@ ORACLE_SOURCE_OVERLAP = r"""
     JOIN sizes sa ON ov.source_a = sa.source
     JOIN sizes sb ON ov.source_b = sb.source
     """
+
+
+# ---- HTML -> plain-text extraction (r10) ------------------------------
+
+#: deterministic HTML wrapper planted around each fixture document —
+#: the ASCII fixture has no markup, so the adversarial bits live in the
+#: wrapper: a script whose BODY contains comparison operators and a
+#: tag-lookalike string (must vanish before generic tag handling), CSS,
+#: a comment containing tags, every entity the decoder handles, and
+#: trailing block structure. Shared verbatim by the Spark plan and the
+#: generated DuckDB twin.
+HTML_WRAP_PRE = (
+    '<html><head><title>doc</title>'
+    "<style type=\"text/css\">p { color: red; }</style>"
+    "<script type=\"text/javascript\">"
+    "if (1 < 2 && 3 > 2) { var s = \"<p>not real</p>\"; }"
+    "</script></head><body><h1>"
+)
+HTML_WRAP_MID = "</h1><!-- comment with <b>tags</b> inside --><p>"
+HTML_WRAP_POST = (
+    " &amp; more&nbsp;entities &lt;escaped&gt; &quot;quoted&quot;"
+    " &#39;apostrophes&#39;</p><br><div>trailing block</div></body></html>"
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style HTML→text extraction (textops.extract_html_text) over
+    the documents corpus wrapped in the planted adversarial markup.
+    Exact: the ordered strip pipeline is shared with the generated
+    DuckDB twin step for step. Zero-shuffle codegen projection —
+    worked-example, idempotence and plan tests in
+    tests/test_html_extract.py."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        extract_html_text,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(HTML_WRAP_PRE),
+            F.col("source"),
+            F.lit(HTML_WRAP_MID),
+            F.col("text"),
+            F.lit(HTML_WRAP_POST),
+        ).alias("html"),
+    )
+    return extract_html_text(wrapped).select("doc_id", "text_plain")
+
+
+def _build_oracle_html_extract() -> str:
+    """DuckDB twin GENERATED from textops.HTML_STRIP_STEPS — edit the
+    step table and the twin follows (the ORACLE_PII_SCRUB /
+    ORACLE_NORMALIZE_TEXT convention). Newlines in replacements are
+    emitted as chr(10) (DuckDB string literals don't interpret
+    backslash escapes); all patterns are already RE2-safe by the step
+    table's contract."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        HTML_STRIP_STEPS,
+    )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def repl(s: str) -> str:
+        return "chr(10)" if s == "\n" else lit(s)
+
+    cur = (
+        f"{lit(HTML_WRAP_PRE)} || source || {lit(HTML_WRAP_MID)}"
+        f" || text || {lit(HTML_WRAP_POST)}"
+    )
+    for pat, rep in HTML_STRIP_STEPS:
+        cur = f"regexp_replace({cur},\n        {lit(pat)}, {repl(rep)}, 'g')"
+    return f"""
+    SELECT doc_id,
+           {cur} AS text_plain
+    FROM documents
+"""
+
+
+ORACLE_HTML_EXTRACT = _build_oracle_html_extract()

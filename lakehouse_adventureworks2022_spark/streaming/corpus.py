@@ -150,6 +150,33 @@ def append_dedup_state(
     new_hashes, new_sigs = dedup.dedup_state(accepted, text_col)
     new_hashes.write.mode("append").parquet(f"{state_dir}/hashes")
     new_sigs.write.mode("append").parquet(f"{state_dir}/sigs")
+    # keep the optional bloom gate's no-false-negative invariant: if a
+    # state bloom exists it must cover every hash the state table holds
+    from lakehouse_adventureworks2022_spark.operators import bloom as bloom_mod
+
+    bloom_mod.absorb_batch(state_dir, new_hashes, "content_hash")
+
+
+def ensure_dedup_bloom(
+    spark, state_dir: str, fpr: float = 0.01, growth_headroom: int = 4
+) -> "object":
+    """Build (once) and return the persisted bloom gate for a dedup
+    state dir. Sized from the CURRENT hash count × ``growth_headroom``
+    so OR-appended ingest batches don't saturate it immediately; the
+    count job runs only on the build path (amortized, like index
+    training). Returns the loaded :class:`~operators.bloom.BloomFilter`.
+    """
+    from lakehouse_adventureworks2022_spark.operators import bloom as bloom_mod
+
+    bf = bloom_mod.load_bloom(state_dir)
+    if bf is None:
+        hashes = spark.read.parquet(f"{state_dir}/hashes")
+        n_bits, n_hashes = bloom_mod.bloom_params(
+            hashes.count() * growth_headroom, fpr
+        )
+        bf = bloom_mod.bloom_build(hashes, "content_hash", n_bits, n_hashes)
+        bloom_mod.save_bloom(state_dir, bf)
+    return bf
 
 
 def stream_ingest_with_history(
