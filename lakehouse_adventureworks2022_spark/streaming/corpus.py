@@ -144,10 +144,27 @@ def append_dedup_state(
     """Grow the persisted state with an accepted batch — the other half
     of every ingest loop (streaming or batch): after
     ``incremental_dedup`` says what survives, the survivors' hashes and
-    signatures become history for the next batch."""
+    signatures become history for the next batch.
+
+    The state rows are MATERIALIZED (eager ``localCheckpoint`` — plan
+    truncated to the computed partitions) before the first write:
+    ``accepted``'s plan READS ``{state_dir}/hashes``+``/sigs`` (the
+    vs-history joins), so appending to those paths triggers Spark's
+    recache-by-path and a lazy frame re-executes against the GROWN
+    state — the anti-join then drops every row and the later writes
+    append NOTHING. That exact hazard shipped silently for the sigs
+    table (hashes were consumed by the first write, sigs recomputed
+    empty after it): batch ≥ 2 of any multi-batch ingest was blind to
+    earlier batches' near-dup signatures. Regression-pinned by
+    ``test_append_dedup_state_grows_both_tables`` and the two-batch
+    stream≡batch test. localCheckpoint is batch-sized transient state;
+    on a real cluster a lost executor fails the micro-batch and the
+    replay contract re-runs it."""
     from lakehouse_adventureworks2022_spark.operators import dedup
 
     new_hashes, new_sigs = dedup.dedup_state(accepted, text_col)
+    new_hashes = new_hashes.localCheckpoint(eager=True)
+    new_sigs = new_sigs.localCheckpoint(eager=True)
     new_hashes.write.mode("append").parquet(f"{state_dir}/hashes")
     new_sigs.write.mode("append").parquet(f"{state_dir}/sigs")
     # keep the optional bloom gate's no-false-negative invariant: if a
@@ -187,6 +204,7 @@ def stream_ingest_with_history(
     text_col: str = "text",
     threshold: float = 0.5,
     extra_gate=None,
+    use_bloom: bool = False,
 ):
     """Streaming corpus ingestion deduped against PERSISTED history —
     the streaming face of ``dedup.incremental_dedup`` (where
@@ -207,6 +225,12 @@ def stream_ingest_with_history(
 
     Scale: everything inherits incremental_dedup's broadcast-batch /
     stream-state shape; the driver touches only the applied-batch set.
+    ``use_bloom=True`` adds the persisted bloom gate
+    (:func:`ensure_dedup_bloom`, built on the first batch if absent):
+    each micro-batch reloads the CURRENT bloom — grown by every prior
+    batch's ``append_dedup_state``/``absorb_batch`` — so the exact
+    vs-history probe touches the state table only for maybe-dup rows.
+    Results are identical with or without the gate (stream≡batch test).
     """
     import json
     from pathlib import Path
@@ -230,8 +254,10 @@ def stream_ingest_with_history(
             # runs with batch semantics inside the micro-batch, so any
             # join-backed scorer is legal here
             gated = extra_gate(gated)
+        bf = ensure_dedup_bloom(spark, state_dir) if use_bloom else None
         accepted = dedup.incremental_dedup(
-            gated, state_hashes, state_sigs, text_col, threshold=threshold
+            gated, state_hashes, state_sigs, text_col,
+            threshold=threshold, bloom=bf,
         )
         accepted.persist()
         accepted.write.mode("overwrite").parquet(

@@ -393,6 +393,97 @@ def test_stream_ingest_with_history_matches_batch(spark, tmp_path):
     assert again == got
 
 
+def test_append_dedup_state_grows_both_tables(spark, tmp_path):
+    """Regression pin: append_dedup_state must append the accepted
+    batch's rows to BOTH state tables. The accepted frame's plan reads
+    the state paths (vs-history joins), so the first append used to
+    trigger recache-by-path and the SIGS write appended a recomputed —
+    EMPTY — frame (batch ≥ 2 then missed earlier batches' near-dup
+    signatures). Fixed by materializing (localCheckpoint) before the
+    first write."""
+    from lakehouse_adventureworks2022_spark.operators import dedup
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+    from lakehouse_adventureworks2022_spark.streaming.corpus import (
+        append_dedup_state,
+        init_dedup_state,
+        quality_gate,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "state")
+    init_dedup_state(docs.filter("doc_id % 2 = 0"), state)
+    h0 = spark.read.parquet(f"{state}/hashes").count()
+    s0 = spark.read.parquet(f"{state}/sigs").count()
+    accepted = dedup.incremental_dedup(
+        quality_gate(docs.filter("doc_id % 4 = 1")),
+        spark.read.parquet(f"{state}/hashes"),
+        spark.read.parquet(f"{state}/sigs"),
+    )
+    accepted.persist()
+    n = accepted.count()
+    append_dedup_state(accepted, state)
+    dedup.release_cached_inputs(accepted)
+    accepted.unpersist()
+    assert spark.read.parquet(f"{state}/hashes").count() == h0 + n
+    assert spark.read.parquet(f"{state}/sigs").count() == s0 + n
+
+
+def test_stream_ingest_bloom_gate_matches_ungated(spark, tmp_path):
+    """use_bloom=True lands exactly the rows the ungated stream lands,
+    and every accepted batch is absorbed into the persisted bloom (the
+    no-false-negative invariant survives multi-batch ingest)."""
+    from lakehouse_adventureworks2022_spark.operators import bloom as B
+    from lakehouse_adventureworks2022_spark.sources.readers import read_table
+    from lakehouse_adventureworks2022_spark.streaming.corpus import (
+        init_dedup_state,
+        stream_ingest_with_history,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    hist = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+
+    landed = {}
+    for tag, use_bloom in (("plain", False), ("gated", True)):
+        state_dir = str(tmp_path / f"state_{tag}")
+        out_dir = str(tmp_path / f"out_{tag}")
+        init_dedup_state(hist, state_dir)
+        src_dir = str(tmp_path / f"src_{tag}")
+        # two files -> two micro-batches: the second batch must see a
+        # bloom grown by the first batch's absorb
+        batch.filter("doc_id % 4 = 1").coalesce(1).write.parquet(src_dir)
+        batch.filter("doc_id % 4 = 3").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        q = stream_ingest_with_history(
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src_dir),
+            state_dir, out_dir, str(tmp_path / f"ckpt_{tag}"),
+            use_bloom=use_bloom,
+        )
+        q.processAllAvailable()
+        q.stop()
+        landed[tag] = {
+            r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+        }
+
+    assert landed["gated"] == landed["plain"] and landed["gated"]
+    # the gated run's bloom covers the ENTIRE grown state table
+    state_dir = str(tmp_path / "state_gated")
+    bf = B.load_bloom(state_dir)
+    assert bf is not None
+    hashes = spark.read.parquet(f"{state_dir}/hashes")
+    n = hashes.count()
+    from pyspark.sql import functions as F
+
+    covered = (
+        B.contains_col(hashes, "content_hash", bf, "hit")
+        .agg(F.sum(F.col("hit").cast("int")))
+        .head()[0]
+    )
+    assert covered == n
+
+
 def test_stream_ingest_with_model_gates(spark, tmp_path):
     """The pluggable model gates (classifier / LM-perplexity) filter the
     stream exactly as their batch forms filter the same micro-batch."""
