@@ -595,6 +595,122 @@ def main() -> None:
 
     run("streaming_quantiles_4batches", _stream_quantiles)
 
+    # exact-vs-history gate at rep× STATE with a FIXED daily batch —
+    # the deployed incremental-dedup shape. The A/B pair is the r10
+    # bloom story: the ungated row streams the O(state) hash table past
+    # the batch every ingest, the gated row reads a loaded bitmap
+    # (O(batch) probe) + an In()-pruned state scan of the matched
+    # hashes only — it should stay ~flat as rep grows. State build
+    # (hash table + bloom) is amortized prep OUTSIDE the timing, like
+    # every persisted-index row. Uses unique-ified texts so state is
+    # genuinely rep× distinct hashes.
+    if only is None or {"exact_history_ungated", "exact_history_bloom_gate"} & only:
+        from lakehouse_adventureworks2022_spark.operators import (
+            bloom as bloom_mod,
+        )
+
+        uniq_state = big_docs.withColumn(
+            "text", F.concat_ws(" ", "text", F.col("doc_id").cast("string"))
+        )
+        # state CLUSTERED on the hash (the deployed write_clustered
+        # posture): tight per-row-group min/max so a small In() list
+        # prunes row groups. fpr 1e-4 keeps the candidate list
+        # O(true dups) — the pruning argument needs |cand| << #row
+        # groups, which is exactly the append-mostly regime the gate
+        # is for (uniform-hash candidates at |cand| >= #row-groups
+        # prune nothing, at ANY scale).
+        state_hash_dir = f"{stress_dir}/dedup_state_hashes.parquet"
+        (
+            uniq_state.select(
+                dedup.content_hash_col().alias("content_hash")
+            )
+            .repartitionByRange(32, "content_hash")
+            .sortWithinPartitions("content_hash")
+            .write.mode("overwrite")
+            .parquet(state_hash_dir)
+        )
+        state_hashes = spark.read.parquet(state_hash_dir)
+        n_bits, n_hashes = bloom_mod.bloom_params(
+            state_hashes.count(), fpr=1e-4
+        )
+        gate_bloom = bloom_mod.bloom_build(
+            state_hashes, "content_hash", n_bits, n_hashes
+        )
+        # fixed append-mostly batch: all-new docs + ~a dozen exact
+        # copies of state rows (the true dups the gate must catch)
+        gate_batch = (
+            docs.filter("doc_id % 10 > 0")
+            .withColumn(
+                "text", F.concat_ws(" ", "text", F.lit("batch-new"))
+            )
+            .unionByName(
+                uniq_state.filter(
+                    "doc_id % 5000 = 0 AND doc_id < 10000000"
+                ).select(*docs.columns)
+            )
+        )
+
+        def _gate(bf):
+            hashed = gate_batch.withColumn(
+                "__hash__", dedup.content_hash_col()
+            )
+            if bf is None:
+                probe = hashed.select(
+                    F.col("__hash__").alias("content_hash")
+                ).distinct()
+                matched = state_hashes.join(
+                    F.broadcast(probe), "content_hash", "left_semi"
+                )
+            else:
+                flagged = bloom_mod.contains_col(
+                    hashed, "__hash__", bf, "__maybe__"
+                )
+                cand = [
+                    r[0]
+                    for r in flagged.filter("__maybe__")
+                    .select("__hash__")
+                    .distinct()
+                    .collect()
+                ]
+                matched = state_hashes.filter(
+                    F.col("content_hash").isin(cand)
+                )
+            return hashed.join(
+                F.broadcast(matched),
+                hashed["__hash__"] == matched["content_hash"],
+                "left_anti",
+            )
+
+        run("exact_history_ungated", lambda: _gate(None))
+        run("exact_history_bloom_gate", lambda: _gate(gate_bloom))
+
+    # WET extraction at rep× corpus: pure codegen projection — the row
+    # exists to pin LINEAR shape (and that no exchange sneaks in).
+    # repartition first: big_docs inherits the single-file fixture's
+    # ONE partition through the broadcast crossJoin, and a 1-task
+    # projection measures the file layout, not the operator (the
+    # documented single-file footgun; a real corpus scan is already
+    # split by maxPartitionBytes).
+    if only is None or "html_extract_scaled" in only:
+        from lakehouse_adventureworks2022_spark.operators import textops
+
+        wrapped = big_docs.repartition(
+            spark.sparkContext.defaultParallelism
+        ).select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><body><h1>"),
+                F.col("source"),
+                F.lit("</h1><p>"),
+                F.col("text"),
+                F.lit(" &amp; tail</p></body></html>"),
+            ).alias("html"),
+        )
+        run(
+            "html_extract_scaled",
+            lambda: textops.extract_html_text(wrapped),
+        )
+
     # Q21 at rep× fact volume: lineitem + orders replicated with the
     # SAME orderkey offset on both sides (FK integrity preserved, so
     # the per-order supplier profiles — what the count predicates key
