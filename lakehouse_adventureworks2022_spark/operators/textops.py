@@ -625,11 +625,18 @@ def filter_blocked_domains(
 #: DuckDB catalog twin (`ORACLE_HTML_EXTRACT`) is GENERATED from this
 #: same table and stays exact by construction.
 HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
-    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
-    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    # [ \t\r\n\f]* instead of \s* EVERYWHERE (pattern side too): Java's
+    # \s includes \x0b, RE2's does not — any \s would diverge the twins
+    # on vertical-tab input (adversarial-corpus differential)
+    (r"(?is)<script\b[^>]*>.*?</script[ \t\r\n\f]*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style[ \t\r\n\f]*>", " "),
     (r"(?is)<!--.*?-->", " "),
-    (r"(?i)<br\s*/?\s*>", "\n"),
-    (r"(?i)</(p|div|li|tr|td|th|h1|h2|h3|h4|h5|h6|title|blockquote)\s*>", "\n"),
+    (r"(?i)<br[ \t\r\n\f]*/?[ \t\r\n\f]*>", "\n"),
+    (
+        r"(?i)</(p|div|li|tr|td|th|h1|h2|h3|h4|h5|h6|title|blockquote)"
+        r"[ \t\r\n\f]*>",
+        "\n",
+    ),
     (r"<[^>]*>", " "),
     (r"&nbsp;", " "),
     (r"&lt;", "<"),
@@ -640,7 +647,7 @@ HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
     (r"[ \t\r\f]+", " "),
     (r" ?\n ?", "\n"),
     (r"\n{2,}", "\n"),
-    (r"^\s+|\s+$", ""),
+    (r"^[ \t\r\f\n]+|[ \t\r\f\n]+$", ""),
 )
 
 

@@ -111,6 +111,56 @@ def test_output_schema(spark, col):
     assert col in QUERIES["html_extract"](spark, SF).columns
 
 
+def test_adversarial_corpus_twin_parity(spark, tmp_path):
+    """Seeded adversarial corpus through the IDENTICAL catalog pipeline
+    in both engines — hunts Java-regex vs RE2 semantic divergences the
+    ASCII fixture can't reach (\\s vs vertical tab, $ before a trailing
+    newline, case-folding in (?i), entity fragments split across
+    replacements, unclosed/nested tag soup)."""
+    import random
+
+    from lakehouse_adventureworks2022_spark.plans.catalog import (
+        ORACLES,
+        PYTEST_ORACLES,
+        QUERIES,
+    )
+    from tools.check_oracles import canonical_hash, normalize_pandas
+
+    rng = random.Random(20260816)
+    atoms = [
+        "word", "UPPER", "x", " ", "  ", "\t", "\n", "\n\n", "\r\n",
+        "\x0b", "\f", "&amp;", "&lt;", "&gt;", "&quot;", "&#39;",
+        "&nbsp;", "&", "&amp", "amp;", "<p>", "</p>", "<P>", "</P >",
+        "<br>", "<BR/>", "<br />", "<div>", "</div>", "<span a='b'>",
+        "</span>", "<script>", "</script>", "<ScRiPt>bad()</sCrIpT>",
+        "<style>s{}</style>", "<!--", "-->", "<!-- c -->", "<",
+        ">", "< 3", "a<b", "<notag", "tag>", "'", '"', "$1", "\\n",
+        "1 < 2 && 3 > 2",
+    ]
+    rows = []
+    for i in range(200):
+        rows.append(
+            (i, "adv", "".join(rng.choice(atoms) for _ in range(rng.randint(0, 12))))
+        )
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    spark_pdf = normalize_pandas(QUERIES["html_extract"](spark, sf).toPandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    duck_pdf = normalize_pandas(
+        con.sql({**PYTEST_ORACLES, **ORACLES}["html_extract"]).df()
+    )
+    con.close()
+    assert len(spark_pdf) == 200
+    assert canonical_hash(spark_pdf) == canonical_hash(duck_pdf)
+
+
 def test_extract_preserves_other_columns(spark):
     df = spark.createDataFrame(
         [(1, "<p>x</p>", "meta")], "id long, html string, extra string"
