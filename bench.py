@@ -183,6 +183,9 @@ HEADLINE = [
     # r10: WET-style HTML→text extraction (exact, generated swept twin;
     # zero-shuffle codegen regex pipeline)
     "html_extract",
+    # r10: full raw-crawl pipeline (extract → scrub → corpus-wide
+    # boilerplate strip → gate/dedup → split)
+    "web_corpus_pipeline",
 ]
 
 

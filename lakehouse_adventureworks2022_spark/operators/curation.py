@@ -462,3 +462,40 @@ def prepare_training_corpus(
     if scores is not None:
         dedup.transfer_cached_inputs(scores, out)
     return dedup.transfer_cached_inputs(cleaned, out)
+
+
+def prepare_web_corpus(
+    df: DataFrame,
+    html_col: str = "html",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Raw-crawl front door for :func:`prepare_training_corpus`: WET-
+    style extraction (``textops.extract_html_text``) turns the HTML
+    column into ``text_col``, ``n_chars`` is (re)derived from the
+    EXTRACTED text when the input doesn't carry one, then the standard
+    chain runs unchanged (PII scrub → de-boilerplate → quality gate +
+    exact/near dedup → optional CCNet gate/mixture → split).
+
+    The extraction tier adds ONE zero-shuffle codegen projection — no
+    exchange, no UDF. Pass ``boilerplate_min_docs`` when the crawl
+    shares chrome across pages (nav/footer lines): the C4-style
+    corpus-wide pass strips lines appearing in ≥N docs BEFORE dedup, so
+    near-dup similarity measures content, not template. Case and
+    typography are deliberately NOT folded here — training text keeps
+    its case; dedup already normalizes on the hash side, and
+    ``textops.normalize_text`` stays a separate opt-in.
+
+    Identity contract (tested): with ``html_col`` holding already-plain
+    text, output ≡ ``prepare_training_corpus`` on the same frame.
+    """
+    from lakehouse_adventureworks2022_spark.operators import textops
+
+    extracted = textops.extract_html_text(
+        df, html_col=html_col, out_col=text_col
+    )
+    if html_col != text_col:
+        extracted = extracted.drop(html_col)
+    if "n_chars" not in extracted.columns:
+        extracted = extracted.withColumn("n_chars", F.length(text_col))
+    return prepare_training_corpus(extracted, text_col=text_col, **kwargs)

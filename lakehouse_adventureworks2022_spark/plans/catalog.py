@@ -480,6 +480,10 @@ QUERIES: dict[str, QueryFn] = {
     # pipeline is shared with the GENERATED DuckDB twin; window full,
     # sweeps in check_oracles + pytest)
     "html_extract": text_queries.q_html_extract,
+    # full raw-crawl pipeline: extraction → scrub → corpus-wide
+    # boilerplate strip → gate/dedup → split (r10; rows-only — LSH
+    # near-dup stage, same reason as clean_corpus)
+    "web_corpus_pipeline": text_queries.q_web_corpus_pipeline,
 }
 
 
@@ -579,6 +583,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "source_overlap_matrix",  # exact, swept twin (window full)
         "incremental_dedup_bloom",  # ≡ incremental_dedup: approx by design
         "html_extract",  # exact, swept GENERATED twin (window full)
+        "web_corpus_pipeline",  # LSH near-dup stage: approx by design
         # late-r7 second rotation out of the window (green since r1;
         # same hash-diff rigor in tests/test_rotated_oracles.py)
         "sales_rollup",

@@ -2516,3 +2516,32 @@ def _build_oracle_html_extract() -> str:
 
 
 ORACLE_HTML_EXTRACT = _build_oracle_html_extract()
+
+
+def q_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full raw-crawl pipeline over the adversarially wrapped
+    corpus: WET extraction → PII scrub → within-doc de-boilerplate →
+    C4-style corpus-wide boilerplate strip (min_docs=50 — the planted
+    wrapper chrome appears in EVERY doc and must vanish before dedup
+    measures content) → quality gate + exact/near dedup → deterministic
+    split. Rows-only by design (MinHash-LSH near-dup stage — same
+    reason as clean_corpus); identity and cross-HTML-boundary dedup
+    differentials in tests/test_web_corpus.py."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        prepare_web_corpus,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.concat(
+            F.lit(HTML_WRAP_PRE),
+            F.col("source"),
+            F.lit(HTML_WRAP_MID),
+            F.col("text"),
+            F.lit(HTML_WRAP_POST),
+        ).alias("html"),
+    )
+    return prepare_web_corpus(wrapped, boilerplate_min_docs=50)
