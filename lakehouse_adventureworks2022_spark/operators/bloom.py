@@ -76,12 +76,32 @@ class BloomFilter:
         return BloomFilter(bits=raw[_HEADER.size :], n_hashes=n_hashes)
 
 
+#: single-bitmap ceiling: 2^33 bits = 1 GiB. The build's merge task and
+#: the per-task broadcast both hold ONE bitmap, so the sketch must stay
+#: comfortably in executor memory. At 1% fpr this covers ~890M distinct
+#: hashes — beyond that, raise ``fpr`` (each 10× of p removes ~4.8
+#: bits/key; saturation only costs extra exact confirms, never
+#: correctness), gate only the hot recent state partition and fall back
+#: to the ungated semi-join for the cold tail, or shard bitmaps by hash
+#: prefix. Refusing loudly beats silently OOMing a 100-TB ingest.
+MAX_BLOOM_BITS = 1 << 33
+
+
 def bloom_params(n_items: int, fpr: float = 0.01) -> tuple[int, int]:
     """Textbook sizing: bits ``m = -n ln p / (ln 2)^2`` (rounded up to a
-    whole number of bytes), probes ``k = (m/n) ln 2``."""
+    whole number of bytes), probes ``k = (m/n) ln 2``. Raises when the
+    sizing exceeds :data:`MAX_BLOOM_BITS` (see its note for the three
+    deployment escapes)."""
     n = max(1, n_items)
     m = int(math.ceil(-n * math.log(fpr) / (math.log(2) ** 2)))
     m = ((m + 7) // 8) * 8
+    if m > MAX_BLOOM_BITS:
+        raise ValueError(
+            f"bloom sizing for n_items={n_items} at fpr={fpr} needs "
+            f"{m} bits > MAX_BLOOM_BITS ({MAX_BLOOM_BITS}); raise fpr, "
+            "gate only the recent state partition, or shard by hash "
+            "prefix (see MAX_BLOOM_BITS docs)"
+        )
     k = max(1, round(m / n * math.log(2)))
     return m, k
 

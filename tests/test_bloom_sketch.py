@@ -84,6 +84,14 @@ def test_merge_equals_union_build(spark):
     assert B.bloom_or(bf_a, bf_b).bits == union.bits
 
 
+def test_oversize_sizing_refused():
+    # ~890M keys at 1% fits; 10B does not — must refuse loudly with
+    # deployment guidance, never OOM a merge task silently
+    B.bloom_params(800_000_000, fpr=0.01)
+    with pytest.raises(ValueError, match="MAX_BLOOM_BITS"):
+        B.bloom_params(10_000_000_000, fpr=0.01)
+
+
 def test_param_mismatch_refused(spark):
     bf_a = B.bloom_build(_hash_df(spark, _md5s("x", 10)), "content_hash", 1024, 3)
     bf_b = B.bloom_build(_hash_df(spark, _md5s("x", 10)), "content_hash", 2048, 3)
