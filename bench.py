@@ -186,6 +186,10 @@ HEADLINE = [
     # r10: full raw-crawl pipeline (extract → scrub → corpus-wide
     # boilerplate strip → gate/dedup → split)
     "web_corpus_pipeline",
+    # r10: corpus diagnostics (exact swept twins) — Zipf slope over the
+    # vocab head, Flesch readability projection
+    "corpus_zipf",
+    "doc_readability",
 ]
 
 

@@ -671,3 +671,80 @@ def extract_html_text(
         cur = F.regexp_replace(cur, pat, repl)
     keep = [c for c in df.columns if c != out_col]
     return df.select(*keep, cur.alias(out_col))
+
+
+# ---- corpus diagnostics: Zipf fit + readability (r10) -----------------
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", top_n: int = 100) -> DataFrame:
+    """Zipf rank-frequency diagnostic: least-squares fit of
+    ``ln(term_freq)`` on ``ln(rank)`` over the ``top_n`` vocabulary —
+    natural text sits near slope −1 with high r²; templated/synthetic
+    spam shows a flat head or a cliff. One corpus number a curation run
+    tracks per snapshot (drift in the slope = the mixture changed).
+
+    Shape: the :func:`vocabulary` aggregation (one explode + two
+    uniform-key aggs + TakeOrderedAndProject) feeding a window + regr
+    aggregate over ≤ ``top_n`` rows — the single-partition window runs
+    on a BOUNDED frame (the documented global-window-ok class), then
+    one scalar row comes out. Returns
+    ``(n_terms, slope, intercept, r2)`` display-rounded to 6dp (the
+    cross-engine float policy: regr sums associate differently per
+    engine at ~1e-12)."""
+    from pyspark.sql import Window
+
+    ranked = vocabulary(df, text_col, top_n).select(
+        "term_freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("term_freq"), F.asc("term")))
+        .alias("rank"),
+    )
+    y = F.log(F.col("term_freq").cast("double"))
+    x = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document from engine-shared counts:
+    words (the tokenizer contract), sentences (runs of ``[.!?]+``,
+    floored at 1), syllables approximated as vowel-group runs
+    (``[aeiouy]+`` — the standard cheap proxy; both engines run the
+    LITERAL same regex, so the twin is exact). The score is a quality
+    FEATURE beside token_stats' trainability gates: recognizable prose
+    lands ~30–80, templated word salad drifts out of band. Zero
+    shuffle, zero UDF; empty docs yield NULL score."""
+    words = F.size(
+        F.filter(tokens_col(F.col(text_col)), lambda t: F.length(t) > 0)
+    ).cast("long")
+    sentences = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)
+        ).cast("long"),
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"), 0)
+    ).cast("long")
+    # floor-based 2dp rounding instead of ROUND: Spark rounds doubles
+    # via BigDecimal(Double.toString) HALF_UP while DuckDB rounds the
+    # binary value — they disagree at half-epsilon boundaries
+    # (85.16499999999999 → 85.16 vs 85.17). floor(x*100+0.5)/100 is the
+    # SAME IEEE op sequence in both engines, so the twin stays exact.
+    raw = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words)
+    )
+    flesch = F.when(words > 0, F.floor(raw * 100 + F.lit(0.5)) / 100)
+    return df.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

@@ -484,6 +484,12 @@ QUERIES: dict[str, QueryFn] = {
     # boilerplate strip → gate/dedup → split (r10; rows-only — LSH
     # near-dup stage, same reason as clean_corpus)
     "web_corpus_pipeline": text_queries.q_web_corpus_pipeline,
+    # Zipf rank-frequency diagnostic (r10; exact — regr aggregates in
+    # both engines, 6dp display round; window full, sweeps)
+    "corpus_zipf": text_queries.q_corpus_zipf,
+    # Flesch readability feature (r10; exact — identical regex counts
+    # and operation order in both engines; window full, sweeps)
+    "doc_readability": text_queries.q_doc_readability,
 }
 
 
@@ -584,6 +590,8 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "incremental_dedup_bloom",  # ≡ incremental_dedup: approx by design
         "html_extract",  # exact, swept GENERATED twin (window full)
         "web_corpus_pipeline",  # LSH near-dup stage: approx by design
+        "corpus_zipf",  # exact, swept twin (window full)
+        "doc_readability",  # exact, swept twin (window full)
         # late-r7 second rotation out of the window (green since r1;
         # same hash-diff rigor in tests/test_rotated_oracles.py)
         "sales_rollup",
@@ -1375,6 +1383,10 @@ PYTEST_ORACLES: dict[str, str] = {
     # textops.HTML_STRIP_STEPS; sweeps at every health check; promotion
     # candidate for the next rotation)
     "html_extract": text_queries.ORACLE_HTML_EXTRACT,
+    # r10 newcomers: corpus diagnostics (exact; sweep at every health
+    # check; promotion candidates for the next rotation)
+    "corpus_zipf": text_queries.ORACLE_CORPUS_ZIPF,
+    "doc_readability": text_queries.ORACLE_DOC_READABILITY,
 }
 
 # rotated oracles cover only past-window queries and never shadow a

@@ -2545,3 +2545,77 @@ def q_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     return prepare_web_corpus(wrapped, boilerplate_min_docs=50)
+
+
+def q_corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the top-100 corpus vocabulary
+    (textops.zipf_fit): one scalar diagnostic row. Exact swept twin —
+    regr aggregates exist verbatim in both engines; outputs
+    display-rounded 6dp per the cross-engine float policy (regr sums
+    associate differently at ~1e-12)."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        zipf_fit,
+    )
+
+    return zipf_fit(read_table(spark, sf_dir, "documents"))
+
+
+ORACLE_CORPUS_ZIPF = r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, COUNT(*) AS term_freq FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT term_freq,
+             ROW_NUMBER() OVER (ORDER BY term_freq DESC, term ASC) AS rank
+      FROM tf
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(regr_slope(ln(term_freq), ln(rank)), 6) AS slope,
+           ROUND(regr_intercept(ln(term_freq), ln(rank)), 6) AS intercept,
+           ROUND(regr_r2(ln(term_freq), ln(rank)), 6) AS r2
+    FROM ranked WHERE rank <= 100
+"""
+
+
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (textops.readability): words /
+    sentence-runs / vowel-group syllable proxy, all from LITERALLY the
+    same regexes in both engines. The flesch expression is written in
+    the identical operation order on both sides, so the doubles are
+    bit-identical before the 2dp display round. Exact swept twin."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        readability,
+    )
+
+    return readability(read_table(spark, sf_dir, "documents"))
+
+
+ORACLE_DOC_READABILITY = r"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           -- floor-based 2dp round with DOUBLE-cast literals: DECIMAL
+           -- literal arithmetic and DuckDB's ROUND(double) both diverge
+           -- from Spark at half-epsilon boundaries; floor(x*100+0.5)
+           -- is the identical IEEE sequence both engines run
+           CASE WHEN n_words > 0 THEN
+             floor((CAST(206.835 AS DOUBLE)
+                    - CAST(1.015 AS DOUBLE) * (n_words / n_sentences)
+                    - CAST(84.6 AS DOUBLE) * (n_syllables / n_words))
+                   * 100 + 0.5) / 100
+           END AS flesch
+    FROM c
+"""
