@@ -237,3 +237,50 @@ def test_content_hash_matches_python_md5(spark):
     )
     assert row[0] == hashlib.md5(b"some text").hexdigest()
     assert len(row[0]) == 32
+
+
+# ---- property tests (hypothesis) --------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@pytest.fixture(scope="module")
+def sparkref(spark):
+    return spark
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_members=st.integers(min_value=1, max_value=400),
+    salt=st.integers(min_value=0, max_value=10_000),
+    fpr=st.sampled_from([0.3, 0.05, 0.01]),
+)
+def test_property_no_false_negatives_and_merge_is_union(
+    sparkref, n_members, salt, fpr
+):
+    """For ANY member set / sizing: every inserted key answers maybe,
+    and building over a split then OR-ing equals one build over the
+    union bit-for-bit (deterministic double hashing)."""
+    spark = sparkref
+    keys = _md5s(f"prop-{salt}", n_members)
+    n_bits, n_hashes = B.bloom_params(n_members, fpr=fpr)
+    whole = B.bloom_build(_hash_df(spark, keys), "content_hash", n_bits, n_hashes)
+    hits = (
+        B.contains_col(_hash_df(spark, keys), "content_hash", whole, "hit")
+        .agg(F.sum(F.col("hit").cast("int")))
+        .head()[0]
+    )
+    assert hits == n_members
+    cut = n_members // 2
+    left = B.bloom_build(
+        _hash_df(spark, keys[:cut]), "content_hash", n_bits, n_hashes
+    )
+    right = B.bloom_build(
+        _hash_df(spark, keys[cut:]), "content_hash", n_bits, n_hashes
+    )
+    assert B.bloom_or(left, right).bits == whole.bits
