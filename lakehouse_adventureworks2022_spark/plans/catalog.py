@@ -102,26 +102,28 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q11_important_parts": tpch_extra.q11_important_parts,
     "tpch_q4_priority_check": tpch_extra.q4_priority_check,
     "tpch_q15_top_supplier": tpch_extra.q15_top_supplier,
-    "docs_hash_sample": text_queries.q_docs_hash_sample,
-    "dim_supplier_geo": dims.build_dim_supplier_geo,
-    # (dim_customer_geo — green since r1 — rotated to
-    # tests/test_rotated_oracles.py in r7; the J2 geo chain stays
-    # hash-verified there alongside dim_supplier_geo)
-    # context-window chunking (r7 first driver oracle; swept SQL twin
-    # since late r6, Python-reference differential in test_curation.py)
-    "chunk_documents": text_queries.q_chunk_documents,
-    # temperature-weighted mixture sampling (deterministic md5-threshold
-    # membership with data-derived per-stratum rates — oracle-exact);
-    # occupies the window slot dim_supplier_geo held in r1-r4: the geo
-    # chain join stays evidenced by dim_customer_geo (same J2/P1 shape)
-    # and dim_supplier_geo keeps a pytest DuckDB differential
-    "temperature_mixture": text_queries.q_temperature_mixture,
-    # (fact_sales — green since r1 — rotated to
-    # tests/test_rotated_oracles.py in r7; J4/F3 hash evidence continues
-    # there)
-    # near-dup cluster canonicalization (r7 first driver oracle;
-    # recursive-CTE transitive-closure twin + union-find differential)
-    "dedup_clusters": text_queries.q_dedup_clusters,
+    # ---- r10-continuation seventh rotation IN: first driver oracles
+    # for the five exact swept newcomers (docs_hash_sample /
+    # dim_supplier_geo / chunk_documents / temperature_mixture /
+    # dedup_clusters — driver-green for 3-6 rounds each — rotate out to
+    # tests/test_rotated_oracles.py, identical hash rigor at two SFs;
+    # dim_customer_geo keeps the J2 geo chain driver-adjacent, the
+    # sampling family stays evidenced by docs_stratified_sample /
+    # docs_sample_exact_n in the window) ----
+    # DSIR importance weighting toward a target domain (exact —
+    # md5-bucketed hashed-n-gram models)
+    "docs_dsir_weights": text_queries.q_docs_dsir_weights,
+    # cross-source n-gram overlap matrix (exact distinct-set algebra)
+    "source_overlap_matrix": text_queries.q_source_overlap,
+    # WET-style HTML→text extraction (exact; twin GENERATED from
+    # textops.HTML_STRIP_STEPS, adversarial-corpus fuzzed)
+    "html_extract": text_queries.q_html_extract,
+    # Zipf rank-frequency diagnostic (exact; regr aggregates shared by
+    # both engines over a bounded top-n window)
+    "corpus_zipf": text_queries.q_corpus_zipf,
+    # Flesch readability feature (exact; literally-shared regex counts,
+    # floor-based cross-engine rounding)
+    "doc_readability": text_queries.q_doc_readability,
     # events (WF1, windows; incremental_read/watermark_state/
     # flatten_props — S2-S4, A1/A2, F9 — rotated to
     # tests/test_rotated_oracles.py in r6, green since r1)
@@ -463,33 +465,26 @@ QUERIES: dict[str, QueryFn] = {
     # the full rebuild (r10 — closes the r9 20× ledger's >5× row;
     # approximate IVF probing ⇒ rows-only)
     "rag_index_ingest": text_queries.q_rag_index_ingest,
-    # DSIR-style importance weighting toward a target domain (r10;
-    # exact — md5-bucketed hashed-n-gram models, swept DuckDB twin;
-    # window full, sweeps in check_oracles + pytest)
-    "docs_dsir_weights": text_queries.q_docs_dsir_weights,
-    # cross-source n-gram overlap matrix (r10; exact — distinct-set
-    # intersections, swept DuckDB twin; window full)
-    "source_overlap_matrix": text_queries.q_source_overlap,
     # bloom-gated incremental dedup steady state (r10; output ≡
     # incremental_dedup — the persisted bloom sketch only changes the
     # vs-history plan: definite-new rows skip the state table, the tiny
     # maybe-dup list pushes into the state scan as In(); equivalence +
-    # planted-FP differentials in tests/test_bloom.py)
+    # planted-FP differentials in tests/test_bloom_sketch.py)
     "incremental_dedup_bloom": text_queries.q_incremental_dedup_bloom,
-    # WET-style HTML→text extraction (r10; exact — the ordered strip
-    # pipeline is shared with the GENERATED DuckDB twin; window full,
-    # sweeps in check_oracles + pytest)
-    "html_extract": text_queries.q_html_extract,
     # full raw-crawl pipeline: extraction → scrub → corpus-wide
     # boilerplate strip → gate/dedup → split (r10; rows-only — LSH
     # near-dup stage, same reason as clean_corpus)
     "web_corpus_pipeline": text_queries.q_web_corpus_pipeline,
-    # Zipf rank-frequency diagnostic (r10; exact — regr aggregates in
-    # both engines, 6dp display round; window full, sweeps)
-    "corpus_zipf": text_queries.q_corpus_zipf,
-    # Flesch readability feature (r10; exact — identical regex counts
-    # and operation order in both engines; window full, sweeps)
-    "doc_readability": text_queries.q_doc_readability,
+    # ---- r10-continuation seventh rotation OUT (driver-green for 3-6
+    # rounds each; the identical hash-diff rigor continues in
+    # tests/test_rotated_oracles.py at sf0.001 AND sf0.01; slots freed
+    # for docs_dsir_weights / source_overlap_matrix / html_extract /
+    # corpus_zipf / doc_readability above) ----
+    "docs_hash_sample": text_queries.q_docs_hash_sample,
+    "dim_supplier_geo": dims.build_dim_supplier_geo,
+    "chunk_documents": text_queries.q_chunk_documents,
+    "temperature_mixture": text_queries.q_temperature_mixture,
+    "dedup_clusters": text_queries.q_dedup_clusters,
 }
 
 
@@ -585,13 +580,16 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "tpch_q14_promo_revenue_ratio",
         "ivf_sq8_index_ingest",  # probe-pruned ANN: approx by design
         "rag_index_ingest",  # probe-pruned ANN: approx by design
-        "docs_dsir_weights",  # exact, swept twin (window full)
-        "source_overlap_matrix",  # exact, swept twin (window full)
         "incremental_dedup_bloom",  # ≡ incremental_dedup: approx by design
-        "html_extract",  # exact, swept GENERATED twin (window full)
         "web_corpus_pipeline",  # LSH near-dup stage: approx by design
-        "corpus_zipf",  # exact, swept twin (window full)
-        "doc_readability",  # exact, swept twin (window full)
+        # exact, r10-continuation seventh rotation out of the window
+        # (driver-green 3-6 rounds each): same hash-diff rigor in
+        # tests/test_rotated_oracles.py at two SFs
+        "docs_hash_sample",
+        "dim_supplier_geo",
+        "chunk_documents",
+        "temperature_mixture",
+        "dedup_clusters",
         # late-r7 second rotation out of the window (green since r1;
         # same hash-diff rigor in tests/test_rotated_oracles.py)
         "sales_rollup",
@@ -647,13 +645,15 @@ ORACLES: dict[str, str] = {
     "tpch_q15_top_supplier": tpch_extra.EXTRA_ORACLES[
         "tpch_q15_top_supplier"
     ],
-    "docs_hash_sample": text_queries.ORACLE_DOCS_HASH_SAMPLE,
-    "dim_supplier_geo": ORACLE_DIM_SUPPLIER_GEO,
+    # r10-continuation seventh rotation IN (the five veterans' SQL
+    # moved verbatim to ROTATED_ORACLES below)
+    "docs_dsir_weights": text_queries.ORACLE_DOCS_DSIR_WEIGHTS,
+    "source_overlap_matrix": text_queries.ORACLE_SOURCE_OVERLAP,
+    "html_extract": text_queries.ORACLE_HTML_EXTRACT,
+    "corpus_zipf": text_queries.ORACLE_CORPUS_ZIPF,
+    "doc_readability": text_queries.ORACLE_DOC_READABILITY,
     # r7 rotation: the inline SQL of dim_customer_geo / fact_sales /
     # latest_event_per_user moved verbatim to ROTATED_ORACLES below
-    "chunk_documents": text_queries.ORACLE_CHUNK_DOCUMENTS,
-    "temperature_mixture": text_queries.ORACLE_TEMPERATURE_MIXTURE,
-    "dedup_clusters": text_queries.ORACLE_DEDUP_CLUSTERS,
     "remove_repeated_spans": text_queries.ORACLE_REMOVE_REPEATED_SPANS,
     # late-r7 third rotation: event_windows inline SQL moved verbatim
     # to ROTATED_ORACLES below
@@ -925,6 +925,15 @@ ORACLES: dict[str, str] = {
 #: for first-time oracles. tests/test_rotated_oracles.py applies the
 #: SAME row-count + schema + value-hash comparison the driver does.
 ROTATED_ORACLES: dict[str, str] = {
+    # ---- r10-continuation seventh rotation (driver-green for 3-6
+    # rounds each; slots freed for the five exact swept newcomers:
+    # docs_dsir_weights, source_overlap_matrix, html_extract,
+    # corpus_zipf, doc_readability) ----
+    "docs_hash_sample": text_queries.ORACLE_DOCS_HASH_SAMPLE,
+    "dim_supplier_geo": ORACLE_DIM_SUPPLIER_GEO,
+    "chunk_documents": text_queries.ORACLE_CHUNK_DOCUMENTS,
+    "temperature_mixture": text_queries.ORACLE_TEMPERATURE_MIXTURE,
+    "dedup_clusters": text_queries.ORACLE_DEDUP_CLUSTERS,
     # ---- r10 sixth rotation (driver-green r1-r9 / r2-r9 / r6-r9;
     # slots freed for the five exact-but-never-driver-verified queries:
     # eval_decontamination, eval_decontamination_fuzzy,
@@ -1371,22 +1380,11 @@ PYTEST_ORACLES: dict[str, str] = {
     # (the r8/r9 newcomers — eval_decontamination,
     # eval_decontamination_fuzzy, perplexity_quality_buckets,
     # docs_epoch_mixture, cdc_upsert — were promoted to first-time
-    # DRIVER oracles in the r10 sixth rotation)
-    # r10 newcomer past the full window: DSIR importance weighting
-    # (exact; sweeps at every health check; promotion candidate for the
-    # next rotation)
-    "docs_dsir_weights": text_queries.ORACLE_DOCS_DSIR_WEIGHTS,
-    # r10 newcomer: cross-source overlap matrix (exact; sweeps at every
-    # health check; promotion candidate for the next rotation)
-    "source_overlap_matrix": text_queries.ORACLE_SOURCE_OVERLAP,
-    # r10 newcomer: HTML→text extraction (exact; twin GENERATED from
-    # textops.HTML_STRIP_STEPS; sweeps at every health check; promotion
-    # candidate for the next rotation)
-    "html_extract": text_queries.ORACLE_HTML_EXTRACT,
-    # r10 newcomers: corpus diagnostics (exact; sweep at every health
-    # check; promotion candidates for the next rotation)
-    "corpus_zipf": text_queries.ORACLE_CORPUS_ZIPF,
-    "doc_readability": text_queries.ORACLE_DOC_READABILITY,
+    # DRIVER oracles in the r10 sixth rotation; the five r10 swept
+    # newcomers — docs_dsir_weights, source_overlap_matrix,
+    # html_extract, corpus_zipf, doc_readability — were promoted to
+    # first-time DRIVER oracles in the r10-continuation seventh
+    # rotation, so this is again exactly the rotated-veteran set)
 }
 
 # rotated oracles cover only past-window queries and never shadow a

@@ -92,6 +92,14 @@ ROTATED = (
     "tpch_q7_nation_volume",
     "tpch_q10_returned_items",
     "tpch_q14_promo_revenue_ratio",
+    # r10-continuation seventh rotation: slots freed for the five exact
+    # swept newcomers (docs_dsir_weights, source_overlap_matrix,
+    # html_extract, corpus_zipf, doc_readability)
+    "docs_hash_sample",
+    "dim_supplier_geo",
+    "chunk_documents",
+    "temperature_mixture",
+    "dedup_clusters",
 )
 
 
