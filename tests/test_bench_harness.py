@@ -1,6 +1,13 @@
 """bench.py robustness contract (round-4 lesson: one broken query
 aborted the run and erased the round's bench evidence — the JSON line
-must ALWAYS be emitted, with failures in ``errors``)."""
+must ALWAYS be emitted, with failures recorded).
+
+Round-11 line contract: the driver keeps only the TAIL of the printed
+line, so the line must stay ~200 bytes (totals + counts + a sidecar
+pointer); per-query medians/errors live in the sidecar. Every test here
+redirects the sidecar to pytest's tmp dir so a test run can never
+overwrite driver bench evidence (r10 verdict #2).
+"""
 
 from __future__ import annotations
 
@@ -23,42 +30,131 @@ class _NoStop:
         pass
 
 
-def test_bench_emits_json_even_with_broken_query(spark, monkeypatch, capsys):
+def _run(spark, monkeypatch, capsys, tmp_path, queries, headline, reps):
+    monkeypatch.setattr(bench, "QUERIES", queries)
+    monkeypatch.setattr(bench, "HEADLINE", headline)
+    monkeypatch.setattr(bench, "get_spark", lambda name: _NoStop(spark))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPS", str(reps))
+    detail = tmp_path / "detail.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", str(detail))
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    return line, json.loads(line), json.loads(detail.read_text())
+
+
+def test_bench_emits_compact_line_and_full_sidecar(
+    spark, monkeypatch, capsys, tmp_path
+):
     def ok(s, sf_dir):
         return spark.range(5)
 
     def boom(s, sf_dir):
         raise RuntimeError("kaboom: simulated plan failure\nplan dump line 2")
 
-    monkeypatch.setattr(bench, "QUERIES", {"top_products": ok, "boom": boom})
-    monkeypatch.setattr(bench, "HEADLINE", ["top_products", "boom"])
-    monkeypatch.setattr(bench, "get_spark", lambda name: _NoStop(spark))
-    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPS", "2")
-
-    bench.main()
-    line = capsys.readouterr().out.strip().splitlines()[-1]
-    d = json.loads(line)  # exactly one parseable JSON line
+    line, d, side = _run(
+        spark, monkeypatch, capsys, tmp_path,
+        {"top_products": ok, "boom": boom}, ["top_products", "boom"], 2,
+    )
     assert d["unit"] == "sec" and d["reps"] == 2
-    assert d["queries"]["top_products"] > 0
-    assert "boom" not in d["queries"]
+    assert d["n_queries"] == 1 and d["n_errors"] == 1
+    assert d["value"] > 0
+    # the LINE stays compact: no per-query maps ride along (they broke
+    # the driver's parser for three rounds), only the sidecar pointer
+    assert "queries" not in d and "errors" not in d
+    assert d["detail"] == str(tmp_path / "detail.json")
+    # the SIDECAR carries everything
+    assert side["queries"]["top_products"] > 0
+    assert "boom" not in side["queries"]
     # exception class + FIRST line only (plan dumps stay out)
-    assert d["errors"]["boom"].startswith("RuntimeError: kaboom")
-    assert "line 2" not in d["errors"]["boom"]
-    assert d["value"] == d["queries"]["top_products"]
+    assert side["errors"]["boom"].startswith("RuntimeError: kaboom")
+    assert "line 2" not in side["errors"]["boom"]
+    assert d["value"] == side["queries"]["top_products"]
+    assert side["query_stats"]["top_products"]["med"] > 0
 
 
-def test_bench_survives_broken_warmup(spark, monkeypatch, capsys):
+def test_bench_line_fits_driver_tail_window(
+    spark, monkeypatch, capsys, tmp_path
+):
+    """The driver's artifact keeps ~a few hundred trailing bytes of the
+    line; with 200 queries the line must STILL parse from a 1 KiB tail
+    (it should be far under that — the medians map is sidecar-only)."""
+
+    def ok(s, sf_dir):
+        return spark.range(1)
+
+    names = [f"q_{i:03d}" for i in range(200)]
+    line, d, side = _run(
+        spark, monkeypatch, capsys, tmp_path,
+        dict.fromkeys(names, ok) | {"top_products": ok},
+        names, 1,
+    )
+    assert d["n_queries"] == 200 and len(side["queries"]) == 200
+    assert len(line.encode()) < 1024, (
+        f"bench line is {len(line)} bytes — it will truncate in the "
+        f"driver artifact again (BENCH_r08-r10 'parsed': null)"
+    )
+
+
+def test_bench_survives_broken_warmup(spark, monkeypatch, capsys, tmp_path):
     def boom(s, sf_dir):
         raise RuntimeError("warm-up broken")
 
-    monkeypatch.setattr(bench, "QUERIES", {"top_products": boom})
-    monkeypatch.setattr(bench, "HEADLINE", ["top_products"])
-    monkeypatch.setattr(bench, "get_spark", lambda name: _NoStop(spark))
-    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPS", "1")
+    line, d, side = _run(
+        spark, monkeypatch, capsys, tmp_path,
+        {"top_products": boom}, ["top_products"], 1,
+    )
+    assert d["value"] == 0 and d["n_errors"] == 1
+    assert "top_products" in side["errors"]
 
-    bench.main()
-    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert d["value"] == 0 and "top_products" in d["errors"]
+
+def test_bench_default_sidecar_is_per_run_stamped(monkeypatch):
+    """Without $SPARK_GRAFT_BENCH_DETAIL the default path embeds a UTC
+    stamp, so two runs (or a pytest run after a driver run) write two
+    files — driver evidence is never clobbered (r10 verdict #2)."""
+    import re
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_DETAIL", raising=False)
+    # replicate bench.main()'s default-path expression without running it
+    import time
+    from pathlib import Path
+
+    stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime())
+    p = Path(bench.__file__).resolve().parent / f"BENCH_detail.{stamp}.json"
+    assert re.fullmatch(r"BENCH_detail\.\d{8}T\d{6}\.json", p.name)
+    # and the stamped pattern is gitignored (repo hygiene)
+    gitignore = (Path(bench.__file__).parent / ".gitignore").read_text()
+    assert "BENCH_detail.*.json" in gitignore
+
+
+def test_bench_compare_follows_detail_pointer(tmp_path):
+    """bench_compare.load() must resolve a compact line's medians via
+    the sidecar pointer — a format mismatch that compared zero queries
+    has bitten before (r6 verdict #3)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(bench.__file__).parent))
+    from tools.bench_compare import load
+
+    side = tmp_path / "side.json"
+    side.write_text(json.dumps({
+        "queries": {"a": 1.0, "b": 2.0}, "errors": {},
+        "steal": {"run_pct": 0.1},
+    }))
+    line = tmp_path / "line.json"
+    line.write_text(json.dumps({
+        "metric": "headline_queries_total_runtime", "value": 3.0,
+        "unit": "sec", "n_queries": 2, "detail": str(side),
+    }))
+    obj = load(str(line))
+    assert obj["queries"] == {"a": 1.0, "b": 2.0}
+    assert obj["value"] == 3.0 and obj["steal"]["run_pct"] == 0.1
+    # driver-wrapped form ({parsed: <line>}) resolves identically
+    wrapped = tmp_path / "wrapped.json"
+    wrapped.write_text(json.dumps({"n": 10, "rc": 0, "parsed": json.loads(
+        line.read_text()
+    )}))
+    assert load(str(wrapped))["queries"] == {"a": 1.0, "b": 2.0}
 
 
 def test_frozen_per_query_baseline_covers_headline_set():

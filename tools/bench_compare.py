@@ -27,6 +27,21 @@ def load(path: str) -> dict:
     # exited 0)
     if "queries" not in obj and isinstance(obj.get("parsed"), dict):
         obj = obj["parsed"]
+    # r11 compact line: the medians map lives in the sidecar the
+    # "detail" field points at — follow the pointer (tolerating a moved
+    # repo by also trying the basename beside this checkout's bench.py)
+    if "queries" not in obj and obj.get("detail"):
+        detail = Path(obj["detail"])
+        if not detail.exists():
+            local = Path(__file__).resolve().parent.parent / detail.name
+            detail = local if local.exists() else detail
+        try:
+            side = json.loads(detail.read_text())
+            obj = {**obj, **{k: side[k] for k in
+                             ("queries", "errors", "steal") if k in side}}
+        except (OSError, json.JSONDecodeError) as e:
+            print(f"WARNING: could not read bench detail sidecar "
+                  f"{obj['detail']}: {e}")
     return obj
 
 
