@@ -160,36 +160,68 @@ def append_dedup_state(
     stream≡batch test. localCheckpoint is batch-sized transient state;
     on a real cluster a lost executor fails the micro-batch and the
     replay contract re-runs it."""
+    from lakehouse_adventureworks2022_spark.operators import bloom as bloom_mod
     from lakehouse_adventureworks2022_spark.operators import dedup
 
     new_hashes, new_sigs = dedup.dedup_state(accepted, text_col)
     new_hashes = new_hashes.localCheckpoint(eager=True)
     new_sigs = new_sigs.localCheckpoint(eager=True)
+    # the bloom absorbs BEFORE the state-table appends: a crash between
+    # the two leaves the bloom a SUPERSET of state (harmless — a few
+    # extra exact confirms) instead of a subset, which would break the
+    # no-false-negative invariant unrecoverably (the replayed batch
+    # recomputes `accepted` as empty against the grown state, so the
+    # missing hashes would never be absorbed and every future gated
+    # ingest silently admits their duplicates).
+    bloom_mod.absorb_batch(state_dir, new_hashes, "content_hash")
     new_hashes.write.mode("append").parquet(f"{state_dir}/hashes")
     new_sigs.write.mode("append").parquet(f"{state_dir}/sigs")
-    # keep the optional bloom gate's no-false-negative invariant: if a
-    # state bloom exists it must cover every hash the state table holds
-    from lakehouse_adventureworks2022_spark.operators import bloom as bloom_mod
 
-    bloom_mod.absorb_batch(state_dir, new_hashes, "content_hash")
+
+#: sizing floor for the state bloom: an empty/tiny initial state must
+#: not produce a toy bitmap that saturates after the first real batch
+#: (absorb never resizes — only a rebuild does). 2^20 items at 1% fpr
+#: is a ~1.2 MB bitmap: trivial to broadcast, survives a million
+#: ingested docs before the fpr monitor asks for a rebuild.
+BLOOM_MIN_ITEMS = 1 << 20
+
+#: rebuild trigger: when the live bloom's estimated fpr exceeds the
+#: sizing target by this factor, ``ensure_dedup_bloom`` re-sizes from
+#: the (grown) hash table instead of returning the saturated bitmap —
+#: the same degraded-but-correct → re-train posture as the IVF
+#: index-health monitor.
+BLOOM_REBUILD_FPR_FACTOR = 4.0
 
 
 def ensure_dedup_bloom(
-    spark, state_dir: str, fpr: float = 0.01, growth_headroom: int = 4
+    spark,
+    state_dir: str,
+    fpr: float = 0.01,
+    growth_headroom: int = 4,
+    min_items: int = BLOOM_MIN_ITEMS,
 ) -> "object":
     """Build (once) and return the persisted bloom gate for a dedup
-    state dir. Sized from the CURRENT hash count × ``growth_headroom``
-    so OR-appended ingest batches don't saturate it immediately; the
-    count job runs only on the build path (amortized, like index
-    training). Returns the loaded :class:`~operators.bloom.BloomFilter`.
+    state dir. Sized from ``max(current hash count × growth_headroom,
+    min_items)`` — the floor keeps a gate seeded from an empty or tiny
+    state from degrading to everything-maybe-dup after one real batch
+    (correct but useless; ``absorb_batch`` ORs in place and never
+    resizes). When the loaded bloom's :func:`~operators.bloom.
+    estimated_fpr` exceeds ``fpr × BLOOM_REBUILD_FPR_FACTOR`` it is
+    rebuilt from the grown hash table with fresh sizing (count job runs
+    only on build/rebuild paths — amortized, like index training).
+    Returns the loaded :class:`~operators.bloom.BloomFilter`.
     """
     from lakehouse_adventureworks2022_spark.operators import bloom as bloom_mod
 
     bf = bloom_mod.load_bloom(state_dir)
+    if bf is not None and bloom_mod.estimated_fpr(bf) > (
+        fpr * BLOOM_REBUILD_FPR_FACTOR
+    ):
+        bf = None  # saturated: fall through to a fresh-sized rebuild
     if bf is None:
         hashes = spark.read.parquet(f"{state_dir}/hashes")
         n_bits, n_hashes = bloom_mod.bloom_params(
-            hashes.count() * growth_headroom, fpr
+            max(hashes.count() * growth_headroom, min_items), fpr
         )
         bf = bloom_mod.bloom_build(hashes, "content_hash", n_bits, n_hashes)
         bloom_mod.save_bloom(state_dir, bf)

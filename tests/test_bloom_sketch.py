@@ -239,6 +239,94 @@ def test_content_hash_matches_python_md5(spark):
     assert len(row[0]) == 32
 
 
+def test_bloom_absorbs_before_state_append(spark, tmp_path, monkeypatch):
+    """Crash-ordering invariant (r10 ADVICE, medium): if the state-table
+    append fails AFTER the bloom absorb, the bloom is a SUPERSET of
+    state (harmless — extra exact confirms). The reverse order would
+    leave a subset, permanently breaking no-false-negatives: the
+    replayed batch recomputes `accepted` empty against the grown state,
+    so the missing hashes would never be absorbed."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from lakehouse_adventureworks2022_spark.streaming.corpus import (
+        append_dedup_state,
+    )
+
+    state, hashes, sigs, batch = _state(spark, tmp_path)
+    ensure_dedup_bloom(spark, state)  # gate present
+    before_hashes = spark.read.parquet(f"{state}/hashes").count()
+
+    real_parquet = DataFrameWriter.parquet
+
+    def crash(self, path, *a, **kw):
+        if path.startswith(state):
+            raise OSError("simulated crash during state append")
+        return real_parquet(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crash)
+    with pytest.raises(OSError, match="simulated crash"):
+        append_dedup_state(batch, state)
+    monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+
+    # state table unchanged, but the bloom already covers the batch —
+    # superset, so the invariant (bloom ⊇ state hashes) still holds and
+    # the eventual replay only costs extra confirms
+    assert spark.read.parquet(f"{state}/hashes").count() == before_hashes
+    bf = B.load_bloom(state)
+    batch_hashes = batch.select(
+        content_hash_col("text").alias("content_hash")
+    )
+    n_batch = batch_hashes.count()
+    hits = (
+        B.contains_col(batch_hashes, "content_hash", bf, "hit")
+        .agg(F.sum(F.col("hit").cast("int")))
+        .head()[0]
+    )
+    assert hits == n_batch
+
+
+def test_ensure_bloom_sizing_floor(spark, tmp_path):
+    """A bloom seeded from a tiny state must still be sized for real
+    ingest (r10 ADVICE: count×headroom over an almost-empty table gave
+    a toy bitmap that saturated after one batch and never resized)."""
+    from lakehouse_adventureworks2022_spark.streaming.corpus import (
+        BLOOM_MIN_ITEMS,
+    )
+
+    state = str(tmp_path / "tinystate")
+    tiny = spark.createDataFrame(
+        [(1, "only doc in history")], "doc_id long, text string"
+    )
+    init_dedup_state(tiny, state)
+    bf = ensure_dedup_bloom(spark, state)
+    floor_bits, _ = B.bloom_params(BLOOM_MIN_ITEMS, fpr=0.01)
+    assert bf.n_bits >= floor_bits
+    assert B.estimated_fpr(bf) < 1e-6  # nowhere near saturation
+
+
+def test_ensure_bloom_rebuilds_when_saturated(spark, tmp_path):
+    """A saturated persisted bloom (fpr > 4× target) must be re-sized
+    from the grown hash table instead of returned as-is — the
+    degraded-but-correct → re-train posture."""
+    state, hashes, sigs, _ = _state(spark, tmp_path)
+    toy = B.bloom_build(hashes, "content_hash", 64, 1)
+    B.save_bloom(state, toy)
+    assert B.estimated_fpr(toy) > 0.04  # 4× the 1% target
+    bf = ensure_dedup_bloom(spark, state)
+    assert bf.n_bits > toy.n_bits
+    assert B.estimated_fpr(bf) < 0.04
+    assert B.load_bloom(state) == bf  # rebuild persisted
+    # and every historical hash still answers maybe (no false negatives
+    # across the rebuild)
+    n_hist = hashes.count()
+    hits = (
+        B.contains_col(hashes, "content_hash", bf, "hit")
+        .agg(F.sum(F.col("hit").cast("int")))
+        .head()[0]
+    )
+    assert hits == n_hist
+
+
 # ---- property tests (hypothesis) --------------------------------------
 
 from hypothesis import HealthCheck, given, settings
