@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_adventureworks2022_spark.operators.textops import WS_PLUS
+
 
 def word_ngrams(
     df: DataFrame,
@@ -58,7 +60,7 @@ def word_ngrams(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     words = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        F.split(F.lower(F.trim(F.col(text_col))), WS_PLUS),
         lambda t: F.length(t) > 0,
     )
     starts = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))

@@ -42,7 +42,10 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lakehouse_adventureworks2022_spark.operators.textops import tokens_col
+from lakehouse_adventureworks2022_spark.operators.textops import (
+    WS_PLUS,
+    tokens_col,
+)
 
 if TYPE_CHECKING:  # runtime import stays inside incremental_dedup
     from lakehouse_adventureworks2022_spark.operators.bloom import BloomFilter
@@ -139,7 +142,7 @@ def shingles_df(
 def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup by content hash: one keeper (min doc_id) per distinct
     normalized text; dup_count tells how many copies existed."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_PLUS, " ")
     return (
         df.select("doc_id", F.md5(norm).alias("content_hash"))
         .groupBy("content_hash")
@@ -666,7 +669,7 @@ def content_hash_col(text_col: str = "text"):
     """The engine-wide exact-dup content hash (same normalization as
     :func:`dedup_exact`)."""
     return F.md5(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_PLUS, " ")
     )
 
 

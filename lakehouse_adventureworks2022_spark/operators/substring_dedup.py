@@ -67,6 +67,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_adventureworks2022_spark.operators.textops import WS_PLUS
+
 #: Unit-separator joint for window fingerprints — cannot appear inside a
 #: whitespace-split token, so distinct token runs never concatenate to
 #: equal strings.
@@ -77,7 +79,7 @@ def _with_tokens(df: DataFrame, text_col: str) -> DataFrame:
     """Original-case tokens (positions are indexes into this array) and
     their lowercased twins (the fingerprint alphabet)."""
     raw = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+        F.split(F.trim(F.col(text_col)), WS_PLUS), lambda t: F.length(t) > 0
     )
     return df.withColumn("__toks__", raw).withColumn(
         "__norm__", F.transform(F.col("__toks__"), F.lower)

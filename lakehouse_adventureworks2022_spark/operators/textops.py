@@ -8,13 +8,23 @@ codegen and scales linearly with executors over a 100 TB corpus: these are
 embarrassingly parallel per-row projections with no shuffle at all.
 
 Tokenization contract (shared with the DuckDB oracles): lowercase, trim,
-split on ``\\s+``. Keep this in sync with ``plans/text_queries.py``.
+split on :data:`WS_PLUS`. Keep this in sync with
+``plans/text_queries.py`` (the twins interpolate the same constant).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Explicit whitespace class for EVERY oracle-shared regex (the DuckDB
+#: twins interpolate this same constant): Java's ``\s`` includes
+#: ``\x0b`` (vertical tab), RE2's does not, so a bare ``\s`` on either
+#: side silently diverges the engines on \x0b input. The class is the
+#: RE2-visible set — a vertical tab is an ordinary token character in
+#: BOTH engines. Never use ``\s`` in a regex an oracle shares.
+WS_CLASS = r"[ \t\n\r\f]"
+WS_PLUS = WS_CLASS + "+"
 
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic. Deliberately small + deterministic (an oracle-checkable
@@ -42,7 +52,7 @@ QUALITY_MAX_PUNCT_RATIO = 0.2
 def tokens_col(text: Column) -> Column:
     """Whitespace tokenization of lowercased text (the engine's shared
     tokenizer contract)."""
-    return F.split(F.trim(F.lower(text)), r"\s+")
+    return F.split(F.trim(F.lower(text)), WS_PLUS)
 
 
 def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
@@ -115,7 +125,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized text (exact
     content identity) + min-shingle fingerprint (minhash with k=1 over
     3-token shingles — stable under local edits)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_PLUS, " ")
     out = df.withColumn("__toks__", tokens_col(F.col(text_col)))
     # i ranges 0..L-3 (guarded: sequence(0, negative) would DESCEND)
     shingles = F.expr(
@@ -137,7 +147,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 #: BPE-ish pre-tokenizer: letter runs, single digits, single
 #: non-alphanumeric marks (the GPT-2-style split shape, ASCII classes
 #: only so Java and RE2 regex engines agree byte-for-byte).
-BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f]"
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -344,7 +354,7 @@ def ngram_repetition_stats(
         "doc_id",
         F.col(text_col).alias("__text__"),
         toks.alias("__toks__"),
-        F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).cast(
+        F.length(F.regexp_replace(F.col(text_col), WS_PLUS, "")).cast(
             "double"
         ).alias("__chars__"),
     )
@@ -366,7 +376,7 @@ def ngram_repetition_stats(
                 F.count(F.lit(1)).alias("c"),
             )
         )
-        glen = F.length(F.regexp_replace(F.col("gram"), r"\s+", ""))
+        glen = F.length(F.regexp_replace(F.col("gram"), WS_PLUS, ""))
         per_doc = counts.groupBy("doc_id").agg(
             F.least(
                 F.lit(1.0),
@@ -547,7 +557,7 @@ def normalize_text(
     cur = F.translate(F.col(text_col), NORMALIZE_FROM, NORMALIZE_TO)
     cur = F.regexp_replace(cur, _CONTROL_CLASS, " ")
     cur = F.lower(cur)
-    cur = F.trim(F.regexp_replace(cur, r"\s+", " "))
+    cur = F.trim(F.regexp_replace(cur, WS_PLUS, " "))
     keep = [c for c in df.columns if c != target]
     return df.select(*keep, cur.alias(target))
 
@@ -607,6 +617,136 @@ def filter_blocked_domains(
         .distinct()
     )
     return df.join(F.broadcast(offenders), id_col, "left_anti")
+
+
+# ---- URL canonicalization (r11) ---------------------------------------
+
+#: scheme capture (group 1) — generic RFC-3986 scheme chars, anchored.
+URL_SCHEME_PATTERN = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+#: host[:port] capture (group 1): everything between :// and the first
+#: path/query/fragment delimiter.
+URL_HOSTPORT_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+#: path+query capture (group 1): everything after the authority, up to
+#: (and excluding) any fragment.
+URL_REST_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+
+#: tracking query parameters stripped by :func:`canonicalize_url_col`,
+#: matched as a WHOLE param (name before ``=``, anchored both ends).
+#: The standard crawl-hygiene list: analytics campaign tags and click
+#: identifiers that vary per visit without changing the resource.
+#: Java∩RE2 subset (alternation + anchors, no lookaround) — the DuckDB
+#: twin interpolates this same constant.
+TRACKING_PARAM_PATTERN = (
+    r"^(utm_[a-zA-Z0-9_]*|gclid|dclid|fbclid|msclkid|igshid|twclid|"
+    r"mc_eid|mc_cid|yclid|_ga|_gl|ref|ref_src|ref_url|spm)(=.*)?$"
+)
+
+
+def canonicalize_url_col(url: Column) -> Column:
+    """Canonical form of a URL column — the crawl-dedup key that runs
+    BEFORE fetch/extract in a web pipeline (two raw URLs with the same
+    canonical form are the same resource; fetching both wastes the
+    crawl budget and plants exact dups downstream).
+
+    Contract (each step a pure Catalyst expression, zero UDF):
+
+    1. surrounding whitespace stripped (explicit class — never ``\\s``);
+    2. fragment (``#...``) dropped — fragments are client-side only;
+    3. scheme and host lowercased (path/query case is significant per
+       RFC 3986 and preserved);
+    4. default ports stripped (``http://h:80`` ≡ ``http://h``,
+       ``https://h:443`` ≡ ``https://h``);
+    5. tracking params (:data:`TRACKING_PARAM_PATTERN`) and empty
+       params dropped; survivors sorted bytewise so param order can't
+       split a group;
+    6. empty path → ``/`` (``http://h`` ≡ ``http://h/``).
+
+    Non-URLs (no ``scheme://``) come back NULL — the caller decides
+    whether that row is droppable or an upstream bug. Percent-encoding
+    and dot-segment resolution are deliberately out of scope (both
+    need a spec-complete parser; this is the high-throughput regex
+    tier, same posture as :func:`extract_html_text`)."""
+    u = F.regexp_replace(url, f"^{WS_CLASS}+|{WS_CLASS}+$", "")
+    u = F.regexp_replace(u, r"#.*", "")
+    scheme = F.lower(F.regexp_extract(u, URL_SCHEME_PATTERN, 1))
+    hostport = F.lower(F.regexp_extract(u, URL_HOSTPORT_PATTERN, 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    rest = F.regexp_extract(u, URL_REST_PATTERN, 1)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (F.length(p) > 0)
+            & ~p.rlike(TRACKING_PARAM_PATTERN),
+        )
+    )
+    qs = F.concat_ws("&", kept)
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.length(qs) > 0, F.concat(F.lit("?"), qs)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(scheme != "", canon)
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_canonical"
+) -> DataFrame:
+    """Append the canonical-URL column (:func:`canonicalize_url_col`).
+    Zero shuffle — one codegen projection, pipelined into whatever
+    dedup or census stage consumes it."""
+    return df.withColumn(out_col, canonicalize_url_col(F.col(url_col)))
+
+
+def url_census(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-exact dedup census: one row per canonical URL with
+    ``keeper_doc_id`` (the deterministic survivor — min id),
+    ``n_docs`` (rows collapsing onto this resource) and ``n_variants``
+    (distinct raw spellings observed) — the URL-level companion of
+    ``dedup.dedup_exact``, run before fetch/extract so the crawl never
+    pays for the same resource twice. One uniform-key aggregation on
+    the canonical string; non-URL rows (NULL canonical) are excluded.
+    """
+    canon = canonicalize_urls(df, url_col).filter(
+        F.col("url_canonical").isNotNull()
+    )
+    return canon.groupBy("url_canonical").agg(
+        F.min(id_col).alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col(url_col)).alias("n_variants"),
+    )
+
+
+def dedup_urls(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row per canonical URL (min ``id_col`` — same
+    deterministic-keeper rule as ``dedup.dedup_exact``); rows whose
+    ``url_col`` is not a URL pass through untouched (content dedup
+    downstream still covers them). Shape: one groupBy on the canonical
+    string + a semi join back on the id — no row ever carries its
+    payload through the shuffle, only (canonical, id)."""
+    canon = canonicalize_urls(df, url_col)
+    keepers = (
+        canon.filter(F.col("url_canonical").isNotNull())
+        .groupBy("url_canonical")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    non_urls = canon.filter(F.col("url_canonical").isNull()).select(id_col)
+    return df.join(keepers.unionByName(non_urls), id_col, "left_semi")
 
 
 # ---- HTML -> training text extraction (r10) ---------------------------

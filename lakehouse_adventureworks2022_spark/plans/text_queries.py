@@ -4,7 +4,8 @@
 
 The oracles re-implement each operator in DuckDB SQL using the SHARED
 portability contracts:
-- tokenizer: lower → trim → split ``\\s+``;
+- tokenizer: lower → trim → split on ``textops.WS_CLASS``+ (never
+  ``\\s`` — Java and RE2 disagree on ``\\x0b``);
 - hashes: md5 hex strings (string min is byte-wise in both engines);
 - ratios/cosines: int/int or sequential-double divisions — bit-identical
   (verified empirically), so raw doubles are compared unrounded.
@@ -421,14 +422,14 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: DuckDB twin of the Catalyst chunker: same tokens (split of trimmed
-#: lowered text on \s+), inclusive start sequence with stride
+#: lowered text on the shared WS class), inclusive start sequence with stride
 #: chunk−overlap (Spark ``sequence`` ⇒ ``range`` with +1 upper bound),
 #: zip-unnest for (chunk_id, start), 1-based inclusive list slice.
 ORACLE_CHUNK_DOCUMENTS = r"""
     WITH tt AS (
       SELECT doc_id,
-             regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
-             len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f]+') AS toks,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f]+'),
                              x -> x <> '')) AS n
       FROM documents
     ),
@@ -466,7 +467,12 @@ def q_ann_cosine_ivf_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- oracles ---------------------------------------------------------
 
-_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+# the shared whitespace class (textops.WS_CLASS): Java \s includes
+# \x0b, RE2 \s does not — every twin regex interpolates the explicit
+# class so the engines can never diverge on vertical-tab input
+_WS = textops.WS_CLASS
+
+_TOKS = f"regexp_split_to_array(trim(lower(text)), '{_WS}+')"
 
 _STOP_ALL = ", ".join(f"'{w}'" for w in textops.STOPWORDS_ALL)
 
@@ -536,7 +542,7 @@ ORACLE_FINGERPRINT = f"""
     WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
     s AS (SELECT doc_id, text, {_SHINGLES} AS shingles FROM t)
     SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+           md5(regexp_replace(trim(lower(text)), '{_WS}+', ' ', 'g')) AS content_hash,
            list_min(list_transform(shingles, s -> md5(s))) AS min_shingle_hash
     FROM s
 """
@@ -547,7 +553,7 @@ ORACLE_FINGERPRINT = f"""
 ORACLE_CORPUS_VOCABULARY = r"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f]+'),
                                 t -> len(t) > 0)) AS term
       FROM documents
     ), per_doc AS (
@@ -559,8 +565,8 @@ ORACLE_CORPUS_VOCABULARY = r"""
     ORDER BY term_freq DESC, term ASC LIMIT 1000
 """
 
-ORACLE_DEDUP_EXACT = """
-    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+ORACLE_DEDUP_EXACT = f"""
+    SELECT md5(regexp_replace(trim(lower(text)), '{_WS}+', ' ', 'g')) AS content_hash,
            MIN(doc_id) AS keeper_doc_id,
            COUNT(*) AS dup_count
     FROM documents
@@ -721,7 +727,7 @@ ORACLE_CLEAN_CORPUS = f"""
     keep AS (
       SELECT MIN(doc_id) AS doc_id
       FROM (SELECT doc_id,
-                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+                   md5(regexp_replace(trim(lower(text)), '{_WS}+', ' ', 'g')) AS h
             FROM q)
       GROUP BY h
     ),
@@ -1434,8 +1440,8 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_NGRAM_REPETITION = r"""
 WITH base AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
-         CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS chars
+         regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f]+') AS toks,
+         CAST(len(regexp_replace(text, '[ \t\n\r\f]+', '', 'g')) AS DOUBLE) AS chars
   FROM documents
 ),
 g2 AS (
@@ -1449,8 +1455,8 @@ c2 AS (
 ),
 d2 AS (
   SELECT doc_id,
-         least(1.0, SUM((c - 1) * len(regexp_replace(gram, '\s+', '', 'g'))) / first(chars)) AS dup_2gram_frac,
-         least(1.0, MAX(c * len(regexp_replace(gram, '\s+', '', 'g'))) / first(chars)) AS top_2gram_frac
+         least(1.0, SUM((c - 1) * len(regexp_replace(gram, '[ \t\n\r\f]+', '', 'g'))) / first(chars)) AS dup_2gram_frac,
+         least(1.0, MAX(c * len(regexp_replace(gram, '[ \t\n\r\f]+', '', 'g'))) / first(chars)) AS top_2gram_frac
   FROM c2 GROUP BY doc_id
 ),
 g3 AS (
@@ -1464,8 +1470,8 @@ c3 AS (
 ),
 d3 AS (
   SELECT doc_id,
-         least(1.0, SUM((c - 1) * len(regexp_replace(gram, '\s+', '', 'g'))) / first(chars)) AS dup_3gram_frac,
-         least(1.0, MAX(c * len(regexp_replace(gram, '\s+', '', 'g'))) / first(chars)) AS top_3gram_frac
+         least(1.0, SUM((c - 1) * len(regexp_replace(gram, '[ \t\n\r\f]+', '', 'g'))) / first(chars)) AS dup_3gram_frac,
+         least(1.0, MAX(c * len(regexp_replace(gram, '[ \t\n\r\f]+', '', 'g'))) / first(chars)) AS top_3gram_frac
   FROM c3 GROUP BY doc_id
 ),
 g4 AS (
@@ -1479,8 +1485,8 @@ c4 AS (
 ),
 d4 AS (
   SELECT doc_id,
-         least(1.0, SUM((c - 1) * len(regexp_replace(gram, '\s+', '', 'g'))) / first(chars)) AS dup_4gram_frac,
-         least(1.0, MAX(c * len(regexp_replace(gram, '\s+', '', 'g'))) / first(chars)) AS top_4gram_frac
+         least(1.0, SUM((c - 1) * len(regexp_replace(gram, '[ \t\n\r\f]+', '', 'g'))) / first(chars)) AS dup_4gram_frac,
+         least(1.0, MAX(c * len(regexp_replace(gram, '[ \t\n\r\f]+', '', 'g'))) / first(chars)) AS top_4gram_frac
   FROM c4 GROUP BY doc_id
 )
 SELECT d.doc_id,
@@ -1556,7 +1562,7 @@ ORACLE_EVENT_ANOMALIES = """
 ORACLE_CORPUS_DRIFT = r"""
     WITH tok AS (
       SELECT doc_id, source,
-             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+             CAST(len(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f]+'))
                   AS DOUBLE) AS n
       FROM documents
     ),
@@ -1606,7 +1612,7 @@ ORACLE_DOC_PERPLEXITY = r"""
     WITH toks AS (
       SELECT doc_id,
              ['<s>'] || list_filter(
-               regexp_split_to_array(trim(lower(text)), '\s+'),
+               regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f]+'),
                x -> x <> '') || ['</s>'] AS t
       FROM documents
     ),
@@ -1695,7 +1701,7 @@ ORACLE_EMBEDDING_DRIFT = r"""
 ORACLE_REMOVE_REPEATED_SPANS = r"""
     WITH base AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(trim(text), '\s+'),
+             list_filter(regexp_split_to_array(trim(text), '[ \t\n\r\f]+'),
                          x -> x <> '') AS toks
       FROM documents
     ),
@@ -1892,7 +1898,7 @@ def _build_oracle_normalize_text() -> str:
              lower(regexp_replace(
                translate(t0, '{frm}', '{to}'),
                '{_CONTROL_CLASS}', ' ', 'g')),
-             '\\s+', ' ', 'g')) AS text
+             '{_WS}+', ' ', 'g')) AS text
     FROM planted
 """
 
@@ -2111,7 +2117,7 @@ def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVAL_DECONTAMINATION = r"""
     WITH tok AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f]+'),
                          t -> len(t) > 0) AS w
       FROM documents
     ),
@@ -2145,7 +2151,7 @@ def q_eval_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col("text"))), textops.WS_PLUS)
     evalset = docs.filter(F.col("doc_id") % 50 == 0).select(
         "doc_id",
         F.concat(
@@ -2169,7 +2175,7 @@ ORACLE_EVAL_DECONTAMINATION_FUZZY = f"""
       SELECT doc_id,
              regexp_split_to_array(
                array_to_string(({_TOKS})[3:], ' ')
-                 || ' held out benchmark answer key', '\\s+') AS toks
+                 || ' held out benchmark answer key', '{_WS}+') AS toks
       FROM documents WHERE doc_id % 50 = 0
     ),
     tsh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tr),
@@ -2334,7 +2340,7 @@ def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOCS_DSIR_WEIGHTS = r"""
     WITH tok AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f]+'),
                          t -> len(t) > 0) AS w
       FROM documents
     ),
@@ -2405,7 +2411,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SOURCE_OVERLAP = r"""
     WITH tok AS (
       SELECT source,
-             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f]+'),
                          t -> len(t) > 0) AS w
       FROM documents
     ),
@@ -2518,6 +2524,162 @@ def _build_oracle_html_extract() -> str:
 ORACLE_HTML_EXTRACT = _build_oracle_html_extract()
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-exact dedup census (r11): messy crawl
+    URLs are planted IN-PLAN (scheme/host case variance, default :80
+    ports, tracking params, shuffled query order, fragments — the
+    fixture text has none), canonicalized
+    (``textops.canonicalize_url_col``) and collapsed one row per
+    canonical resource with keeper/doc/variant counts
+    (``textops.url_census``) — the crawl-budget primitive that runs
+    BEFORE fetch/extract in a web pipeline. Exact: every
+    canonicalization step is a Java∩RE2 regex or an order-stable array
+    op, and the DuckDB twin is GENERATED from the same constants. One
+    zero-shuffle projection + one uniform-key aggregation."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        url_census,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            # scheme case variance
+            F.when(did % 4 == 1, F.lit("HTTP://"))
+            .when(did % 4 == 3, F.lit("Http://"))
+            .otherwise(F.lit("http://")),
+            # host case variance × 13 resource hosts
+            F.when(did % 3 == 0, F.lit("Example"))
+            .when(did % 3 == 1, F.lit("example"))
+            .otherwise(F.lit("EXAMPLE")),
+            (did % 13).cast("string"),
+            F.lit(".org"),
+            # explicit default port on some spellings
+            F.when(did % 4 == 2, F.lit(":80")).otherwise(F.lit("")),
+            # 7 paths (case-significant, preserved)
+            F.lit("/P/"),
+            (did % 7).cast("string"),
+            # same two params, order shuffled / tracking noise injected
+            F.when(did % 2 == 0, F.lit("?b=2&a=1")).otherwise(
+                F.concat(
+                    F.lit("?a=1&utm_source=x"),
+                    (did % 5).cast("string"),
+                    F.lit("&b=2"),
+                )
+            ),
+            # client-side fragments on some spellings
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit("#sec"), (did % 3).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_census(planted)
+
+
+#: the planted-URL expression above, as DuckDB SQL (same CASE structure
+#: so the twin plants byte-identical raw URLs)
+_URL_PLANT_SQL = """
+      CASE doc_id % 4 WHEN 1 THEN 'HTTP://' WHEN 3 THEN 'Http://'
+           ELSE 'http://' END
+      || CASE doc_id % 3 WHEN 0 THEN 'Example' WHEN 1 THEN 'example'
+              ELSE 'EXAMPLE' END
+      || CAST(doc_id % 13 AS VARCHAR) || '.org'
+      || CASE WHEN doc_id % 4 = 2 THEN ':80' ELSE '' END
+      || '/P/' || CAST(doc_id % 7 AS VARCHAR)
+      || CASE doc_id % 2 WHEN 0 THEN '?b=2&a=1'
+              ELSE '?a=1&utm_source=x' || CAST(doc_id % 5 AS VARCHAR)
+                   || '&b=2' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END
+"""
+
+
+def build_url_canon_sql(source_sql: str) -> str:
+    """Per-row canonicalization twin GENERATED step for step from the
+    operator's constants (``URL_SCHEME_PATTERN`` /
+    ``URL_HOSTPORT_PATTERN`` / ``URL_REST_PATTERN`` /
+    ``TRACKING_PARAM_PATTERN`` / ``WS_CLASS``) — edit the constants and
+    the twin follows (the ORACLE_HTML_EXTRACT convention). Every
+    pattern is Java∩RE2 by the operator's contract; list_sort /
+    array_sort agree bytewise on ASCII query params. ``source_sql``
+    must yield ``(doc_id, url)``; the result adds ``url_canonical``
+    (NULL for non-URLs, matching the Spark column)."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        TRACKING_PARAM_PATTERN,
+        URL_HOSTPORT_PATTERN,
+        URL_REST_PATTERN,
+        URL_SCHEME_PATTERN,
+        WS_CLASS,
+    )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    trk = lit(TRACKING_PARAM_PATTERN)
+    return f"""
+    WITH __src AS ({source_sql}),
+    __clean AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(url, {lit("^" + WS_CLASS + "+|" + WS_CLASS + "+$")}, '', 'g'),
+               '#.*', '') AS u
+      FROM __src
+    ),
+    __parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(u, {lit(URL_SCHEME_PATTERN)}, 1)) AS scheme,
+             lower(regexp_extract(u, {lit(URL_HOSTPORT_PATTERN)}, 1)) AS hostport,
+             regexp_extract(u, {lit(URL_REST_PATTERN)}, 1) AS rest
+      FROM __clean
+    ),
+    __norm AS (
+      SELECT doc_id, url, scheme,
+             CASE WHEN scheme = 'http'
+                    THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https'
+                    THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END AS host,
+             CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+                  ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+             array_to_string(
+               list_sort(
+                 list_filter(
+                   string_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
+                   p -> len(p) > 0 AND NOT regexp_matches(p, {trk}))),
+               '&') AS qs
+      FROM __parts
+    )
+    SELECT doc_id, url,
+           CASE WHEN scheme <> ''
+                THEN scheme || '://' || host || path
+                     || CASE WHEN len(qs) > 0 THEN '?' || qs ELSE '' END
+           END AS url_canonical
+    FROM __norm
+"""
+
+
+def _build_oracle_url_canonicalize() -> str:
+    """Census wrapper over :func:`build_url_canon_sql` applied to the
+    planted crawl URLs — the swept catalog twin."""
+    canon = build_url_canon_sql(
+        f"SELECT doc_id, {_URL_PLANT_SQL} AS url FROM documents"
+    )
+    return f"""
+    SELECT url_canonical,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT url) AS n_variants
+    FROM ({canon})
+    WHERE url_canonical IS NOT NULL
+    GROUP BY 1
+"""
+
+
+ORACLE_URL_CANONICALIZE = _build_oracle_url_canonicalize()
+
+
 def q_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full raw-crawl pipeline over the adversarially wrapped
     corpus: WET extraction → PII scrub → within-doc de-boilerplate →
@@ -2563,7 +2725,7 @@ def q_corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CORPUS_ZIPF = r"""
     WITH tok AS (
       SELECT unnest(list_filter(
-               regexp_split_to_array(trim(lower(text)), '\s+'),
+               regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f]+'),
                x -> x <> '')) AS term
       FROM documents
     ),
@@ -2598,7 +2760,7 @@ ORACLE_DOC_READABILITY = r"""
     WITH c AS (
       SELECT doc_id,
              CAST(len(list_filter(
-               regexp_split_to_array(trim(lower(text)), '\s+'),
+               regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f]+'),
                x -> x <> '')) AS BIGINT) AS n_words,
              CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
                AS BIGINT) AS n_sentences,

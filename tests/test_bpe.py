@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from lakehouse_adventureworks2022_spark.operators import bpe
+from lakehouse_adventureworks2022_spark.operators.textops import WS_PLUS
 from lakehouse_adventureworks2022_spark.sources.readers import read_table
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -80,7 +81,7 @@ def test_roundtrip_on_fixture_corpus(spark):
             "",
             F.transform(
                 F.filter(
-                    F.split(F.trim(F.lower("text")), r"\s+"),
+                    F.split(F.trim(F.lower("text")), WS_PLUS),
                     lambda t: F.length(t) > 0,
                 ),
                 lambda w: F.concat(w, F.lit(bpe.EOW)),
@@ -96,7 +97,7 @@ def test_trained_vocab_compresses_vs_chars(spark):
     seg = bpe.bpe_segment(docs, merges)
     stats = seg.join(docs.select("doc_id", "text"), "doc_id").select(
         F.sum("n_bpe_tokens").alias("toks"),
-        F.sum(F.length(F.regexp_replace(F.lower("text"), r"\s+", ""))).alias(
+        F.sum(F.length(F.regexp_replace(F.lower("text"), WS_PLUS, ""))).alias(
             "chars"
         ),
     ).collect()[0]
@@ -131,7 +132,7 @@ def test_word_counts_match_duckdb(spark):
     oracle = duckdb.sql(
         f"""
         SELECT word, COUNT(*) AS c
-        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+'))
                   AS word
               FROM '{SF_SMOKE}/documents.parquet')
         WHERE word <> ''

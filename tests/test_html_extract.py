@@ -111,20 +111,13 @@ def test_output_schema(spark, col):
     assert col in QUERIES["html_extract"](spark, SF).columns
 
 
-def test_adversarial_corpus_twin_parity(spark, tmp_path):
-    """Seeded adversarial corpus through the IDENTICAL catalog pipeline
-    in both engines — hunts Java-regex vs RE2 semantic divergences the
-    ASCII fixture can't reach (\\s vs vertical tab, $ before a trailing
-    newline, case-folding in (?i), entity fragments split across
-    replacements, unclosed/nested tag soup)."""
+@pytest.fixture(scope="module")
+def adversarial_sf(spark, tmp_path_factory):
+    """Seeded adversarial documents fixture — hunts Java-regex vs RE2
+    semantic divergences the ASCII fixture can't reach (\\s vs vertical
+    tab, $ before a trailing newline, case-folding in (?i), entity
+    fragments split across replacements, unclosed/nested tag soup)."""
     import random
-
-    from lakehouse_adventureworks2022_spark.plans.catalog import (
-        ORACLES,
-        PYTEST_ORACLES,
-        QUERIES,
-    )
-    from tools.check_oracles import canonical_hash, normalize_pandas
 
     rng = random.Random(20260816)
     atoms = [
@@ -135,30 +128,79 @@ def test_adversarial_corpus_twin_parity(spark, tmp_path):
         "</span>", "<script>", "</script>", "<ScRiPt>bad()</sCrIpT>",
         "<style>s{}</style>", "<!--", "-->", "<!-- c -->", "<",
         ">", "< 3", "a<b", "<notag", "tag>", "'", '"', "$1", "\\n",
-        "1 < 2 && 3 > 2",
+        "1 < 2 && 3 > 2", "one. two! three?", "Stop. the and of",
     ]
     rows = []
     for i in range(200):
         rows.append(
             (i, "adv", "".join(rng.choice(atoms) for _ in range(rng.randint(0, 12))))
         )
-    sf = str(tmp_path)
+    sf = str(tmp_path_factory.mktemp("adv"))
     spark.createDataFrame(
         rows, "doc_id long, source string, text string"
     ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    return sf
 
-    spark_pdf = normalize_pandas(QUERIES["html_extract"](spark, sf).toPandas())
+
+#: every twin that shares the tokenizer / whitespace contract runs over
+#: the adversarial corpus in BOTH engines (r10 ADVICE: the zipf and
+#: readability oracles split with \\s on one side only — this pins the
+#: explicit-class contract for all of them, not just html_extract)
+ADVERSARIAL_TWINS = [
+    "html_extract",
+    "corpus_zipf",
+    "doc_readability",
+    "text_stats",
+    "dedup_exact",
+    "corpus_vocabulary",
+]
+
+
+@pytest.mark.parametrize("query", ADVERSARIAL_TWINS)
+def test_adversarial_corpus_twin_parity(spark, adversarial_sf, query):
+    """The IDENTICAL catalog pipeline over the adversarial corpus in
+    both engines must hash-match — any \\s (or other Java-vs-RE2
+    construct) hiding in a shared regex diverges here."""
+    from lakehouse_adventureworks2022_spark.plans.catalog import (
+        ORACLES,
+        PYTEST_ORACLES,
+        QUERIES,
+    )
+    from tools.check_oracles import canonical_hash, normalize_pandas
+
+    sf = adversarial_sf
+    spark_pdf = normalize_pandas(QUERIES[query](spark, sf).toPandas())
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf}/documents.parquet/*.parquet')"
     )
     duck_pdf = normalize_pandas(
-        con.sql({**PYTEST_ORACLES, **ORACLES}["html_extract"]).df()
+        con.sql({**PYTEST_ORACLES, **ORACLES}[query]).df()
     )
     con.close()
-    assert len(spark_pdf) == 200
+    assert len(spark_pdf) == len(duck_pdf)
     assert canonical_hash(spark_pdf) == canonical_hash(duck_pdf)
+
+
+def test_no_oracle_sql_uses_bare_whitespace_escape():
+    """Drift guard: no catalog oracle may contain a bare ``\\s`` — Java
+    and RE2 disagree on \\x0b, so every shared regex must spell the
+    whitespace class out (textops.WS_CLASS)."""
+    from lakehouse_adventureworks2022_spark.plans.catalog import (
+        ORACLES,
+        PYTEST_ORACLES,
+    )
+
+    offenders = {
+        name
+        for name, sql in {**PYTEST_ORACLES, **ORACLES}.items()
+        if "\\s" in sql
+    }
+    assert not offenders, (
+        f"oracle SQL uses bare \\s (Java-vs-RE2 \\x0b divergence): "
+        f"{sorted(offenders)} — use textops.WS_CLASS"
+    )
 
 
 def test_extract_preserves_other_columns(spark):

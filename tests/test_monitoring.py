@@ -25,7 +25,7 @@ def test_corpus_profile_matches_duckdb(spark):
         """
         WITH t AS (
           SELECT source,
-                 CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) AS n
+                 CAST(len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f]+')) AS DOUBLE) AS n
           FROM documents
         )
         SELECT source, COUNT(*) AS n_docs,

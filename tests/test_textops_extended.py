@@ -306,7 +306,7 @@ def test_vocabulary_matches_duckdb(spark):
             r"""
         WITH toks AS (
           SELECT doc_id,
-                 unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 unnest(list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f]+'),
                                     t -> len(t) > 0)) AS term
           FROM documents
         ), per_doc AS (
