@@ -197,6 +197,9 @@ HEADLINE = [
     # vocab head, Flesch readability projection
     "corpus_zipf",
     "doc_readability",
+    # r11: URL canonicalization + URL-exact dedup census (exact, swept
+    # generated twin; zero-shuffle projection + one census agg)
+    "url_canonicalize",
 ]
 
 

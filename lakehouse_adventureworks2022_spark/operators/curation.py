@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_adventureworks2022_spark.operators.textops import WS_PLUS
+
 from lakehouse_adventureworks2022_spark.operators.dedup import shingles_df
 
 
@@ -198,7 +200,7 @@ def pack_documents(
     count_col = (
         F.col(n_tokens_col).cast("int")
         if n_tokens_col
-        else F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        else F.size(F.split(F.trim(F.lower(F.col(text_col))), WS_PLUS))
     )
     toks = df.select(
         "doc_id",
@@ -468,14 +470,16 @@ def prepare_web_corpus(
     df: DataFrame,
     html_col: str = "html",
     text_col: str = "text",
+    url_col: str | None = None,
     **kwargs,
 ) -> DataFrame:
     """Raw-crawl front door for :func:`prepare_training_corpus`: WET-
     style extraction (``textops.extract_html_text``) turns the HTML
-    column into ``text_col``, ``n_chars`` is (re)derived from the
-    EXTRACTED text when the input doesn't carry one, then the standard
-    chain runs unchanged (PII scrub → de-boilerplate → quality gate +
-    exact/near dedup → optional CCNet gate/mixture → split).
+    column into ``text_col``, ``n_chars`` is ALWAYS recomputed from the
+    EXTRACTED text (an inbound n_chars usually measures the raw HTML —
+    keeping it would point the quality gates at markup size), then the
+    standard chain runs unchanged (PII scrub → de-boilerplate → quality
+    gate + exact/near dedup → optional CCNet gate/mixture → split).
 
     The extraction tier adds ONE zero-shuffle codegen projection — no
     exchange, no UDF. Pass ``boilerplate_min_docs`` when the crawl
@@ -486,16 +490,31 @@ def prepare_web_corpus(
     its case; dedup already normalizes on the hash side, and
     ``textops.normalize_text`` stays a separate opt-in.
 
+    Pass ``url_col`` to run URL-exact dedup FIRST (``textops.
+    dedup_urls``): two raw URLs with the same canonical form
+    (``textops.canonicalize_url_col`` — case/port/tracking-param/
+    fragment/param-order noise stripped) are the same resource, so only
+    one survives into extraction — the standard crawl step that runs
+    before fetch/extract, and the cheapest dedup tier (one groupBy on a
+    short string vs content hashing the full page). Rows whose
+    ``url_col`` is not a URL pass through; content dedup downstream
+    still covers them.
+
     Identity contract (tested): with ``html_col`` holding already-plain
     text, output ≡ ``prepare_training_corpus`` on the same frame.
     """
     from lakehouse_adventureworks2022_spark.operators import textops
 
+    if url_col is not None:
+        df = textops.dedup_urls(df, url_col=url_col)
     extracted = textops.extract_html_text(
         df, html_col=html_col, out_col=text_col
     )
     if html_col != text_col:
         extracted = extracted.drop(html_col)
-    if "n_chars" not in extracted.columns:
-        extracted = extracted.withColumn("n_chars", F.length(text_col))
+    # n_chars is ALWAYS recomputed from the extracted text: a crawl
+    # frame typically carries n_chars measuring the raw HTML, and a
+    # stale value would make every downstream quality gate and output
+    # stat measure markup size instead of content
+    extracted = extracted.withColumn("n_chars", F.length(text_col))
     return prepare_training_corpus(extracted, text_col=text_col, **kwargs)

@@ -475,6 +475,11 @@ QUERIES: dict[str, QueryFn] = {
     # boilerplate strip → gate/dedup → split (r10; rows-only — LSH
     # near-dup stage, same reason as clean_corpus)
     "web_corpus_pipeline": text_queries.q_web_corpus_pipeline,
+    # URL canonicalization + URL-exact dedup census (r11): the crawl
+    # front-door primitive that runs BEFORE fetch/extract — exact,
+    # generated DuckDB twin in PYTEST_ORACLES (past the full window;
+    # promotes at the next rotation)
+    "url_canonicalize": text_queries.q_url_canonicalize,
     # ---- r10-continuation seventh rotation OUT (driver-green for 3-6
     # rounds each; the identical hash-diff rigor continues in
     # tests/test_rotated_oracles.py at sf0.001 AND sf0.01; slots freed
@@ -582,6 +587,10 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "rag_index_ingest",  # probe-pruned ANN: approx by design
         "incremental_dedup_bloom",  # ≡ incremental_dedup: approx by design
         "web_corpus_pipeline",  # LSH near-dup stage: approx by design
+        # exact r11 newcomer past the full window: generated DuckDB twin
+        # swept in PYTEST_ORACLES (tests/test_catalog.py) until the next
+        # rotation promotes it
+        "url_canonicalize",
         # exact, r10-continuation seventh rotation out of the window
         # (driver-green 3-6 rounds each): same hash-diff rigor in
         # tests/test_rotated_oracles.py at two SFs
@@ -1377,6 +1386,8 @@ assert not _outside, (
 #: snapshot hash-checks every EXACT query, not only the driver window.
 PYTEST_ORACLES: dict[str, str] = {
     **ROTATED_ORACLES,
+    # r11 exact newcomer (generated twin; queued for the next rotation)
+    "url_canonicalize": text_queries.ORACLE_URL_CANONICALIZE,
     # (the r8/r9 newcomers — eval_decontamination,
     # eval_decontamination_fuzzy, perplexity_quality_buckets,
     # docs_epoch_mixture, cdc_upsert — were promoted to first-time

@@ -106,3 +106,25 @@ def test_n_chars_derived_from_extracted_text(spark):
         " quality gate today"
     )
     assert row["n_chars"] == want
+
+
+def test_stale_inbound_n_chars_is_overridden(spark):
+    """A crawl frame that already carries n_chars (typically raw-HTML
+    byte length) must NOT keep it — the extracted text is authoritative,
+    or every downstream quality gate measures markup size (r10 ADVICE)."""
+    html = (
+        "<p>tiny healthy document with enough plain"
+        " words to pass the quality gate today</p>"
+    )
+    pages = spark.createDataFrame(
+        [(1, "web", "en", html, len(html))],
+        "doc_id long, source string, lang string, html string, n_chars int",
+    )
+    out = prepare_web_corpus(pages)
+    row = out.head()
+    dedup.release_cached_inputs(out)
+    want = len(
+        "tiny healthy document with enough plain words to pass the"
+        " quality gate today"
+    )
+    assert row["n_chars"] == want != len(html)
