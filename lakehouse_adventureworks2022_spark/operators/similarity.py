@@ -644,6 +644,63 @@ def ivf_index_recluster(spark, index_dir: str, n_files: int = 16) -> None:
     shutil.rmtree(f"{old}_appends", ignore_errors=True)
 
 
+def ivf_index_retrain(
+    spark,
+    index_dir: str,
+    n_cells: int = 16,
+    train_cap: int = 2048,
+    n_files: int = 16,
+) -> None:
+    """Full re-train of a grown index — the cure
+    ``monitoring.ivf_retrain_trigger`` prescribes when drifted appends
+    have outrun the frozen centroids: new centroids are Lloyd-trained
+    on the CURRENT vector population (base + committed appends), every
+    vector re-assigned, and the new tables staged beside the live dir
+    then swapped in (the :func:`ivf_index_recluster` crash posture —
+    a crash mid-swap leaves a loudly-missing dir, never a silently
+    mismatched centroids/cells pair). Deterministic like
+    :func:`ivf_build` (hash-ordered train sample, fixed iterations).
+
+    Cost: one build over the grown population — the same price as the
+    original build at the new size, paid only when the TV-distance
+    trigger fires (drift is rare; recluster handles the routine
+    small-file accumulation)."""
+    import os
+    import shutil
+
+    _, cells = ivf_index_load(spark, index_dir)  # base + appended batches
+    centroids, new_cells = ivf_build(
+        cells.select(F.col("cand_id").alias("vec_id"), "embedding"),
+        n_cells=n_cells,
+        train_cap=train_cap,
+    )
+    staging_cells = f"{index_dir}/_tmp_cells"
+    staging_cent = f"{index_dir}/_tmp_centroids"
+    shutil.rmtree(staging_cells, ignore_errors=True)
+    shutil.rmtree(staging_cent, ignore_errors=True)
+    (
+        new_cells.repartitionByRange(n_files, "cell")
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite")
+        .parquet(staging_cells)
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(staging_cent)
+    old = f"{index_dir}/_old_retrain"
+    shutil.rmtree(old, ignore_errors=True)
+    os.makedirs(old)
+    os.rename(f"{index_dir}/cells", f"{old}/cells")
+    os.rename(f"{index_dir}/centroids", f"{old}/centroids")
+    appends = f"{index_dir}/cells_appends"
+    if os.path.isdir(appends):
+        # the rebuilt base contains every appended row — retire the
+        # batch dirs WITH the old base (only after the new table holds
+        # their rows, same as recluster)
+        os.rename(appends, f"{old}/cells_appends")
+    os.rename(staging_cells, f"{index_dir}/cells")
+    os.rename(staging_cent, f"{index_dir}/centroids")
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def ivf_index_load(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
     """(centroids, cells) from a saved index — hand straight to
     :func:`ivf_search`. Cells = the base clustered table plus any

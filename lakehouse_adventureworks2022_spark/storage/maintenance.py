@@ -16,6 +16,14 @@ Each step is the already-tested primitive from ``TableManager``:
 
 Idempotent by construction: every step is a full rewrite or a stats
 refresh; re-running is safe.
+
+Ingest-grown ANN indexes get the same treatment
+(:func:`run_index_maintenance`, r11): on the compaction cadence each
+index's append-vs-base cell distribution is checked with the
+TV-distance trigger (``monitoring.ivf_retrain_trigger``), and the
+index is either RE-TRAINED (drifted appends — frozen centroids are
+costing recall), RE-CLUSTERED (healthy appends — fold the per-batch
+file sets into the base, centroids untouched), or left alone.
 """
 
 from __future__ import annotations
@@ -55,4 +63,74 @@ def run_maintenance(tm: TableManager, plans: list[MaintenancePlan]) -> dict[str,
             tm.analyze(p.analyze_table, p.analyze_columns)
             steps.append("analyze")
         done[p.table] = steps
+    return done
+
+
+@dataclass
+class IndexMaintenancePlan:
+    """Per-index maintenance directive for an ingest-grown IVF-family
+    index (``ivf_index_append`` batch dirs under ``index_dir``)."""
+
+    index_dir: str
+    tv_threshold: float = 0.25  # monitoring.ivf_retrain_trigger default
+    n_cells: int = 16  # retrain sizing (match the original build)
+    train_cap: int = 2048
+    n_files: int = 16  # rewrite width for retrain/recluster
+
+
+def run_index_maintenance(
+    spark, plans: list[IndexMaintenancePlan]
+) -> dict[str, dict]:
+    """Check every ingest-grown index on the maintenance cadence and
+    apply the right rewrite (r11 — operationalizes the SCALE.md
+    recall-vs-append-fraction sweep that motivated the trigger):
+
+    - ``retrain`` when the TV-distance trigger fires — appended mass is
+      piling into cells out of proportion to the base, which is how
+      recall decay under frozen centroids shows up long before recall
+      itself is measurable online (``similarity.ivf_index_retrain``:
+      fresh centroids over the grown population);
+    - ``recluster`` when appends exist but the distribution is healthy —
+      the routine small-file fold-in, centroids untouched so results
+      cannot change (``similarity.ivf_index_recluster``);
+    - ``none`` when nothing has been appended.
+
+    Returns ``{index_dir: {total_variation, max_cell_delta, n_appended,
+    action}}`` for observability. The drift check reads only the cell
+    key column of cell-clustered files; retrain is the only step that
+    touches embeddings, and it runs only when triggered."""
+    from lakehouse_adventureworks2022_spark.operators.monitoring import (
+        ivf_ingest_drift,
+        ivf_retrain_trigger,
+    )
+    from lakehouse_adventureworks2022_spark.operators.similarity import (
+        ivf_index_recluster,
+        ivf_index_retrain,
+    )
+
+    done: dict[str, dict] = {}
+    for p in plans:
+        row = ivf_retrain_trigger(
+            ivf_ingest_drift(spark, p.index_dir), p.tv_threshold
+        ).collect()[0]
+        if row["retrain"]:
+            ivf_index_retrain(
+                spark,
+                p.index_dir,
+                n_cells=p.n_cells,
+                train_cap=p.train_cap,
+                n_files=p.n_files,
+            )
+            action = "retrain"
+        elif row["n_appended"] > 0:
+            ivf_index_recluster(spark, p.index_dir, n_files=p.n_files)
+            action = "recluster"
+        else:
+            action = "none"
+        done[p.index_dir] = {
+            "total_variation": row["total_variation"],
+            "max_cell_delta": row["max_cell_delta"],
+            "n_appended": row["n_appended"],
+            "action": action,
+        }
     return done

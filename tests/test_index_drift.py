@@ -121,3 +121,106 @@ def test_codes_variant_for_sq8_indexes(spark, tmp_path):
     # identical vectors re-keyed: the appended distribution IS the base
     assert row["total_variation"] < 0.05
     assert not row["retrain"]
+
+
+# ---- maintenance composite wiring (r11) --------------------------------
+
+
+def _recall_at_k(spark, queries, corpus, idx, k=5, n_probe=2):
+    """Mean overlap@k of the persisted index's probe search vs exact
+    brute force over the CURRENT population."""
+    exact = similarity.cosine_topk(queries, corpus, k=k)
+    centroids, cells = similarity.ivf_index_load(spark, idx)
+    approx = similarity.ivf_search(queries, centroids, cells, k=k, n_probe=n_probe)
+    hit = exact.join(approx, ["query_id", "cand_id"], "left_semi")
+    n_q = queries.count()
+    return hit.count() / float(k * n_q)
+
+
+def _grown_corpus(spark, idx):
+    _, cells = similarity.ivf_index_load(spark, idx)
+    return cells.select(F.col("cand_id").alias("vec_id"), "embedding")
+
+
+def test_maintenance_retrains_drifted_not_iid(spark, tmp_path):
+    """The verdict's Done criterion: on the maintenance cadence a
+    DRIFTED ingest-grown index is re-trained (fresh centroids), an iid
+    one is only re-clustered (centroids untouched), and search recall
+    after maintenance is >= before on both."""
+    from lakehouse_adventureworks2022_spark.storage.maintenance import (
+        IndexMaintenancePlan,
+        run_index_maintenance,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+
+    idx_iid = _base_index(spark, emb, tmp_path, "m_iid")
+    similarity.ivf_index_append(spark, batch, idx_iid, batch_tag="b1")
+    idx_drift = _base_index(spark, emb, tmp_path, "m_drift")
+    drifted = _drifted(batch)
+    similarity.ivf_index_append(spark, drifted, idx_drift, batch_tag="b1")
+
+    # queries from the drifted region — where frozen centroids hurt
+    q_drift = drifted.limit(8).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding"
+    )
+    q_iid = batch.limit(8).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding"
+    )
+    pre_iid = _recall_at_k(spark, q_iid, _grown_corpus(spark, idx_iid), idx_iid)
+    pre_drift = _recall_at_k(
+        spark, q_drift, _grown_corpus(spark, idx_drift), idx_drift
+    )
+
+    centroids_before = {
+        (r["cell"], tuple(r["centroid"]))
+        for r in similarity.ivf_index_load(spark, idx_drift)[0].collect()
+    }
+    iid_centroids_before = {
+        (r["cell"], tuple(r["centroid"]))
+        for r in similarity.ivf_index_load(spark, idx_iid)[0].collect()
+    }
+
+    report = run_index_maintenance(
+        spark,
+        [IndexMaintenancePlan(idx_iid), IndexMaintenancePlan(idx_drift)],
+    )
+    assert report[idx_drift]["action"] == "retrain"
+    assert report[idx_iid]["action"] == "recluster"
+    assert report[idx_drift]["total_variation"] > 0.25
+    assert report[idx_iid]["total_variation"] < 0.25
+
+    # recluster must NOT move centroids; retrain must
+    iid_centroids_after = {
+        (r["cell"], tuple(r["centroid"]))
+        for r in similarity.ivf_index_load(spark, idx_iid)[0].collect()
+    }
+    assert iid_centroids_after == iid_centroids_before
+    drift_centroids_after = {
+        (r["cell"], tuple(r["centroid"]))
+        for r in similarity.ivf_index_load(spark, idx_drift)[0].collect()
+    }
+    assert drift_centroids_after != centroids_before
+
+    # append dirs folded into the base on both paths
+    import os
+
+    assert not os.path.isdir(f"{idx_iid}/cells_appends")
+    assert not os.path.isdir(f"{idx_drift}/cells_appends")
+
+    # same population before/after (retrain/recluster never drop rows)
+    assert _grown_corpus(spark, idx_drift).count() == emb.count()
+    assert _grown_corpus(spark, idx_iid).count() == emb.count()
+
+    post_iid = _recall_at_k(spark, q_iid, _grown_corpus(spark, idx_iid), idx_iid)
+    post_drift = _recall_at_k(
+        spark, q_drift, _grown_corpus(spark, idx_drift), idx_drift
+    )
+    assert post_iid >= pre_iid
+    assert post_drift >= pre_drift
+
+    # idempotent second pass: nothing left to do
+    report2 = run_index_maintenance(spark, [IndexMaintenancePlan(idx_drift)])
+    assert report2[idx_drift]["action"] == "none"
