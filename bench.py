@@ -200,6 +200,9 @@ HEADLINE = [
     # r11: URL canonicalization + URL-exact dedup census (exact, swept
     # generated twin; zero-shuffle projection + one census agg)
     "url_canonicalize",
+    # r11: WARC container ingestion — in-plan spec-shaped mux (gzip
+    # members) through the real record parser (exact driver oracle)
+    "warc_ingest",
 ]
 
 

@@ -13,6 +13,7 @@ portability contracts:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2678,6 +2679,71 @@ def _build_oracle_url_canonicalize() -> str:
 
 
 ORACLE_URL_CANONICALIZE = _build_oracle_url_canonicalize()
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container ingestion (r11): the documents corpus is muxed
+    IN-PLAN into spec-shaped multi-record WARC files (one blob per
+    16-group of docs, one HTTP response record per doc + a warcinfo
+    header record, per-record gzip members — the mp4_corpus pattern:
+    the fixture has no binary crawl files, so the query synthesizes
+    spec-valid ones), parsed back through the REAL record parser
+    (``sources/warc.parse_warc_frame``), and each recovered page is
+    fingerprinted. Exact: the oracle recomputes the planted URI and the
+    payload md5/length straight from ``documents`` — a parser that
+    drops, truncates, duplicates or mis-splits any record diverges the
+    hash. Arrow-batched mux+parse, one groupBy on the 16-key group id,
+    no other shuffle."""
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        build_warc_codec,
+        parse_warc_frame,
+        warc_pages,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("http://crawl.example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("uri"),
+        (F.col("doc_id") % 16).cast("int").alias("grp"),
+    )
+    write = build_warc_codec()["write"]
+
+    def mux(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf.sort_values("doc_id")
+        blob = write(
+            [
+                {
+                    "uri": r["uri"],
+                    "record_id": f"<urn:uuid:doc-{r['doc_id']}>",
+                    "body": str(r["text"]).encode("utf-8"),
+                }
+                for _, r in rows.iterrows()
+            ],
+            gzip_members=True,
+        )
+        return pd.DataFrame({"grp": [int(pdf["grp"].iloc[0])], "content": [blob]})
+
+    blobs = docs.groupBy("grp").applyInPandas(mux, schema="grp int, content binary")
+    pages = warc_pages(parse_warc_frame(blobs, "content", path_col=None))
+    return pages.select(
+        F.col("url").alias("target_uri"),
+        F.lit(200).alias("http_status"),
+        F.md5(F.encode(F.col("html"), "UTF-8")).alias("payload_md5"),
+        F.length(F.encode(F.col("html"), "UTF-8")).alias("payload_bytes"),
+    )
+
+
+ORACLE_WARC_INGEST = """
+    SELECT 'http://crawl.example.org/doc/' || CAST(doc_id AS VARCHAR)
+             AS target_uri,
+           CAST(200 AS INTEGER) AS http_status,
+           md5(text) AS payload_md5,
+           CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes
+    FROM documents
+"""
 
 
 def q_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

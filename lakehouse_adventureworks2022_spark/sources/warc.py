@@ -1,0 +1,277 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the container format the
+raw-crawl front door actually receives (CommonCrawl and every serious
+crawler ship `.warc`/`.warc.gz` files), completing the r10/r11 web
+pipeline: WARC records → (url, html) pages → ``canonicalize_urls`` /
+``dedup_urls`` → ``extract_html_text`` → ``prepare_web_corpus``.
+
+Public-spec, stdlib-only parsing (same posture as the ISO-BMFF parser
+in ``operators/mp4.py``): a WARC file is a sequence of records —
+
+    WARC/1.0\\r\\n
+    <Name: value>\\r\\n ...\\r\\n
+    \\r\\n
+    <Content-Length bytes of block>\\r\\n\\r\\n
+
+``response`` records carry a full HTTP response as the block (status
+line + headers + payload). ``.warc.gz`` files are per-RECORD gzip
+members concatenated (the spec's recommendation, so a reader can seek
+to a record without inflating the whole file); the decoder walks the
+members with ``zlib`` and also accepts a whole-file single member.
+
+Scale shape: the unit of parallelism is the WARC FILE (the standard
+crawl layout is many ~1 GB files — a CommonCrawl snapshot is ~64k of
+them, far more than any executor count), read via Spark's
+``binaryFile`` source and parsed in Arrow batches. All record-level
+work after parsing is ordinary DataFrame code. Parsing closures are
+built by value (the ``_build_kll_ops`` pattern) so the driver contract
+works from any cwd — workers never import this package.
+
+Malformed input refuses loudly (truncated record, bad version line,
+missing Content-Length) — a corrupt crawl file is an upstream incident
+to surface, not data to guess at; quarantine policy belongs to the
+caller (split the file list and retry, the ``sources/formats.py``
+convention at file granularity).
+
+Reference parity note: the reference pipeline (racenak/
+lakehouse-adventureworks2022) has no web-crawl surface at all — this
+module is part of the beyond-reference training-data layer, same scope
+as ``operators/textops.py``'s extraction tier.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: one row per WARC record
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("source_file", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def build_warc_codec():
+    """Factory returning ``{"parse": bytes -> list[tuple], "write":
+    list[dict] -> bytes}`` as by-value closures (cloudpickle serializes
+    nested functions by value, so executors never need this package
+    importable — the foreign-cwd driver-contract hazard).
+
+    ``parse`` yields one tuple per record in :data:`WARC_RECORD_SCHEMA`
+    order (minus ``source_file``, which the caller prepends); for
+    non-HTTP records ``http_status``/``http_content_type`` are None and
+    ``payload`` is the raw block. ``write`` builds a spec-shaped WARC
+    byte string from ``[{"uri", "date", "record_id", "body",
+    "status"}, ...]`` response records (+ one leading warcinfo record),
+    gzipping each record as its own member when ``gzip_members=True``.
+    """
+
+    def _gunzip_members(data: bytes) -> bytes:
+        import zlib
+
+        out = []
+        rest = data
+        while rest[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(wbits=31)
+            out.append(d.decompress(rest))
+            if not d.eof:
+                raise ValueError("truncated gzip member in WARC file")
+            rest = d.unused_data
+        if rest:
+            raise ValueError(
+                f"{len(rest)} trailing non-gzip bytes after gzip members"
+            )
+        return b"".join(out)
+
+    def _split_http(block: bytes):
+        sep = block.find(b"\r\n\r\n")
+        if sep < 0:
+            raise ValueError("HTTP block without header terminator")
+        head, payload = block[:sep], block[sep + 4 :]
+        lines = head.split(b"\r\n")
+        first = lines[0].split(b" ", 2)
+        if len(first) < 2 or not first[0].startswith(b"HTTP/"):
+            raise ValueError(f"bad HTTP status line {lines[0]!r}")
+        status = int(first[1])
+        ctype = None
+        for line in lines[1:]:
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-type":
+                ctype = v.strip().decode("utf-8", "replace")
+        return status, ctype, payload
+
+    def parse(data: bytes) -> list[tuple]:
+        if data[:2] == b"\x1f\x8b":
+            data = _gunzip_members(data)
+        records = []
+        pos, n = 0, len(data)
+        while pos < n:
+            while data[pos : pos + 2] == b"\r\n":
+                pos += 2
+            if pos >= n:
+                break
+            eol = data.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError("truncated WARC version line")
+            version = data[pos:eol]
+            if not version.startswith(b"WARC/"):
+                raise ValueError(f"bad WARC version line {version!r} at {pos}")
+            pos = eol + 2
+            headers: dict[str, str] = {}
+            while True:
+                eol = data.find(b"\r\n", pos)
+                if eol < 0:
+                    raise ValueError("truncated WARC header block")
+                line = data[pos:eol]
+                pos = eol + 2
+                if not line:
+                    break
+                k, _, v = line.partition(b":")
+                headers[k.strip().decode("ascii", "replace").lower()] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+            if "content-length" not in headers:
+                raise ValueError("WARC record without Content-Length")
+            clen = int(headers["content-length"])
+            if pos + clen > n:
+                raise ValueError("WARC block extends past end of file")
+            block = data[pos : pos + clen]
+            pos += clen
+            wtype = headers.get("warc-type", "")
+            ctype = headers.get("content-type", "")
+            status = http_ctype = None
+            payload = block
+            if wtype == "response" and ctype.startswith("application/http"):
+                status, http_ctype, payload = _split_http(block)
+            records.append(
+                (
+                    headers.get("warc-record-id"),
+                    wtype,
+                    headers.get("warc-target-uri"),
+                    headers.get("warc-date"),
+                    ctype,
+                    status,
+                    http_ctype,
+                    payload,
+                )
+            )
+        return records
+
+    def _record(headers: list[tuple[str, str]], block: bytes) -> bytes:
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode() for k, v in headers
+        )
+        head += f"Content-Length: {len(block)}\r\n\r\n".encode()
+        return head + block + b"\r\n\r\n"
+
+    def write(responses: list[dict], gzip_members: bool = False) -> bytes:
+        import gzip as _gz
+
+        info_block = b"software: lakehouse_adventureworks2022_spark\r\n"
+        recs = [
+            _record(
+                [
+                    ("WARC-Type", "warcinfo"),
+                    ("WARC-Record-ID", "<urn:uuid:warcinfo-0>"),
+                    ("WARC-Date", "2024-01-01T00:00:00Z"),
+                    ("Content-Type", "application/warc-fields"),
+                ],
+                info_block,
+            )
+        ]
+        for r in responses:
+            body = r["body"]
+            status = r.get("status", 200)
+            http = (
+                f"HTTP/1.1 {status} OK\r\n"
+                f"Content-Type: text/html; charset=utf-8\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+            recs.append(
+                _record(
+                    [
+                        ("WARC-Type", "response"),
+                        ("WARC-Record-ID", r["record_id"]),
+                        ("WARC-Target-URI", r["uri"]),
+                        ("WARC-Date", r.get("date", "2024-01-01T00:00:00Z")),
+                        ("Content-Type", "application/http;msgtype=response"),
+                    ],
+                    http,
+                )
+            )
+        if gzip_members:
+            return b"".join(
+                _gz.compress(rec, compresslevel=1, mtime=0) for rec in recs
+            )
+        return b"".join(recs)
+
+    return {"parse": parse, "write": write}
+
+
+def parse_warc_frame(
+    df: DataFrame, content_col: str = "content", path_col: str | None = "path"
+) -> DataFrame:
+    """Parse a frame of WARC FILE bytes (one row per file) into one row
+    per record (:data:`WARC_RECORD_SCHEMA`). This is the seam both
+    entry points share: :func:`read_warc` feeds it ``binaryFile`` rows;
+    in-plan twins (the catalog query, tests) feed it synthesized blobs.
+    Arrow-batched ``mapInPandas``, per-file cost, no shuffle."""
+    codec = build_warc_codec()
+    parse = codec["parse"]
+    cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+    src = (
+        df.select(
+            F.col(path_col).alias("path"), F.col(content_col).alias("content")
+        )
+        if path_col is not None
+        else df.select(
+            F.lit(None).cast("string").alias("path"),
+            F.col(content_col).alias("content"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for rec in parse(bytes(r["content"])):
+                    rows.append((r["path"], *rec))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, schema=WARC_RECORD_SCHEMA)
+
+
+def read_warc(spark, path: str) -> DataFrame:
+    """Read a directory (or glob) of ``.warc`` / ``.warc.gz`` files into
+    one row per WARC record. Parallelism = one task per file — the
+    standard crawl layout (tens of thousands of ~1 GB files) saturates
+    any cluster; a single huge file should be split upstream, same as
+    any non-splittable format."""
+    files = spark.read.format("binaryFile").load(path)
+    return parse_warc_frame(files, "content", "path")
+
+
+def warc_pages(records: DataFrame, min_status: int = 200, max_status: int = 299) -> DataFrame:
+    """Successful HTML response records as ``(url, html)`` — the input
+    shape ``curation.prepare_web_corpus(url_col="url")`` takes. UTF-8
+    decode with replacement (deterministic; a crawl's charset zoo is
+    exactly why the quality gates run downstream)."""
+    return records.filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(min_status, max_status)
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.decode(F.col("payload"), "UTF-8").alias("html"),
+    )
