@@ -150,12 +150,23 @@ QUERIES: dict[str, QueryFn] = {
     # tests/test_rotated_oracles.py in late r6; text-family window
     # evidence continues via text_stats / corpus_vocabulary /
     # corpus_report)
-    # corpus vocabulary / stopword discovery (first driver oracle in r6;
-    # was pytest-only while the window was full)
-    "corpus_vocabulary": text_queries.q_corpus_vocabulary,
-    # exact bounded-shuffle heavy hitters (late-r6 first driver oracle:
-    # MG candidates + exact verify — sketches.heavy_hitters)
-    "heavy_hitters_event_types": text_queries.q_heavy_hitters,
+    # (corpus_vocabulary — first driver oracle in r6, green r6-r10 —
+    # rotated to tests/test_rotated_oracles.py in the r11 eighth
+    # rotation; vocabulary-shape evidence continues in-window via
+    # corpus_zipf, which aggregates the same vocabulary() build)
+    # ---- r11 eighth rotation IN: first driver oracle for the exact
+    # r11 newcomer ----
+    # URL canonicalization + URL-exact dedup census (exact; twin
+    # GENERATED from the operator's constants, adversarial-fuzzed)
+    "url_canonicalize": text_queries.q_url_canonicalize,
+    # (heavy_hitters_event_types — late-r6 first driver oracle, green
+    # ~5 rounds — rotated to tests/test_rotated_oracles.py in the r11
+    # eighth rotation; sketch-family window evidence continues via
+    # kll_value_quantiles and audience_overlap)
+    # WARC container ingestion (r11; exact — in-plan spec-shaped mux
+    # with per-record gzip members, REAL record parser, oracle
+    # recomputes URI + payload md5/len straight from documents)
+    "warc_ingest": text_queries.q_warc_ingest,
     # training-data ops: dedup. The exact-Jaccard form is the
     # *verification primitive* (quadratic if fed a corpus — hence the
     # ``_exact`` name); MinHash-LSH is the corpus-scale path.
@@ -479,7 +490,11 @@ QUERIES: dict[str, QueryFn] = {
     # front-door primitive that runs BEFORE fetch/extract — exact,
     # generated DuckDB twin in PYTEST_ORACLES (past the full window;
     # promotes at the next rotation)
-    "url_canonicalize": text_queries.q_url_canonicalize,
+    # ---- r11 eighth rotation OUT (driver-green r6-r10; identical
+    # hash-diff rigor continues in tests/test_rotated_oracles.py at two
+    # SFs; slot freed for url_canonicalize above) ----
+    "corpus_vocabulary": text_queries.q_corpus_vocabulary,
+    "heavy_hitters_event_types": text_queries.q_heavy_hitters,
     # ---- r10-continuation seventh rotation OUT (driver-green for 3-6
     # rounds each; the identical hash-diff rigor continues in
     # tests/test_rotated_oracles.py at sf0.001 AND sf0.01; slots freed
@@ -587,10 +602,11 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "rag_index_ingest",  # probe-pruned ANN: approx by design
         "incremental_dedup_bloom",  # ≡ incremental_dedup: approx by design
         "web_corpus_pipeline",  # LSH near-dup stage: approx by design
-        # exact r11 newcomer past the full window: generated DuckDB twin
-        # swept in PYTEST_ORACLES (tests/test_catalog.py) until the next
-        # rotation promotes it
-        "url_canonicalize",
+        # exact, r11 eighth rotation out of the window (driver-green
+        # ~5 rounds each): same hash-diff rigor in
+        # tests/test_rotated_oracles.py
+        "corpus_vocabulary",
+        "heavy_hitters_event_types",
         # exact, r10-continuation seventh rotation out of the window
         # (driver-green 3-6 rounds each): same hash-diff rigor in
         # tests/test_rotated_oracles.py at two SFs
@@ -679,8 +695,11 @@ ORACLES: dict[str, str] = {
     # clean_corpus constants and the event_windows_sliding /
     # revenue_grouping_sets / priority_revenue_share inline SQL moved
     # verbatim to ROTATED_ORACLES below
-    "corpus_vocabulary": text_queries.ORACLE_CORPUS_VOCABULARY,
-    "heavy_hitters_event_types": text_queries.ORACLE_HEAVY_HITTERS,
+    # corpus_vocabulary: rotated out in r11 — constant in ROTATED_ORACLES
+    "url_canonicalize": text_queries.ORACLE_URL_CANONICALIZE,
+    # heavy_hitters_event_types: rotated out in r11 — constant in
+    # ROTATED_ORACLES
+    "warc_ingest": text_queries.ORACLE_WARC_INGEST,
     "clean_boilerplate": text_queries.ORACLE_CLEAN_BOILERPLATE,
     "dedup_minhash_lsh": text_queries.ORACLE_MINHASH_LSH,
     # ann_cosine_topk: rotated out in r10 — constant in ROTATED_ORACLES
@@ -934,6 +953,11 @@ ORACLES: dict[str, str] = {
 #: for first-time oracles. tests/test_rotated_oracles.py applies the
 #: SAME row-count + schema + value-hash comparison the driver does.
 ROTATED_ORACLES: dict[str, str] = {
+    # ---- r11 eighth rotation (driver-green ~5 rounds each; slots
+    # freed for the exact r11 newcomers url_canonicalize and
+    # warc_ingest) ----
+    "corpus_vocabulary": text_queries.ORACLE_CORPUS_VOCABULARY,
+    "heavy_hitters_event_types": text_queries.ORACLE_HEAVY_HITTERS,
     # ---- r10-continuation seventh rotation (driver-green for 3-6
     # rounds each; slots freed for the five exact swept newcomers:
     # docs_dsir_weights, source_overlap_matrix, html_extract,
@@ -1386,8 +1410,9 @@ assert not _outside, (
 #: snapshot hash-checks every EXACT query, not only the driver window.
 PYTEST_ORACLES: dict[str, str] = {
     **ROTATED_ORACLES,
-    # r11 exact newcomer (generated twin; queued for the next rotation)
-    "url_canonicalize": text_queries.ORACLE_URL_CANONICALIZE,
+    # (url_canonicalize was promoted to a first-time DRIVER oracle in
+    # the r11 eighth rotation after one swept-green round — the queue
+    # is empty again and this is exactly the rotated-veteran set)
     # (the r8/r9 newcomers — eval_decontamination,
     # eval_decontamination_fuzzy, perplexity_quality_buckets,
     # docs_epoch_mixture, cdc_upsert — were promoted to first-time

@@ -100,6 +100,10 @@ ROTATED = (
     "chunk_documents",
     "temperature_mixture",
     "dedup_clusters",
+    # r11 eighth rotation: slots freed for the exact r11 newcomers
+    # url_canonicalize and warc_ingest (both swept-green the same round)
+    "corpus_vocabulary",
+    "heavy_hitters_event_types",
 )
 
 
