@@ -48,6 +48,48 @@ def split_by_hash(
     return df.withColumn("split", expr.otherwise(F.lit(last)))
 
 
+def split_by_host(
+    df: DataFrame,
+    url_col: str = "url",
+    weights: dict[str, float] | None = None,
+    seed: str = "v1",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment for web corpora: the
+    split key is the URL's CANONICAL HOST (lowercased, default port
+    stripped — :func:`textops.canonicalize_url_col`'s host rules), so
+    every page of a site lands in the SAME split. Splitting web pages
+    by doc id leaks: pages of one site are templated near-duplicates of
+    each other, and a val/test page whose sibling sits in train is
+    partially memorized, not held out — the standard web-eval hygiene
+    rule (grouped split), same reason eval decontamination works at the
+    n-gram level.
+
+    Same determinism contract as :func:`split_by_hash` (pure function
+    of (host, seed), zero shuffle, disjoint + exhaustive); rows whose
+    ``url_col`` is not a URL hash on the NULL host and all land
+    together in one split rather than scattering. The host column is
+    dropped from the output — recompute it from the URL anywhere.
+    """
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        URL_HOSTPORT_PATTERN,
+        URL_SCHEME_PATTERN,
+    )
+
+    scheme = F.lower(F.regexp_extract(F.col(url_col), URL_SCHEME_PATTERN, 1))
+    hostport = F.lower(
+        F.regexp_extract(F.col(url_col), URL_HOSTPORT_PATTERN, 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    out = split_by_hash(
+        df.withColumn("__host__", host), "__host__", weights, seed
+    )
+    return out.drop("__host__")
+
+
 def contamination_check(
     train: DataFrame,
     bench: DataFrame,

@@ -216,3 +216,61 @@ def test_web_corpus_url_front_door(spark):
     got = sorted(r["doc_id"] for r in out.collect())
     dedup.release_cached_inputs(out)
     assert got == [1, 3, 4]
+
+
+def test_split_by_host_groups_sites(spark):
+    """Leakage-safe web split: every page of a host shares ONE split;
+    assignment is deterministic and re-rolls with the seed; non-URLs
+    group together on the NULL host."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        split_by_host,
+    )
+
+    rows = [
+        (i, f"http://host{i % 37}.io/page/{i}") for i in range(600)
+    ] + [(900, "not a url"), (901, "also not a url")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = split_by_host(df, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    got = out.collect()
+    assert "__host__" not in out.columns
+
+    by_host = {}
+    for r in got:
+        host = r["url"].split("/")[2] if r["url"].startswith("http") else None
+        by_host.setdefault(host, set()).add(r["split"])
+    # grouped split: one split per host, including the NULL-host group
+    assert all(len(s) == 1 for s in by_host.values())
+    # with 38 host groups all three splits should be populated
+    assert {s for ss in by_host.values() for s in ss} == {
+        "train", "val", "test"
+    }
+    # majority goes to train
+    n_train = sum(1 for r in got if r["split"] == "train")
+    assert n_train > len(got) / 2
+
+    again = {(r["doc_id"], r["split"]) for r in split_by_host(
+        df, weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in got}
+    rerolled = {(r["doc_id"], r["split"]) for r in split_by_host(
+        df, weights={"train": 0.8, "val": 0.1, "test": 0.1}, seed="v2"
+    ).collect()}
+    assert rerolled != again
+
+
+def test_split_by_host_ignores_url_noise(spark):
+    """Scheme/port/path/query noise must not move a page across splits
+    — only the canonical host decides."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        split_by_host,
+    )
+
+    rows = [
+        (1, "http://Site.io/a"),
+        (2, "HTTP://SITE.IO:80/b?x=1"),
+        (3, "https://site.io/c#frag"),
+        (4, "http://site.io:8080/d"),  # non-default port: DIFFERENT host
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["split"] for r in split_by_host(df).collect()}
+    assert got[1] == got[2] == got[3]
