@@ -711,6 +711,83 @@ def main() -> None:
             lambda: textops.extract_html_text(wrapped),
         )
 
+    # URL canonicalization + census at rep× URLs (r11): one codegen
+    # projection + ONE uniform-key agg — the row pins LINEAR shape.
+    # Same repartition note as html_extract_scaled (single-file fixture
+    # lineage would otherwise run the projection on one task).
+    if only is None or "url_census_scaled" in only:
+        from lakehouse_adventureworks2022_spark.operators import textops
+
+        did = F.col("doc_id")
+        planted_urls = big_docs.repartition(
+            spark.sparkContext.defaultParallelism
+        ).select(
+            "doc_id",
+            F.concat(
+                F.when(did % 4 == 1, F.lit("HTTP://")).otherwise(
+                    F.lit("http://")
+                ),
+                F.lit("Host"),
+                (did % 997).cast("string"),
+                F.lit(".example.org"),
+                F.when(did % 4 == 2, F.lit(":80")).otherwise(F.lit("")),
+                F.lit("/p/"),
+                (did % 31).cast("string"),
+                F.when(did % 2 == 0, F.lit("?b=2&a=1")).otherwise(
+                    F.lit("?a=1&utm_source=x&b=2")
+                ),
+            ).alias("url"),
+        )
+        run(
+            "url_census_scaled",
+            lambda: textops.url_census(planted_urls),
+        )
+
+    # WARC mux+parse round trip at rep× corpus (r11): group count
+    # scales WITH rep so per-blob size stays constant — the per-file
+    # Arrow parse cost is the thing being pinned linear (one task per
+    # blob, the real crawl layout's unit of parallelism).
+    if only is None or "warc_roundtrip_scaled" in only:
+        import pandas as pd  # noqa: F401
+
+        from lakehouse_adventureworks2022_spark.sources import warc as warc_mod
+
+        _write = warc_mod.build_warc_codec()["write"]
+        n_groups = 16 * rep
+
+        def _mux(pdf):
+            import pandas as _pd
+
+            rows = pdf.sort_values("doc_id")
+            blob = _write(
+                [
+                    {
+                        "uri": f"http://c.example.org/{int(r['doc_id'])}",
+                        "record_id": f"<urn:uuid:{int(r['doc_id'])}>",
+                        "body": str(r["text"]).encode("utf-8"),
+                    }
+                    for _, r in rows.iterrows()
+                ],
+                gzip_members=True,
+            )
+            return _pd.DataFrame(
+                {"grp": [int(pdf["grp"].iloc[0])], "content": [blob]}
+            )
+
+        warc_blobs = (
+            big_docs.select(
+                "doc_id", "text", (F.col("doc_id") % n_groups).alias("grp")
+            )
+            .groupBy("grp")
+            .applyInPandas(_mux, schema="grp int, content binary")
+        )
+        run(
+            "warc_roundtrip_scaled",
+            lambda: warc_mod.warc_pages(
+                warc_mod.parse_warc_frame(warc_blobs, "content", path_col=None)
+            ),
+        )
+
     # Q21 at rep× fact volume: lineitem + orders replicated with the
     # SAME orderkey offset on both sides (FK integrity preserved, so
     # the per-order supplier profiles — what the count predicates key
