@@ -71,21 +71,14 @@ def split_by_host(
     dropped from the output — recompute it from the URL anywhere.
     """
     from lakehouse_adventureworks2022_spark.operators.textops import (
-        URL_HOSTPORT_PATTERN,
-        URL_SCHEME_PATTERN,
+        canonical_host_col,
     )
 
-    scheme = F.lower(F.regexp_extract(F.col(url_col), URL_SCHEME_PATTERN, 1))
-    hostport = F.lower(
-        F.regexp_extract(F.col(url_col), URL_HOSTPORT_PATTERN, 1)
-    )
-    host = (
-        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
-        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
-        .otherwise(hostport)
-    )
     out = split_by_hash(
-        df.withColumn("__host__", host), "__host__", weights, seed
+        df.withColumn("__host__", canonical_host_col(F.col(url_col))),
+        "__host__",
+        weights,
+        seed,
     )
     return out.drop("__host__")
 
@@ -513,6 +506,7 @@ def prepare_web_corpus(
     html_col: str = "html",
     text_col: str = "text",
     url_col: str | None = None,
+    robots_rules: DataFrame | None = None,
     **kwargs,
 ) -> DataFrame:
     """Raw-crawl front door for :func:`prepare_training_corpus`: WET-
@@ -532,7 +526,10 @@ def prepare_web_corpus(
     its case; dedup already normalizes on the hash side, and
     ``textops.normalize_text`` stays a separate opt-in.
 
-    Pass ``url_col`` to run URL-exact dedup FIRST (``textops.
+    Pass ``robots_rules`` (a ``textops.parse_robots`` table, requires
+    ``url_col``) to drop robots-disallowed pages FIRST — compliance
+    before any other work, and a blocked page never becomes a dedup
+    keeper. Pass ``url_col`` to run URL-exact dedup next (``textops.
     dedup_urls``): two raw URLs with the same canonical form
     (``textops.canonicalize_url_col`` — case/port/tracking-param/
     fragment/param-order noise stripped) are the same resource, so only
@@ -547,6 +544,12 @@ def prepare_web_corpus(
     """
     from lakehouse_adventureworks2022_spark.operators import textops
 
+    if robots_rules is not None:
+        if url_col is None:
+            raise ValueError("robots_rules requires url_col")
+        # compliance first: a disallowed page must not even count as a
+        # dedup keeper (textops.parse_robots builds the rules table)
+        df = textops.filter_robots_disallowed(df, robots_rules, url_col)
     if url_col is not None:
         df = textops.dedup_urls(df, url_col=url_col)
     extracted = textops.extract_html_text(

@@ -699,6 +699,20 @@ def canonicalize_url_col(url: Column) -> Column:
     return F.when(scheme != "", canon)
 
 
+def canonical_host_col(url: Column) -> Column:
+    """The URL's canonical host key (lowercase host[:port], default
+    :80/:443 stripped per scheme) — the grouping key
+    :func:`~operators.curation.split_by_host` and the robots gate share
+    with the full canonicalizer. Empty string for non-URLs."""
+    scheme = F.lower(F.regexp_extract(url, URL_SCHEME_PATTERN, 1))
+    hostport = F.lower(F.regexp_extract(url, URL_HOSTPORT_PATTERN, 1))
+    return (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+
+
 def canonicalize_urls(
     df: DataFrame, url_col: str = "url", out_col: str = "url_canonical"
 ) -> DataFrame:
@@ -747,6 +761,169 @@ def dedup_urls(
     )
     non_urls = canon.filter(F.col("url_canonical").isNull()).select(id_col)
     return df.join(keepers.unionByName(non_urls), id_col, "left_semi")
+
+
+# ---- robots.txt (RFC 9309) parsing + URL gating (r11) -----------------
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Parse per-host ``robots.txt`` bodies (RFC 9309) into a flat rules
+    table ``(host, allow boolean, path_prefix, rule_len int)`` keeping
+    only the groups that apply to ``user_agent`` (exact token match or
+    ``*``; per the RFC, the most specific matching group wins, so a
+    named-agent group SHADOWS the ``*`` group when both exist).
+
+    Pure Catalyst: split into lines → explode → running group id
+    (a window over the line ordinal per host — robots files are a few
+    KB, so the per-host window frame is trivially bounded) → directive
+    parse. ``rule_len`` (prefix length) rides along because RFC 9309
+    precedence is longest-match, allow-wins-ties — exactly what
+    :func:`filter_robots_disallowed` sorts by. Comments (``#...``) and
+    unknown directives are dropped; an empty Disallow means allow-all
+    (kept as an allow rule of length 0 so it participates in
+    precedence)."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\n")).alias("ln", "line"),
+    ).select(
+        "host",
+        "ln",
+        # strip comments + surrounding whitespace (explicit class)
+        F.regexp_replace(
+            F.regexp_replace(F.col("line"), "#.*", ""),
+            f"^{WS_CLASS}+|{WS_CLASS}+$",
+            "",
+        ).alias("line"),
+    )
+    key = F.lower(F.regexp_extract("line", f"^([A-Za-z-]+){WS_CLASS}*:", 1))
+    val = F.regexp_replace(
+        F.regexp_extract("line", f":{WS_CLASS}*(.*)$", 1),
+        f"{WS_CLASS}+$",
+        "",
+    )
+    parsed = lines.select(
+        "host", "ln", key.alias("key"), val.alias("val")
+    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    # group id = running count of user-agent lines that START a group
+    # (consecutive user-agent lines share a group per the RFC)
+    w = Window.partitionBy("host").orderBy("ln")
+    prev_key = F.lag("key").over(w)
+    starts = F.when(
+        (F.col("key") == "user-agent")
+        & (F.coalesce(prev_key, F.lit("")) != "user-agent"),
+        1,
+    ).otherwise(0)
+    grouped = parsed.withColumn(
+        "grp", F.sum(starts).over(w)
+    )
+    agents = (
+        grouped.filter(F.col("key") == "user-agent")
+        .groupBy("host", "grp")
+        .agg(
+            F.max(
+                (F.lower("val") == user_agent.lower()).cast("int")
+            ).alias("named"),
+            F.max((F.col("val") == "*").cast("int")).alias("star"),
+        )
+        .filter((F.col("named") == 1) | (F.col("star") == 1))
+    )
+    # named group shadows '*': keep only the most specific tier present
+    best = agents.groupBy("host").agg(F.max("named").alias("has_named"))
+    applicable = agents.join(best, "host").filter(
+        (F.col("named") == 1) | (F.col("has_named") == 0)
+    )
+    return (
+        grouped.filter(F.col("key").isin("allow", "disallow"))
+        .join(applicable.select("host", "grp"), ["host", "grp"], "left_semi")
+        .select(
+            "host",
+            (F.col("key") == "allow").alias("allow"),
+            F.col("val").alias("path_prefix"),
+            F.length("val").alias("rule_len"),
+        )
+    )
+
+
+def _robots_rule_regex(prefix: Column) -> Column:
+    """RFC 9309 path pattern → anchored regex (Java∩RE2): every regex
+    metachar escaped, then ``*`` → ``.*`` and a trailing ``$`` (escaped
+    by the first step) restored as the end anchor."""
+    esc = F.regexp_replace(prefix, r"([.\[\]{}()+?^$\\|*])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\\\*", ".*")
+    # Java replacement strings treat a bare $ as a group ref — escape it
+    esc = F.regexp_replace(esc, r"\\\$$", r"\$")
+    return F.concat(F.lit("^"), esc)
+
+
+def filter_robots_disallowed(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop pages a host's robots rules disallow (RFC 9309 precedence:
+    the LONGEST matching rule decides; allow wins ties; no matching
+    rule or no rules for the host ⇒ allowed — the RFC default). The
+    compliance gate a crawl corpus runs before extraction, beside the
+    domain blocklist.
+
+    Shape: rules tables are small by construction (robots files are
+    KB-sized per host) — broadcast equi-join on host, per-(page, rule)
+    match via one regex derived from the rule, then one per-page
+    argmax. Pages shuffle zero times; non-URL rows pass through."""
+    path = F.regexp_extract(F.col(url_col), URL_REST_PATTERN, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    keyed = pages.select(
+        F.col(url_col).alias("__url__"),
+        canonical_host_col(F.col(url_col)).alias("host"),
+        path.alias("__path__"),
+    )
+    joined = keyed.join(F.broadcast(rules), "host", "left")
+    matched = joined.withColumn(
+        "__hit__",
+        F.col("path_prefix").isNotNull()
+        & F.regexp_like(
+            F.col("__path__"), _robots_rule_regex(F.col("path_prefix"))
+        ),
+    )
+    verdict = (
+        matched.groupBy("__url__")
+        .agg(
+            # longest matching rule wins; allow breaks length ties:
+            # max over (len, allow) tuples ranks allow above disallow
+            # at equal length
+            F.max(
+                F.when(
+                    F.col("__hit__"),
+                    F.struct(
+                        F.col("rule_len").alias("rule_len"),
+                        F.col("allow").cast("int").alias("allow"),
+                    ),
+                )
+            ).alias("best")
+        )
+        .select(
+            "__url__",
+            (
+                F.col("best").isNull() | (F.col("best.allow") == 1)
+            ).alias("__allowed__"),
+        )
+    )
+    return (
+        pages.join(
+            verdict.filter("__allowed__").select(
+                F.col("__url__").alias(url_col)
+            ),
+            url_col,
+            "left_semi",
+        )
+    )
 
 
 # ---- HTML -> training text extraction (r10) ---------------------------
