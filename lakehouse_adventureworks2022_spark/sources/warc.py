@@ -263,6 +263,57 @@ def read_warc(spark, path: str) -> DataFrame:
     return parse_warc_frame(files, "content", "path")
 
 
+def warc_incremental_ingest(
+    spark,
+    crawl_dir: str,
+    state_path: str,
+    out_dir: str,
+) -> list[str]:
+    """File-granular incremental WARC ingestion — the deployment loop
+    for a crawl that DROPS new ``.warc(.gz)`` files into a directory:
+    each run parses only the files not yet recorded in the JSON
+    checkpoint, appends their records to ``out_dir`` (one overwrite-mode
+    subdirectory per source file, keyed by the file's basename), and
+    records the files as done. Returns the list of newly ingested
+    files.
+
+    Idempotence (the ``sources/watermark.py`` + ``ivf_index_append``
+    posture): a crash between the parquet write and the checkpoint
+    update replays the same files into the SAME per-file dirs —
+    overwrite, not duplicate; the checkpoint itself is atomic
+    (tmp + rename). Readers take ``spark.read.parquet(f"{out_dir}/*")``
+    and see only completed per-file dirs (each carries parquet's own
+    ``_SUCCESS``).
+
+    Scale: listing is one directory scan; per run the work is
+    O(new files), each file one task — the same unit of parallelism as
+    :func:`read_warc`."""
+    import json
+    import os
+
+    done: set[str] = set()
+    if os.path.exists(state_path):
+        done = set(json.loads(open(state_path).read()))
+    names = sorted(
+        n
+        for n in os.listdir(crawl_dir)
+        if n.endswith((".warc", ".warc.gz")) and n not in done
+    )
+    for name in names:
+        recs = read_warc(spark, os.path.join(crawl_dir, name))
+        safe = name.replace("=", "_")
+        recs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"file={safe}")
+        )
+    if names:
+        os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
+        tmp = f"{state_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(sorted(done | set(names)), f)
+        os.replace(tmp, state_path)
+    return names
+
+
 def warc_pages(records: DataFrame, min_status: int = 200, max_status: int = 299) -> DataFrame:
     """Successful HTML response records as ``(url, html)`` — the input
     shape ``curation.prepare_web_corpus(url_col="url")`` takes. UTF-8

@@ -204,3 +204,57 @@ def test_catalog_twin_hash_parity(spark, sf):
     con.close()
     assert canonical_hash(spark_pdf) == canonical_hash(duck_pdf)
     assert len(spark_pdf) > 0
+
+
+def test_incremental_ingest_idempotent_and_file_granular(spark, tmp_path):
+    """warc_incremental_ingest: only NEW files are parsed per run, a
+    replay after a simulated crash (checkpoint not written) overwrites
+    the same per-file dirs instead of duplicating rows, and readers see
+    the union."""
+    import json
+    import os
+
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        warc_incremental_ingest,
+    )
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    out = str(tmp_path / "records")
+    state = str(tmp_path / "state" / "ingested.json")
+
+    def drop(name, uris):
+        (crawl / name).write_bytes(
+            CODEC["write"](
+                [
+                    {"uri": u, "record_id": f"<u:{u}>", "body": b"<p>x</p>"}
+                    for u in uris
+                ],
+                gzip_members=name.endswith(".gz"),
+            )
+        )
+
+    drop("a.warc", ["http://a/1", "http://a/2"])
+    drop("b.warc.gz", ["http://b/1"])
+    assert warc_incremental_ingest(spark, str(crawl), state, out) == [
+        "a.warc", "b.warc.gz",
+    ]
+    # 2 warcinfo + 3 responses
+    assert spark.read.parquet(f"{out}/*").count() == 5
+
+    # nothing new -> no work, no state churn
+    assert warc_incremental_ingest(spark, str(crawl), state, out) == []
+
+    # a third file arrives; simulate a crash AFTER its parquet write by
+    # re-running with the checkpoint rolled back — the replay overwrites
+    # file=c.warc, never duplicates
+    drop("c.warc", ["http://c/1"])
+    assert warc_incremental_ingest(spark, str(crawl), state, out) == ["c.warc"]
+    rolled_back = [n for n in json.loads(open(state).read()) if n != "c.warc"]
+    with open(state, "w") as f:
+        json.dump(rolled_back, f)
+    assert warc_incremental_ingest(spark, str(crawl), state, out) == ["c.warc"]
+    assert spark.read.parquet(f"{out}/*").count() == 7  # 3 info + 4 resp
+    assert sorted(os.listdir(out)) == [
+        "file=a.warc", "file=b.warc.gz", "file=c.warc",
+    ]
