@@ -203,6 +203,9 @@ HEADLINE = [
     # r11: WARC container ingestion — in-plan spec-shaped mux (gzip
     # members) through the real record parser (exact driver oracle)
     "warc_ingest",
+    # r11: sitemap ingestion — in-plan plant, extract + entity decode
+    # (exact driver oracle; zero-shuffle projection)
+    "sitemap_extract",
 ]
 
 

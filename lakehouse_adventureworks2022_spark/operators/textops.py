@@ -763,6 +763,59 @@ def dedup_urls(
     return df.join(keepers.unionByName(non_urls), id_col, "left_semi")
 
 
+# ---- sitemap.xml ingestion (r11) ---------------------------------------
+
+#: ``<loc>`` capture for sitemap/sitemap-index documents
+#: (sitemaps.org protocol). Machine-generated XML, so the regex tier is
+#: the right cost point (the :data:`HTML_STRIP_STEPS` posture);
+#: whitespace inside the element is insignificant per the protocol.
+#: Java∩RE2 so the DuckDB twin interpolates the same constant.
+SITEMAP_LOC_PATTERN = (
+    r"<loc>[ \t\n\r\f]*([^<>]+?)[ \t\n\r\f]*</loc>"
+)
+
+#: XML entity decode for extracted locs, in order (``&amp;`` LAST — the
+#: double-decode hazard, same rule as the HTML step table).
+SITEMAP_ENTITY_STEPS: tuple[tuple[str, str], ...] = (
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&apos;", "'"),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+)
+
+
+def sitemap_urls(
+    df: DataFrame, xml_col: str = "sitemap_xml", id_col: str = "site_id"
+) -> DataFrame:
+    """Explode a frame of sitemap / sitemap-index XML bodies into
+    ``(id, url, is_index)`` — the crawl-frontier seeding step
+    (sitemaps.org): each ``<loc>`` is a page to fetch, or, when the
+    document is a ``<sitemapindex>``, ANOTHER sitemap to expand
+    (``is_index`` tells the crawl loop which). Extracted locs are
+    XML-entity-decoded (``&amp;`` in query strings is mandatory sitemap
+    escaping) and feed straight into the URL tier
+    (:func:`canonicalize_urls` / :func:`dedup_urls` /
+    :func:`filter_robots_disallowed`).
+
+    Zero shuffle, zero UDF: one extract-all + explode projection —
+    sitemap files are ≤50k URLs by protocol, so per-row work is
+    bounded by spec."""
+    loc = F.explode(
+        F.regexp_extract_all(F.col(xml_col), F.lit(SITEMAP_LOC_PATTERN), 1)
+    ).alias("url")
+    out = df.select(
+        F.col(id_col),
+        loc,
+        F.col(xml_col).contains("<sitemapindex").alias("is_index"),
+    )
+    url = F.col("url")
+    for pat, repl in SITEMAP_ENTITY_STEPS:
+        url = F.regexp_replace(url, pat, repl)
+    return out.select(id_col, url.alias("url"), "is_index")
+
+
 # ---- robots.txt (RFC 9309) parsing + URL gating (r11) -----------------
 
 

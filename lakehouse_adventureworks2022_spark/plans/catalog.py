@@ -181,7 +181,12 @@ QUERIES: dict[str, QueryFn] = {
     # dedup_minhash_lsh, and the cleaning composite via
     # clean_boilerplate/normalize_text/pii_scrub)
     "dedup_minhash_lsh": text_queries.q_minhash_lsh,
-    "dedup_simhash": text_queries.q_simhash,
+    # (dedup_simhash — driver-green since the early rounds — rotated to
+    # tests/test_rotated_oracles.py in the r11 eighth rotation;
+    # near-dup window evidence continues via dedup_minhash_lsh)
+    # sitemap ingestion (r11; exact — in-plan spec-shaped plant,
+    # extract+entity-decode; oracle recomputes the URLs directly)
+    "sitemap_extract": text_queries.q_sitemap_extract,
     # r8 fifth rotation IN: the exact deterministic-sampling family
     # gains first-time DRIVER oracles (DuckDB-diffed in
     # tests/test_sampling.py since r5; hashes judge-verified green)
@@ -495,6 +500,7 @@ QUERIES: dict[str, QueryFn] = {
     # SFs; slot freed for url_canonicalize above) ----
     "corpus_vocabulary": text_queries.q_corpus_vocabulary,
     "heavy_hitters_event_types": text_queries.q_heavy_hitters,
+    "dedup_simhash": text_queries.q_simhash,
     # ---- r10-continuation seventh rotation OUT (driver-green for 3-6
     # rounds each; the identical hash-diff rigor continues in
     # tests/test_rotated_oracles.py at sf0.001 AND sf0.01; slots freed
@@ -607,6 +613,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         # tests/test_rotated_oracles.py
         "corpus_vocabulary",
         "heavy_hitters_event_types",
+        "dedup_simhash",
         # exact, r10-continuation seventh rotation out of the window
         # (driver-green 3-6 rounds each): same hash-diff rigor in
         # tests/test_rotated_oracles.py at two SFs
@@ -705,7 +712,8 @@ ORACLES: dict[str, str] = {
     # ann_cosine_topk: rotated out in r10 — constant in ROTATED_ORACLES
     # ann_cosine_topk_np: GEMM float-sum order differs ⇒ rows-only check
     # ann_cosine_topk_lsh: approximate by design ⇒ rows-only check
-    "dedup_simhash": text_queries.ORACLE_SIMHASH,
+    # dedup_simhash: rotated out in r11 — constant in ROTATED_ORACLES
+    "sitemap_extract": text_queries.ORACLE_SITEMAP_EXTRACT,
     # dedup_embedding_cosine: SRP-LSH scale path ⇒ rows-only check; the
     # exact all-pairs oracle (ORACLE_EMBEDDING_NEAR_DUP) is exercised in
     # tests/test_training_ops.py against the exact form directly.
@@ -953,11 +961,12 @@ ORACLES: dict[str, str] = {
 #: for first-time oracles. tests/test_rotated_oracles.py applies the
 #: SAME row-count + schema + value-hash comparison the driver does.
 ROTATED_ORACLES: dict[str, str] = {
-    # ---- r11 eighth rotation (driver-green ~5 rounds each; slots
-    # freed for the exact r11 newcomers url_canonicalize and
-    # warc_ingest) ----
+    # ---- r11 eighth rotation (long-tenured veterans; slots freed
+    # for the exact r11 newcomers url_canonicalize, warc_ingest and
+    # sitemap_extract) ----
     "corpus_vocabulary": text_queries.ORACLE_CORPUS_VOCABULARY,
     "heavy_hitters_event_types": text_queries.ORACLE_HEAVY_HITTERS,
+    "dedup_simhash": text_queries.ORACLE_SIMHASH,
     # ---- r10-continuation seventh rotation (driver-green for 3-6
     # rounds each; slots freed for the five exact swept newcomers:
     # docs_dsir_weights, source_overlap_matrix, html_extract,

@@ -2746,6 +2746,76 @@ ORACLE_WARC_INGEST = """
 """
 
 
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (r11): spec-shaped sitemap XML is planted
+    IN-PLAN per doc (every 10th doc gets a ``<sitemapindex>`` instead
+    of a ``<urlset>``; locs carry insignificant whitespace and the
+    mandatory ``&amp;`` query escaping), extracted + entity-decoded by
+    ``textops.sitemap_urls``, two frontier rows per doc out. Exact:
+    the oracle recomputes the planted URLs directly from ``documents``.
+    One zero-shuffle extract+explode projection."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        sitemap_urls,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    loc1 = F.concat(
+        F.lit("http://s"),
+        (did % 7).cast("string"),
+        F.lit(".Example.com/p/"),
+        did.cast("string"),
+        F.lit("?a=1&amp;b="),
+        (did % 5).cast("string"),
+    )
+    loc2 = F.concat(
+        F.lit("http://mirror.example.net/"), (did % 3).cast("string")
+    )
+    body = F.concat(
+        F.lit("<url><loc>\n  "), loc1, F.lit("\n </loc></url>"),
+        F.lit("<url><loc>"), loc2, F.lit("</loc></url>"),
+    )
+    xml = F.when(
+        did % 10 == 0,
+        F.concat(
+            F.lit('<sitemapindex xmlns="http://www.sitemaps.org/'
+                  'schemas/sitemap/0.9">'),
+            F.regexp_replace(
+                F.regexp_replace(body, "<url>", "<sitemap>"),
+                "</url>",
+                "</sitemap>",
+            ),
+            F.lit("</sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/'
+                  'sitemap/0.9">'),
+            body,
+            F.lit("</urlset>"),
+        )
+    )
+    planted = docs.select(did.alias("site_id"), xml.alias("sitemap_xml"))
+    return sitemap_urls(planted)
+
+
+ORACLE_SITEMAP_EXTRACT = """
+    SELECT site_id, url, is_index FROM (
+      SELECT doc_id AS site_id,
+             'http://s' || CAST(doc_id % 7 AS VARCHAR)
+               || '.Example.com/p/' || CAST(doc_id AS VARCHAR)
+               || '?a=1&b=' || CAST(doc_id % 5 AS VARCHAR) AS url,
+             doc_id % 10 = 0 AS is_index
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             'http://mirror.example.net/' || CAST(doc_id % 3 AS VARCHAR),
+             doc_id % 10 = 0
+      FROM documents
+    )
+"""
+
+
 def q_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full raw-crawl pipeline over the adversarially wrapped
     corpus: WET extraction → PII scrub → within-doc de-boilerplate →

@@ -101,9 +101,11 @@ ROTATED = (
     "temperature_mixture",
     "dedup_clusters",
     # r11 eighth rotation: slots freed for the exact r11 newcomers
-    # url_canonicalize and warc_ingest (both swept-green the same round)
+    # url_canonicalize, warc_ingest and sitemap_extract (all swept-green
+    # the same round)
     "corpus_vocabulary",
     "heavy_hitters_event_types",
+    "dedup_simhash",
 )
 
 

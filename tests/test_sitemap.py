@@ -1,0 +1,119 @@
+"""Sitemap ingestion (textops.sitemap_urls): worked examples
+(urlset/sitemapindex, whitespace-insignificance, entity decode order),
+frontier chaining into URL canonicalization/dedup, zero-shuffle plan,
+and the catalog twin at two SFs."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from lakehouse_adventureworks2022_spark.operators.textops import (
+    sitemap_urls,
+)
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+ <url><loc>
+   http://site.io/a?x=1&amp;y=2
+ </loc><lastmod>2024-01-01</lastmod></url>
+ <url><loc>http://site.io/b&apos;s</loc></url>
+</urlset>"""
+
+INDEX = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+ <sitemap><loc>http://site.io/sitemap-1.xml.gz</loc></sitemap>
+ <sitemap><loc>http://site.io/sitemap-2.xml.gz</loc></sitemap>
+</sitemapindex>"""
+
+
+def _extract(spark, xml):
+    df = spark.createDataFrame([(1, xml)], "site_id long, sitemap_xml string")
+    return sorted(
+        (r["url"], r["is_index"]) for r in sitemap_urls(df).collect()
+    )
+
+
+def test_urlset_extraction_and_entity_decode(spark):
+    got = _extract(spark, URLSET)
+    # insignificant whitespace trimmed; &amp; and &apos; decoded
+    assert got == [
+        ("http://site.io/a?x=1&y=2", False),
+        ("http://site.io/b's", False),
+    ]
+
+
+def test_sitemapindex_flags_children_as_indexes(spark):
+    got = _extract(spark, INDEX)
+    assert got == [
+        ("http://site.io/sitemap-1.xml.gz", True),
+        ("http://site.io/sitemap-2.xml.gz", True),
+    ]
+
+
+def test_amp_decodes_last(spark):
+    # "&amp;lt;" means the four chars "&lt;" — never re-decoded to "<"
+    xml = "<urlset><url><loc>http://s.io/?q=&amp;lt;</loc></url></urlset>"
+    assert _extract(spark, xml) == [("http://s.io/?q=&lt;", False)]
+
+
+def test_empty_and_locless_documents(spark):
+    assert _extract(spark, "<urlset></urlset>") == []
+    assert _extract(spark, "not xml at all") == []
+
+
+def test_frontier_chain_sitemap_to_url_dedup(spark):
+    """Sitemap locs feed the URL tier: canonical dups collapse before
+    any fetch."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        dedup_urls,
+    )
+
+    xml = (
+        "<urlset>"
+        "<url><loc>http://Site.io/a?b=2&amp;a=1</loc></url>"
+        "<url><loc>HTTP://SITE.IO:80/a?a=1&amp;b=2#f</loc></url>"
+        "<url><loc>http://site.io/b</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(1, xml)], "site_id long, sitemap_xml string")
+    frontier = sitemap_urls(df).select(
+        F.monotonically_increasing_id().alias("doc_id"), "url"
+    )
+    assert dedup_urls(frontier).count() == 2
+
+
+def test_zero_shuffle_plan(spark):
+    df = spark.createDataFrame(
+        [(1, URLSET)], "site_id long, sitemap_xml string"
+    )
+    plan = sitemap_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_catalog_twin_hash_parity(spark, sf):
+    from lakehouse_adventureworks2022_spark.plans.catalog import (
+        ORACLES,
+        PYTEST_ORACLES,
+        QUERIES,
+    )
+    from tools.check_oracles import TABLES, canonical_hash, normalize_pandas
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    spark_pdf = normalize_pandas(
+        QUERIES["sitemap_extract"](spark, sf).toPandas()
+    )
+    duck_pdf = normalize_pandas(
+        con.sql({**PYTEST_ORACLES, **ORACLES}["sitemap_extract"]).df()
+    )
+    con.close()
+    assert canonical_hash(spark_pdf) == canonical_hash(duck_pdf)
+    assert len(spark_pdf) > 0
