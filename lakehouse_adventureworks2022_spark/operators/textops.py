@@ -897,7 +897,14 @@ def parse_robots(
         .join(applicable.select("host", "grp"), ["host", "grp"], "left_semi")
         .select(
             "host",
-            (F.col("key") == "allow").alias("allow"),
+            # RFC 9309: a directive with an EMPTY value means allow-all
+            # (the canonical "User-agent: *\nDisallow:" robots file) —
+            # emit it as an allow rule regardless of the directive name,
+            # or the zero-length '^' regex would block every path
+            # (r11 ADVICE: empty Disallow inverted to deny-all)
+            ((F.col("key") == "allow") | (F.col("val") == "")).alias(
+                "allow"
+            ),
             F.col("val").alias("path_prefix"),
             F.length("val").alias("rule_len"),
         )
@@ -927,55 +934,49 @@ def filter_robots_disallowed(
     domain blocklist.
 
     Shape: rules tables are small by construction (robots files are
-    KB-sized per host) — broadcast equi-join on host, per-(page, rule)
-    match via one regex derived from the rule, then one per-page
-    argmax. Pages shuffle zero times; non-URL rows pass through."""
+    KB-sized per host), so they collapse to ONE row per host (an array
+    of (len, allow, prefix) structs — one uniform-key agg on the tiny
+    rules side) and broadcast-join onto the pages. The verdict is a
+    per-row expression over that array (filter rules whose derived
+    regex matches the path, take the struct-max — longest rule wins,
+    allow breaks length ties), so the pages relation genuinely never
+    shuffles: one broadcast hash join plus a codegen projection. Rows
+    whose ``url_col`` is NULL or not a URL key to no host, match no
+    rules, and pass through (the RFC default-allow)."""
     path = F.regexp_extract(F.col(url_col), URL_REST_PATTERN, 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    keyed = pages.select(
-        F.col(url_col).alias("__url__"),
-        canonical_host_col(F.col(url_col)).alias("host"),
-        path.alias("__path__"),
+    per_host = rules.groupBy(F.col("host").alias("__rules_host__")).agg(
+        F.collect_list(
+            # field order is the precedence order: struct-max compares
+            # rule_len first, then allow (1 ranks above 0), so the
+            # longest matching rule wins and allow wins length ties
+            F.struct(
+                F.col("rule_len").alias("rule_len"),
+                F.col("allow").cast("int").alias("allow"),
+                F.col("path_prefix").alias("path_prefix"),
+            )
+        ).alias("__rules__")
     )
-    joined = keyed.join(F.broadcast(rules), "host", "left")
-    matched = joined.withColumn(
-        "__hit__",
-        F.col("path_prefix").isNotNull()
-        & F.regexp_like(
-            F.col("__path__"), _robots_rule_regex(F.col("path_prefix"))
-        ),
+    joined = pages.withColumn(
+        "__host__", canonical_host_col(F.col(url_col))
+    ).join(
+        F.broadcast(per_host),
+        F.col("__host__") == F.col("__rules_host__"),
+        "left",
     )
-    verdict = (
-        matched.groupBy("__url__")
-        .agg(
-            # longest matching rule wins; allow breaks length ties:
-            # max over (len, allow) tuples ranks allow above disallow
-            # at equal length
-            F.max(
-                F.when(
-                    F.col("__hit__"),
-                    F.struct(
-                        F.col("rule_len").alias("rule_len"),
-                        F.col("allow").cast("int").alias("allow"),
-                    ),
-                )
-            ).alias("best")
-        )
-        .select(
-            "__url__",
-            (
-                F.col("best").isNull() | (F.col("best.allow") == 1)
-            ).alias("__allowed__"),
-        )
-    )
-    return (
-        pages.join(
-            verdict.filter("__allowed__").select(
-                F.col("__url__").alias(url_col)
+    best = F.array_max(
+        F.filter(
+            F.col("__rules__"),
+            lambda r: F.regexp_like(
+                path, _robots_rule_regex(r["path_prefix"])
             ),
-            url_col,
-            "left_semi",
         )
+    )
+    # no rules for the host (NULL array) or no matching rule (empty
+    # filter result) both yield a NULL max -> allowed, the RFC default
+    allowed = best.isNull() | (best["allow"] == 1)
+    return joined.filter(allowed).drop(
+        "__host__", "__rules_host__", "__rules__"
     )
 
 

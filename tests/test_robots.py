@@ -126,6 +126,78 @@ def test_regex_metachars_in_rules_are_literal(spark):
     assert got == [2]  # literal match blocked; regex-ish lookalike not
 
 
+def test_empty_disallow_means_allow_all(spark):
+    """RFC 9309: the canonical allow-all robots file ('User-agent: *'
+    + bare 'Disallow:') must keep EVERY page of that host — an empty
+    value is an allow-all rule, not a zero-length deny-everything
+    prefix (r11 ADVICE: the '^' regex from the empty prefix inverted
+    this to deny-all)."""
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("e.io", "User-agent: *\nDisallow:")],
+            "host string, robots_txt string",
+        )
+    )
+    assert [(r["allow"], r["path_prefix"]) for r in rules.collect()] == [
+        (True, "")
+    ]
+    pages = spark.createDataFrame(
+        [(1, "http://e.io/"), (2, "http://e.io/deep/page?q=1")],
+        "doc_id long, url string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in filter_robots_disallowed(pages, rules).collect()
+    )
+    assert kept == [1, 2]
+    # ...and a real disallow beside the empty one still wins by length
+    rules2 = parse_robots(
+        spark.createDataFrame(
+            [("e.io", "User-agent: *\nDisallow:\nDisallow: /deep/")],
+            "host string, robots_txt string",
+        )
+    )
+    kept2 = sorted(
+        r["doc_id"]
+        for r in filter_robots_disallowed(pages, rules2).collect()
+    )
+    assert kept2 == [1]
+
+
+def test_null_url_rows_pass_through(spark):
+    """The documented contract covers NULL urls too: a row whose url
+    column is NULL keys to no host and must survive the gate (r11
+    ADVICE: the old semi-join on the url string silently dropped it)."""
+    pages = spark.createDataFrame(
+        [(1, None), (2, "http://a.io/private/x"), (3, "http://a.io/ok")],
+        "doc_id long, url string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in filter_robots_disallowed(pages, _rules(spark)).collect()
+    )
+    assert got == [1, 3]
+
+
+def test_pages_never_shuffle(spark):
+    """The gate's scale contract, now true by construction: the pages
+    relation flows through ONE broadcast hash join plus projections —
+    every Exchange in the executed plan sits on the KB-sized rules side
+    (under the BroadcastExchange), never on the pages side."""
+    pages = spark.createDataFrame(
+        [(1, "http://a.io/x")], "doc_id long, url string"
+    )
+    plan = (
+        filter_robots_disallowed(pages, _rules(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # everything above the broadcast join must be exchange-free; the
+    # rules-side agg (below the BroadcastExchange) is allowed to shuffle
+    page_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange" not in page_side, page_side
+
+
 def test_crawl_chain_robots_before_dedup(spark):
     """WARC pages → robots gate → URL dedup: the compliance gate drops
     disallowed pages before any fetch-side work downstream."""
