@@ -206,6 +206,12 @@ HEADLINE = [
     # r11: sitemap ingestion — in-plan plant, extract + entity decode
     # (exact driver oracle; zero-shuffle projection)
     "sitemap_extract",
+    # r12: WARC revisit records + crawler-digest dedup (exact driver
+    # oracle — revisit mux through the real parser, digest-keyed aggs)
+    "warc_revisit_digest",
+    # r12: sitemap <lastmod> extraction — per-entry loc/lastmod pairing
+    # (exact driver oracle; zero-shuffle projection)
+    "sitemap_lastmod",
 ]
 
 
@@ -220,6 +226,27 @@ def _cpu_times() -> tuple[int, int]:
         return steal, sum(vals)
     except (OSError, ValueError, IndexError):
         return 0, 0
+
+
+def _wait_for_quiet(
+    max_wait: float, quiet_pct: float, window: float = 5.0
+) -> tuple[float, float]:
+    """Block until one ``window``-second /proc/stat interval shows
+    hypervisor steal ≤ ``quiet_pct``%, or ``max_wait`` seconds elapse
+    (r11 verdict: three of three closes AND the driver run all landed
+    in steal waves the per-rep re-run machinery couldn't fully absorb —
+    starting inside a wave is avoidable). Returns (waited_sec,
+    last_window_pct); the caller records both in the artifact so an
+    exhausted wait is visible, never silent."""
+    start = time.monotonic()
+    while True:
+        s0, t0 = _cpu_times()
+        time.sleep(window)
+        s1, t1 = _cpu_times()
+        pct = 100.0 * (s1 - s0) / (t1 - t0) if t1 > t0 else 0.0
+        waited = time.monotonic() - start
+        if pct <= quiet_pct or waited >= max_wait:
+            return round(waited, 1), round(pct, 2)
 
 
 def _run_once(spark, sf_dir: str, name: str) -> tuple[float, float]:
@@ -240,7 +267,23 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     steal_max = float(os.environ.get("SPARK_GRAFT_STEAL_PCT_MAX", "5.0"))
     extra = 2  # extra attempts per query when a rep's window is stolen
+    # bounded wait-for-quiet BEFORE any timing: don't start a run inside
+    # a steal wave (r11: all four full runs did). Capped so an endlessly
+    # noisy host still produces an artifact — with the exhaustion on
+    # record in the line.
+    quiet_wait_max = float(
+        os.environ.get("SPARK_GRAFT_QUIET_WAIT_MAX_SEC", "300")
+    )
+    quiet_pct = float(os.environ.get("SPARK_GRAFT_QUIET_PCT", "0.5"))
+    quiet_wait, quiet_last_pct = _wait_for_quiet(quiet_wait_max, quiet_pct)
     spark = get_spark("bench")
+    # the artifact's tail must start at the JSON line: the known-bounded
+    # WindowExec warning (and any other WARN chatter) otherwise rides
+    # along in the driver's captured output (r11 verdict, cosmetic #4)
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+    except Exception:
+        pass  # Connect sessions have no sparkContext; logging is server-side
     # warm the JVM + parquet footers once so per-query numbers measure the
     # plans, not first-touch JIT/IO noise
     try:
@@ -290,6 +333,8 @@ def main() -> None:
     steal_summary = {
         "run_pct": round(run_steal, 2),
         "threshold_pct": steal_max,
+        "quiet_wait_sec": quiet_wait,
+        "quiet_gate_pct": quiet_last_pct,
         "dirty_reps": sum(s["dirty"] for s in stats.values()),
         "all_dirty_queries": [
             n for n, s in stats.items() if s["dirty"] and n in timings
@@ -319,6 +364,11 @@ def main() -> None:
         "n_errors": len(errors),
         "steal_run_pct": steal_summary["run_pct"],
         "dirty_reps": steal_summary["dirty_reps"],
+        # how long the pre-run quiet gate waited and the steal% of the
+        # window that released it (> threshold ⇒ the wait EXHAUSTED and
+        # the run started noisy — on the record, not silent)
+        "quiet_wait_sec": quiet_wait,
+        "quiet_gate_pct": quiet_last_pct,
         "detail": detail_path,
     }
     try:

@@ -816,6 +816,62 @@ def sitemap_urls(
     return out.select(id_col, url.alias("url"), "is_index")
 
 
+#: one ``<url>``/``<sitemap>`` element, so ``<loc>`` and its OWN
+#: ``<lastmod>`` sibling stay paired (a global lastmod extract would
+#: misalign when only some entries carry one). Java∩RE2 (inline flags,
+#: non-greedy) — same subset discipline as :data:`HTML_STRIP_STEPS`.
+SITEMAP_ENTRY_PATTERN = (
+    r"(?is)<(?:url|sitemap)[ \t\n\r\f]*>.*?</(?:url|sitemap)[ \t\n\r\f]*>"
+)
+
+#: ``<lastmod>`` capture within one entry block (W3C datetime per the
+#: protocol; surfaced verbatim — parsing to a timestamp is the
+#: caller's watermark policy).
+SITEMAP_LASTMOD_PATTERN = (
+    r"<lastmod>[ \t\n\r\f]*([^<>]+?)[ \t\n\r\f]*</lastmod>"
+)
+
+
+def sitemap_entries(
+    df: DataFrame, xml_col: str = "sitemap_xml", id_col: str = "site_id"
+) -> DataFrame:
+    """:func:`sitemap_urls` plus the protocol's ``<lastmod>`` sibling:
+    ``(id, url, lastmod, is_index)``, one row per ``<url>``/
+    ``<sitemap>`` entry, ``lastmod`` NULL when the optional element is
+    absent. This is what makes RE-crawling incremental — the fetch loop
+    keeps only entries whose ``lastmod`` exceeds the last ingest
+    watermark (the crawl-tier analog of the warehouse sources'
+    incremental scan) instead of re-fetching the whole frontier.
+
+    Same shape as :func:`sitemap_urls`: zero shuffle, zero UDF — one
+    extract-all on whole entry blocks (so each loc pairs with its OWN
+    lastmod) + explode + per-entry extracts. Entries without a
+    ``<loc>`` are protocol-invalid and dropped."""
+    entry = F.explode(
+        F.regexp_extract_all(
+            F.col(xml_col), F.lit(SITEMAP_ENTRY_PATTERN), 0
+        )
+    ).alias("entry")
+    out = df.select(
+        F.col(id_col),
+        entry,
+        F.col(xml_col).contains("<sitemapindex").alias("is_index"),
+    )
+    url = F.regexp_extract("entry", SITEMAP_LOC_PATTERN, 1)
+    for pat, repl in SITEMAP_ENTITY_STEPS:
+        url = F.regexp_replace(url, pat, repl)
+    lastmod = F.regexp_extract("entry", SITEMAP_LASTMOD_PATTERN, 1)
+    return (
+        out.select(
+            id_col,
+            url.alias("url"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+            "is_index",
+        )
+        .filter(F.col("url") != "")
+    )
+
+
 # ---- robots.txt (RFC 9309) parsing + URL gating (r11) -----------------
 
 

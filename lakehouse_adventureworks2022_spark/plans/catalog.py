@@ -195,11 +195,23 @@ QUERIES: dict[str, QueryFn] = {
     # (tpch_q1 / tpch_q3 — green since r1 — rotated to
     # tests/test_rotated_oracles.py in r7; the wide-agg and join+filter
     # shapes stay driver-evidenced by q5/q7/q9/q10 and the extras)
-    # Gopher repeated-n-gram quality fractions (r7 first driver oracle)
-    "ngram_repetition": text_queries.q_ngram_repetition,
-    # self-scored bigram perplexity gate (r7 first driver oracle; exact
-    # smoothing ratios, 6dp-rounded log folds in BOTH engines)
-    "doc_perplexity": text_queries.q_doc_perplexity,
+    # (ngram_repetition — r7 first driver oracle, green r7-r11 —
+    # rotated to tests/test_rotated_oracles.py in the r12 ninth
+    # rotation; text-quality window evidence continues via
+    # html_extract / corpus_zipf / doc_readability)
+    # ---- r12 ninth rotation IN: first driver oracle for the exact
+    # r12 newcomer ----
+    # WARC revisit records + crawler-digest dedup (exact — oracle
+    # recomputes digest/keeper/capture-count straight from documents)
+    "warc_revisit_digest": text_queries.q_warc_revisit_digest,
+    # (doc_perplexity — r7 first driver oracle, green r7-r11 — rotated
+    # to tests/test_rotated_oracles.py in the r12 ninth rotation;
+    # LM-scoring window evidence continues via
+    # perplexity_quality_buckets, which buckets the same model's
+    # scores)
+    # sitemap <lastmod> extraction for incremental re-crawl (exact —
+    # per-entry loc/lastmod pairing, NULL where absent)
+    "sitemap_lastmod": text_queries.q_sitemap_lastmod,
     # (tpch_q5 / tpch_q8_market_share — green since r1 — rotated OUT
     # late-r7; the multi-join star + market-share-ratio shapes stay
     # driver-evidenced via tpch_q7/q9/q14)
@@ -511,6 +523,12 @@ QUERIES: dict[str, QueryFn] = {
     "chunk_documents": text_queries.q_chunk_documents,
     "temperature_mixture": text_queries.q_temperature_mixture,
     "dedup_clusters": text_queries.q_dedup_clusters,
+    # ---- r12 ninth rotation OUT (r7 first driver oracles, green
+    # r7-r11; the identical hash-diff rigor continues in
+    # tests/test_rotated_oracles.py at two SFs; slots freed for
+    # warc_revisit_digest / sitemap_lastmod above) ----
+    "ngram_repetition": text_queries.q_ngram_repetition,
+    "doc_perplexity": text_queries.q_doc_perplexity,
 }
 
 
@@ -639,6 +657,11 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "silver_lineitem_enriched",
         "event_value_stats",
         "xml_roundtrip",
+        # exact, r12 ninth rotation out of the window (r7 first driver
+        # oracles, green r7-r11): same hash-diff rigor in
+        # tests/test_rotated_oracles.py at two SFs
+        "ngram_repetition",
+        "doc_perplexity",
     }
 )
 
@@ -733,8 +756,10 @@ ORACLES: dict[str, str] = {
     ],
     # r7 rotation: tpch_q1 / tpch_q3 inline SQL moved verbatim to
     # ROTATED_ORACLES below
-    "ngram_repetition": text_queries.ORACLE_NGRAM_REPETITION,
-    "doc_perplexity": text_queries.ORACLE_DOC_PERPLEXITY,
+    # r12 ninth rotation: ngram_repetition / doc_perplexity constants
+    # moved to ROTATED_ORACLES below; promoted in their place
+    "warc_revisit_digest": text_queries.ORACLE_WARC_REVISIT_DIGEST,
+    "sitemap_lastmod": text_queries.ORACLE_SITEMAP_LASTMOD,
     # late-r7 third rotation: tpch_q5 inline SQL moved verbatim to
     # ROTATED_ORACLES below
     # r7 rotation: silver_lineitem_enriched inline SQL moved verbatim
@@ -961,6 +986,11 @@ ORACLES: dict[str, str] = {
 #: for first-time oracles. tests/test_rotated_oracles.py applies the
 #: SAME row-count + schema + value-hash comparison the driver does.
 ROTATED_ORACLES: dict[str, str] = {
+    # ---- r12 ninth rotation (r7 first driver oracles, green r7-r11;
+    # slots freed for the exact r12 newcomers warc_revisit_digest and
+    # sitemap_lastmod) ----
+    "ngram_repetition": text_queries.ORACLE_NGRAM_REPETITION,
+    "doc_perplexity": text_queries.ORACLE_DOC_PERPLEXITY,
     # ---- r11 eighth rotation (long-tenured veterans; slots freed
     # for the exact r11 newcomers url_canonicalize, warc_ingest and
     # sitemap_extract) ----
@@ -1419,6 +1449,10 @@ assert not _outside, (
 #: snapshot hash-checks every EXACT query, not only the driver window.
 PYTEST_ORACLES: dict[str, str] = {
     **ROTATED_ORACLES,
+    # (warc_revisit_digest / sitemap_lastmod were promoted to
+    # first-time DRIVER oracles in the r12 ninth rotation after
+    # sweeping green at both SFs the same round — the queue is empty
+    # again and this is exactly the rotated-veteran set)
     # (url_canonicalize was promoted to a first-time DRIVER oracle in
     # the r11 eighth rotation after one swept-green round — the queue
     # is empty again and this is exactly the rotated-veteran set)

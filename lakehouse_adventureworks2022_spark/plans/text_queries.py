@@ -2746,6 +2746,86 @@ ORACLE_WARC_INGEST = """
 """
 
 
+def q_warc_revisit_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit records + crawler-digest dedup (r12): the documents
+    corpus is muxed IN-PLAN into spec-shaped WARC files where every doc
+    is a full ``response`` capture and every third doc ALSO gets a
+    ``revisit`` record (the identical-payload-digest profile — the
+    digest-only duplicate marker real crawls ship instead of storing
+    the payload twice). Parsed back through the real record parser,
+    then ``sources.warc.dedup_payload_digest`` resolves captures on the
+    crawler's own digests: all revisits drop, one response survives per
+    digest. Exact: the oracle recomputes digest, keeper URI and capture
+    count straight from ``documents`` — a parser that misses a revisit,
+    drops the digest header, or picks a different keeper diverges the
+    hash. Shape: one 16-key mux agg, then uniform-short-key aggs on the
+    digest (payloads never ride a shuffle in the dedup)."""
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        build_warc_codec,
+        dedup_payload_digest,
+        parse_warc_frame,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("http://crawl.example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("uri"),
+        (F.col("doc_id") % 16).cast("int").alias("grp"),
+    )
+    write = build_warc_codec()["write"]
+
+    def mux(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for _, r in pdf.sort_values("doc_id").iterrows():
+            body = str(r["text"]).encode("utf-8")
+            recs.append(
+                {"uri": r["uri"],
+                 "record_id": f"<urn:uuid:doc-{r['doc_id']}>",
+                 "body": body}
+            )
+            if int(r["doc_id"]) % 3 == 0:
+                recs.append(
+                    {"uri": f"{r['uri']}?recrawl",
+                     "record_id": f"<urn:uuid:rev-{r['doc_id']}>",
+                     "body": body, "revisit": True}
+                )
+        blob = write(recs, gzip_members=True)
+        return pd.DataFrame(
+            {"grp": [int(pdf["grp"].iloc[0])], "content": [blob]}
+        )
+
+    blobs = docs.groupBy("grp").applyInPandas(
+        mux, schema="grp int, content binary"
+    )
+    records = parse_warc_frame(blobs, "content", path_col=None)
+    captures = records.filter(
+        F.col("warc_type").isin("response", "revisit")
+    )
+    counts = captures.groupBy("payload_digest").agg(
+        F.count(F.lit(1)).alias("n_captures")
+    )
+    keepers = (
+        dedup_payload_digest(records)
+        .filter(F.col("warc_type") == "response")
+        .select("payload_digest", F.col("target_uri").alias("keeper_uri"))
+    )
+    return keepers.join(counts, "payload_digest")
+
+
+ORACLE_WARC_REVISIT_DIGEST = """
+    SELECT 'md5:' || md5(text) AS payload_digest,
+           MIN('http://crawl.example.org/doc/' || CAST(doc_id AS VARCHAR))
+             AS keeper_uri,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END) AS BIGINT)
+             AS n_captures
+    FROM documents
+    GROUP BY md5(text)
+"""
+
+
 def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion (r11): spec-shaped sitemap XML is planted
     IN-PLAN per doc (every 10th doc gets a ``<sitemapindex>`` instead
@@ -2810,6 +2890,87 @@ ORACLE_SITEMAP_EXTRACT = """
       UNION ALL
       SELECT doc_id,
              'http://mirror.example.net/' || CAST(doc_id % 3 AS VARCHAR),
+             doc_id % 10 = 0
+      FROM documents
+    )
+"""
+
+
+def q_sitemap_lastmod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ``<lastmod>`` extraction (r12): the planted XML now
+    carries the protocol's optional per-entry ``<lastmod>`` (with
+    insignificant whitespace) on the FIRST entry of each document and
+    omits it on the second — ``textops.sitemap_entries`` must pair each
+    ``<loc>`` with its OWN entry's lastmod (a global extract would
+    misalign) and surface NULL where absent. This is what makes
+    re-crawling incremental: fetch only entries newer than the ingest
+    watermark. Exact: the oracle recomputes URL + lastmod straight from
+    ``documents``. One zero-shuffle extract+explode projection."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        sitemap_entries,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    loc1 = F.concat(
+        F.lit("http://s"),
+        (did % 7).cast("string"),
+        F.lit(".Example.com/p/"),
+        did.cast("string"),
+        F.lit("?a=1&amp;b="),
+        (did % 5).cast("string"),
+    )
+    lm = F.concat(
+        F.lit("2024-"),
+        F.lpad((did % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-15"),
+    )
+    loc2 = F.concat(
+        F.lit("http://mirror.example.net/"), (did % 3).cast("string")
+    )
+    body = F.concat(
+        F.lit("<url><loc>\n  "), loc1, F.lit("\n </loc><lastmod> "),
+        lm, F.lit(" </lastmod></url>"),
+        F.lit("<url><loc>"), loc2, F.lit("</loc></url>"),
+    )
+    xml = F.when(
+        did % 10 == 0,
+        F.concat(
+            F.lit('<sitemapindex xmlns="http://www.sitemaps.org/'
+                  'schemas/sitemap/0.9">'),
+            F.regexp_replace(
+                F.regexp_replace(body, "<url>", "<sitemap>"),
+                "</url>",
+                "</sitemap>",
+            ),
+            F.lit("</sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/'
+                  'sitemap/0.9">'),
+            body,
+            F.lit("</urlset>"),
+        )
+    )
+    planted = docs.select(did.alias("site_id"), xml.alias("sitemap_xml"))
+    return sitemap_entries(planted)
+
+
+ORACLE_SITEMAP_LASTMOD = """
+    SELECT site_id, url, lastmod, is_index FROM (
+      SELECT doc_id AS site_id,
+             'http://s' || CAST(doc_id % 7 AS VARCHAR)
+               || '.Example.com/p/' || CAST(doc_id AS VARCHAR)
+               || '?a=1&b=' || CAST(doc_id % 5 AS VARCHAR) AS url,
+             '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+               || '-15' AS lastmod,
+             doc_id % 10 = 0 AS is_index
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             'http://mirror.example.net/' || CAST(doc_id % 3 AS VARCHAR),
+             CAST(NULL AS VARCHAR),
              doc_id % 10 = 0
       FROM documents
     )

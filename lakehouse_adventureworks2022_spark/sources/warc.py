@@ -47,7 +47,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: one row per WARC record
+#: one row per WARC record. ``payload_digest`` is the crawler's own
+#: ``WARC-Payload-Digest`` header (``<algo>:<value>``, e.g. the digest
+#: a ``revisit`` record carries instead of a payload) — the cheapest
+#: crawl-level dedup key, surfaced verbatim. ``http_content_encoding``
+#: is non-NULL only when an HTTP payload arrived under a
+#: ``Content-Encoding`` the parser could NOT inflate (gzip/deflate are
+#: inflated in place and report NULL) — downstream text paths filter on
+#: it so compressed bytes never masquerade as text.
 WARC_RECORD_SCHEMA = T.StructType(
     [
         T.StructField("source_file", T.StringType()),
@@ -59,6 +66,8 @@ WARC_RECORD_SCHEMA = T.StructType(
         T.StructField("http_status", T.IntegerType()),
         T.StructField("http_content_type", T.StringType()),
         T.StructField("payload", T.BinaryType()),
+        T.StructField("payload_digest", T.StringType()),
+        T.StructField("http_content_encoding", T.StringType()),
     ]
 )
 
@@ -95,22 +104,50 @@ def build_warc_codec():
             )
         return b"".join(out)
 
-    def _split_http(block: bytes):
+    def _split_http(block: bytes, headers_only_ok: bool = False):
+        """(status, content_type, content_encoding, payload). gzip and
+        deflate payloads are inflated HERE (real crawl WARCs commonly
+        store the wire bytes, Content-Encoding and all — mojibake
+        'html' downstream otherwise); encodings the stdlib cannot
+        inflate (br, zstd, ...) keep the raw bytes and report the
+        encoding token so callers can gate on it. ``headers_only_ok``
+        accepts a block that is just protocol headers with no body
+        terminator — the shape ``revisit`` records ship."""
+        import zlib
+
         sep = block.find(b"\r\n\r\n")
         if sep < 0:
-            raise ValueError("HTTP block without header terminator")
-        head, payload = block[:sep], block[sep + 4 :]
+            if not headers_only_ok:
+                raise ValueError("HTTP block without header terminator")
+            head, payload = block, b""
+        else:
+            head, payload = block[:sep], block[sep + 4 :]
         lines = head.split(b"\r\n")
         first = lines[0].split(b" ", 2)
         if len(first) < 2 or not first[0].startswith(b"HTTP/"):
             raise ValueError(f"bad HTTP status line {lines[0]!r}")
         status = int(first[1])
-        ctype = None
+        ctype = cenc = None
         for line in lines[1:]:
             k, _, v = line.partition(b":")
-            if k.strip().lower() == b"content-type":
+            key = k.strip().lower()
+            if key == b"content-type":
                 ctype = v.strip().decode("utf-8", "replace")
-        return status, ctype, payload
+            elif key == b"content-encoding":
+                cenc = v.strip().decode("ascii", "replace").lower()
+        if payload and cenc in ("gzip", "x-gzip"):
+            payload = zlib.decompressobj(wbits=47).decompress(payload)
+            cenc = None
+        elif payload and cenc == "deflate":
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error:
+                # some servers send raw-deflate under the token
+                payload = zlib.decompressobj(wbits=-15).decompress(payload)
+            cenc = None
+        elif cenc in ("identity", None, "") or not payload:
+            cenc = None
+        return status, ctype, cenc, payload
 
     def parse(data: bytes) -> list[tuple]:
         if data[:2] == b"\x1f\x8b":
@@ -151,10 +188,20 @@ def build_warc_codec():
             pos += clen
             wtype = headers.get("warc-type", "")
             ctype = headers.get("content-type", "")
-            status = http_ctype = None
+            status = http_ctype = http_cenc = None
             payload = block
             if wtype == "response" and ctype.startswith("application/http"):
-                status, http_ctype, payload = _split_http(block)
+                status, http_ctype, http_cenc, payload = _split_http(block)
+            elif wtype == "revisit":
+                # a duplicate capture: the crawler recorded only the
+                # WARC-Payload-Digest of an earlier identical payload
+                # (identical-payload-digest profile); the block, when
+                # present, is protocol headers only — never content
+                if ctype.startswith("application/http") and block:
+                    status, http_ctype, http_cenc, _ = _split_http(
+                        block, headers_only_ok=True
+                    )
+                payload = b""
             records.append(
                 (
                     headers.get("warc-record-id"),
@@ -165,6 +212,8 @@ def build_warc_codec():
                     status,
                     http_ctype,
                     payload,
+                    headers.get("warc-payload-digest"),
+                    http_cenc,
                 )
             )
         return records
@@ -178,6 +227,7 @@ def build_warc_codec():
 
     def write(responses: list[dict], gzip_members: bool = False) -> bytes:
         import gzip as _gz
+        import hashlib
 
         info_block = b"software: lakehouse_adventureworks2022_spark\r\n"
         recs = [
@@ -194,11 +244,55 @@ def build_warc_codec():
         for r in responses:
             body = r["body"]
             status = r.get("status", 200)
+            # labelled digest of the (identity-coded) payload — the
+            # header revisit records point back at. md5 is the labelled
+            # algorithm here so differential twins can recompute it
+            digest = r.get("digest") or f"md5:{hashlib.md5(body).hexdigest()}"
+            if r.get("revisit"):
+                # duplicate capture: protocol headers only, no payload
+                http = (
+                    f"HTTP/1.1 {status} OK\r\n"
+                    f"Content-Type: text/html; charset=utf-8\r\n\r\n"
+                ).encode()
+                recs.append(
+                    _record(
+                        [
+                            ("WARC-Type", "revisit"),
+                            ("WARC-Record-ID", r["record_id"]),
+                            ("WARC-Target-URI", r["uri"]),
+                            (
+                                "WARC-Date",
+                                r.get("date", "2024-01-01T00:00:00Z"),
+                            ),
+                            (
+                                "WARC-Profile",
+                                "http://netpreserve.org/warc/1.1/"
+                                "revisit/identical-payload-digest",
+                            ),
+                            ("WARC-Payload-Digest", digest),
+                            (
+                                "Content-Type",
+                                "application/http;msgtype=response",
+                            ),
+                        ],
+                        http,
+                    )
+                )
+                continue
+            cenc = r.get("content_encoding")
+            wire = body
+            enc_header = ""
+            if cenc in ("gzip", "x-gzip"):
+                wire = _gz.compress(body, compresslevel=1, mtime=0)
+                enc_header = f"Content-Encoding: {cenc}\r\n"
+            elif cenc:
+                enc_header = f"Content-Encoding: {cenc}\r\n"
             http = (
                 f"HTTP/1.1 {status} OK\r\n"
                 f"Content-Type: text/html; charset=utf-8\r\n"
-                f"Content-Length: {len(body)}\r\n\r\n"
-            ).encode() + body
+                f"{enc_header}"
+                f"Content-Length: {len(wire)}\r\n\r\n"
+            ).encode() + wire
             recs.append(
                 _record(
                     [
@@ -206,6 +300,7 @@ def build_warc_codec():
                         ("WARC-Record-ID", r["record_id"]),
                         ("WARC-Target-URI", r["uri"]),
                         ("WARC-Date", r.get("date", "2024-01-01T00:00:00Z")),
+                        ("WARC-Payload-Digest", digest),
                         ("Content-Type", "application/http;msgtype=response"),
                     ],
                     http,
@@ -263,6 +358,29 @@ def read_warc(spark, path: str) -> DataFrame:
     return parse_warc_frame(files, "content", "path")
 
 
+def _glob_escape(path: str) -> str:
+    """Escape Hadoop glob metachars so a path loads as a LITERAL file —
+    a crawl file named ``snap{1}.warc`` must not be pattern-expanded
+    (Hadoop's ``GlobPattern`` escape char is the backslash)."""
+    import re
+
+    return re.sub(r"([*?{}\[\]\\])", r"\\\g<1>", path)
+
+
+#: partition-key derivation shared by the writer and any reader that
+#: wants to prune to one source file: sanitized basename + a short hash
+#: of the RAW basename. The hash makes the key collision-free — two
+#: distinct inputs like ``a=b.warc`` and ``a_b.warc`` sanitize to the
+#: same prefix but never to the same key.
+def _file_key_col(source_file):  # Column -> Column
+    base = F.element_at(F.split(source_file, "/"), -1)
+    return F.concat(
+        F.regexp_replace(base, "[^A-Za-z0-9._-]", "_"),
+        F.lit("-"),
+        F.substring(F.md5(base), 1, 8),
+    )
+
+
 def warc_incremental_ingest(
     spark,
     crawl_dir: str,
@@ -272,22 +390,30 @@ def warc_incremental_ingest(
     """File-granular incremental WARC ingestion — the deployment loop
     for a crawl that DROPS new ``.warc(.gz)`` files into a directory:
     each run parses only the files not yet recorded in the JSON
-    checkpoint, appends their records to ``out_dir`` (one overwrite-mode
-    subdirectory per source file, keyed by the file's basename), and
-    records the files as done. Returns the list of newly ingested
+    checkpoint, lands their records under ``out_dir`` partitioned by a
+    collision-free per-source-file key (``file=<sanitized>-<hash8>``),
+    and records the files as done. Returns the list of newly ingested
     files.
+
+    ONE Spark job per run, however many files arrived: the whole
+    new-file list feeds a single ``binaryFile`` read (each path
+    glob-escaped so metachar filenames load literally) and one
+    dynamic-partition-overwrite write — a 64k-file backfill costs one
+    job's scheduling, not 64k sequential round-trips, while the file
+    itself stays the unit of parallelism inside the job (the
+    :func:`read_warc` layout).
 
     Idempotence (the ``sources/watermark.py`` + ``ivf_index_append``
     posture): a crash between the parquet write and the checkpoint
-    update replays the same files into the SAME per-file dirs —
-    overwrite, not duplicate; the checkpoint itself is atomic
-    (tmp + rename). Readers take ``spark.read.parquet(f"{out_dir}/*")``
-    and see only completed per-file dirs (each carries parquet's own
-    ``_SUCCESS``).
+    update replays the same files into the SAME per-file partition
+    dirs — dynamic overwrite replaces exactly the partitions it
+    touches, never siblings; the checkpoint itself is atomic
+    (tmp + rename). Readers take ``spark.read.parquet(out_dir)`` (or
+    ``f"{out_dir}/*"``; records carry ``source_file`` either way) and
+    see only committed writes.
 
     Scale: listing is one directory scan; per run the work is
-    O(new files), each file one task — the same unit of parallelism as
-    :func:`read_warc`."""
+    O(new files) inside one job."""
     import json
     import os
 
@@ -299,13 +425,18 @@ def warc_incremental_ingest(
         for n in os.listdir(crawl_dir)
         if n.endswith((".warc", ".warc.gz")) and n not in done
     )
-    for name in names:
-        recs = read_warc(spark, os.path.join(crawl_dir, name))
-        safe = name.replace("=", "_")
-        recs.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"file={safe}")
-        )
     if names:
+        paths = [
+            _glob_escape(os.path.join(os.path.abspath(crawl_dir), n))
+            for n in names
+        ]
+        files = spark.read.format("binaryFile").load(paths)
+        recs = parse_warc_frame(files, "content", "path")
+        recs.withColumn("file", _file_key_col(F.col("source_file"))).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "file"
+        ).parquet(out_dir)
         os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
         tmp = f"{state_path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
@@ -318,11 +449,62 @@ def warc_pages(records: DataFrame, min_status: int = 200, max_status: int = 299)
     """Successful HTML response records as ``(url, html)`` — the input
     shape ``curation.prepare_web_corpus(url_col="url")`` takes. UTF-8
     decode with replacement (deterministic; a crawl's charset zoo is
-    exactly why the quality gates run downstream)."""
+    exactly why the quality gates run downstream). Records whose HTTP
+    payload arrived under a ``Content-Encoding`` the parser could not
+    inflate (``http_content_encoding`` non-NULL — gzip/deflate were
+    already inflated at parse) are EXCLUDED: compressed bytes must
+    never flow into extraction as mojibake 'html'."""
     return records.filter(
         (F.col("warc_type") == "response")
         & F.col("http_status").between(min_status, max_status)
+        & F.col("http_content_encoding").isNull()
     ).select(
         F.col("target_uri").alias("url"),
         F.decode(F.col("payload"), "UTF-8").alias("html"),
     )
+
+
+def dedup_payload_digest(records: DataFrame) -> DataFrame:
+    """Crawl-level content dedup on the crawler's OWN digests — the
+    cheapest dedup tier a real crawl ships, run on raw records BEFORE
+    any payload work (ahead of even URL dedup in the chain:
+    ``records → dedup_payload_digest → warc_pages → prepare_web_corpus``
+    ).
+
+    Semantics: ``revisit`` records are duplicate captures by definition
+    (their block carries a ``WARC-Payload-Digest`` pointing at an
+    earlier identical payload, never content) — all dropped. Among
+    ``response`` records, exactly one survives per payload digest (the
+    crawler's header when present, else ``md5:<hex>`` recomputed from
+    the payload — the writer's labelled-digest convention), keeper =
+    min ``(target_uri, warc_date, record_id)`` for determinism.
+    Non-HTTP records (warcinfo, request, metadata, ...) pass through
+    untouched.
+
+    Shape (the ``dedup_urls`` posture): one uniform-key groupBy over
+    ``(digest, keeper-order key)`` short strings — payloads never ride
+    the agg — then a semi join back on ``record_id`` (unique per record
+    by spec)."""
+    responses = records.filter(F.col("warc_type") == "response")
+    digest = F.coalesce(
+        F.col("payload_digest"),
+        F.concat(F.lit("md5:"), F.md5(F.col("payload"))),
+    )
+    keepers = (
+        responses.select(
+            digest.alias("__digest__"),
+            F.struct(
+                F.col("target_uri").alias("target_uri"),
+                F.col("warc_date").alias("warc_date"),
+                F.col("record_id").alias("record_id"),
+            ).alias("__ord__"),
+        )
+        .groupBy("__digest__")
+        .agg(F.min("__ord__").alias("__keep__"))
+        .select(F.col("__keep__.record_id").alias("record_id"))
+    )
+    kept_responses = responses.join(keepers, "record_id", "left_semi")
+    others = records.filter(
+        ~F.col("warc_type").isin("response", "revisit")
+    )
+    return kept_responses.unionByName(others)

@@ -106,6 +106,13 @@ ROTATED = (
     "corpus_vocabulary",
     "heavy_hitters_event_types",
     "dedup_simhash",
+    # r12 ninth rotation: slots freed for the exact r12 newcomers
+    # warc_revisit_digest and sitemap_lastmod (both swept green at two
+    # SFs the same round); text-quality / LM-scoring window evidence
+    # continues via html_extract/corpus_zipf/doc_readability and
+    # perplexity_quality_buckets
+    "ngram_repetition",
+    "doc_perplexity",
 )
 
 

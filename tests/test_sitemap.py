@@ -92,6 +92,93 @@ def test_zero_shuffle_plan(spark):
     assert "Exchange" not in plan
 
 
+def _entries(spark, xml):
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        sitemap_entries,
+    )
+
+    df = spark.createDataFrame([(1, xml)], "site_id long, sitemap_xml string")
+    return sorted(
+        (r["url"], r["lastmod"], r["is_index"])
+        for r in sitemap_entries(df).collect()
+    )
+
+
+def test_entries_pair_lastmod_per_entry(spark):
+    """<lastmod> pairs with its OWN entry's <loc> — the entry WITH one
+    gets it (whitespace-trimmed), the entry WITHOUT gets NULL; a global
+    extract would misalign exactly this mixed case (the URLSET fixture:
+    first entry has lastmod, second doesn't)."""
+    got = _entries(spark, URLSET)
+    assert got == [
+        ("http://site.io/a?x=1&y=2", "2024-01-01", False),
+        ("http://site.io/b's", None, False),
+    ]
+    # sitemapindex children pair too (re-crawl scheduling for child
+    # sitemaps is the protocol's stated use of lastmod here)
+    xml = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://s.io/m1.xml</loc>"
+        "<lastmod> 2024-06-30T12:00:00Z </lastmod></sitemap>"
+        "<sitemap><loc>http://s.io/m2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    assert _entries(spark, xml) == [
+        ("http://s.io/m1.xml", "2024-06-30T12:00:00Z", True),
+        ("http://s.io/m2.xml", None, True),
+    ]
+    # entries without a <loc> are protocol-invalid and dropped
+    assert _entries(
+        spark, "<urlset><url><lastmod>2024-01-01</lastmod></url></urlset>"
+    ) == []
+
+
+def test_entries_watermark_filter_incremental_recrawl(spark):
+    """The incremental re-crawl integration (the crawl-tier S2 analog):
+    keep only entries whose lastmod exceeds the last ingest watermark.
+    Entries with NULL lastmod stay conservative-fetch (no evidence they
+    are unchanged)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        sitemap_entries,
+    )
+
+    xml = (
+        "<urlset>"
+        "<url><loc>http://s.io/old</loc>"
+        "<lastmod>2024-01-05</lastmod></url>"
+        "<url><loc>http://s.io/new</loc>"
+        "<lastmod>2024-03-20</lastmod></url>"
+        "<url><loc>http://s.io/unknown</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(1, xml)], "site_id long, sitemap_xml string")
+    entries = sitemap_entries(df)
+    watermark = "2024-02-01"
+    to_fetch = entries.filter(
+        F.col("lastmod").isNull()
+        | (F.to_date("lastmod") > F.lit(watermark).cast("date"))
+    )
+    assert sorted(r["url"] for r in to_fetch.collect()) == [
+        "http://s.io/new", "http://s.io/unknown",
+    ]
+
+
+def test_entries_zero_shuffle_plan(spark):
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        sitemap_entries,
+    )
+
+    df = spark.createDataFrame(
+        [(1, URLSET)], "site_id long, sitemap_xml string"
+    )
+    plan = (
+        sitemap_entries(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
 @pytest.mark.parametrize(
     "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )

@@ -181,6 +181,48 @@ def test_pages_feed_web_corpus_front_door(spark, tmp_path):
     assert n == 1
 
 
+def test_digest_dedup_ahead_of_url_dedup_in_chain(spark, tmp_path):
+    """The full crawl dedup ladder, cheapest tier first: records →
+    dedup_payload_digest (crawler digests, no payload work) →
+    warc_pages → dedup_urls (canonical URL) → extraction. A revisit
+    and a byte-identical recapture at another URL both drop at the
+    digest tier; a canonical-URL variant drops at the URL tier."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        dedup_urls,
+    )
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        dedup_payload_digest,
+    )
+
+    page = b"<p>one page body</p>"
+    other = b"<p>a different page</p>"
+    blob = CODEC["write"](
+        [
+            {"uri": "http://h/a", "record_id": "<u:1>", "body": page},
+            # byte-identical recapture at another URL: digest tier drops
+            {"uri": "http://h/mirror", "record_id": "<u:2>", "body": page},
+            # crawler-marked duplicate: digest tier drops
+            {"uri": "http://h/a", "record_id": "<u:3>", "body": page,
+             "revisit": True},
+            # canonical-URL variant of a distinct page: URL tier drops
+            {"uri": "http://h/b?y=2&x=1", "record_id": "<u:4>",
+             "body": other},
+            {"uri": "HTTP://H:80/b?x=1&y=2#frag", "record_id": "<u:5>",
+             "body": other + b"<!-- trailing noise -->"},
+        ],
+        gzip_members=True,
+    )
+    (tmp_path / "f.warc.gz").write_bytes(blob)
+    records = read_warc(spark, str(tmp_path))
+    pages = warc_pages(dedup_payload_digest(records)).select(
+        F.monotonically_increasing_id().alias("doc_id"), "url", "html"
+    )
+    kept = sorted(r["url"] for r in dedup_urls(pages, "url").collect())
+    assert kept == ["http://h/a", "http://h/b?y=2&x=1"]
+
+
 @pytest.mark.parametrize(
     "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
@@ -247,7 +289,7 @@ def test_incremental_ingest_idempotent_and_file_granular(spark, tmp_path):
 
     # a third file arrives; simulate a crash AFTER its parquet write by
     # re-running with the checkpoint rolled back — the replay overwrites
-    # file=c.warc, never duplicates
+    # c.warc's partition dir, never duplicates, never touches siblings
     drop("c.warc", ["http://c/1"])
     assert warc_incremental_ingest(spark, str(crawl), state, out) == ["c.warc"]
     rolled_back = [n for n in json.loads(open(state).read()) if n != "c.warc"]
@@ -255,6 +297,217 @@ def test_incremental_ingest_idempotent_and_file_granular(spark, tmp_path):
         json.dump(rolled_back, f)
     assert warc_incremental_ingest(spark, str(crawl), state, out) == ["c.warc"]
     assert spark.read.parquet(f"{out}/*").count() == 7  # 3 info + 4 resp
-    assert sorted(os.listdir(out)) == [
-        "file=a.warc", "file=b.warc.gz", "file=c.warc",
+    # reading the partitioned root directly works too
+    assert spark.read.parquet(out).count() == 7
+
+    def key(name):
+        import hashlib
+
+        safe = "".join(
+            ch if ch.isalnum() or ch in "._-" else "_" for ch in name
+        )
+        return f"file={safe}-{hashlib.md5(name.encode()).hexdigest()[:8]}"
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("file=")
+    ) == sorted(key(n) for n in ["a.warc", "b.warc.gz", "c.warc"])
+
+
+def test_incremental_ingest_one_job_collision_free_metachar_safe(
+    spark, tmp_path
+):
+    """The backfill shape: MANY new files land in ONE binaryFile read +
+    ONE dynamic-partition write (not a per-file job loop), names that
+    sanitize identically ('a=b.warc' vs 'a_b.warc') land in DISTINCT
+    partition dirs, and glob metachars in a filename load literally."""
+    import os
+
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        warc_incremental_ingest,
+    )
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    out = str(tmp_path / "records")
+    state = str(tmp_path / "ingested.json")
+    names = ["a=b.warc", "a_b.warc", "snap{1}.warc", "q?x[2].warc"] + [
+        f"bulk-{i:03d}.warc" for i in range(12)
     ]
+    for n in names:
+        (crawl / n).write_bytes(
+            CODEC["write"](
+                [{"uri": f"http://h/{n}", "record_id": f"<u:{n}>",
+                  "body": b"<p>x</p>"}]
+            )
+        )
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    assert warc_incremental_ingest(spark, str(crawl), state, out) == sorted(
+        names
+    )
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    # one binaryFile-read+write job (+ at most a couple of planning
+    # jobs, e.g. the dynamic-overwrite partition listing) — NOT one per
+    # file: 16 files must not cost 16 write jobs
+    assert jobs_after - jobs_before <= 4, jobs_after - jobs_before
+    recs = spark.read.parquet(out)
+    assert recs.count() == 2 * len(names)  # warcinfo + response each
+    dirs = [d for d in os.listdir(out) if d.startswith("file=")]
+    assert len(dirs) == len(names)  # collision-free keys, one dir each
+    got_uris = sorted(
+        r["target_uri"]
+        for r in recs.filter("warc_type = 'response'").collect()
+    )
+    assert got_uris == sorted(f"http://h/{n}" for n in names)
+
+
+def test_batch_ingest_equivalent_to_per_file_reads(spark, tmp_path):
+    """The one-job batch form lands exactly the records the per-file
+    read_warc loop produces (same rows, modulo the partition layout)."""
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        warc_incremental_ingest,
+    )
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    for i in range(4):
+        (crawl / f"f{i}.warc.gz").write_bytes(
+            CODEC["write"](
+                [
+                    {"uri": f"http://h/{i}/{j}", "record_id": f"<u:{i}-{j}>",
+                     "body": f"<p>doc {i}-{j}</p>".encode()}
+                    for j in range(3)
+                ],
+                gzip_members=True,
+            )
+        )
+    out = str(tmp_path / "records")
+    warc_incremental_ingest(
+        spark, str(crawl), str(tmp_path / "st.json"), out
+    )
+    def keyed(rows):
+        # source_file basename rides along: the warcinfo record is
+        # byte-identical across files and would otherwise collapse
+        return {
+            (r["source_file"].rsplit("/", 1)[-1], r["record_id"],
+             r["warc_type"], r["target_uri"],
+             bytes(r["payload"] or b""), r["payload_digest"])
+            for r in rows
+        }
+
+    batch = keyed(spark.read.parquet(out).collect())
+    loop = set()
+    for i in range(4):
+        loop |= keyed(
+            read_warc(spark, str(crawl / f"f{i}.warc.gz")).collect()
+        )
+    assert batch == loop and len(batch) == 16
+
+
+def test_revisit_records_and_payload_digest(spark):
+    """Revisit records (the crawler's own dedup tier) parse as
+    first-class rows: warc_type='revisit', digest surfaced, empty
+    payload, HTTP envelope fields recovered from the headers-only
+    block; response records surface their WARC-Payload-Digest too."""
+    import hashlib
+
+    body = b"<p>same payload twice</p>"
+    blob = CODEC["write"](
+        [
+            {"uri": "http://h/orig", "record_id": "<u:1>", "body": body},
+            {"uri": "http://h/dup", "record_id": "<u:2>", "body": body,
+             "revisit": True},
+        ]
+    )
+    recs = CODEC["parse"](blob)
+    md5 = f"md5:{hashlib.md5(body).hexdigest()}"
+    assert [(r[1], r[8]) for r in recs[1:]] == [
+        ("response", md5), ("revisit", md5),
+    ]
+    revisit = recs[2]
+    assert revisit[7] == b"" and revisit[5] == 200
+    # headers-only block WITHOUT the \r\n\r\n terminator still parses
+    # (the tolerant revisit path) — build one by hand
+    head = (
+        b"WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Record-ID: <u:3>\r\n"
+        b"WARC-Target-URI: http://h/d2\r\n"
+        b"WARC-Payload-Digest: " + md5.encode() + b"\r\n"
+        b"Content-Type: application/http;msgtype=response\r\n"
+    )
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+    raw = head + b"Content-Length: %d\r\n\r\n" % len(http) + http + b"\r\n\r\n"
+    (r3,) = CODEC["parse"](raw)
+    assert r3[1] == "revisit" and r3[5] == 200 and r3[7] == b""
+    assert r3[8] == md5
+
+
+def test_content_encoding_gzip_inflated_unknown_gated(spark):
+    """HTTP payloads under Content-Encoding: gzip/deflate are inflated
+    at parse (real crawl WARCs store wire bytes); an encoding the
+    stdlib can't inflate (br) keeps raw bytes, surfaces the token, and
+    warc_pages EXCLUDES it so compressed bytes never become 'html'."""
+    blob = CODEC["write"](
+        [
+            {"uri": "http://h/plain", "record_id": "<u:1>",
+             "body": b"<p>plain</p>"},
+            {"uri": "http://h/gz", "record_id": "<u:2>",
+             "body": b"<p>was gzipped</p>", "content_encoding": "gzip"},
+            {"uri": "http://h/br", "record_id": "<u:3>",
+             "body": b"\x8b\x00opaque-brotli", "content_encoding": "br"},
+        ]
+    )
+    df = spark.createDataFrame([(blob,)], "content binary")
+    recs = parse_warc_frame(df, "content", path_col=None)
+    rows = {r["target_uri"]: r for r in recs.collect() if r["target_uri"]}
+    assert bytes(rows["http://h/gz"]["payload"]) == b"<p>was gzipped</p>"
+    assert rows["http://h/gz"]["http_content_encoding"] is None
+    assert rows["http://h/br"]["http_content_encoding"] == "br"
+    pages = sorted(r["url"] for r in warc_pages(recs).collect())
+    assert pages == ["http://h/gz", "http://h/plain"]
+
+
+def test_dedup_payload_digest(spark):
+    """Crawl-level content dedup on the crawler's digests: revisits all
+    drop, one response survives per digest (min (uri, date, id)),
+    non-HTTP records pass through, and responses WITHOUT a header
+    digest dedup via the recomputed md5 fallback."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        dedup_payload_digest,
+    )
+
+    body = b"<p>shared content</p>"
+    blob = CODEC["write"](
+        [
+            # two full captures of the SAME payload at different URIs
+            {"uri": "http://h/a", "record_id": "<u:1>", "body": body},
+            {"uri": "http://h/b", "record_id": "<u:2>", "body": body},
+            # a revisit pointing at that digest
+            {"uri": "http://h/c", "record_id": "<u:3>", "body": body,
+             "revisit": True},
+            # distinct content survives independently
+            {"uri": "http://h/d", "record_id": "<u:4>",
+             "body": b"<p>unique</p>"},
+        ]
+    )
+    df = spark.createDataFrame([(blob,)], "content binary")
+    recs = parse_warc_frame(df, "content", path_col=None)
+    out = dedup_payload_digest(recs)
+    got = sorted(
+        (r["warc_type"], r["target_uri"]) for r in out.collect()
+    )
+    assert got == [
+        ("response", "http://h/a"),  # keeper: min uri of the pair
+        ("response", "http://h/d"),
+        ("warcinfo", None),
+    ]
+    # fallback tier: strip the header digests -> same verdict via md5
+    stripped = recs.withColumn(
+        "payload_digest", F.lit(None).cast("string")
+    )
+    got2 = sorted(
+        (r["warc_type"], r["target_uri"])
+        for r in dedup_payload_digest(stripped).collect()
+    )
+    assert got2 == got

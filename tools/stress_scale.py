@@ -788,6 +788,62 @@ def main() -> None:
             ),
         )
 
+    # Many-file WARC backfill at 8×rep files (r12): the whole new-file
+    # list feeds ONE binaryFile read + ONE dynamic-partition write —
+    # the r11 verdict's scale hazard was one sequential Spark job per
+    # file, so the row pins per-FILE cost flat as the file count grows
+    # (wall time ~linear in rep, job count constant). Timed inline
+    # (the operator writes parquet itself — no noop sink).
+    if only is None or "warc_backfill_scaled" in only:
+        import os
+        import shutil
+        import tempfile
+
+        from lakehouse_adventureworks2022_spark.sources import warc as warc_mod
+
+        _write_bf = warc_mod.build_warc_codec()["write"]
+        n_files = 8 * rep
+        bf_tmp = tempfile.mkdtemp(prefix="warc_backfill_stress_")
+        bf_crawl = os.path.join(bf_tmp, "crawl")
+        os.makedirs(bf_crawl)
+        for i in range(n_files):
+            blob = _write_bf(
+                [
+                    {
+                        "uri": f"http://b.example.org/{i}/{j}",
+                        "record_id": f"<urn:uuid:bf-{i}-{j}>",
+                        "body": (
+                            f"<p>backfill doc {i}-{j} " + "x" * 180 + "</p>"
+                        ).encode(),
+                    }
+                    for j in range(20)
+                ],
+                gzip_members=True,
+            )
+            with open(
+                os.path.join(bf_crawl, f"part-{i:05d}.warc.gz"), "wb"
+            ) as f:
+                f.write(blob)
+        s0_bf, t0_bf = _cpu_times()
+        t_bf = time.perf_counter()
+        warc_mod.warc_incremental_ingest(
+            spark,
+            bf_crawl,
+            os.path.join(bf_tmp, "state.json"),
+            os.path.join(bf_tmp, "out"),
+        )
+        timings["warc_backfill_scaled"] = round(
+            time.perf_counter() - t_bf, 2
+        )
+        s1_bf, t1_bf = _cpu_times()
+        steals["warc_backfill_scaled"] = round(
+            100.0 * (s1_bf - s0_bf) / (t1_bf - t0_bf)
+            if t1_bf > t0_bf
+            else 0.0,
+            2,
+        )
+        shutil.rmtree(bf_tmp, ignore_errors=True)
+
     # Q21 at rep× fact volume: lineitem + orders replicated with the
     # SAME orderkey offset on both sides (FK integrity preserved, so
     # the per-order supplier profiles — what the count predicates key
