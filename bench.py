@@ -212,6 +212,12 @@ HEADLINE = [
     # r12: sitemap <lastmod> extraction — per-entry loc/lastmod pairing
     # (exact driver oracle; zero-shuffle projection)
     "sitemap_lastmod",
+    # late r12: WET conversion-record ingestion (exact swept twin —
+    # the CommonCrawl *.warc.wet.gz layout through the real parser)
+    "wet_ingest",
+    # late r12: Sitemap: directive discovery from robots.txt (exact
+    # swept twin; zero-shuffle split+explode projection)
+    "robots_sitemap_discovery",
 ]
 
 

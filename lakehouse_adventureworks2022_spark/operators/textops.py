@@ -967,6 +967,44 @@ def parse_robots(
     )
 
 
+def robots_sitemaps(
+    df: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """Extract ``Sitemap:`` directives from per-host robots.txt bodies
+    — the standard discovery channel tying the compliance tier to the
+    frontier tier (sitemaps.org: the directive is host-wide, lives
+    OUTSIDE user-agent groups, key case-insensitive, value an absolute
+    sitemap URL). Returns ``(host, sitemap_url)``, one row per
+    directive, ready for :func:`sitemap_urls` /
+    :func:`sitemap_entries` expansion.
+
+    Zero shuffle, zero UDF: split → explode → key/value extract — no
+    group bookkeeping needed because the directive is group-independent
+    by spec (unlike allow/disallow in :func:`parse_robots`)."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(body_col), r"\n")).alias("line"),
+    ).select(
+        "host",
+        F.regexp_replace(
+            F.regexp_replace(F.col("line"), "#.*", ""),
+            f"^{WS_CLASS}+|{WS_CLASS}+$",
+            "",
+        ).alias("line"),
+    )
+    key = F.lower(F.regexp_extract("line", f"^([A-Za-z-]+){WS_CLASS}*:", 1))
+    val = F.regexp_replace(
+        F.regexp_extract("line", f":{WS_CLASS}*(.*)$", 1),
+        f"{WS_CLASS}+$",
+        "",
+    )
+    return (
+        lines.select("host", key.alias("key"), val.alias("sitemap_url"))
+        .filter((F.col("key") == "sitemap") & (F.col("sitemap_url") != ""))
+        .select("host", "sitemap_url")
+    )
+
+
 def _robots_rule_regex(prefix: Column) -> Column:
     """RFC 9309 path pattern → anchored regex (Java∩RE2): every regex
     metachar escaped, then ``*`` → ``.*`` and a trailing ``$`` (escaped

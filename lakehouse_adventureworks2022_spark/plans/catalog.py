@@ -529,6 +529,15 @@ QUERIES: dict[str, QueryFn] = {
     # warc_revisit_digest / sitemap_lastmod above) ----
     "ngram_repetition": text_queries.q_ngram_repetition,
     "doc_perplexity": text_queries.q_doc_perplexity,
+    # ---- r12 exact newcomers (registered past the window; swept by
+    # check_oracles via PYTEST_ORACLES until a rotation promotes them,
+    # the established newcomer discipline) ----
+    # WET container ingestion — conversion records through the real
+    # parser (oracle recomputes URI + text md5/len from documents)
+    "wet_ingest": text_queries.q_wet_ingest,
+    # Sitemap: directive discovery from robots.txt (oracle recomputes
+    # the planted URLs; group-independent, key case-insensitive)
+    "robots_sitemap_discovery": text_queries.q_robots_sitemap_discovery,
 }
 
 
@@ -662,6 +671,11 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         # tests/test_rotated_oracles.py at two SFs
         "ngram_repetition",
         "doc_perplexity",
+        # exact r12 newcomers: past-window until the next rotation;
+        # DuckDB hash differentials run in the check_oracles sweep via
+        # PYTEST_ORACLES (and in tests/test_warc.py / test_robots.py)
+        "wet_ingest",
+        "robots_sitemap_discovery",
     }
 )
 
@@ -1451,8 +1465,13 @@ PYTEST_ORACLES: dict[str, str] = {
     **ROTATED_ORACLES,
     # (warc_revisit_digest / sitemap_lastmod were promoted to
     # first-time DRIVER oracles in the r12 ninth rotation after
-    # sweeping green at both SFs the same round — the queue is empty
-    # again and this is exactly the rotated-veteran set)
+    # sweeping green at both SFs the same round)
+    # late-r12 exact newcomers awaiting the next rotation (the
+    # established queue): swept by check_oracles at every snapshot
+    "wet_ingest": text_queries.ORACLE_WET_INGEST,
+    "robots_sitemap_discovery": (
+        text_queries.ORACLE_ROBOTS_SITEMAP_DISCOVERY
+    ),
     # (url_canonicalize was promoted to a first-time DRIVER oracle in
     # the r11 eighth rotation after one swept-green round — the queue
     # is empty again and this is exactly the rotated-veteran set)

@@ -2826,6 +2826,130 @@ ORACLE_WARC_REVISIT_DIGEST = """
 """
 
 
+def q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET container ingestion (r12): the documents corpus is muxed
+    IN-PLAN into spec-shaped WET files (``conversion`` records whose
+    block IS the extracted text — the CommonCrawl ``*.warc.wet.gz``
+    layout, per-record gzip members), parsed back through the real
+    record parser and projected by ``sources.warc.wet_pages``. Exact:
+    the oracle recomputes the planted URI and the text md5/byte-length
+    straight from ``documents`` — a parser or projection that drops,
+    truncates or mis-decodes any record diverges the hash. One 16-key
+    mux agg, no other shuffle."""
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        build_warc_codec,
+        parse_warc_frame,
+        wet_pages,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("http://crawl.example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("uri"),
+        (F.col("doc_id") % 16).cast("int").alias("grp"),
+    )
+    write = build_warc_codec()["write"]
+
+    def mux(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf.sort_values("doc_id")
+        blob = write(
+            [
+                {
+                    "uri": r["uri"],
+                    "record_id": f"<urn:uuid:wet-{r['doc_id']}>",
+                    "body": str(r["text"]).encode("utf-8"),
+                    "conversion": True,
+                }
+                for _, r in rows.iterrows()
+            ],
+            gzip_members=True,
+        )
+        return pd.DataFrame(
+            {"grp": [int(pdf["grp"].iloc[0])], "content": [blob]}
+        )
+
+    blobs = docs.groupBy("grp").applyInPandas(
+        mux, schema="grp int, content binary"
+    )
+    pages = wet_pages(parse_warc_frame(blobs, "content", path_col=None))
+    return pages.select(
+        "url",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+        F.length(F.encode(F.col("text"), "UTF-8")).alias("text_bytes"),
+    )
+
+
+ORACLE_WET_INGEST = """
+    SELECT 'http://crawl.example.org/doc/' || CAST(doc_id AS VARCHAR)
+             AS url,
+           md5(text) AS text_md5,
+           CAST(octet_length(encode(text)) AS INTEGER) AS text_bytes
+    FROM documents
+"""
+
+
+def q_robots_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Sitemap:`` directive discovery from robots.txt (r12): per-doc
+    planted robots bodies carry two sitemap directives amid group rules
+    and comments — one canonical spelling, one case-variant with messy
+    whitespace (the directive is group-independent and key
+    case-insensitive per sitemaps.org) — extracted by
+    ``textops.robots_sitemaps``. Exact: the oracle recomputes both
+    planted URLs per host straight from ``documents``. Zero-shuffle
+    split+explode projection."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        robots_sitemaps,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(
+        F.lit("h"), (did % 11).cast("string"), F.lit(".example.com")
+    )
+    sm1 = F.concat(
+        F.lit("http://h"),
+        (did % 11).cast("string"),
+        F.lit(".example.com/sm/"),
+        did.cast("string"),
+        F.lit(".xml"),
+    )
+    sm2 = F.concat(
+        F.lit("http://mirror.example.net/"),
+        (did % 3).cast("string"),
+        F.lit(".xml.gz"),
+    )
+    body = F.concat(
+        F.lit("# crawler policy\nUser-agent: *\nDisallow: /tmp\n"
+              "Sitemap: "),
+        sm1,
+        F.lit("\nAllow: /\nsITEMAP:   "),
+        sm2,
+        F.lit("  \nUser-agent: otherbot\nDisallow: /x\n"),
+    )
+    robots = docs.select(host.alias("host"), body.alias("robots_txt"))
+    return robots_sitemaps(robots)
+
+
+ORACLE_ROBOTS_SITEMAP_DISCOVERY = """
+    SELECT host, sitemap_url FROM (
+      SELECT 'h' || CAST(doc_id % 11 AS VARCHAR) || '.example.com'
+               AS host,
+             'http://h' || CAST(doc_id % 11 AS VARCHAR)
+               || '.example.com/sm/' || CAST(doc_id AS VARCHAR)
+               || '.xml' AS sitemap_url
+      FROM documents
+      UNION ALL
+      SELECT 'h' || CAST(doc_id % 11 AS VARCHAR) || '.example.com',
+             'http://mirror.example.net/' || CAST(doc_id % 3 AS VARCHAR)
+               || '.xml.gz'
+      FROM documents
+    )
+"""
+
+
 def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion (r11): spec-shaped sitemap XML is planted
     IN-PLAN per doc (every 10th doc gets a ``<sitemapindex>`` instead

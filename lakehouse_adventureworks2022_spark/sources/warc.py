@@ -279,6 +279,27 @@ def build_warc_codec():
                     )
                 )
                 continue
+            if r.get("conversion"):
+                # WET-style record (the CommonCrawl *.warc.wet.gz
+                # layout): the block IS the extracted text, no HTTP
+                # envelope, Content-Type text/plain
+                recs.append(
+                    _record(
+                        [
+                            ("WARC-Type", "conversion"),
+                            ("WARC-Record-ID", r["record_id"]),
+                            ("WARC-Target-URI", r["uri"]),
+                            (
+                                "WARC-Date",
+                                r.get("date", "2024-01-01T00:00:00Z"),
+                            ),
+                            ("WARC-Payload-Digest", digest),
+                            ("Content-Type", "text/plain"),
+                        ],
+                        body,
+                    )
+                )
+                continue
             cenc = r.get("content_encoding")
             wire = body
             enc_header = ""
@@ -461,6 +482,20 @@ def warc_pages(records: DataFrame, min_status: int = 200, max_status: int = 299)
     ).select(
         F.col("target_uri").alias("url"),
         F.decode(F.col("payload"), "UTF-8").alias("html"),
+    )
+
+
+def wet_pages(records: DataFrame) -> DataFrame:
+    """WET ``conversion`` records as ``(url, text)`` — the
+    already-extracted-text sibling of :func:`warc_pages` (CommonCrawl
+    ships extraction results as ``*.warc.wet.gz``: one ``conversion``
+    record per page whose block IS the plain text, no HTTP envelope).
+    Feeds ``prepare_training_corpus`` directly, or
+    ``prepare_web_corpus`` whose extraction pass is the identity on
+    already-plain text (the tested identity contract)."""
+    return records.filter(F.col("warc_type") == "conversion").select(
+        F.col("target_uri").alias("url"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
     )
 
 

@@ -198,6 +198,49 @@ def test_pages_never_shuffle(spark):
     assert "Exchange" not in page_side, page_side
 
 
+def test_robots_sitemap_discovery(spark):
+    """Sitemap: directives extract host-wide regardless of group
+    position, key case-insensitive, comments stripped, whitespace
+    trimmed; hosts without a directive yield no rows — and the
+    discovered URLs chain straight into sitemap expansion."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        robots_sitemaps,
+        sitemap_urls,
+    )
+
+    bodies = [
+        ("a.io",
+         "User-agent: *\nDisallow: /x\n"
+         "Sitemap: http://a.io/sm.xml\n"
+         "User-agent: bot\nsItEmAp:   http://a.io/sm2.xml.gz  \n"
+         "# Sitemap: http://a.io/commented-out.xml\n"),
+        ("b.io", "User-agent: *\nDisallow:\n"),
+    ]
+    df = spark.createDataFrame(bodies, "host string, robots_txt string")
+    got = sorted(
+        (r["host"], r["sitemap_url"])
+        for r in robots_sitemaps(df).collect()
+    )
+    assert got == [
+        ("a.io", "http://a.io/sm.xml"),
+        ("a.io", "http://a.io/sm2.xml.gz"),
+    ]
+    # chain: discovered sitemap -> frontier extraction
+    frontier = spark.createDataFrame(
+        [("http://a.io/sm.xml",
+          "<urlset><url><loc>http://a.io/p/1</loc></url></urlset>")],
+        "site_id string, sitemap_xml string",
+    )
+    assert [
+        r["url"] for r in sitemap_urls(frontier, id_col="site_id").collect()
+    ] == ["http://a.io/p/1"]
+    # zero-shuffle projection
+    plan = (
+        robots_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_crawl_chain_robots_before_dedup(spark):
     """WARC pages → robots gate → URL dedup: the compliance gate drops
     disallowed pages before any fetch-side work downstream."""

@@ -181,6 +181,40 @@ def test_pages_feed_web_corpus_front_door(spark, tmp_path):
     assert n == 1
 
 
+def test_wet_conversion_records_roundtrip(spark):
+    """WET layout (CommonCrawl *.warc.wet.gz): conversion records whose
+    block IS the extracted text — written, parsed back through the same
+    record parser, projected by wet_pages; digest surfaced; response
+    records in the same file are untouched by the projection."""
+    import hashlib
+
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        wet_pages,
+    )
+
+    text = "already-extracted text body, no markup"
+    blob = CODEC["write"](
+        [
+            {"uri": "http://h/wet", "record_id": "<w:1>",
+             "body": text.encode(), "conversion": True},
+            {"uri": "http://h/html", "record_id": "<w:2>",
+             "body": b"<p>html page</p>"},
+        ],
+        gzip_members=True,
+    )
+    recs = CODEC["parse"](blob)
+    assert [r[1] for r in recs] == ["warcinfo", "conversion", "response"]
+    conv = recs[1]
+    assert conv[4] == "text/plain" and conv[7] == text.encode()
+    assert conv[8] == f"md5:{hashlib.md5(text.encode()).hexdigest()}"
+    assert conv[5] is None  # no HTTP envelope on conversion records
+    df = spark.createDataFrame([(blob,)], "content binary")
+    pages = wet_pages(parse_warc_frame(df, "content", path_col=None))
+    assert [(r["url"], r["text"]) for r in pages.collect()] == [
+        ("http://h/wet", text)
+    ]
+
+
 def test_digest_dedup_ahead_of_url_dedup_in_chain(spark, tmp_path):
     """The full crawl dedup ladder, cheapest tier first: records →
     dedup_payload_digest (crawler digests, no payload work) →
