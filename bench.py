@@ -218,6 +218,12 @@ HEADLINE = [
     # late r12: Sitemap: directive discovery from robots.txt (exact
     # swept twin; zero-shuffle split+explode projection)
     "robots_sitemap_discovery",
+    # late r12: anchor-outlink extraction + host link graph (exact
+    # swept twins) and 5-iteration host PageRank (rows-only; the
+    # iterative join+agg loop with per-iteration lineage truncation)
+    "outlink_extract",
+    "host_link_graph",
+    "host_pagerank",
 ]
 
 

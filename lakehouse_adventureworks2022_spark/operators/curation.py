@@ -563,3 +563,52 @@ def prepare_web_corpus(
     # stat measure markup size instead of content
     extracted = extracted.withColumn("n_chars", F.length(text_col))
     return prepare_training_corpus(extracted, text_col=text_col, **kwargs)
+
+
+def web_corpus_from_warc(
+    spark,
+    crawl_path: str,
+    lang: str = "und",
+    min_status: int = 200,
+    max_status: int = 299,
+    robots_rules: DataFrame | None = None,
+    **kwargs,
+) -> DataFrame:
+    """One-call crawl front door: ``.warc(.gz)`` files on disk → the
+    curated, split corpus. Chains the tested tiers in dedup-ladder
+    order (cheapest first): :func:`~sources.warc.read_warc` (one task
+    per file) → :func:`~sources.warc.dedup_payload_digest` (revisits
+    and byte-identical recaptures drop on the crawler's own digests,
+    BEFORE any payload work) → successful-HTML page projection (status
+    window, un-inflatable Content-Encoding excluded) →
+    :func:`prepare_web_corpus` (optional robots gate → URL-exact dedup
+    → extraction → scrub → quality gates + content dedup → split).
+
+    Columns fabricated for the curation contract: ``doc_id`` =
+    ``xxhash64(record_id)`` (record ids are unique per ISO 28500, so
+    the id is deterministic across replays — a
+    monotonically-increasing id would not be); ``source`` = the WARC
+    file basename (the provenance a curation audit slices by);
+    ``lang`` a constant default until language-id runs downstream."""
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        dedup_payload_digest,
+        read_warc,
+    )
+
+    records = dedup_payload_digest(read_warc(spark, crawl_path))
+    pages = records.filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(min_status, max_status)
+        & F.col("http_content_encoding").isNull()
+    ).select(
+        F.xxhash64(F.col("record_id")).alias("doc_id"),
+        F.element_at(F.split(F.col("source_file"), "/"), -1).alias(
+            "source"
+        ),
+        F.lit(lang).alias("lang"),
+        F.col("target_uri").alias("url"),
+        F.decode(F.col("payload"), "UTF-8").alias("html"),
+    )
+    return prepare_web_corpus(
+        pages, url_col="url", robots_rules=robots_rules, **kwargs
+    )

@@ -872,6 +872,144 @@ def sitemap_entries(
     )
 
 
+# ---- outlink extraction + host link graph (r12) -----------------------
+
+#: ``<a ... href="...">`` capture, double- and single-quoted attribute
+#: forms (two passes because extract-all returns one group). Explicit
+#: whitespace class around ``=`` — the oracle-shared-regex rule.
+OUTLINK_HREF_DQ_PATTERN = (
+    r'(?is)<a\b[^>]*\bhref[ \t\n\r\f]*=[ \t\n\r\f]*"([^"]*)"'
+)
+OUTLINK_HREF_SQ_PATTERN = (
+    r"(?is)<a\b[^>]*\bhref[ \t\n\r\f]*=[ \t\n\r\f]*'([^']*)'"
+)
+
+
+def extract_outlinks(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    out_col: str = "link",
+) -> DataFrame:
+    """Anchor-outlink extraction — the crawl-frontier feeder and the
+    edge source for the host link graph: every ``<a href>`` in the
+    page, entity-decoded (hrefs are HTML-attribute-encoded: ``&amp;``
+    in query strings is standard) and resolved against the page URL by
+    the bounded RFC 3986 subset a regex tier can do exactly:
+
+    - absolute (``scheme://...``) kept as-is;
+    - protocol-relative (``//host/...``) gets the page's scheme;
+    - root-relative (``/path``) gets the page's scheme + authority;
+    - everything else (path-relative needing dot-segment resolution,
+      ``#fragment``, ``javascript:``, ``mailto:``) is DROPPED — the
+      documented precision/throughput trade of this tier (the
+      canonicalizer's posture on percent-encoding).
+
+    Returns ``(url_col, out_col)`` — one row per kept link; the page
+    payload deliberately does NOT ride through the explode. Zero
+    shuffle, zero UDF."""
+    scheme = F.lower(F.regexp_extract(F.col(url_col), URL_SCHEME_PATTERN, 1))
+    hostport = F.regexp_extract(F.col(url_col), URL_HOSTPORT_PATTERN, 1)
+
+    # Codegen-size discipline: the WHOLE trim→decode→classify→resolve
+    # pipeline lives INSIDE the generator expression (array transform +
+    # filter feeding one explode), so the emitted column is an opaque
+    # Generate output. Downstream predicates (a consumer's
+    # host != '' gate, a dedup's null check) stop at the Generate
+    # boundary instead of substituting the resolution CASE — with the
+    # earlier projection form, a pushed-down filter re-inlined the
+    # entity chain per reference and blew janino's 64 KB method limit
+    # (observed: the composed link-graph plan fell back to interpreted
+    # execution).
+    def _resolve(h):  # Column -> Column, one raw href -> resolved|NULL
+        t = F.regexp_replace(h, f"^{WS_CLASS}+|{WS_CLASS}+$", "")
+        dec = t
+        for pat, repl in SITEMAP_ENTITY_STEPS:
+            dec = F.regexp_replace(dec, pat, repl)
+        return (
+            F.when(F.regexp_like(t, F.lit(URL_SCHEME_PATTERN)), dec)
+            .when(t.startswith("//"), F.concat(scheme, F.lit(":"), dec))
+            .when(
+                t.startswith("/"),
+                F.concat(scheme, F.lit("://"), hostport, dec),
+            )
+        )
+
+    links_arr = F.filter(
+        F.transform(
+            F.concat(
+                F.regexp_extract_all(
+                    F.col(html_col), F.lit(OUTLINK_HREF_DQ_PATTERN), 1
+                ),
+                F.regexp_extract_all(
+                    F.col(html_col), F.lit(OUTLINK_HREF_SQ_PATTERN), 1
+                ),
+            ),
+            _resolve,
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(F.col(url_col), F.explode(links_arr).alias(out_col))
+
+
+def host_link_graph(
+    links: DataFrame, url_col: str = "url", link_col: str = "link"
+) -> DataFrame:
+    """Collapse page-level outlinks to the host link graph
+    ``(src_host, dst_host, n_links)`` — the PageRank/authority-signal
+    feedstock and the cheapest whole-crawl structure summary. Hosts via
+    :func:`canonical_host_col` (case/port noise can't split a node);
+    rows whose either side is not a URL drop. ONE uniform-key
+    aggregation on two short strings.
+
+    The host derivation is staged in two projections (scheme/hostport
+    extracts first, port-strip second): the port-strip branches
+    reference the hostport three times, and when ``links`` arrives as
+    an unmaterialized extraction plan the inlined tree otherwise blows
+    janino's 64 KB method limit — staged multi-referenced aliases stay
+    their own codegen-splittable projections."""
+    parts = links.select(
+        F.lower(
+            F.regexp_extract(F.col(url_col), URL_SCHEME_PATTERN, 1)
+        ).alias("__ss__"),
+        F.lower(
+            F.regexp_extract(F.col(url_col), URL_HOSTPORT_PATTERN, 1)
+        ).alias("__sh__"),
+        F.lower(
+            F.regexp_extract(F.col(link_col), URL_SCHEME_PATTERN, 1)
+        ).alias("__ds__"),
+        F.lower(
+            F.regexp_extract(F.col(link_col), URL_HOSTPORT_PATTERN, 1)
+        ).alias("__dh__"),
+    )
+
+    def _strip_port(scheme: Column, hostport: Column) -> Column:
+        return (
+            F.when(
+                scheme == "http", F.regexp_replace(hostport, r":80$", "")
+            )
+            .when(
+                scheme == "https",
+                F.regexp_replace(hostport, r":443$", ""),
+            )
+            .otherwise(hostport)
+        )
+
+    return (
+        parts.select(
+            _strip_port(F.col("__ss__"), F.col("__sh__")).alias(
+                "src_host"
+            ),
+            _strip_port(F.col("__ds__"), F.col("__dh__")).alias(
+                "dst_host"
+            ),
+        )
+        .filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
 # ---- robots.txt (RFC 9309) parsing + URL gating (r11) -----------------
 
 

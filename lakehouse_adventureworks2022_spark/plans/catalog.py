@@ -538,6 +538,13 @@ QUERIES: dict[str, QueryFn] = {
     # Sitemap: directive discovery from robots.txt (oracle recomputes
     # the planted URLs; group-independent, key case-insensitive)
     "robots_sitemap_discovery": text_queries.q_robots_sitemap_discovery,
+    # anchor-outlink extraction + host link graph (exact — oracles
+    # recompute the resolved links / grouped counts from documents)
+    "outlink_extract": text_queries.q_outlink_extract,
+    "host_link_graph": text_queries.q_host_link_graph,
+    # host PageRank over the planted graph (rows-only — iterative
+    # float fixpoint; math differential in tests/test_graph.py)
+    "host_pagerank": text_queries.q_host_pagerank,
 }
 
 
@@ -676,6 +683,9 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         # PYTEST_ORACLES (and in tests/test_warc.py / test_robots.py)
         "wet_ingest",
         "robots_sitemap_discovery",
+        "outlink_extract",
+        "host_link_graph",
+        "host_pagerank",  # iterative float fixpoint: no SQL twin
     }
 )
 
@@ -1472,6 +1482,8 @@ PYTEST_ORACLES: dict[str, str] = {
     "robots_sitemap_discovery": (
         text_queries.ORACLE_ROBOTS_SITEMAP_DISCOVERY
     ),
+    "outlink_extract": text_queries.ORACLE_OUTLINK_EXTRACT,
+    "host_link_graph": text_queries.ORACLE_HOST_LINK_GRAPH,
     # (url_canonicalize was promoted to a first-time DRIVER oracle in
     # the r11 eighth rotation after one swept-green round — the queue
     # is empty again and this is exactly the rotated-veteran set)

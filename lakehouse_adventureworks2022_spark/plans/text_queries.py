@@ -2950,6 +2950,127 @@ ORACLE_ROBOTS_SITEMAP_DISCOVERY = """
 """
 
 
+def _planted_outlink_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared plant for the outlink/link-graph/pagerank tier: per doc a
+    page at ``http://h<id%11>.example.com/p/<id>`` whose HTML carries
+    an absolute anchor (entity-encoded query), a single-quoted
+    protocol-relative anchor, a root-relative anchor, and three
+    DROPPED forms (fragment, javascript:, path-relative) amid tag
+    noise."""
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://h"), (did % 11).cast("string"),
+        F.lit(".example.com/p/"), did.cast("string"),
+    )
+    html = F.concat(
+        F.lit('<html><body><p>x</p><a href="http://s'),
+        (did % 7).cast("string"),
+        F.lit('.example.org/x?a=1&amp;b=2">t</a>'),
+        F.lit("<a href='//cdn.example.net/"),
+        (did % 3).cast("string"),
+        F.lit("'>i</a>"),
+        F.lit('<a id="k" href="/local/'),
+        (did % 5).cast("string"),
+        F.lit('">l</a>'),
+        F.lit('<a href="#top">f</a><a href="javascript:void(0)">j</a>'
+              '<a href="sub/rel.html">r</a></body></html>'),
+    )
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+def q_outlink_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-outlink extraction (r12): planted pages through
+    ``textops.extract_outlinks`` — three kept links per doc (absolute
+    with mandatory ``&amp;`` decode, protocol-relative gaining the page
+    scheme, root-relative gaining scheme+authority), three dropped
+    forms. Exact: the oracle recomputes the resolved links straight
+    from ``documents``. Zero-shuffle extract+explode projection."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        extract_outlinks,
+    )
+
+    return extract_outlinks(_planted_outlink_pages(spark, sf_dir))
+
+
+ORACLE_OUTLINK_EXTRACT = """
+    SELECT url, link FROM (
+      SELECT 'http://h' || CAST(doc_id % 11 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+             'http://s' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.org/x?a=1&b=2' AS link
+      FROM documents
+      UNION ALL
+      SELECT 'http://h' || CAST(doc_id % 11 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR),
+             'http://cdn.example.net/' || CAST(doc_id % 3 AS VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT 'http://h' || CAST(doc_id % 11 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR),
+             'http://h' || CAST(doc_id % 11 AS VARCHAR)
+               || '.example.com/local/' || CAST(doc_id % 5 AS VARCHAR)
+      FROM documents
+    )
+"""
+
+
+def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host link graph (r12): the planted outlinks collapsed to
+    ``(src_host, dst_host, n_links)`` — ONE uniform-key aggregation on
+    two short strings (the PageRank feedstock). Exact: the oracle
+    recomputes the same grouped counts from ``documents``."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        extract_outlinks,
+        host_link_graph,
+    )
+
+    return host_link_graph(
+        extract_outlinks(_planted_outlink_pages(spark, sf_dir))
+    )
+
+
+ORACLE_HOST_LINK_GRAPH = """
+    SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+    FROM (
+      SELECT 'h' || CAST(doc_id % 11 AS VARCHAR) || '.example.com'
+               AS src_host,
+             's' || CAST(doc_id % 7 AS VARCHAR) || '.example.org'
+               AS dst_host
+      FROM documents
+      UNION ALL
+      SELECT 'h' || CAST(doc_id % 11 AS VARCHAR) || '.example.com',
+             'cdn.example.net'
+      FROM documents
+      UNION ALL
+      SELECT 'h' || CAST(doc_id % 11 AS VARCHAR) || '.example.com',
+             'h' || CAST(doc_id % 11 AS VARCHAR) || '.example.com'
+      FROM documents
+    )
+    GROUP BY src_host, dst_host
+"""
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host PageRank (r12): 5 power iterations over the planted host
+    graph (``operators.graph.pagerank`` — per-iteration one join + one
+    uniform-key agg, dangling/teleport terms attached by a one-row
+    scalar broadcast, lineage truncated per iteration). Rows-only by
+    design: an iterative float fixpoint has no SQL twin; the
+    math differential (pure-Python reference, rank-sum and ordering
+    invariants, dangling handling) lives in tests/test_graph.py."""
+    from lakehouse_adventureworks2022_spark.operators.graph import pagerank
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        extract_outlinks,
+        host_link_graph,
+    )
+
+    edges = host_link_graph(
+        extract_outlinks(_planted_outlink_pages(spark, sf_dir))
+    )
+    return pagerank(edges, iterations=5)
+
+
 def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion (r11): spec-shaped sitemap XML is planted
     IN-PLAN per doc (every 10th doc gets a ``<sitemapindex>`` instead

@@ -257,6 +257,77 @@ def test_digest_dedup_ahead_of_url_dedup_in_chain(spark, tmp_path):
     assert kept == ["http://h/a", "http://h/b?y=2&x=1"]
 
 
+def test_web_corpus_from_warc_one_call_front_door(spark, tmp_path):
+    """The full one-call chain: WARC files on disk → digest dedup →
+    page projection → robots gate → URL dedup → extraction → quality
+    gates → split. Every dedup tier claims its intended victim and the
+    survivors carry file-basename provenance + deterministic ids."""
+    from lakehouse_adventureworks2022_spark.operators import dedup
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        web_corpus_from_warc,
+    )
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        parse_robots,
+    )
+
+    page_a = (
+        "<p>tiny healthy document with enough plain words"
+        " to pass the quality gate today</p>"
+    ).encode()
+    page_b = (
+        "<p>another entirely different page describing oranges,"
+        " bicycles and seven rainy tuesdays in quiet detail</p>"
+    ).encode()
+    (tmp_path / "f1.warc.gz").write_bytes(
+        CODEC["write"](
+            [
+                {"uri": "http://site.io/a", "record_id": "<c:1>",
+                 "body": page_a},
+                # byte-identical recapture -> digest tier drops
+                {"uri": "http://site.io/a-mirror", "record_id": "<c:2>",
+                 "body": page_a},
+                # crawler-marked duplicate -> digest tier drops
+                {"uri": "http://site.io/a", "record_id": "<c:3>",
+                 "body": page_a, "revisit": True},
+            ],
+            gzip_members=True,
+        )
+    )
+    (tmp_path / "f2.warc").write_bytes(
+        CODEC["write"](
+            [
+                {"uri": "http://site.io/b?y=2&x=1", "record_id": "<c:4>",
+                 "body": page_b},
+                # canonical-URL variant -> URL tier drops
+                {"uri": "HTTP://SITE.IO:80/b?x=1&y=2#f",
+                 "record_id": "<c:5>", "body": page_b + b"<!-- noise -->"},
+                # robots-blocked -> compliance gate drops
+                {"uri": "http://site.io/private/x", "record_id": "<c:6>",
+                 "body": page_b.replace(b"oranges", b"plums")},
+            ]
+        )
+    )
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("site.io", "User-agent: *\nDisallow: /private/")],
+            "host string, robots_txt string",
+        )
+    )
+    out = web_corpus_from_warc(
+        spark, str(tmp_path), robots_rules=rules
+    )
+    rows = out.collect()
+    dedup.release_cached_inputs(out)
+    assert len(rows) == 2
+    assert sorted(r["source"] for r in rows) == ["f1.warc.gz", "f2.warc"]
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    # replay-deterministic ids (xxhash64 of the spec-unique record id)
+    out2 = web_corpus_from_warc(spark, str(tmp_path), robots_rules=rules)
+    ids2 = sorted(r["doc_id"] for r in out2.collect())
+    dedup.release_cached_inputs(out2)
+    assert ids2 == sorted(r["doc_id"] for r in rows)
+
+
 @pytest.mark.parametrize(
     "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
