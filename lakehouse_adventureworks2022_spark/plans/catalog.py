@@ -187,10 +187,16 @@ QUERIES: dict[str, QueryFn] = {
     # sitemap ingestion (r11; exact — in-plan spec-shaped plant,
     # extract+entity-decode; oracle recomputes the URLs directly)
     "sitemap_extract": text_queries.q_sitemap_extract,
-    # r8 fifth rotation IN: the exact deterministic-sampling family
-    # gains first-time DRIVER oracles (DuckDB-diffed in
-    # tests/test_sampling.py since r5; hashes judge-verified green)
-    "docs_stratified_sample": text_queries.q_docs_stratified_sample,
+    # (docs_stratified_sample — r8 first driver oracle, green r8-r11 —
+    # rotated to tests/test_rotated_oracles.py in the late-r12 tenth
+    # rotation; deterministic-sampling window evidence continues via
+    # docs_sample_exact_n / docs_capped_per_source / docs_epoch_mixture)
+    # ---- late-r12 tenth rotation IN: first driver oracles for the
+    # exact late-r12 newcomers (all swept green at two SFs the same
+    # round) ----
+    # WET container ingestion — conversion records through the real
+    # parser (oracle recomputes URI + text md5/len from documents)
+    "wet_ingest": text_queries.q_wet_ingest,
     "docs_sample_exact_n": text_queries.q_docs_sample_exact_n,
     # (tpch_q1 / tpch_q3 — green since r1 — rotated to
     # tests/test_rotated_oracles.py in r7; the wide-agg and join+filter
@@ -218,14 +224,23 @@ QUERIES: dict[str, QueryFn] = {
     # (silver_lineitem_enriched — green since r1 — rotated to
     # tests/test_rotated_oracles.py in r7; the J1 snowflake shape stays
     # driver-evidenced inside sales_summary/tpch_q5/tpch_q9)
-    # per-source snapshot drift monitoring (r7 first driver oracle)
-    "corpus_drift": text_queries.q_corpus_drift,
+    # (corpus_drift — r7 first driver oracle, green r7-r11 — rotated
+    # to tests/test_rotated_oracles.py in the late-r12 tenth rotation;
+    # monitoring window evidence continues via embedding_drift and
+    # event_anomalies)
+    # Sitemap: directive discovery from robots.txt (oracle recomputes
+    # the planted URLs; group-independent, key case-insensitive)
+    "robots_sitemap_discovery": text_queries.q_robots_sitemap_discovery,
     # (sales_rollup — green since r1 — rotated to
     # tests/test_rotated_oracles.py late-r7; ROLLUP evidence continues
     # via revenue_grouping_sets)
-    # portable PII scrub with in-plan planted spans (late-r7 first
-    # driver oracle; twin generated from the operator's pattern table)
-    "pii_scrub": text_queries.q_pii_scrub,
+    # (pii_scrub — late-r7 first driver oracle, green r7-r11 — rotated
+    # to tests/test_rotated_oracles.py in the late-r12 tenth rotation;
+    # curation-scrub window evidence continues via normalize_text and
+    # domain_census)
+    # anchor-outlink extraction (oracle recomputes the resolved links
+    # from documents; bounded RFC 3986 resolution)
+    "outlink_extract": text_queries.q_outlink_extract,
     # (revenue_grouping_sets — green r4-r7 — rotated to
     # tests/test_rotated_oracles.py in the r8 fifth rotation; its slot
     # goes to the declarative DQ expectation suite below)
@@ -322,7 +337,13 @@ QUERIES: dict[str, QueryFn] = {
     # r6; DuckDB-diffed in pytest since r5)
     "funnel_conversion": relational.funnel_conversion,
     "retention_cohorts": relational.retention_cohorts,
-    "scd2_part_price_asof": scd2_query.scd2_part_price_asof,
+    # (scd2_part_price_asof — r6 first driver oracle, green r6-r11 —
+    # rotated to tests/test_rotated_oracles.py in the late-r12 tenth
+    # rotation; SCD2/as-of window evidence continues via
+    # scd2_part_dimension and asof_click_attribution)
+    # host link graph census (oracle recomputes the grouped counts
+    # from documents; the PageRank feedstock)
+    "host_link_graph": text_queries.q_host_link_graph,
     # ---- past the window: r6-rotated long-stable queries (green since
     # r1; same hash-diff rigor now in tests/test_rotated_oracles.py via
     # ROTATED_ORACLES below) ----
@@ -529,22 +550,18 @@ QUERIES: dict[str, QueryFn] = {
     # warc_revisit_digest / sitemap_lastmod above) ----
     "ngram_repetition": text_queries.q_ngram_repetition,
     "doc_perplexity": text_queries.q_doc_perplexity,
-    # ---- r12 exact newcomers (registered past the window; swept by
-    # check_oracles via PYTEST_ORACLES until a rotation promotes them,
-    # the established newcomer discipline) ----
-    # WET container ingestion — conversion records through the real
-    # parser (oracle recomputes URI + text md5/len from documents)
-    "wet_ingest": text_queries.q_wet_ingest,
-    # Sitemap: directive discovery from robots.txt (oracle recomputes
-    # the planted URLs; group-independent, key case-insensitive)
-    "robots_sitemap_discovery": text_queries.q_robots_sitemap_discovery,
-    # anchor-outlink extraction + host link graph (exact — oracles
-    # recompute the resolved links / grouped counts from documents)
-    "outlink_extract": text_queries.q_outlink_extract,
-    "host_link_graph": text_queries.q_host_link_graph,
     # host PageRank over the planted graph (rows-only — iterative
     # float fixpoint; math differential in tests/test_graph.py)
     "host_pagerank": text_queries.q_host_pagerank,
+    # ---- late-r12 tenth rotation OUT (first driver oracles r6-r8,
+    # green through r11; the identical hash-diff rigor continues in
+    # tests/test_rotated_oracles.py at two SFs; slots freed for
+    # wet_ingest / robots_sitemap_discovery / outlink_extract /
+    # host_link_graph above) ----
+    "docs_stratified_sample": text_queries.q_docs_stratified_sample,
+    "corpus_drift": text_queries.q_corpus_drift,
+    "pii_scrub": text_queries.q_pii_scrub,
+    "scd2_part_price_asof": scd2_query.scd2_part_price_asof,
 }
 
 
@@ -678,14 +695,14 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         # tests/test_rotated_oracles.py at two SFs
         "ngram_repetition",
         "doc_perplexity",
-        # exact r12 newcomers: past-window until the next rotation;
-        # DuckDB hash differentials run in the check_oracles sweep via
-        # PYTEST_ORACLES (and in tests/test_warc.py / test_robots.py)
-        "wet_ingest",
-        "robots_sitemap_discovery",
-        "outlink_extract",
-        "host_link_graph",
         "host_pagerank",  # iterative float fixpoint: no SQL twin
+        # exact, late-r12 tenth rotation out of the window (first
+        # driver oracles r6-r8, green through r11): same hash-diff
+        # rigor in tests/test_rotated_oracles.py at two SFs
+        "docs_stratified_sample",
+        "corpus_drift",
+        "pii_scrub",
+        "scd2_part_price_asof",
     }
 )
 
@@ -765,8 +782,10 @@ ORACLES: dict[str, str] = {
     # exact all-pairs oracle (ORACLE_EMBEDDING_NEAR_DUP) is exercised in
     # tests/test_training_ops.py against the exact form directly.
     # r8 fifth rotation IN (constants shared with the pytest sweeps
-    # that hash-verified them since r5/r7):
-    "docs_stratified_sample": text_queries.ORACLE_DOCS_STRATIFIED_SAMPLE,
+    # that hash-verified them since r5/r7); docs_stratified_sample
+    # rotated out in the late-r12 tenth rotation — constant in
+    # ROTATED_ORACLES
+    "wet_ingest": text_queries.ORACLE_WET_INGEST,
     "docs_sample_exact_n": text_queries.ORACLE_DOCS_SAMPLE_EXACT_N,
     "dq_expectations_orders": relational.ORACLE_DQ_EXPECTATIONS_ORDERS,
     "tpch_q19_disjunctive_revenue": tpch_extra.EXTRA_ORACLES[
@@ -788,11 +807,15 @@ ORACLES: dict[str, str] = {
     # ROTATED_ORACLES below
     # r7 rotation: silver_lineitem_enriched inline SQL moved verbatim
     # to ROTATED_ORACLES below
-    "corpus_drift": text_queries.ORACLE_CORPUS_DRIFT,
+    # corpus_drift: rotated out late-r12 — constant in ROTATED_ORACLES
+    "robots_sitemap_discovery": (
+        text_queries.ORACLE_ROBOTS_SITEMAP_DISCOVERY
+    ),
     # late-r7 rotation: sales_rollup / event_sessions /
     # customer_order_distribution / nation_top_customers inline SQL
     # moved verbatim to ROTATED_ORACLES below
-    "pii_scrub": text_queries.ORACLE_PII_SCRUB,
+    # pii_scrub: rotated out late-r12 — constant in ROTATED_ORACLES
+    "outlink_extract": text_queries.ORACLE_OUTLINK_EXTRACT,
     # r7 rotation: event_value_stats inline SQL moved verbatim to
     # ROTATED_ORACLES below; xml_roundtrip keeps its constant there
     "embedding_drift": text_queries.ORACLE_EMBEDDING_DRIFT,
@@ -963,6 +986,24 @@ ORACLES: dict[str, str] = {
         FROM counts c JOIN sizes s USING (cohort_week)
         ORDER BY cohort_week, week_n
     """,
+    # scd2_part_price_asof: rotated out late-r12 — inline SQL moved
+    # verbatim to ROTATED_ORACLES below; promoted in its place:
+    "host_link_graph": text_queries.ORACLE_HOST_LINK_GRAPH,
+}
+
+
+#: DuckDB oracle SQL for the r6-rotated queries — exact and long-stable
+#: (driver-green r1–r5), moved out of the 50-slot window to free slots
+#: for first-time oracles. tests/test_rotated_oracles.py applies the
+#: SAME row-count + schema + value-hash comparison the driver does.
+ROTATED_ORACLES: dict[str, str] = {
+    # ---- late-r12 tenth rotation (first driver oracles r6-r8, green
+    # through r11; slots freed for the exact late-r12 newcomers
+    # wet_ingest / robots_sitemap_discovery / outlink_extract /
+    # host_link_graph) ----
+    "docs_stratified_sample": text_queries.ORACLE_DOCS_STRATIFIED_SAMPLE,
+    "corpus_drift": text_queries.ORACLE_CORPUS_DRIFT,
+    "pii_scrub": text_queries.ORACLE_PII_SCRUB,
     # SCD2 point-in-time enrichment: the dim is rebuilt from the same
     # synthetic two-batch history scd2_part_dimension applies, then each
     # fact's audit instant BETWEEN-joins to its valid version (the Spark
@@ -1002,14 +1043,6 @@ ORACLES: dict[str, str] = {
          AND f.audit_ts >= d.eff
          AND (d.exp IS NULL OR f.audit_ts < d.exp)
     """,
-}
-
-
-#: DuckDB oracle SQL for the r6-rotated queries — exact and long-stable
-#: (driver-green r1–r5), moved out of the 50-slot window to free slots
-#: for first-time oracles. tests/test_rotated_oracles.py applies the
-#: SAME row-count + schema + value-hash comparison the driver does.
-ROTATED_ORACLES: dict[str, str] = {
     # ---- r12 ninth rotation (r7 first driver oracles, green r7-r11;
     # slots freed for the exact r12 newcomers warc_revisit_digest and
     # sitemap_lastmod) ----
@@ -1474,16 +1507,11 @@ assert not _outside, (
 PYTEST_ORACLES: dict[str, str] = {
     **ROTATED_ORACLES,
     # (warc_revisit_digest / sitemap_lastmod were promoted to
-    # first-time DRIVER oracles in the r12 ninth rotation after
-    # sweeping green at both SFs the same round)
-    # late-r12 exact newcomers awaiting the next rotation (the
-    # established queue): swept by check_oracles at every snapshot
-    "wet_ingest": text_queries.ORACLE_WET_INGEST,
-    "robots_sitemap_discovery": (
-        text_queries.ORACLE_ROBOTS_SITEMAP_DISCOVERY
-    ),
-    "outlink_extract": text_queries.ORACLE_OUTLINK_EXTRACT,
-    "host_link_graph": text_queries.ORACLE_HOST_LINK_GRAPH,
+    # first-time DRIVER oracles in the r12 ninth rotation, and
+    # wet_ingest / robots_sitemap_discovery / outlink_extract /
+    # host_link_graph in the late-r12 tenth — each after sweeping
+    # green at both SFs the same round; the queue is empty again and
+    # this is exactly the rotated-veteran set)
     # (url_canonicalize was promoted to a first-time DRIVER oracle in
     # the r11 eighth rotation after one swept-green round — the queue
     # is empty again and this is exactly the rotated-veteran set)

@@ -113,6 +113,18 @@ ROTATED = (
     # perplexity_quality_buckets
     "ngram_repetition",
     "doc_perplexity",
+    # late-r12 tenth rotation: slots freed for the exact late-r12
+    # newcomers wet_ingest / robots_sitemap_discovery /
+    # outlink_extract / host_link_graph (all swept green at two SFs
+    # the same round); sampling/monitoring/scrub/SCD2 window evidence
+    # continues via docs_sample_exact_n + docs_capped_per_source +
+    # docs_epoch_mixture, embedding_drift + event_anomalies,
+    # normalize_text + domain_census, and scd2_part_dimension +
+    # asof_click_attribution respectively
+    "docs_stratified_sample",
+    "corpus_drift",
+    "pii_scrub",
+    "scd2_part_price_asof",
 )
 
 
