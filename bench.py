@@ -224,6 +224,9 @@ HEADLINE = [
     "outlink_extract",
     "host_link_graph",
     "host_pagerank",
+    # late r12: SURT url keys — the CDX-index sort key (exact swept
+    # twin; zero-shuffle staged projection)
+    "cdx_urlkey",
 ]
 
 

@@ -872,6 +872,33 @@ def sitemap_entries(
     )
 
 
+def surt_key_col(url: Column, canonical: bool = False) -> Column:
+    """SURT url key (Sort-friendly URI Reordering Transform — the
+    CDX-index key every web archive sorts and binary-searches on):
+    scheme dropped, host labels reversed comma-joined, non-default port
+    kept, then ``)`` + path?query — so one host's captures, and one
+    registrable domain's subdomains, sort adjacent
+    (``http://sub.Example.com:80/P?b=2&a=1`` →
+    ``com,example,sub)/P?a=1&b=2``).
+
+    Builds on :func:`canonicalize_url_col` (case/port/tracking-param/
+    fragment/order noise already folded — the same equivalence class,
+    reordered for sorting); pass ``canonical=True`` when the column
+    already holds canonical URLs to skip re-canonicalizing (and to keep
+    the expression small — the janino 64 KB rule: stage the canonical
+    form as its own column when a plan uses it more than once).
+    Non-URLs → NULL."""
+    canon = url if canonical else canonicalize_url_col(url)
+    hostport = F.regexp_extract(canon, URL_HOSTPORT_PATTERN, 1)
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r"(:.*)$", 1)
+    rev = F.array_join(F.reverse(F.split(host, r"[.]")), ",")
+    rest = F.regexp_extract(canon, URL_REST_PATTERN, 1)
+    return F.when(
+        canon.isNotNull(), F.concat(rev, port, F.lit(")"), rest)
+    )
+
+
 # ---- outlink extraction + host link graph (r12) -----------------------
 
 #: ``<a ... href="...">`` capture, double- and single-quoted attribute

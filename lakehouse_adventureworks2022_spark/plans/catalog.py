@@ -553,6 +553,10 @@ QUERIES: dict[str, QueryFn] = {
     # host PageRank over the planted graph (rows-only — iterative
     # float fixpoint; math differential in tests/test_graph.py)
     "host_pagerank": text_queries.q_host_pagerank,
+    # SURT url keys — the CDX-index sort key (exact late-r12 newcomer
+    # past the window; swept via PYTEST_ORACLES until the next
+    # rotation, the established queue)
+    "cdx_urlkey": text_queries.q_cdx_urlkey,
     # ---- late-r12 tenth rotation OUT (first driver oracles r6-r8,
     # green through r11; the identical hash-diff rigor continues in
     # tests/test_rotated_oracles.py at two SFs; slots freed for
@@ -696,6 +700,9 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "ngram_repetition",
         "doc_perplexity",
         "host_pagerank",  # iterative float fixpoint: no SQL twin
+        # exact late-r12 newcomer past the window (queued for the next
+        # rotation; swept via PYTEST_ORACLES)
+        "cdx_urlkey",
         # exact, late-r12 tenth rotation out of the window (first
         # driver oracles r6-r8, green through r11): same hash-diff
         # rigor in tests/test_rotated_oracles.py at two SFs
@@ -1510,8 +1517,10 @@ PYTEST_ORACLES: dict[str, str] = {
     # first-time DRIVER oracles in the r12 ninth rotation, and
     # wet_ingest / robots_sitemap_discovery / outlink_extract /
     # host_link_graph in the late-r12 tenth — each after sweeping
-    # green at both SFs the same round; the queue is empty again and
-    # this is exactly the rotated-veteran set)
+    # green at both SFs the same round)
+    # exact late-r12 newcomer awaiting the next rotation (the
+    # established queue): swept by check_oracles at every snapshot
+    "cdx_urlkey": text_queries.ORACLE_CDX_URLKEY,
     # (url_canonicalize was promoted to a first-time DRIVER oracle in
     # the r11 eighth rotation after one swept-green round — the queue
     # is empty again and this is exactly the rotated-veteran set)

@@ -3071,6 +3071,47 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5)
 
 
+def q_cdx_urlkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT url keys (r12): planted capture URLs with every noise class
+    the canonicalizer folds (host case, default :80 port, unsorted
+    params, a tracking param, a fragment) through
+    ``textops.surt_key_col`` — the CDX-index sort key (host labels
+    reversed so one domain's captures sort adjacent). Exact: the oracle
+    recomputes the SURT strings straight from ``documents``.
+    Zero-shuffle projection (canonical form staged once)."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        canonicalize_url_col,
+        surt_key_col,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP://WWW"), (did % 5).cast("string"),
+        F.lit(".Sub"), (did % 7).cast("string"),
+        F.lit(".Example.COM:80/P/"), did.cast("string"),
+        F.lit("?b=2&utm_source=x&a="), (did % 3).cast("string"),
+        F.lit("#frag"),
+    )
+    staged = docs.select(
+        did.alias("doc_id"), canonicalize_url_col(url).alias("__canon__")
+    )
+    return staged.select(
+        "doc_id",
+        surt_key_col(F.col("__canon__"), canonical=True).alias("urlkey"),
+    )
+
+
+ORACLE_CDX_URLKEY = """
+    SELECT doc_id,
+           'com,example,sub' || CAST(doc_id % 7 AS VARCHAR)
+             || ',www' || CAST(doc_id % 5 AS VARCHAR)
+             || ')/P/' || CAST(doc_id AS VARCHAR)
+             || '?a=' || CAST(doc_id % 3 AS VARCHAR) || '&b=2' AS urlkey
+    FROM documents
+"""
+
+
 def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion (r11): spec-shaped sitemap XML is planted
     IN-PLAN per doc (every 10th doc gets a ``<sitemapindex>`` instead

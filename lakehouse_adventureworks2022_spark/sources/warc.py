@@ -68,6 +68,15 @@ WARC_RECORD_SCHEMA = T.StructType(
         T.StructField("payload", T.BinaryType()),
         T.StructField("payload_digest", T.StringType()),
         T.StructField("http_content_encoding", T.StringType()),
+        # byte range of the record inside its source file — the CDX
+        # index columns that make range-request fetching possible
+        # (``curl -r offset,offset+length-1``): for ``.warc.gz`` the
+        # COMPRESSED gzip member's range (the spec's one-record-per-
+        # member layout; NULL for a whole-file single member, where no
+        # per-record range exists); for plain ``.warc`` the record's
+        # own bytes (version line through block end)
+        T.StructField("record_offset", T.LongType()),
+        T.StructField("record_length", T.LongType()),
     ]
 )
 
@@ -87,22 +96,28 @@ def build_warc_codec():
     gzipping each record as its own member when ``gzip_members=True``.
     """
 
-    def _gunzip_members(data: bytes) -> bytes:
+    def _gunzip_members(data: bytes) -> list[tuple[int, int, bytes]]:
+        """(compressed_offset, compressed_length, decompressed_bytes)
+        per gzip member — member ranges ARE the CDX record ranges under
+        the spec's one-record-per-member layout."""
         import zlib
 
+        n = len(data)
         out = []
         rest = data
         while rest[:2] == b"\x1f\x8b":
+            start = n - len(rest)
             d = zlib.decompressobj(wbits=31)
-            out.append(d.decompress(rest))
+            chunk = d.decompress(rest)
             if not d.eof:
                 raise ValueError("truncated gzip member in WARC file")
             rest = d.unused_data
+            out.append((start, (n - len(rest)) - start, chunk))
         if rest:
             raise ValueError(
                 f"{len(rest)} trailing non-gzip bytes after gzip members"
             )
-        return b"".join(out)
+        return out
 
     def _split_http(block: bytes, headers_only_ok: bool = False):
         """(status, content_type, content_encoding, payload). gzip and
@@ -151,7 +166,22 @@ def build_warc_codec():
 
     def parse(data: bytes) -> list[tuple]:
         if data[:2] == b"\x1f\x8b":
-            data = _gunzip_members(data)
+            records = []
+            members = _gunzip_members(data)
+            for off, length, chunk in members:
+                recs = _parse_plain(chunk)
+                if len(recs) > 1:
+                    # whole-file single member (or a non-spec multi-
+                    # record member): no per-record compressed range
+                    # exists — NULL, honestly
+                    member_range = (None, None)
+                else:
+                    member_range = (off, length)
+                records.extend(r[:-2] + member_range for r in recs)
+            return records
+        return _parse_plain(data)
+
+    def _parse_plain(data: bytes) -> list[tuple]:
         records = []
         pos, n = 0, len(data)
         while pos < n:
@@ -159,6 +189,7 @@ def build_warc_codec():
                 pos += 2
             if pos >= n:
                 break
+            rec_start = pos
             eol = data.find(b"\r\n", pos)
             if eol < 0:
                 raise ValueError("truncated WARC version line")
@@ -214,6 +245,8 @@ def build_warc_codec():
                     payload,
                     headers.get("warc-payload-digest"),
                     http_cenc,
+                    rec_start,
+                    pos - rec_start,
                 )
             )
         return records
@@ -497,6 +530,62 @@ def wet_pages(records: DataFrame) -> DataFrame:
         F.col("target_uri").alias("url"),
         F.decode(F.col("payload"), "UTF-8").alias("text"),
     )
+
+
+def cdx_records(records: DataFrame, sort: bool = False) -> DataFrame:
+    """CDX capture index from parsed WARC records — the third
+    CommonCrawl sidecar beside WARC (captures) and WET (text): one row
+    per ``response``/``revisit`` capture with the columns a web-archive
+    lookup needs — ``(urlkey, timestamp, url, digest, offset, length,
+    filename)``. ``urlkey`` is the SURT form of the canonical URL (the
+    sorted/binary-searched key), ``timestamp`` the 14-digit form of
+    ``WARC-Date``, ``digest`` the crawler's labelled payload digest
+    (md5 fallback from the payload), and ``offset``/``length`` the
+    byte range :func:`parse_warc_frame` recovered — enough to
+    range-request one capture out of a multi-GB ``.warc.gz`` without
+    touching the rest.
+
+    Shape: a zero-shuffle projection; ``sort=True`` adds the ONE
+    range-partitioned global sort on ``(urlkey, timestamp)`` that makes
+    the output a spec-ordered CDX file ready to write (a real archive
+    sorts once per batch, so the sort is the deployment cost, not an
+    accident)."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        canonicalize_url_col,
+        surt_key_col,
+    )
+
+    staged = records.filter(
+        F.col("warc_type").isin("response", "revisit")
+    ).select(
+        # canonical form staged once (janino 64 KB rule) — surt reads
+        # it twice (hostport + rest extracts)
+        canonicalize_url_col(F.col("target_uri")).alias("__canon__"),
+        "target_uri",
+        "warc_date",
+        "payload_digest",
+        "payload",
+        "record_offset",
+        "record_length",
+        "source_file",
+    )
+    out = staged.select(
+        surt_key_col(F.col("__canon__"), canonical=True).alias("urlkey"),
+        F.regexp_replace(F.col("warc_date"), "[^0-9]", "").alias(
+            "timestamp"
+        ),
+        F.col("target_uri").alias("url"),
+        F.coalesce(
+            F.col("payload_digest"),
+            F.concat(F.lit("md5:"), F.md5(F.col("payload"))),
+        ).alias("digest"),
+        F.col("record_offset").alias("offset"),
+        F.col("record_length").alias("length"),
+        F.element_at(F.split(F.col("source_file"), "/"), -1).alias(
+            "filename"
+        ),
+    )
+    return out.orderBy("urlkey", "timestamp") if sort else out
 
 
 def dedup_payload_digest(records: DataFrame) -> DataFrame:

@@ -257,6 +257,100 @@ def test_digest_dedup_ahead_of_url_dedup_in_chain(spark, tmp_path):
     assert kept == ["http://h/a", "http://h/b?y=2&x=1"]
 
 
+def test_record_offsets_self_validate():
+    """The CDX range contract, proven by slicing: for every parsed
+    record, bytes[offset : offset+length] of the ORIGINAL file must
+    itself parse back to the same record — plain files (record byte
+    range) and .warc.gz (compressed member range) alike; a whole-file
+    single gzip member has no per-record range and reports NULL."""
+    import gzip
+
+    resp = [
+        {"uri": "http://x/a", "record_id": "<u:1>", "body": b"<p>one</p>"},
+        {"uri": "http://x/b", "record_id": "<u:2>", "body": b"<p>two</p>"},
+    ]
+    blob = CODEC["write"](resp)
+    for r in CODEC["parse"](blob):
+        sub = blob[r[10] : r[10] + r[11]]
+        (rr,) = CODEC["parse"](sub)
+        assert rr[0] == r[0] and rr[7] == r[7]
+    gzblob = CODEC["write"](resp, gzip_members=True)
+    offs = []
+    for r in CODEC["parse"](gzblob):
+        member = gzblob[r[10] : r[10] + r[11]]
+        (rr,) = CODEC["parse"](member)
+        assert rr[0] == r[0] and rr[7] == r[7]
+        offs.append((r[10], r[11]))
+    # contiguous non-overlapping members covering the whole file
+    assert offs[0][0] == 0 and offs[-1][0] + offs[-1][1] == len(gzblob)
+    single = gzip.compress(CODEC["write"](resp))
+    assert all(
+        r[10] is None and r[11] is None for r in CODEC["parse"](single)
+    )
+
+
+def test_surt_key_worked_examples(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        surt_key_col,
+    )
+
+    rows = [
+        ("HTTP://Sub.Example.COM:80/P/x?b=2&utm_source=t&a=1#f",
+         "com,example,sub)/P/x?a=1&b=2"),
+        ("https://example.com", "com,example)/"),
+        ("http://h.io:8080/p", "io,h:8080)/p"),  # non-default port kept
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = [
+        r["k"] for r in df.select(surt_key_col(F.col("url")).alias("k")).collect()
+    ]
+    assert got == [k for _, k in rows]
+
+
+def test_cdx_records_end_to_end(spark, tmp_path):
+    """records → cdx_records: urlkey is the SURT of the canonical URL,
+    timestamp the 14-digit WARC-Date, digest carried, offset/length
+    range-fetchable from the original file, filename the basename;
+    sort=True orders (urlkey, timestamp)."""
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        cdx_records,
+    )
+
+    blob = CODEC["write"](
+        [
+            {"uri": "http://B.io/x?b=2&a=1", "record_id": "<u:1>",
+             "body": b"<p>bee</p>", "date": "2024-03-05T06:07:08Z"},
+            {"uri": "http://a.io/y", "record_id": "<u:2>",
+             "body": b"<p>ay</p>", "date": "2024-01-02T03:04:05Z"},
+            {"uri": "http://a.io/y", "record_id": "<u:3>",
+             "body": b"<p>ay</p>", "revisit": True,
+             "date": "2024-06-01T00:00:00Z"},
+        ],
+        gzip_members=True,
+    )
+    (tmp_path / "crawl-00001.warc.gz").write_bytes(blob)
+    rows = cdx_records(
+        read_warc(spark, str(tmp_path)), sort=True
+    ).collect()
+    assert [r["urlkey"] for r in rows] == [
+        "io,a)/y", "io,a)/y", "io,b)/x?a=1&b=2",
+    ]
+    assert [r["timestamp"] for r in rows] == [
+        "20240102030405", "20240601000000", "20240305060708",
+    ]
+    # the revisit row carries the SAME digest as its original capture
+    assert rows[0]["digest"] == rows[1]["digest"]
+    assert all(r["filename"] == "crawl-00001.warc.gz" for r in rows)
+    # the range contract against the real on-disk file
+    for r in rows:
+        member = blob[r["offset"] : r["offset"] + r["length"]]
+        (rr,) = CODEC["parse"](member)
+        assert rr[2] == r["url"]
+
+
 def test_web_corpus_from_warc_one_call_front_door(spark, tmp_path):
     """The full one-call chain: WARC files on disk → digest dedup →
     page projection → robots gate → URL dedup → extraction → quality
