@@ -227,6 +227,10 @@ HEADLINE = [
     # late r12: SURT url keys — the CDX-index sort key (exact swept
     # twin; zero-shuffle staged projection)
     "cdx_urlkey",
+    # late r12: discovery-tier composite — sitemaps + robots → gated
+    # frontier (exact swept twin; the robots gate's first
+    # oracle-channel evidence)
+    "crawl_frontier",
 ]
 
 

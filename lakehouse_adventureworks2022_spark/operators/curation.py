@@ -565,6 +565,65 @@ def prepare_web_corpus(
     return prepare_training_corpus(extracted, text_col=text_col, **kwargs)
 
 
+def build_crawl_frontier(
+    robots_df: DataFrame,
+    sitemaps_df: DataFrame,
+    watermark: str | None = None,
+    user_agent: str = "*",
+    xml_col: str = "sitemap_xml",
+    id_col: str = "sitemap_url",
+) -> DataFrame:
+    """The discovery-tier one-call: fetched sitemap bodies + per-host
+    robots bodies → the gated crawl frontier. Chains the tested tiers
+    in cheapest-first order: :func:`~operators.textops.sitemap_entries`
+    (per-entry ``<loc>``/``<lastmod>`` pairing) → incremental-re-crawl
+    watermark filter (keep entries with NO lastmod — conservative
+    fetch — or lastmod strictly after ``watermark``) → URL-exact dedup
+    (:func:`~operators.textops.dedup_urls` keyed by the raw URL
+    string, so the lexicographically smallest spelling of each
+    canonical resource survives deterministically) → robots compliance
+    gate (:func:`~operators.textops.parse_robots` +
+    ``filter_robots_disallowed`` — fetch nothing a host forbids).
+
+    Returns ``(id_col, url, lastmod, is_index)``: ``is_index`` rows
+    are CHILD sitemaps (gated like any fetch — robots applies to
+    sitemap URLs too); the crawl loop fetches them, feeds the bodies
+    back in, and recurses until no index rows remain. Shape: the
+    sitemap side is zero-shuffle extract+explode; dedup is one
+    uniform-key agg on the canonical string; the robots gate is a
+    broadcast array join — pages never shuffle payloads (there are
+    none yet: that is the point of gating BEFORE fetch)."""
+    from lakehouse_adventureworks2022_spark.operators import textops
+
+    entries = textops.sitemap_entries(
+        sitemaps_df, xml_col=xml_col, id_col=id_col
+    )
+    if watermark is not None:
+        entries = entries.filter(
+            F.col("lastmod").isNull()
+            | (
+                F.to_date("lastmod")
+                > F.lit(watermark).cast("date")
+            )
+        )
+    # exact-duplicate collapse first (one url listed by two sitemaps):
+    # deterministic fold — min listing sitemap, NEWEST lastmod
+    collapsed = entries.groupBy("url").agg(
+        F.min(id_col).alias(id_col),
+        F.max("lastmod").alias("lastmod"),
+        F.max("is_index").alias("is_index"),
+    )
+    deduped = textops.dedup_urls(
+        collapsed.withColumn("__id__", F.col("url")),
+        url_col="url",
+        id_col="__id__",
+    ).drop("__id__")
+    rules = textops.parse_robots(robots_df, user_agent=user_agent)
+    return textops.filter_robots_disallowed(
+        deduped, rules, url_col="url"
+    ).select(id_col, "url", "lastmod", "is_index")
+
+
 def web_corpus_from_warc(
     spark,
     crawl_path: str,

@@ -557,6 +557,10 @@ QUERIES: dict[str, QueryFn] = {
     # past the window; swept via PYTEST_ORACLES until the next
     # rotation, the established queue)
     "cdx_urlkey": text_queries.q_cdx_urlkey,
+    # discovery-tier composite: sitemaps + robots → gated frontier
+    # (exact late-r12 newcomer past the window — the planted-prefix
+    # design gives the robots gate its first oracle-channel evidence)
+    "crawl_frontier": text_queries.q_crawl_frontier,
     # ---- late-r12 tenth rotation OUT (first driver oracles r6-r8,
     # green through r11; the identical hash-diff rigor continues in
     # tests/test_rotated_oracles.py at two SFs; slots freed for
@@ -700,9 +704,10 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "ngram_repetition",
         "doc_perplexity",
         "host_pagerank",  # iterative float fixpoint: no SQL twin
-        # exact late-r12 newcomer past the window (queued for the next
+        # exact late-r12 newcomers past the window (queued for the next
         # rotation; swept via PYTEST_ORACLES)
         "cdx_urlkey",
+        "crawl_frontier",
         # exact, late-r12 tenth rotation out of the window (first
         # driver oracles r6-r8, green through r11): same hash-diff
         # rigor in tests/test_rotated_oracles.py at two SFs
@@ -1518,9 +1523,10 @@ PYTEST_ORACLES: dict[str, str] = {
     # wet_ingest / robots_sitemap_discovery / outlink_extract /
     # host_link_graph in the late-r12 tenth — each after sweeping
     # green at both SFs the same round)
-    # exact late-r12 newcomer awaiting the next rotation (the
+    # exact late-r12 newcomers awaiting the next rotation (the
     # established queue): swept by check_oracles at every snapshot
     "cdx_urlkey": text_queries.ORACLE_CDX_URLKEY,
+    "crawl_frontier": text_queries.ORACLE_CRAWL_FRONTIER,
     # (url_canonicalize was promoted to a first-time DRIVER oracle in
     # the r11 eighth rotation after one swept-green round — the queue
     # is empty again and this is exactly the rotated-veteran set)

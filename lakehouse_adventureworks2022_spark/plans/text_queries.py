@@ -3071,6 +3071,81 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5)
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery-tier composite (r12): planted per-doc sitemap bodies
+    (four entries each: a fresh page with lastmod, a fragment-spelling
+    canonical dup, a robots-blocked path, a stale pre-watermark entry;
+    every 10th doc a <sitemapindex>) + planted per-host robots bodies
+    through ``curation.build_crawl_frontier`` — watermark filter →
+    URL-exact dedup → robots gate, exactly one survivor per doc. Exact:
+    the oracle recomputes the surviving frontier straight from
+    ``documents`` — a gate that over- or under-blocks, a dedup that
+    picks the wrong keeper, or a watermark comparing wrong diverges the
+    hash (first oracle-channel evidence for the robots gate, which is
+    pytest-only standalone: the planted prefixes make the verdict
+    SQL-recomputable without per-row regexes)."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        build_crawl_frontier,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(
+        F.lit("h"), (did % 11).cast("string"), F.lit(".example.com")
+    )
+    base = F.concat(F.lit("http://"), host)
+    body = F.concat(
+        F.lit("<url><loc>"), base, F.lit("/p/"), did.cast("string"),
+        F.lit("</loc><lastmod>2024-06-15</lastmod></url>"),
+        F.lit("<url><loc>"), base, F.lit("/p/"), did.cast("string"),
+        F.lit("#dup</loc></url>"),
+        F.lit("<url><loc>"), base, F.lit("/blocked/"),
+        did.cast("string"), F.lit("</loc></url>"),
+        F.lit("<url><loc>"), base, F.lit("/old/"), did.cast("string"),
+        F.lit("</loc><lastmod>2023-01-01</lastmod></url>"),
+    )
+    xml = F.when(
+        did % 10 == 0,
+        F.concat(
+            F.lit("<sitemapindex>"),
+            F.regexp_replace(
+                F.regexp_replace(body, "<url>", "<sitemap>"),
+                "</url>",
+                "</sitemap>",
+            ),
+            F.lit("</sitemapindex>"),
+        ),
+    ).otherwise(F.concat(F.lit("<urlset>"), body, F.lit("</urlset>")))
+    sitemaps = docs.select(
+        F.concat(base, F.lit("/sitemap.xml")).alias("sitemap_url"),
+        xml.alias("sitemap_xml"),
+    )
+    robots = (
+        docs.select((did % 11).cast("string").alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("k"), F.lit(".example.com")).alias(
+                "host"
+            ),
+            F.lit("User-agent: *\nDisallow: /blocked/\n").alias(
+                "robots_txt"
+            ),
+        )
+    )
+    return build_crawl_frontier(robots, sitemaps, watermark="2024-01-01")
+
+
+ORACLE_CRAWL_FRONTIER = """
+    SELECT 'http://h' || CAST(doc_id % 11 AS VARCHAR)
+             || '.example.com/sitemap.xml' AS sitemap_url,
+           'http://h' || CAST(doc_id % 11 AS VARCHAR)
+             || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+           '2024-06-15' AS lastmod,
+           doc_id % 10 = 0 AS is_index
+    FROM documents
+"""
+
+
 def q_cdx_urlkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURT url keys (r12): planted capture URLs with every noise class
     the canonicalizer folds (host case, default :80 port, unsorted

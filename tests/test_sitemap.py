@@ -165,6 +165,59 @@ def test_entries_watermark_filter_incremental_recrawl(spark):
     ]
 
 
+def test_build_crawl_frontier_composite(spark):
+    """The discovery one-call: watermark filter, same-url collapse
+    (newest lastmod wins), canonical dedup (smallest spelling
+    survives), robots gate, child-sitemap rows flagged — each tier
+    claims exactly its victim."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        build_crawl_frontier,
+    )
+
+    sitemaps = spark.createDataFrame(
+        [
+            ("http://a.io/sm1.xml",
+             "<urlset>"
+             "<url><loc>http://a.io/fresh</loc>"
+             "<lastmod>2024-05-01</lastmod></url>"
+             "<url><loc>http://a.io/fresh#frag</loc></url>"  # canon dup
+             "<url><loc>http://a.io/blocked/x</loc></url>"  # robots
+             "<url><loc>http://a.io/stale</loc>"
+             "<lastmod>2023-02-02</lastmod></url>"  # watermark
+             "<url><loc>http://a.io/twice</loc>"
+             "<lastmod>2023-06-01</lastmod></url>"  # old listing...
+             "</urlset>"),
+            ("http://a.io/sm2.xml",
+             "<urlset>"
+             "<url><loc>http://a.io/twice</loc>"
+             "<lastmod>2024-04-04</lastmod></url>"  # ...newer listing
+             "</urlset>"),
+            ("http://a.io/index.xml",
+             "<sitemapindex><sitemap>"
+             "<loc>http://a.io/child.xml</loc>"
+             "</sitemap></sitemapindex>"),
+        ],
+        "sitemap_url string, sitemap_xml string",
+    )
+    robots = spark.createDataFrame(
+        [("a.io", "User-agent: *\nDisallow: /blocked/\n")],
+        "host string, robots_txt string",
+    )
+    got = {
+        r["url"]: (r["lastmod"], r["is_index"])
+        for r in build_crawl_frontier(
+            robots, sitemaps, watermark="2024-01-01"
+        ).collect()
+    }
+    assert got == {
+        "http://a.io/fresh": ("2024-05-01", False),
+        # same-url collapse keeps the NEWEST lastmod, which passes
+        "http://a.io/twice": ("2024-04-04", False),
+        # child sitemap flagged for the recursion loop, gated like any
+        "http://a.io/child.xml": (None, True),
+    }
+
+
 def test_entries_zero_shuffle_plan(spark):
     from lakehouse_adventureworks2022_spark.operators.textops import (
         sitemap_entries,
