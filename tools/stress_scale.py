@@ -788,6 +788,88 @@ def main() -> None:
             ),
         )
 
+    # Outlink extraction + host link graph at rep× pages (r12): hosts
+    # scale WITH rep (~1000×rep distinct), so the edge aggregation's
+    # key space grows too — the row pins the extract (generator-
+    # internal regex pipeline) and the uniform-key census both linear.
+    if only is None or "outlink_graph_scaled" in only:
+        from lakehouse_adventureworks2022_spark.operators import textops
+
+        did = F.col("doc_id")
+        n_hosts = 1000 * rep
+        pages = big_docs.repartition(
+            spark.sparkContext.defaultParallelism
+        ).select(
+            F.concat(
+                F.lit("http://h"),
+                (did % n_hosts).cast("string"),
+                F.lit(".example.org/p/"),
+                did.cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit('<html><a href="http://h'),
+                ((did + 7) % n_hosts).cast("string"),
+                F.lit('.example.org/x?a=1&amp;b=2">t</a>'),
+                F.lit("<a href='//h"),
+                ((did + 13) % n_hosts).cast("string"),
+                F.lit(".example.org/y'>u</a>"),
+                F.lit('<a href="/local/'),
+                (did % 31).cast("string"),
+                F.lit('">l</a><a href="#f">d</a></html>'),
+            ).alias("html"),
+        )
+        run(
+            "outlink_graph_scaled",
+            lambda: textops.host_link_graph(
+                textops.extract_outlinks(pages)
+            ),
+        )
+
+    # PageRank at a rep×-node host graph (r12): 5 power iterations over
+    # the graph the row above aggregates — per-iteration one join + one
+    # agg, dangling/teleport by scalar broadcast, lineage truncated per
+    # iteration. Timed inline (pagerank materializes checkpoints
+    # itself; the returned frame is tiny).
+    if only is None or "pagerank_scaled" in only:
+        from lakehouse_adventureworks2022_spark.operators import textops
+        from lakehouse_adventureworks2022_spark.operators.graph import (
+            pagerank,
+        )
+
+        did = F.col("doc_id")
+        n_hosts = 1000 * rep
+        pr_pages = big_docs.repartition(
+            spark.sparkContext.defaultParallelism
+        ).select(
+            F.concat(
+                F.lit("http://h"),
+                (did % n_hosts).cast("string"),
+                F.lit(".example.org/p/"),
+                did.cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit('<html><a href="http://h'),
+                ((did * 17 + 3) % n_hosts).cast("string"),
+                F.lit('.example.org/x">t</a></html>'),
+            ).alias("html"),
+        )
+        pr_edges = textops.host_link_graph(
+            textops.extract_outlinks(pr_pages)
+        )
+        s0_pr, t0_pr = _cpu_times()
+        t_pr = time.perf_counter()
+        pagerank(pr_edges, iterations=5).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["pagerank_scaled"] = round(time.perf_counter() - t_pr, 2)
+        s1_pr, t1_pr = _cpu_times()
+        steals["pagerank_scaled"] = round(
+            100.0 * (s1_pr - s0_pr) / (t1_pr - t0_pr)
+            if t1_pr > t0_pr
+            else 0.0,
+            2,
+        )
+
     # Many-file WARC backfill at 8×rep files (r12): the whole new-file
     # list feeds ONE binaryFile read + ONE dynamic-partition write —
     # the r11 verdict's scale hazard was one sequential Spark job per
