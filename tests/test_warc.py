@@ -422,6 +422,99 @@ def test_web_corpus_from_warc_one_call_front_door(spark, tmp_path):
     assert ids2 == sorted(r["doc_id"] for r in rows)
 
 
+def test_streaming_digest_dedup_stream_equals_batch(spark, tmp_path):
+    """Streaming crawl ingest twin (the foreachBatch-over-the-same-
+    batch-operator posture): micro-batches of parsed WARC records
+    dedup against a persisted digest history — within-batch via
+    dedup_payload_digest, across batches via an anti-join on the
+    accepted-digest state — and the accepted set equals the one-shot
+    batch dedup over the union (the plant puts each digest's keeper in
+    the earliest batch, so first-seen == min-keeper)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        dedup_payload_digest,
+        parse_warc_frame,
+    )
+
+    def records_df(responses):
+        blob = CODEC["write"](responses, gzip_members=True)
+        df = spark.createDataFrame([(blob,)], "content binary")
+        return parse_warc_frame(df, "content", path_col=None)
+
+    shared = b"<p>same payload</p>"
+    b1 = records_df(
+        [
+            {"uri": "http://h/a", "record_id": "<s:1>", "body": shared},
+            {"uri": "http://h/a", "record_id": "<s:2>", "body": shared,
+             "revisit": True},
+            {"uri": "http://h/c", "record_id": "<s:3>",
+             "body": b"<p>first-only</p>"},
+        ]
+    )
+    b2 = records_df(
+        [
+            # recapture of batch-1 content at another URL: history drops
+            {"uri": "http://h/mirror", "record_id": "<s:4>",
+             "body": shared},
+            {"uri": "http://h/d", "record_id": "<s:5>",
+             "body": b"<p>second-only</p>"},
+        ]
+    )
+    src = tmp_path / "src"
+    b1.write.parquet(str(src / "f1"))
+    b2.write.parquet(str(src / "f2"))
+    out_dir = str(tmp_path / "accepted")
+    state_dir = str(tmp_path / "digests")
+    schema = b1.schema
+    digest = F.coalesce(
+        F.col("payload_digest"),
+        F.concat(F.lit("md5:"), F.md5(F.col("payload"))),
+    )
+
+    def handle(batch_df, _bid):
+        import os
+
+        within = dedup_payload_digest(batch_df).filter(
+            F.col("warc_type") == "response"
+        )
+        if os.path.exists(state_dir):
+            seen = batch_df.sparkSession.read.parquet(state_dir)
+            within = within.join(
+                seen,
+                digest == F.col("__digest__"),
+                "left_anti",
+            )
+        # materialize before appending to a path the plan reads
+        # (the recache-by-path footgun)
+        accepted = within.localCheckpoint(eager=True)
+        accepted.write.mode("append").parquet(out_dir)
+        accepted.select(digest.alias("__digest__")).write.mode(
+            "append"
+        ).parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        r["record_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    batch_ref = sorted(
+        r["record_id"]
+        for r in dedup_payload_digest(b1.unionByName(b2))
+        .filter(F.col("warc_type") == "response")
+        .collect()
+    )
+    assert streamed == batch_ref == ["<s:1>", "<s:3>", "<s:5>"]
+
+
 @pytest.mark.parametrize(
     "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
