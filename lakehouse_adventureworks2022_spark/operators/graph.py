@@ -52,7 +52,17 @@ def pagerank(
     plus the destination aggregation). The rank frame is (node, rank)
     only: payloads never enter the loop. ``iterations`` is fixed, not
     convergence-tested — the deployment contract for reproducible
-    ranks (same input, same output, any cluster size)."""
+    ranks (same input, same output, any cluster size).
+
+    Weight contract: only edges with a positive weight carry mass —
+    NULL/zero/negative-weight edges are dropped at normalization (a
+    source whose weights sum to 0 would otherwise get NULL fractions
+    from 0/0 under non-ANSI SQL — silently reclassified as dangling —
+    or throw mid-loop under ``ansi.enabled``; r12 ADVICE). A source
+    left with no positive-weight out-edges IS dangling: its mass
+    redistributes uniformly like any sink's. Both endpoints of a
+    dropped edge still enter the node set (they appeared in the graph),
+    so rank conservation holds."""
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = edges.select(
         F.col(src_col).alias("src"),
@@ -68,10 +78,14 @@ def pagerank(
     )
     n = nodes.count()  # bounded: one scalar for the teleport term
     # per-source outgoing fractions, built once and persisted
-    # co-partitioned on the join key every iteration reuses
-    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # co-partitioned on the join key every iteration reuses. Only
+    # positive-weight edges distribute mass (docstring contract) —
+    # without the filter a source whose weights sum to 0 yields NULL
+    # fractions (0/0) non-ANSI, or a mid-loop throw under ANSI.
+    pos = e.filter(F.col("w") > 0)
+    out_w = pos.groupBy("src").agg(F.sum("w").alias("out_w"))
     frac = (
-        e.join(out_w, "src")
+        pos.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
         .repartition(default_parallelism(edges.sparkSession), "src")
         .persist()
@@ -116,3 +130,48 @@ def pagerank(
     nodes.unpersist()
     frac.unpersist()
     return ranks
+
+
+def host_authority(
+    df: DataFrame,
+    ranks: DataFrame,
+    url_col: str = "url",
+    out_col: str = "host_authority",
+    default: float | None = 0.0,
+) -> DataFrame:
+    """Attach the per-host PageRank prior to a document frame — the
+    consumption side of :func:`pagerank` that curation mixes into
+    quality gating/selection (r12 verdict ask #3; this module's
+    docstring promise). ``ranks`` is a ``(node, rank)`` frame whose
+    nodes are canonical hosts (what :func:`~operators.textops.
+    host_link_graph` + :func:`pagerank` produce); the document's host
+    is derived from ``url_col`` with the same canonicalizer
+    (``textops.canonical_host_col``), so the join key matches by
+    construction. Non-URL rows get an empty-string host, match no
+    rank row, and take ``default``.
+
+    ``default`` fills unranked hosts (no row in ``ranks``); pass
+    ``None`` to leave them NULL — the caller can then distinguish
+    "unranked" from "ranked low" (the conservative gate in
+    ``prepare_web_corpus`` keeps unranked hosts).
+
+    Scale: host ranks are tiny relative to docs (one row per HOST vs
+    billions of pages), so the join is an explicit ``broadcast`` —
+    zero doc-side shuffle, plan-pinned in ``tests/test_graph.py``."""
+    r = ranks.select(
+        F.col("node").alias("__hn__"), F.col("rank").alias(out_col)
+    )
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        canonical_host_col,
+    )
+
+    out = (
+        df.withColumn("__host__", canonical_host_col(F.col(url_col)))
+        .join(F.broadcast(r), F.col("__host__") == F.col("__hn__"), "left")
+        .drop("__hn__", "__host__")
+    )
+    if default is not None:
+        out = out.withColumn(
+            out_col, F.coalesce(F.col(out_col), F.lit(float(default)))
+        )
+    return out

@@ -150,16 +150,40 @@ def build_warc_codec():
                 ctype = v.strip().decode("utf-8", "replace")
             elif key == b"content-encoding":
                 cenc = v.strip().decode("ascii", "replace").lower()
+        # inflate failures must NOT raise: a truncated/corrupt member, or
+        # wire bytes still framed by chunked Transfer-Encoding (common in
+        # wire-capture WARCs), would otherwise abort the whole FILE's
+        # parse — and under warc_incremental_ingest's one-job batch, the
+        # whole batch. On failure keep the raw bytes and LEAVE the
+        # Content-Encoding token so the downstream gate (warc_pages /
+        # web_corpus_from_warc filters http_content_encoding) excludes
+        # the row instead of the job dying (r12 ADVICE).
         if payload and cenc in ("gzip", "x-gzip"):
-            payload = zlib.decompressobj(wbits=47).decompress(payload)
-            cenc = None
+            try:
+                chunks, rest, ok = [], payload, True
+                while rest:
+                    d = zlib.decompressobj(wbits=47)
+                    chunks.append(d.decompress(rest))
+                    if not d.eof:  # truncated member: no error, no eof
+                        ok = False
+                        break
+                    rest = d.unused_data
+                if ok:
+                    payload, cenc = b"".join(chunks), None
+            except zlib.error:
+                pass
         elif payload and cenc == "deflate":
             try:
-                payload = zlib.decompress(payload)
+                payload, cenc = zlib.decompress(payload), None
             except zlib.error:
-                # some servers send raw-deflate under the token
-                payload = zlib.decompressobj(wbits=-15).decompress(payload)
-            cenc = None
+                try:
+                    # some servers send raw-deflate under the token
+                    d = zlib.decompressobj(wbits=-15)
+                    out = d.decompress(payload)
+                    if d.eof:
+                        payload, cenc = out, None
+                except zlib.error:
+                    pass
         elif cenc in ("identity", None, "") or not payload:
             cenc = None
         return status, ctype, cenc, payload
@@ -336,14 +360,23 @@ def build_warc_codec():
             cenc = r.get("content_encoding")
             wire = body
             enc_header = ""
-            if cenc in ("gzip", "x-gzip"):
+            if cenc in ("gzip", "x-gzip") and not r.get("body_is_wire"):
                 wire = _gz.compress(body, compresslevel=1, mtime=0)
                 enc_header = f"Content-Encoding: {cenc}\r\n"
             elif cenc:
+                # body_is_wire: the body already IS the wire bytes
+                # (pre-compressed, possibly corrupt/truncated — the
+                # parser-resilience differentials plant these)
                 enc_header = f"Content-Encoding: {cenc}\r\n"
+            http_ct = r.get(
+                "http_content_type", "text/html; charset=utf-8"
+            )
+            ct_header = (
+                f"Content-Type: {http_ct}\r\n" if http_ct is not None else ""
+            )
             http = (
                 f"HTTP/1.1 {status} OK\r\n"
-                f"Content-Type: text/html; charset=utf-8\r\n"
+                f"{ct_header}"
                 f"{enc_header}"
                 f"Content-Length: {len(wire)}\r\n\r\n"
             ).encode() + wire
@@ -499,7 +532,53 @@ def warc_incremental_ingest(
     return names
 
 
-def warc_pages(records: DataFrame, min_status: int = 200, max_status: int = 299) -> DataFrame:
+#: Content-Type prefixes the page projections keep by default — the
+#: HTML family. Prefix match, case-insensitive, so parameterized forms
+#: (``text/html; charset=utf-8``) pass. NULL policy is PERMISSIVE by
+#: default: WARC headers are messy and a missing Content-Type is far
+#: more often a sloppy server than a binary payload — the quality
+#: gates downstream still drop non-text soup, just later.
+HTML_CONTENT_TYPES: tuple[str, ...] = ("text/html", "application/xhtml+xml")
+
+
+def utf8_lossy(col):
+    """UTF-8 decode with REPLACEMENT — invalid sequences become U+FFFD
+    instead of killing the job. ``F.decode(b, 'UTF-8')`` is STRICT in
+    Spark 4 (MALFORMED_CHARACTER_CODING), and because predicate
+    pushdown substitutes Project aliases into pushed filters, a
+    downstream predicate on the decoded column can run the decode on
+    rows the content-type/encoding gates would have excluded — one
+    mislabeled JPEG then aborts a 100-TB extraction job. The binary →
+    string cast is byte-transparent (no validation) and
+    ``make_valid_utf8`` (Spark 4.0+) rewrites invalid sequences to
+    U+FFFD, matching Python's ``bytes.decode('utf-8', 'replace')`` —
+    total, deterministic, whole-stage-codegen eligible."""
+    return F.make_valid_utf8(col.cast("string"))
+
+
+def _content_type_cond(content_types, keep_null: bool = True):
+    """Filter Column keeping rows whose ``http_content_type`` starts
+    with any of the given prefixes (case-insensitive); ``None``
+    disables the gate entirely."""
+    if content_types is None:
+        return F.lit(True)
+    ct = F.lower(F.col("http_content_type"))
+    cond = (
+        F.col("http_content_type").isNull()
+        if keep_null
+        else F.lit(False)
+    )
+    for p in content_types:
+        cond = cond | ct.startswith(p.lower())
+    return cond
+
+
+def warc_pages(
+    records: DataFrame,
+    min_status: int = 200,
+    max_status: int = 299,
+    content_types: tuple[str, ...] | None = HTML_CONTENT_TYPES,
+) -> DataFrame:
     """Successful HTML response records as ``(url, html)`` — the input
     shape ``curation.prepare_web_corpus(url_col="url")`` takes. UTF-8
     decode with replacement (deterministic; a crawl's charset zoo is
@@ -507,14 +586,24 @@ def warc_pages(records: DataFrame, min_status: int = 200, max_status: int = 299)
     payload arrived under a ``Content-Encoding`` the parser could not
     inflate (``http_content_encoding`` non-NULL — gzip/deflate were
     already inflated at parse) are EXCLUDED: compressed bytes must
-    never flow into extraction as mojibake 'html'."""
+    never flow into extraction as mojibake 'html'.
+
+    ``content_types`` (r13, r12 verdict ask #2): only responses whose
+    ``http_content_type`` starts with one of these prefixes (or is
+    NULL — permissive, see :data:`HTML_CONTENT_TYPES`) become pages.
+    Every 2xx JPEG/PDF/JS/JSON response would otherwise decode to
+    replacement-char soup and pay the full extraction pipeline before
+    the quality gates drop it — at 100 TB this filter is the cheap
+    scan-side cut (it reaches the parquet scan of an ingested crawl).
+    Pass ``None`` to disable."""
     return records.filter(
         (F.col("warc_type") == "response")
         & F.col("http_status").between(min_status, max_status)
         & F.col("http_content_encoding").isNull()
+        & _content_type_cond(content_types)
     ).select(
         F.col("target_uri").alias("url"),
-        F.decode(F.col("payload"), "UTF-8").alias("html"),
+        utf8_lossy(F.col("payload")).alias("html"),
     )
 
 
@@ -528,7 +617,7 @@ def wet_pages(records: DataFrame) -> DataFrame:
     already-plain text (the tested identity contract)."""
     return records.filter(F.col("warc_type") == "conversion").select(
         F.col("target_uri").alias("url"),
-        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        utf8_lossy(F.col("payload")).alias("text"),
     )
 
 

@@ -67,11 +67,16 @@ def test_host_link_graph_canonicalizes_and_counts(spark):
     assert got == {("a.io", "b.io"): 2, ("a.io", "c.io"): 1}
 
 
-def _ref_pagerank(edges, iterations=10, damping=0.85):
+def _ref_pagerank(edges, iterations=10, damping=0.85, extra_nodes=()):
     """Pure-Python power iteration with the operator's exact
     semantics: weighted fractions, dangling mass = 1 - redistributed,
-    teleport (1-d)/n."""
-    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    teleport (1-d)/n. ``extra_nodes``: nodes in the graph with no
+    positive-weight edges (pure dangling participants)."""
+    nodes = sorted(
+        {s for s, _, _ in edges}
+        | {d for _, d, _ in edges}
+        | set(extra_nodes)
+    )
     out: dict[str, float] = {}
     for s, _, w in edges:
         out[s] = out.get(s, 0.0) + w
@@ -141,6 +146,38 @@ def test_pagerank_deterministic_across_runs(spark):
     assert r1 == r2
 
 
+def test_pagerank_zero_weight_edges_treated_as_dangling(spark):
+    """r12 ADVICE: a source whose edge weights sum to 0 must be treated
+    as EXPLICITLY dangling — dropped at normalization, never a NULL
+    0/0 fraction (non-ANSI) or a mid-loop throw (ANSI). Both endpoints
+    of a dropped edge stay in the node set; ranks stay non-NULL and
+    sum to 1."""
+    edges = [
+        ("a", "b", 1.0),
+        ("b", "c", 2.0),
+        # z's only out-edges carry zero weight -> z is dangling; its
+        # targets still count as nodes
+        ("z", "a", 0.0),
+        ("z", "only_via_zero", 0.0),
+    ]
+    df = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links double"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=5).collect()}
+    assert set(got) == {"a", "b", "c", "z", "only_via_zero"}
+    assert all(v is not None and v > 0 for v in got.values())
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # exact math: equivalent to the graph with z's zero edges REMOVED
+    # but z / only_via_zero kept as pure dangling participants
+    ref = _ref_pagerank(
+        [("a", "b", 1.0), ("b", "c", 2.0)],
+        iterations=5,
+        extra_nodes=("z", "only_via_zero"),
+    )
+    for v in ref:
+        assert got[v] == pytest.approx(ref[v], abs=1e-9), v
+
+
 def test_pagerank_from_planted_crawl_chain(spark):
     """End-to-end: pages → outlinks → host graph → ranks. The shared
     cdn host (every page links to it) must out-rank any single source
@@ -156,3 +193,97 @@ def test_pagerank_from_planted_crawl_chain(spark):
     edges = host_link_graph(extract_outlinks(pages))
     ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
     assert max(ranks, key=ranks.get) == "cdn.io"
+
+
+def test_host_authority_join_and_defaults(spark):
+    """host_authority attaches the per-host rank by canonical host
+    (case/port noise folds onto the same node), fills unranked hosts
+    with the default, and leaves them NULL under default=None so a
+    gate can distinguish unranked from ranked-low."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_adventureworks2022_spark.operators.graph import (
+        host_authority,
+    )
+
+    ranks = spark.createDataFrame(
+        [("a.io", 0.5), ("b.io", 0.001)], "node string, rank double"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "http://A.IO:80/page"),   # canonicalizes onto a.io
+            (2, "https://b.io/x"),
+            (3, "http://new.io/y"),       # unranked host
+            (4, "not a url"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["host_authority"]
+        for r in host_authority(docs, ranks).collect()
+    }
+    assert got[1] == pytest.approx(0.5)
+    assert got[2] == pytest.approx(0.001)
+    assert got[3] == 0.0 and got[4] == 0.0
+    nulls = {
+        r["doc_id"]: r["host_authority"]
+        for r in host_authority(docs, ranks, default=None).collect()
+    }
+    assert nulls[1] == pytest.approx(0.5)
+    assert nulls[3] is None and nulls[4] is None
+    # scale posture: broadcast join, zero doc-side shuffle (plan-pinned)
+    plan = host_authority(docs, ranks)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_prepare_web_corpus_host_authority_gate(spark):
+    """r12 verdict ask #3: planted high/low-authority hosts shift the
+    quality gate — pages from a host RANKED below min_host_authority
+    drop before extraction, unranked hosts conservatively survive, and
+    without a threshold the authority column rides in as a feature."""
+    from lakehouse_adventureworks2022_spark.operators import dedup
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        prepare_web_corpus,
+    )
+
+    page = (
+        "<p>tiny healthy document with enough plain words"
+        " to pass the quality gate today</p>"
+    )
+    other = (
+        "<p>another entirely different page describing oranges,"
+        " bicycles and seven rainy tuesdays in quiet detail</p>"
+    )
+    third = (
+        "<p>a third page about lighthouses, tide tables and the"
+        " quiet ferry schedule of a small island town</p>"
+    )
+    ranks = spark.createDataFrame(
+        [("good.io", 0.4), ("spam.io", 0.0001)], "node string, rank double"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "web", "en", "http://good.io/a", page),
+            (2, "web", "en", "http://spam.io/b", other),   # ranked low
+            (3, "web", "en", "http://fresh.io/c", third),  # unranked
+        ],
+        "doc_id long, source string, lang string, url string, html string",
+    )
+    out = prepare_web_corpus(
+        df, url_col="url", host_ranks=ranks, min_host_authority=0.01
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    dedup.release_cached_inputs(out)
+    assert got == [1, 3]  # low-authority dropped, unranked kept
+
+    # no threshold: the authority column rides along as a feature
+    feat = prepare_web_corpus(df, url_col="url", host_ranks=ranks)
+    vals = {r["doc_id"]: r["host_authority"] for r in feat.collect()}
+    dedup.release_cached_inputs(feat)
+    assert vals[1] == pytest.approx(0.4) and vals[3] == 0.0
+
+    with pytest.raises(ValueError, match="url_col"):
+        prepare_web_corpus(df, host_ranks=ranks)
+    with pytest.raises(ValueError, match="host_ranks"):
+        prepare_web_corpus(df, url_col="url", min_host_authority=0.01)

@@ -218,6 +218,65 @@ def test_build_crawl_frontier_composite(spark):
     }
 
 
+def test_frontier_watermark_timestamp_granular_and_unparseable_kept(spark):
+    """r12 verdict #3 + ADVICE: the watermark compares at TIMESTAMP
+    granularity — an entry modified later the SAME DAY as a
+    time-carrying watermark is fetched (a twice-daily re-crawl must not
+    under-fetch) — and an entry whose lastmod fails to parse is KEPT
+    (conservative fetch), not silently dropped by a NULL comparison."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        build_crawl_frontier,
+    )
+
+    sitemaps = spark.createDataFrame(
+        [
+            ("http://a.io/sm.xml",
+             "<urlset>"
+             # same day, AFTER the 12:00 watermark -> fetch
+             "<url><loc>http://a.io/afternoon</loc>"
+             "<lastmod>2024-06-15T14:30:00Z</lastmod></url>"
+             # same day, BEFORE the watermark (offset form normalizes
+             # to 07:30 UTC) -> skip
+             "<url><loc>http://a.io/morning</loc>"
+             "<lastmod>2024-06-15T09:30:00+02:00</lastmod></url>"
+             # nonstandard lastmod: unparseable -> conservative fetch
+             "<url><loc>http://a.io/odd</loc>"
+             "<lastmod>June 15, 2024</lastmod></url>"
+             # no lastmod at all -> conservative fetch
+             "<url><loc>http://a.io/bare</loc></url>"
+             # bare date = midnight, before the watermark -> skip
+             "<url><loc>http://a.io/dateonly</loc>"
+             "<lastmod>2024-06-15</lastmod></url>"
+             "</urlset>"),
+        ],
+        "sitemap_url string, sitemap_xml string",
+    )
+    robots = spark.createDataFrame(
+        [("a.io", "User-agent: *\n")], "host string, robots_txt string"
+    )
+    got = sorted(
+        r["url"]
+        for r in build_crawl_frontier(
+            robots, sitemaps, watermark="2024-06-15 12:00:00"
+        ).collect()
+    )
+    assert got == [
+        "http://a.io/afternoon", "http://a.io/bare", "http://a.io/odd",
+    ]
+    # date-only watermark keeps the pre-r13 date semantics (midnight):
+    # every entry dated after it passes, same-date date-only does not
+    got2 = sorted(
+        r["url"]
+        for r in build_crawl_frontier(
+            robots, sitemaps, watermark="2024-06-15"
+        ).collect()
+    )
+    assert got2 == [
+        "http://a.io/afternoon", "http://a.io/bare",
+        "http://a.io/morning", "http://a.io/odd",
+    ]
+
+
 def test_entries_zero_shuffle_plan(spark):
     from lakehouse_adventureworks2022_spark.operators.textops import (
         sitemap_entries,
@@ -257,3 +316,141 @@ def test_catalog_twin_hash_parity(spark, sf):
     con.close()
     assert canonical_hash(spark_pdf) == canonical_hash(duck_pdf)
     assert len(spark_pdf) > 0
+
+
+def _tree_provider(spark, lookup_rows):
+    """bodies_provider for tests: joins pending child-sitemap urls
+    against a planted (sitemap_url, sitemap_xml) lookup table — the
+    no-network contract (production swaps in its fetch tier)."""
+    lookup = spark.createDataFrame(
+        lookup_rows, "sitemap_url string, sitemap_xml string"
+    )
+
+    def provider(pending):
+        return pending.join(
+            lookup, pending["url"] == lookup["sitemap_url"]
+        ).select("sitemap_url", "sitemap_xml")
+
+    return provider
+
+
+def test_expand_frontier_multilevel_tree(spark):
+    """r12 verdict ask #4: a multi-level sitemap tree expands fully —
+    root index → child sitemaps → grandchild — with the full gate
+    (robots, watermark, dedup) applied at EVERY level, a planted CYCLE
+    (child2 lists the root again) converging instead of looping, and a
+    page listed at two levels surviving exactly once."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        expand_frontier,
+    )
+
+    root = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://a.io/child1.xml</loc></sitemap>"
+        "<sitemap><loc>http://a.io/child2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    child1 = (
+        "<urlset>"
+        "<url><loc>http://a.io/p1</loc></url>"
+        "<url><loc>http://a.io/p2</loc></url>"
+        "<url><loc>http://a.io/blocked/x</loc></url>"
+        # pre-watermark entry: the gate applies at every level
+        "<url><loc>http://a.io/old</loc>"
+        "<lastmod>2020-01-01</lastmod></url>"
+        "</urlset>"
+    )
+    child2 = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://a.io/grandchild.xml</loc></sitemap>"
+        # CYCLE: lists the root sitemap again
+        "<sitemap><loc>http://a.io/root.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    grandchild = (
+        "<urlset>"
+        "<url><loc>http://a.io/p3</loc></url>"
+        # cross-level duplicate of child1's p1 (fragment spelling)
+        "<url><loc>http://a.io/p1#dup</loc></url>"
+        "</urlset>"
+    )
+    sitemaps = spark.createDataFrame(
+        [("http://a.io/root.xml", root)],
+        "sitemap_url string, sitemap_xml string",
+    )
+    robots = spark.createDataFrame(
+        [("a.io", "User-agent: *\nDisallow: /blocked/\n")],
+        "host string, robots_txt string",
+    )
+    provider = _tree_provider(
+        spark,
+        [
+            ("http://a.io/child1.xml", child1),
+            ("http://a.io/child2.xml", child2),
+            ("http://a.io/grandchild.xml", grandchild),
+            ("http://a.io/root.xml", root),
+        ],
+    )
+    out = expand_frontier(
+        robots, sitemaps, provider, watermark="2024-01-01"
+    ).collect()
+    assert sorted(r["url"] for r in out) == [
+        "http://a.io/p1", "http://a.io/p2", "http://a.io/p3",
+    ]
+    assert all(r["is_index"] is False for r in out)
+    # the cross-level dup kept ONE row via the deterministic fold
+    p1 = [r for r in out if r["url"] == "http://a.io/p1"]
+    assert len(p1) == 1
+
+
+def test_expand_frontier_depth_bound_loud(spark):
+    """The depth bound raises instead of silently under-crawling."""
+    import pytest as _pytest
+
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        expand_frontier,
+    )
+
+    root = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://a.io/child1.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    sitemaps = spark.createDataFrame(
+        [("http://a.io/root.xml", root)],
+        "sitemap_url string, sitemap_xml string",
+    )
+    robots = spark.createDataFrame(
+        [("a.io", "User-agent: *\n")], "host string, robots_txt string"
+    )
+    provider = _tree_provider(
+        spark, [("http://a.io/child1.xml", root.replace("child1", "child2"))]
+    )
+    with _pytest.raises(RuntimeError, match="max_depth=0"):
+        expand_frontier(robots, sitemaps, provider, max_depth=0)
+
+
+def test_expand_frontier_missing_body_is_not_a_crash(spark):
+    """A child the provider cannot return a body for (fetch failure)
+    contributes nothing — the expansion completes on what it has."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        expand_frontier,
+    )
+
+    root = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://a.io/child1.xml</loc></sitemap>"
+        "<sitemap><loc>http://a.io/gone.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    child1 = "<urlset><url><loc>http://a.io/p1</loc></url></urlset>"
+    sitemaps = spark.createDataFrame(
+        [("http://a.io/root.xml", root)],
+        "sitemap_url string, sitemap_xml string",
+    )
+    robots = spark.createDataFrame(
+        [("a.io", "User-agent: *\n")], "host string, robots_txt string"
+    )
+    provider = _tree_provider(spark, [("http://a.io/child1.xml", child1)])
+    out = expand_frontier(robots, sitemaps, provider)
+    assert [r["url"] for r in out.collect()] == ["http://a.io/p1"]

@@ -398,6 +398,11 @@ def test_web_corpus_from_warc_one_call_front_door(spark, tmp_path):
                 # robots-blocked -> compliance gate drops
                 {"uri": "http://site.io/private/x", "record_id": "<c:6>",
                  "body": page_b.replace(b"oranges", b"plums")},
+                # 2xx binary -> Content-Type gate drops at the scan
+                # (r13), BEFORE decode/extraction ever touch it
+                {"uri": "http://site.io/logo.jpg", "record_id": "<c:7>",
+                 "body": b"\xff\xd8\xff\xe0binarybytes",
+                 "http_content_type": "image/jpeg"},
             ]
         )
     )
@@ -756,6 +761,138 @@ def test_content_encoding_gzip_inflated_unknown_gated(spark):
     assert rows["http://h/br"]["http_content_encoding"] == "br"
     pages = sorted(r["url"] for r in warc_pages(recs).collect())
     assert pages == ["http://h/gz", "http://h/plain"]
+
+
+def test_content_type_gate_excludes_non_html(spark):
+    """r12 verdict ask #2: 2xx responses whose Content-Type is outside
+    the HTML family (JPEG, PDF, JS, JSON…) must not become pages — they
+    would decode as replacement-char soup and pay the full extraction
+    pipeline. NULL Content-Type passes (permissive default — WARC
+    headers are messy); parameterized forms and XHTML pass; the gate
+    is parameterizable and ``None`` disables it."""
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        HTML_CONTENT_TYPES,
+    )
+
+    blob = CODEC["write"](
+        [
+            {"uri": "http://h/html", "record_id": "<u:1>",
+             "body": b"<p>a</p>"},  # text/html; charset=utf-8 default
+            {"uri": "http://h/xhtml", "record_id": "<u:2>",
+             "body": b"<p>x</p>",
+             "http_content_type": "application/xhtml+xml"},
+            {"uri": "http://h/upper", "record_id": "<u:3>",
+             "body": b"<p>u</p>", "http_content_type": "TEXT/HTML"},
+            {"uri": "http://h/noct", "record_id": "<u:4>",
+             "body": b"<p>n</p>", "http_content_type": None},
+            {"uri": "http://h/jpeg", "record_id": "<u:5>",
+             "body": b"\xff\xd8\xff\xe0fakejpeg",
+             "http_content_type": "image/jpeg"},
+            {"uri": "http://h/json", "record_id": "<u:6>",
+             "body": b'{"k": 1}',
+             "http_content_type": "application/json"},
+            {"uri": "http://h/pdf", "record_id": "<u:7>",
+             "body": b"%PDF-1.7 fake",
+             "http_content_type": "application/pdf"},
+        ]
+    )
+    df = spark.createDataFrame([(blob,)], "content binary")
+    recs = parse_warc_frame(df, "content", path_col=None)
+    pages = sorted(r["url"] for r in warc_pages(recs).collect())
+    assert pages == [
+        "http://h/html", "http://h/noct", "http://h/upper",
+        "http://h/xhtml",
+    ]
+    # widen the gate: JSON family admitted alongside HTML
+    widened = sorted(
+        r["url"]
+        for r in warc_pages(
+            recs, content_types=HTML_CONTENT_TYPES + ("application/json",)
+        ).collect()
+    )
+    assert "http://h/json" in widened and "http://h/jpeg" not in widened
+    # disable: every successful response is a page again
+    assert warc_pages(recs, content_types=None).count() == 7
+
+
+def test_corrupt_or_truncated_compressed_body_survives_parse(spark):
+    """r12 ADVICE (medium): a truncated or corrupt gzip/deflate body —
+    or wire bytes still framed by chunked Transfer-Encoding — must NOT
+    abort the file's parse (one bad record would fail a whole one-job
+    batch ingest). The raw bytes are kept, the Content-Encoding token
+    stays surfaced, and the downstream gate excludes the row."""
+    import gzip as _gz
+
+    good_gz = _gz.compress(b"<p>ok</p>", compresslevel=1, mtime=0)
+    corrupt = good_gz[:8] + b"\xff\xff\xde\xad" + good_gz[12:]
+    truncated = good_gz[: len(good_gz) // 2]
+    # chunked framing around the gzip member: not a gzip stream at all
+    chunked = (
+        b"%x\r\n" % len(good_gz) + good_gz + b"\r\n0\r\n\r\n"
+    )
+    blob = CODEC["write"](
+        [
+            {"uri": "http://h/good", "record_id": "<u:1>",
+             "body": b"<p>plain</p>"},
+            # body_is_wire: bodies below already ARE the (broken) wire
+            # bytes — the writer must not re-compress them
+            {"uri": "http://h/corrupt", "record_id": "<u:2>",
+             "body": corrupt, "content_encoding": "gzip",
+             "body_is_wire": True},
+            {"uri": "http://h/trunc", "record_id": "<u:3>",
+             "body": truncated, "content_encoding": "gzip",
+             "body_is_wire": True},
+            {"uri": "http://h/chunked", "record_id": "<u:4>",
+             "body": chunked, "content_encoding": "gzip",
+             "body_is_wire": True},
+            {"uri": "http://h/baddeflate", "record_id": "<u:5>",
+             "body": b"\x00not-deflate", "content_encoding": "deflate",
+             "body_is_wire": True},
+        ]
+    )
+    df = spark.createDataFrame([(blob,)], "content binary")
+    recs = parse_warc_frame(df, "content", path_col=None)
+    rows = {r["target_uri"]: r for r in recs.collect() if r["target_uri"]}
+    # the whole file parsed — five records, no exception
+    assert len(rows) == 5
+    # failures keep raw bytes + the token; downstream gate excludes them
+    for bad in ("corrupt", "trunc", "chunked"):
+        assert rows[f"http://h/{bad}"]["http_content_encoding"] == "gzip"
+    assert (
+        rows["http://h/baddeflate"]["http_content_encoding"] == "deflate"
+    )
+    assert bytes(rows["http://h/trunc"]["payload"]) == truncated
+    pages = sorted(r["url"] for r in warc_pages(recs).collect())
+    assert pages == ["http://h/good"]
+
+
+def test_mislabeled_binary_decodes_with_replacement(spark):
+    """The page decode is TOTAL (r13): ``F.decode`` is strict in
+    Spark 4, and predicate pushdown can substitute the ``html`` alias
+    into filters that run before the content-type gate — a JPEG
+    mislabeled ``text/html`` (real crawls are full of them) must
+    decode to U+FFFD replacement soup for the quality gates to drop,
+    never abort the job with MALFORMED_CHARACTER_CODING."""
+    blob = CODEC["write"](
+        [
+            {"uri": "http://h/ok", "record_id": "<u:1>",
+             "body": b"<p>fine</p>"},
+            # binary bytes under an HTML label: passes the gate,
+            # must not kill the decode
+            {"uri": "http://h/lying", "record_id": "<u:2>",
+             "body": b"\xff\xd8\xff\xe0 jfif \x00\x81",
+             "http_content_type": "text/html"},
+        ]
+    )
+    df = spark.createDataFrame([(blob,)], "content binary")
+    recs = parse_warc_frame(df, "content", path_col=None)
+    rows = {r["url"]: r["html"] for r in warc_pages(recs).collect()}
+    assert set(rows) == {"http://h/ok", "http://h/lying"}
+    assert rows["http://h/ok"] == "<p>fine</p>"
+    # byte-exact python replacement-decode equivalence
+    assert rows["http://h/lying"] == (
+        b"\xff\xd8\xff\xe0 jfif \x00\x81".decode("utf-8", "replace")
+    )
 
 
 def test_dedup_payload_digest(spark):
