@@ -1040,6 +1040,72 @@ def host_link_graph(
 # ---- robots.txt (RFC 9309) parsing + URL gating (r11) -----------------
 
 
+def _robots_directive_lines(
+    df: DataFrame, host_col: str, body_col: str
+) -> DataFrame:
+    """Shared robots.txt line scanner: split → posexplode → comment
+    strip (``#...``) → ``key: value`` extraction with explicit-class
+    whitespace trim. Returns ``(host, ln, key, val)`` with the key
+    lowercased; callers filter the directive kinds they own."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\n")).alias("ln", "line"),
+    ).select(
+        "host",
+        "ln",
+        F.regexp_replace(
+            F.regexp_replace(F.col("line"), "#.*", ""),
+            f"^{WS_CLASS}+|{WS_CLASS}+$",
+            "",
+        ).alias("line"),
+    )
+    key = F.lower(F.regexp_extract("line", f"^([A-Za-z-]+){WS_CLASS}*:", 1))
+    val = F.regexp_replace(
+        F.regexp_extract("line", f":{WS_CLASS}*(.*)$", 1),
+        f"{WS_CLASS}+$",
+        "",
+    )
+    return lines.select("host", "ln", key.alias("key"), val.alias("val"))
+
+
+def _robots_applicable_groups(parsed, user_agent: str):
+    """Shared RFC 9309 group machinery: running group ids over the
+    parsed ``(host, ln, key, val)`` directive lines (consecutive
+    ``User-agent`` lines share a group) and the APPLICABLE group set
+    for ``user_agent`` (exact token match or ``*``; a named-agent
+    group SHADOWS the ``*`` group when both exist). Returns
+    ``(grouped, applicable)``; callers semi-join their directive kind
+    against ``applicable``. The per-host window frame is trivially
+    bounded — robots files are a few KB."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("ln")
+    prev_key = F.lag("key").over(w)
+    starts = F.when(
+        (F.col("key") == "user-agent")
+        & (F.coalesce(prev_key, F.lit("")) != "user-agent"),
+        1,
+    ).otherwise(0)
+    grouped = parsed.withColumn("grp", F.sum(starts).over(w))
+    agents = (
+        grouped.filter(F.col("key") == "user-agent")
+        .groupBy("host", "grp")
+        .agg(
+            F.max(
+                (F.lower("val") == user_agent.lower()).cast("int")
+            ).alias("named"),
+            F.max((F.col("val") == "*").cast("int")).alias("star"),
+        )
+        .filter((F.col("named") == 1) | (F.col("star") == 1))
+    )
+    # named group shadows '*': keep only the most specific tier present
+    best = agents.groupBy("host").agg(F.max("named").alias("has_named"))
+    applicable = agents.join(best, "host").filter(
+        (F.col("named") == 1) | (F.col("has_named") == 0)
+    )
+    return grouped, applicable
+
+
 def parse_robots(
     df: DataFrame,
     host_col: str = "host",
@@ -1061,58 +1127,10 @@ def parse_robots(
     unknown directives are dropped; an empty Disallow means allow-all
     (kept as an allow rule of length 0 so it participates in
     precedence)."""
-    from pyspark.sql import Window
-
-    lines = df.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(body_col), r"\n")).alias("ln", "line"),
-    ).select(
-        "host",
-        "ln",
-        # strip comments + surrounding whitespace (explicit class)
-        F.regexp_replace(
-            F.regexp_replace(F.col("line"), "#.*", ""),
-            f"^{WS_CLASS}+|{WS_CLASS}+$",
-            "",
-        ).alias("line"),
+    parsed = _robots_directive_lines(df, host_col, body_col).filter(
+        F.col("key").isin("user-agent", "allow", "disallow")
     )
-    key = F.lower(F.regexp_extract("line", f"^([A-Za-z-]+){WS_CLASS}*:", 1))
-    val = F.regexp_replace(
-        F.regexp_extract("line", f":{WS_CLASS}*(.*)$", 1),
-        f"{WS_CLASS}+$",
-        "",
-    )
-    parsed = lines.select(
-        "host", "ln", key.alias("key"), val.alias("val")
-    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
-    # group id = running count of user-agent lines that START a group
-    # (consecutive user-agent lines share a group per the RFC)
-    w = Window.partitionBy("host").orderBy("ln")
-    prev_key = F.lag("key").over(w)
-    starts = F.when(
-        (F.col("key") == "user-agent")
-        & (F.coalesce(prev_key, F.lit("")) != "user-agent"),
-        1,
-    ).otherwise(0)
-    grouped = parsed.withColumn(
-        "grp", F.sum(starts).over(w)
-    )
-    agents = (
-        grouped.filter(F.col("key") == "user-agent")
-        .groupBy("host", "grp")
-        .agg(
-            F.max(
-                (F.lower("val") == user_agent.lower()).cast("int")
-            ).alias("named"),
-            F.max((F.col("val") == "*").cast("int")).alias("star"),
-        )
-        .filter((F.col("named") == 1) | (F.col("star") == 1))
-    )
-    # named group shadows '*': keep only the most specific tier present
-    best = agents.groupBy("host").agg(F.max("named").alias("has_named"))
-    applicable = agents.join(best, "host").filter(
-        (F.col("named") == 1) | (F.col("has_named") == 0)
-    )
+    grouped, applicable = _robots_applicable_groups(parsed, user_agent)
     return (
         grouped.filter(F.col("key").isin("allow", "disallow"))
         .join(applicable.select("host", "grp"), ["host", "grp"], "left_semi")
@@ -1167,6 +1185,44 @@ def robots_sitemaps(
         lines.select("host", key.alias("key"), val.alias("sitemap_url"))
         .filter((F.col("key") == "sitemap") & (F.col("sitemap_url") != ""))
         .select("host", "sitemap_url")
+    )
+
+
+def robots_crawl_delay(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Extract per-host ``Crawl-delay`` (seconds) from robots.txt
+    bodies — the politeness knob :func:`~operators.curation.
+    politeness_shards` schedules fetches around. Not in RFC 9309 but
+    honored by Bing/Yandex and emitted by a large share of real robots
+    files; it is GROUP-scoped like allow/disallow (the applicable
+    group's value wins, named agent shadowing ``*`` — the same
+    machinery as :func:`parse_robots`). Returns ``(host,
+    crawl_delay double)``, one row per host that declares one; absent
+    or non-numeric values yield no row (callers fall back to their own
+    default). Multiple applicable declarations keep the MAX — the most
+    conservative (politest) reading."""
+    # keep allow/disallow lines in the grouping context even though
+    # only crawl-delay is extracted: the consecutive-user-agent run
+    # detection must see the rule lines that SEPARATE two groups, or
+    # "UA: a / Disallow: x / UA: b / Crawl-delay: 5" would fuse a and
+    # b into one group and leak b's delay to a
+    parsed = _robots_directive_lines(df, host_col, body_col).filter(
+        F.col("key").isin("user-agent", "allow", "disallow", "crawl-delay")
+    )
+    grouped, applicable = _robots_applicable_groups(parsed, user_agent)
+    # try_cast: a non-numeric value ("soon") must yield NULL (no row),
+    # never an ANSI CAST_INVALID_INPUT that aborts the whole parse
+    delay = F.col("val").try_cast("double")
+    return (
+        grouped.filter(F.col("key") == "crawl-delay")
+        .join(applicable.select("host", "grp"), ["host", "grp"], "left_semi")
+        .filter(delay.isNotNull() & (delay >= 0))
+        .groupBy("host")
+        .agg(F.max(delay).alias("crawl_delay"))
     )
 
 

@@ -130,9 +130,12 @@ QUERIES: dict[str, QueryFn] = {
     # (latest_event_per_user — green since r1 — rotated to
     # tests/test_rotated_oracles.py in r7; WF1 window evidence continues
     # via the four window-function queries below)
-    # ExactSubstr repeated-span removal (r7 first driver oracle;
-    # literal-run-key SQL twin + Python-reference differential)
-    "remove_repeated_spans": text_queries.q_remove_repeated_spans,
+    # (remove_repeated_spans — r7 first driver oracle, green r7-r12 —
+    # rotated to tests/test_rotated_oracles.py in the r13 eleventh
+    # rotation; promoted in its place after two swept-green rounds:)
+    # SURT url keys — the CDX-index sort key (exact; oracle recomputes
+    # the SURT strings from documents; r13 first driver oracle)
+    "cdx_urlkey": text_queries.q_cdx_urlkey,
     # (event_windows — green since r1 — rotated OUT late-r7; the
     # time-bucket agg shape stays driver-evidenced in
     # event_windows_sliding below)
@@ -173,8 +176,13 @@ QUERIES: dict[str, QueryFn] = {
     # (dedup_exact — green since r1 — rotated to
     # tests/test_rotated_oracles.py in r7; the exact-dedup shape also
     # runs inside clean_corpus below)
-    # C4-style boilerplate-line removal (r7 first driver oracle)
-    "clean_boilerplate": text_queries.q_clean_boilerplate,
+    # (clean_boilerplate — r7 first driver oracle, green r7-r12 —
+    # rotated to tests/test_rotated_oracles.py in the r13 eleventh
+    # rotation; promoted in its place:)
+    # discovery-tier composite: sitemaps + robots → gated frontier
+    # (exact; planted prefixes make the robots verdict SQL-recomputable
+    # — the gate's first driver-channel row; r13 first driver oracle)
+    "crawl_frontier": text_queries.q_crawl_frontier,
     # (dedup_ngram_jaccard_exact / clean_corpus — green r4-r7 — rotated
     # to tests/test_rotated_oracles.py in the r8 fifth rotation; the
     # candidate-verify primitive stays driver-evidenced inside
@@ -553,14 +561,23 @@ QUERIES: dict[str, QueryFn] = {
     # host PageRank over the planted graph (rows-only — iterative
     # float fixpoint; math differential in tests/test_graph.py)
     "host_pagerank": text_queries.q_host_pagerank,
-    # SURT url keys — the CDX-index sort key (exact late-r12 newcomer
-    # past the window; swept via PYTEST_ORACLES until the next
-    # rotation, the established queue)
-    "cdx_urlkey": text_queries.q_cdx_urlkey,
-    # discovery-tier composite: sitemaps + robots → gated frontier
-    # (exact late-r12 newcomer past the window — the planted-prefix
-    # design gives the robots gate its first oracle-channel evidence)
-    "crawl_frontier": text_queries.q_crawl_frontier,
+    # host-authority enrichment: the PageRank prior broadcast-joined
+    # onto docs by canonical host (exact r13 newcomer past the window;
+    # swept via PYTEST_ORACLES until the next rotation)
+    "host_authority": text_queries.q_host_authority,
+    # politeness planning: robots Crawl-delay → host shards + fetch
+    # schedule (exact r13 newcomer past the window; md5 shards so the
+    # twin recomputes the identical bucket)
+    "crawl_politeness": text_queries.q_crawl_politeness,
+    # ---- r13 eleventh rotation OUT (both r7 first driver oracles,
+    # green r7-r12; identical hash-diff rigor continues in
+    # tests/test_rotated_oracles.py at two SFs; slots freed for
+    # cdx_urlkey / crawl_frontier above) ----
+    # ExactSubstr repeated-span removal (literal-run-key SQL twin +
+    # Python-reference differential)
+    "remove_repeated_spans": text_queries.q_remove_repeated_spans,
+    # C4-style boilerplate-line removal
+    "clean_boilerplate": text_queries.q_clean_boilerplate,
     # ---- late-r12 tenth rotation OUT (first driver oracles r6-r8,
     # green through r11; the identical hash-diff rigor continues in
     # tests/test_rotated_oracles.py at two SFs; slots freed for
@@ -704,10 +721,17 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "ngram_repetition",
         "doc_perplexity",
         "host_pagerank",  # iterative float fixpoint: no SQL twin
-        # exact late-r12 newcomers past the window (queued for the next
+        # (cdx_urlkey / crawl_frontier were promoted to first-time
+        # DRIVER oracles in the r13 eleventh rotation)
+        # exact r13 newcomers past the window (queued for the next
         # rotation; swept via PYTEST_ORACLES)
-        "cdx_urlkey",
-        "crawl_frontier",
+        "host_authority",
+        "crawl_politeness",
+        # exact, r13 eleventh rotation out of the window (r7 first
+        # driver oracles, green r7-r12): same hash-diff rigor in
+        # tests/test_rotated_oracles.py at two SFs
+        "remove_repeated_spans",
+        "clean_boilerplate",
         # exact, late-r12 tenth rotation out of the window (first
         # driver oracles r6-r8, green through r11): same hash-diff
         # rigor in tests/test_rotated_oracles.py at two SFs
@@ -762,7 +786,11 @@ ORACLES: dict[str, str] = {
     "doc_readability": text_queries.ORACLE_DOC_READABILITY,
     # r7 rotation: the inline SQL of dim_customer_geo / fact_sales /
     # latest_event_per_user moved verbatim to ROTATED_ORACLES below
-    "remove_repeated_spans": text_queries.ORACLE_REMOVE_REPEATED_SPANS,
+    # r13 eleventh rotation: remove_repeated_spans / clean_boilerplate
+    # constants moved to ROTATED_ORACLES; promoted in their place
+    # (twins sweep-green in check_oracles + pytest since late r12):
+    "cdx_urlkey": text_queries.ORACLE_CDX_URLKEY,
+    "crawl_frontier": text_queries.ORACLE_CRAWL_FRONTIER,
     # late-r7 third rotation: event_windows inline SQL moved verbatim
     # to ROTATED_ORACLES below
     "scd2_part_dimension": scd2_query.ORACLE,
@@ -783,7 +811,7 @@ ORACLES: dict[str, str] = {
     # heavy_hitters_event_types: rotated out in r11 — constant in
     # ROTATED_ORACLES
     "warc_ingest": text_queries.ORACLE_WARC_INGEST,
-    "clean_boilerplate": text_queries.ORACLE_CLEAN_BOILERPLATE,
+    # clean_boilerplate: rotated out in r13 — constant in ROTATED_ORACLES
     "dedup_minhash_lsh": text_queries.ORACLE_MINHASH_LSH,
     # ann_cosine_topk: rotated out in r10 — constant in ROTATED_ORACLES
     # ann_cosine_topk_np: GEMM float-sum order differs ⇒ rows-only check
@@ -1009,6 +1037,11 @@ ORACLES: dict[str, str] = {
 #: for first-time oracles. tests/test_rotated_oracles.py applies the
 #: SAME row-count + schema + value-hash comparison the driver does.
 ROTATED_ORACLES: dict[str, str] = {
+    # ---- r13 eleventh rotation (both r7 first driver oracles, green
+    # r7-r12; slots freed for the exact late-r12 newcomers
+    # cdx_urlkey / crawl_frontier) ----
+    "remove_repeated_spans": text_queries.ORACLE_REMOVE_REPEATED_SPANS,
+    "clean_boilerplate": text_queries.ORACLE_CLEAN_BOILERPLATE,
     # ---- late-r12 tenth rotation (first driver oracles r6-r8, green
     # through r11; slots freed for the exact late-r12 newcomers
     # wet_ingest / robots_sitemap_discovery / outlink_extract /
@@ -1523,10 +1556,13 @@ PYTEST_ORACLES: dict[str, str] = {
     # wet_ingest / robots_sitemap_discovery / outlink_extract /
     # host_link_graph in the late-r12 tenth — each after sweeping
     # green at both SFs the same round)
-    # exact late-r12 newcomers awaiting the next rotation (the
-    # established queue): swept by check_oracles at every snapshot
-    "cdx_urlkey": text_queries.ORACLE_CDX_URLKEY,
-    "crawl_frontier": text_queries.ORACLE_CRAWL_FRONTIER,
+    # (cdx_urlkey / crawl_frontier were promoted to first-time DRIVER
+    # oracles in the r13 eleventh rotation after sweeping green at both
+    # SFs for two rounds)
+    # exact r13 newcomers awaiting the next rotation (the established
+    # queue): swept by check_oracles at every snapshot
+    "host_authority": text_queries.ORACLE_HOST_AUTHORITY,
+    "crawl_politeness": text_queries.ORACLE_CRAWL_POLITENESS,
     # (url_canonicalize was promoted to a first-time DRIVER oracle in
     # the r11 eighth rotation after one swept-green round — the queue
     # is empty again and this is exactly the rotated-veteran set)

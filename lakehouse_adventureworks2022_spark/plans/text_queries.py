@@ -3071,6 +3071,122 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5)
 
 
+def q_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-authority enrichment (r13): the consumption side of the
+    PageRank prior — a planted ``(node, rank)`` table (hosts
+    ``h0..h7.example.com`` ranked ``(k+1)/66``, ``h8..h10`` left
+    UNRANKED) broadcast-joined onto per-doc URLs by canonical host via
+    ``graph.host_authority``, unranked hosts taking the 0.0 default.
+    Exact: the oracle recomputes rank-or-default straight from
+    ``documents`` (int/double division — the identical IEEE sequence
+    in both engines, no rounding needed). Zero doc-side shuffle: the
+    rank side is one row per HOST and explicitly broadcast."""
+    from lakehouse_adventureworks2022_spark.operators.graph import (
+        host_authority,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://h"), (did % 11).cast("string"),
+        F.lit(".example.com/p/"), did.cast("string"),
+    )
+    ranks = spark.range(8).select(
+        F.concat(
+            F.lit("h"), F.col("id").cast("string"), F.lit(".example.com")
+        ).alias("node"),
+        ((F.col("id") + 1) / F.lit(66.0)).alias("rank"),
+    )
+    pages = docs.select(did.alias("doc_id"), url.alias("url"))
+    return host_authority(pages, ranks).select("doc_id", "host_authority")
+
+
+ORACLE_HOST_AUTHORITY = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 < 8
+                THEN (doc_id % 11 + 1) / 66.0
+                ELSE 0.0 END AS host_authority
+    FROM documents
+"""
+
+
+def q_crawl_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness planning chain (r13): planted per-host robots bodies
+    (hosts ``h0..h3`` declare ``Crawl-delay: k+2``, ``h4..h6`` none)
+    through ``textops.robots_crawl_delay`` →
+    ``curation.politeness_shards`` — md5 host shards (every URL of a
+    host in ONE shard), declared-or-default delay, deterministic
+    per-host fetch sequence and eta. Exact: the oracle recomputes
+    shard (the identical md5-hex bucket), delay, seq (ROW_NUMBER over
+    the same url string order) and eta straight from ``documents``.
+    Shape: the delays side collapses to one row per host and
+    broadcasts; the one window is partitioned BY HOST — per-host
+    sequential order IS the politeness semantics."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        politeness_shards,
+    )
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        robots_crawl_delay,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(
+        F.lit("h"), (did % 7).cast("string"), F.lit(".example.com")
+    )
+    frontier = docs.select(
+        F.concat(
+            F.lit("http://"), host, F.lit("/p/"), did.cast("string")
+        ).alias("url")
+    )
+    k = F.col("k")
+    robots = (
+        docs.select((did % 7).alias("k"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("h"), k.cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            F.when(
+                k < 4,
+                F.concat(
+                    F.lit("User-agent: *\nCrawl-delay: "),
+                    (k + 2).cast("string"),
+                    F.lit("\nDisallow: /private/\n"),
+                ),
+            )
+            .otherwise(F.lit("User-agent: *\nDisallow: /private/\n"))
+            .alias("robots_txt"),
+        )
+    )
+    return politeness_shards(
+        frontier, delays=robots_crawl_delay(robots), num_shards=8
+    ).select("url", "host", "shard", "crawl_delay", "fetch_seq", "eta_sec")
+
+
+ORACLE_CRAWL_POLITENESS = """
+    SELECT url, host, shard, crawl_delay, fetch_seq,
+           fetch_seq * crawl_delay AS eta_sec
+    FROM (
+      SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+             CAST(CAST('0x' || substr(md5(
+                 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+               ), 1, 8) AS BIGINT) % 8 AS INT) AS shard,
+             CASE WHEN doc_id % 7 < 4
+                  THEN CAST(doc_id % 7 + 2 AS DOUBLE)
+                  ELSE 1.0 END AS crawl_delay,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id % 7
+               ORDER BY 'http://h' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+             ) - 1 AS INT) AS fetch_seq
+      FROM documents
+    )
+"""
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discovery-tier composite (r12): planted per-doc sitemap bodies
     (four entries each: a fresh page with lastmod, a fragment-spelling

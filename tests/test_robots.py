@@ -295,3 +295,132 @@ def test_web_corpus_robots_gate_integration(spark):
 
     with _pytest.raises(ValueError, match="url_col"):
         prepare_web_corpus(df, robots_rules=_rules(spark))
+
+
+def test_robots_crawl_delay_group_scoped(spark):
+    """Crawl-delay extraction honors the same group machinery as the
+    rule parser: the applicable group's value wins (named agent
+    shadows *), a rule line between user-agent lines separates groups
+    (no delay leaking across), non-numeric/negative values drop, and
+    multiple applicable declarations keep the MAX (politest)."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        robots_crawl_delay,
+    )
+
+    bodies = [
+        # star group only
+        ("plain.io", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"),
+        # named group shadows * for 'mybot'
+        ("named.io",
+         "User-agent: *\nCrawl-delay: 10\n\n"
+         "User-agent: mybot\nCrawl-delay: 1\nDisallow:\n"),
+        # separated groups: b's delay must NOT leak to a's group
+        ("split.io",
+         "User-agent: a\nDisallow: /x\n"
+         "User-agent: *\nCrawl-delay: 7\n"),
+        # garbage + negative values yield no row
+        ("junk.io", "User-agent: *\nCrawl-delay: soon\n"),
+        ("neg.io", "User-agent: *\nCrawl-delay: -5\n"),
+        # two applicable declarations: max (politest) wins
+        ("twice.io",
+         "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 8\n"),
+        # no delay at all
+        ("none.io", "User-agent: *\nDisallow: /y\n"),
+        # fractional seconds parse
+        ("frac.io", "User-agent: *\nCrawl-delay: 0.5\n"),
+    ]
+    df = spark.createDataFrame(bodies, "host string, robots_txt string")
+    star = {
+        r["host"]: r["crawl_delay"]
+        for r in robots_crawl_delay(df).collect()
+    }
+    assert star == {
+        "plain.io": 2.0, "named.io": 10.0, "split.io": 7.0,
+        "twice.io": 8.0, "frac.io": 0.5,
+    }
+    named = {
+        r["host"]: r["crawl_delay"]
+        for r in robots_crawl_delay(df, user_agent="mybot").collect()
+    }
+    assert named["named.io"] == 1.0  # named group shadowed *
+    assert named["plain.io"] == 2.0  # falls back to the * group
+
+
+def test_politeness_shards_schedule(spark):
+    """politeness_shards: every url of a host lands in ONE shard, the
+    per-host fetch sequence is deterministic and gapless, eta grows by
+    the host's delay, unranked hosts take the default, and a hostile
+    delay clips to max_delay."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        politeness_shards,
+    )
+
+    urls = [
+        (f"http://{h}/p{i}",)
+        for h in ("a.io", "b.io", "slow.io")
+        for i in range(4)
+    ]
+    frontier = spark.createDataFrame(urls, "url string")
+    delays = spark.createDataFrame(
+        [("a.io", 2.0), ("slow.io", 86400.0)],
+        "host string, crawl_delay double",
+    )
+    out = politeness_shards(
+        frontier, delays=delays, num_shards=8,
+        default_delay=1.0, max_delay=30.0,
+    ).collect()
+    by_host: dict = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    # host co-location: one shard per host, shard in range
+    for h, rows in by_host.items():
+        assert len({r["shard"] for r in rows}) == 1
+        assert 0 <= rows[0]["shard"] < 8
+    # deterministic gapless sequence + eta = seq * delay
+    a = sorted(by_host["a.io"], key=lambda r: r["fetch_seq"])
+    assert [r["fetch_seq"] for r in a] == [0, 1, 2, 3]
+    assert [r["eta_sec"] for r in a] == [0.0, 2.0, 4.0, 6.0]
+    assert [r["url"] for r in a] == sorted(r["url"] for r in a)
+    # default for an undeclared host; hostile delay clipped
+    assert by_host["b.io"][0]["crawl_delay"] == 1.0
+    assert by_host["slow.io"][0]["crawl_delay"] == 30.0
+    # determinism across runs
+    again = politeness_shards(
+        frontier, delays=delays, num_shards=8,
+        default_delay=1.0, max_delay=30.0,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_politeness_shards_end_to_end_from_robots(spark):
+    """frontier → robots_crawl_delay → politeness_shards chain: the
+    declared delay drives the schedule of that host only."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        politeness_shards,
+    )
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        robots_crawl_delay,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("fast.io", "User-agent: *\nDisallow: /private/\n"),
+            ("slow.io", "User-agent: *\nCrawl-delay: 5\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    frontier = spark.createDataFrame(
+        [(u,) for u in (
+            "http://fast.io/1", "http://fast.io/2",
+            "http://slow.io/1", "http://slow.io/2",
+        )],
+        "url string",
+    )
+    out = {
+        (r["host"], r["fetch_seq"]): r["eta_sec"]
+        for r in politeness_shards(
+            frontier, delays=robots_crawl_delay(robots)
+        ).collect()
+    }
+    assert out[("slow.io", 1)] == 5.0
+    assert out[("fast.io", 1)] == 1.0  # default_delay
