@@ -677,6 +677,80 @@ def cdx_records(records: DataFrame, sort: bool = False) -> DataFrame:
     return out.orderBy("urlkey", "timestamp") if sort else out
 
 
+def fetch_by_cdx(
+    cdx: DataFrame,
+    base_dir: str,
+    filename_col: str = "filename",
+    offset_col: str = "offset",
+    length_col: str = "length",
+) -> DataFrame:
+    """Random-access capture fetch — the read side of the CDX index:
+    for each ``(filename, offset, length)`` row, read ONLY that byte
+    range out of its archive file under ``base_dir`` and re-parse the
+    slice with the standard record parser (a ``.warc.gz`` range is a
+    complete gzip member by the spec's one-record-per-member layout,
+    so the slice parses standalone — the self-validation contract
+    ``cdx_records`` tests pin). This is how a web archive serves one
+    capture out of a multi-GB file without scanning it, and how a
+    selective re-processing job (e.g. re-extract just the captures a
+    new classifier flagged) avoids re-reading the whole crawl.
+
+    Scale: rows are grouped per file inside each Arrow batch and read
+    in offset order — one open per (file, batch), monotonic seeks.
+    Repartition the CDX frame by ``filename_col`` upstream when
+    fetching large slices of one archive, so a file's ranges coalesce
+    into the same tasks. Files must be visible to executors (shared
+    filesystem — the same contract ``binaryFile`` reads rely on).
+    Rows with a NULL offset/length (pre-r12 ingests; whole-file gz
+    members) are SKIPPED — re-ingest the source file to index them;
+    a range that fails to parse raises loudly (a corrupt index must
+    not silently drop captures)."""
+    import os
+
+    codec = build_warc_codec()
+    parse = codec["parse"]
+    cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+    src = cdx.select(
+        F.col(filename_col).alias("filename"),
+        F.col(offset_col).cast("long").alias("offset"),
+        F.col(length_col).cast("long").alias("length"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            pdf = pdf.dropna(subset=["offset", "length"])
+            for fname, grp in pdf.groupby("filename", sort=False):
+                path = os.path.join(base_dir, fname)
+                with open(path, "rb") as f:
+                    for _, r in grp.sort_values("offset").iterrows():
+                        f.seek(int(r["offset"]))
+                        blob = f.read(int(r["length"]))
+                        recs = parse(blob)
+                        if not recs:
+                            raise ValueError(
+                                f"fetch_by_cdx: range {r['offset']}+"
+                                f"{r['length']} of {fname} parsed to no "
+                                "record — stale or corrupt CDX index"
+                            )
+                        for rec in recs:
+                            # the parser's byte range is relative to
+                            # the SLICE; restore the file-relative
+                            # range so a fetched row's own CDX entry
+                            # round-trips (fetch(cdx(fetch(x))) == x)
+                            rows.append(
+                                (
+                                    path,
+                                    *rec[:-2],
+                                    int(r["offset"]),
+                                    int(r["length"]),
+                                )
+                            )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, schema=WARC_RECORD_SCHEMA)
+
+
 def dedup_payload_digest(records: DataFrame) -> DataFrame:
     """Crawl-level content dedup on the crawler's OWN digests — the
     cheapest dedup tier a real crawl ships, run on raw records BEFORE
