@@ -871,6 +871,7 @@ def web_corpus_from_warc(
     spark,
     crawl_path: str,
     lang: str = "und",
+    detect_lang: bool = False,
     min_status: int = 200,
     max_status: int = 299,
     robots_rules: DataFrame | None = None,
@@ -903,7 +904,16 @@ def web_corpus_from_warc(
     the id is deterministic across replays — a
     monotonically-increasing id would not be); ``source`` = the WARC
     file basename (the provenance a curation audit slices by);
-    ``lang`` a constant default until language-id runs downstream."""
+    ``lang`` a constant default — or, with ``detect_lang=True`` (r13),
+    the stopword-hit verdict of :func:`~operators.textops.lang_id_col`
+    over the decoded page (markup tokens dilute the counts but the
+    high-frequency stopwords dominate on real pages; the precise path
+    — :func:`~operators.textops.lang_id` over EXTRACTED text — stays
+    available downstream for corpora that need per-language routing
+    before mixture sampling)."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        lang_id_col,
+    )
     from lakehouse_adventureworks2022_spark.sources.warc import (
         _content_type_cond,
         dedup_payload_digest,
@@ -912,6 +922,8 @@ def web_corpus_from_warc(
     )
 
     records = dedup_payload_digest(read_warc(spark, crawl_path))
+    decoded = utf8_lossy(F.col("payload"))
+    lang_col = lang_id_col(decoded) if detect_lang else F.lit(lang)
     pages = records.filter(
         (F.col("warc_type") == "response")
         & F.col("http_status").between(min_status, max_status)
@@ -922,10 +934,66 @@ def web_corpus_from_warc(
         F.element_at(F.split(F.col("source_file"), "/"), -1).alias(
             "source"
         ),
-        F.lit(lang).alias("lang"),
+        lang_col.alias("lang"),
         F.col("target_uri").alias("url"),
-        utf8_lossy(F.col("payload")).alias("html"),
+        decoded.alias("html"),
     )
     return prepare_web_corpus(
         pages, url_col="url", robots_rules=robots_rules, **kwargs
+    )
+
+
+def web_corpus_from_wet(
+    spark,
+    crawl_path: str,
+    lang: str = "und",
+    detect_lang: bool = False,
+    robots_rules: DataFrame | None = None,
+    **kwargs,
+) -> DataFrame:
+    """WET one-call front door (r13) — the sibling of
+    :func:`web_corpus_from_warc` for the CommonCrawl ``*.warc.wet.gz``
+    layout, where extraction ALREADY happened upstream and each
+    ``conversion`` record's block is the plain text. Chain:
+    :func:`~sources.warc.read_warc` (one task per file) →
+    :func:`~sources.warc.dedup_payload_digest` (byte-identical text
+    drops on the sidecar's own digests before any downstream work) →
+    conversion-record projection → :func:`prepare_web_corpus` with the
+    text column standing in for HTML — the extraction pass is the
+    identity on already-plain text (the tested contract), so the full
+    scrub → quality gate → dedup → split chain runs unchanged.
+
+    Same fabricated curation columns as the WARC front door
+    (``doc_id`` = ``xxhash64(record_id)``, ``source`` = file basename,
+    ``lang`` constant or :func:`~operators.textops.lang_id_col`
+    detection — on WET input the detection sees CLEAN text, so it is
+    as precise as the dedicated pipeline)."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        lang_id_col,
+    )
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        dedup_payload_digest,
+        read_warc,
+        utf8_lossy,
+    )
+
+    records = dedup_payload_digest(read_warc(spark, crawl_path))
+    decoded = utf8_lossy(F.col("payload"))
+    lang_col = lang_id_col(decoded) if detect_lang else F.lit(lang)
+    pages = records.filter(F.col("warc_type") == "conversion").select(
+        F.xxhash64(F.col("record_id")).alias("doc_id"),
+        F.element_at(F.split(F.col("source_file"), "/"), -1).alias(
+            "source"
+        ),
+        lang_col.alias("lang"),
+        F.col("target_uri").alias("url"),
+        decoded.alias("text"),
+    )
+    return prepare_web_corpus(
+        pages,
+        html_col="text",
+        text_col="text",
+        url_col="url",
+        robots_rules=robots_rules,
+        **kwargs,
     )

@@ -121,6 +121,31 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def lang_id_col(text: Column) -> Column:
+    """Column form of :func:`lang_id`'s verdict — the stopword-hit
+    argmax as ONE expression, for call sites that attach a language to
+    a projection without the hits columns (the crawl front door's
+    ``detect_lang``). The token array is bound ONCE inside a
+    higher-order ``transform`` over a 1-element array (Spark has no
+    let-binding; without the HOF each language's filter would inline
+    its own copy of the tokenizer split). Agrees with
+    ``lang_id().predicted_lang`` by construction — differential-tested
+    in ``test_textops_extended.py``."""
+
+    def _pred(toks: Column) -> Column:
+        hits = {
+            lg: F.size(F.filter(toks, lambda t: t.isin(*ws)))
+            for lg, ws in LANG_STOPWORDS.items()
+        }
+        best = F.greatest(*hits.values())
+        pred = F.lit("und")
+        for lg in reversed(list(LANG_STOPWORDS)):
+            pred = F.when(hits[lg] == best, F.lit(lg)).otherwise(pred)
+        return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+    return F.transform(F.array(tokens_col(text)), _pred)[0]
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized text (exact
     content identity) + min-shingle fingerprint (minhash with k=1 over

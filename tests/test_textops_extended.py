@@ -349,3 +349,40 @@ def test_vocabulary_top_n_cut_is_deterministic(spark):
         for r in textops.vocabulary(docs.repartition(11), top_n=50).collect()
     ]
     assert a == b
+
+
+def test_lang_id_col_agrees_with_lang_id(spark):
+    """The column form's verdict must equal lang_id().predicted_lang on
+    every input class: clear-winner languages, ties (fixed-order
+    resolution), zero hits, empty text."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        lang_id,
+        lang_id_col,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the cat and the dog of the house is that way to a tree"),
+        (2, "el perro y la casa de los gatos que en un rincon"),
+        (3, "der hund und die katze ist ein nicht mit haus"),
+        (4, "le chat et les chiens des maisons est une belle"),
+        # tie between en and es ('en' appears in both lists; 'la' too):
+        # fixed language order must resolve identically in both forms
+        (5, "en la en la"),
+        (6, "zzz qqq www"),  # zero hits -> und
+        (7, ""),
+        (8, "THE AND OF TO"),  # case folding
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    op = {
+        r["doc_id"]: r["predicted_lang"] for r in lang_id(df).collect()
+    }
+    col = {
+        r["doc_id"]: r["l"]
+        for r in df.select(
+            "doc_id", lang_id_col(F.col("text")).alias("l")
+        ).collect()
+    }
+    assert col == op
+    assert op[1] == "en" and op[2] == "es" and op[3] == "de"
+    assert op[4] == "fr" and op[6] == "und"

@@ -1011,3 +1011,78 @@ def test_fetch_by_cdx_null_ranges_skip_and_corrupt_raises(spark, tmp_path):
         Exception, match="stale or corrupt|no record|bad WARC version"
     ):
         fetch_by_cdx(bad, str(tmp_path)).collect()
+
+
+def test_web_corpus_from_wet_front_door_and_detect_lang(spark, tmp_path):
+    """web_corpus_from_wet (r13): *.warc.wet.gz files → digest dedup →
+    conversion projection → the full curation chain; detect_lang runs
+    the stopword verdict on the CLEAN text; byte-identical text drops
+    on the sidecar digests; response records in the same file are
+    ignored by the projection."""
+    from lakehouse_adventureworks2022_spark.operators import dedup
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        web_corpus_from_wet,
+    )
+
+    en = ("the quiet harbour and the long road of the north is that "
+          "way to a lighthouse and the ferry " * 3)
+    es = ("el puerto y la carretera de los barcos que en un rincon "
+          "la costa y los faros " * 3)
+    blob = CODEC["write"](
+        [
+            {"uri": "http://a.io/en", "record_id": "<w:1>",
+             "body": en.encode(), "conversion": True},
+            # byte-identical duplicate text at another url: the digest
+            # tier claims it before anything downstream runs
+            {"uri": "http://b.io/en-copy", "record_id": "<w:2>",
+             "body": en.encode(), "conversion": True},
+            {"uri": "http://a.io/es", "record_id": "<w:3>",
+             "body": es.encode(), "conversion": True},
+            # a response record in the same file: not a conversion,
+            # never becomes a page here
+            {"uri": "http://a.io/html", "record_id": "<w:4>",
+             "body": b"<p>" + en.encode() + b"</p>"},
+        ],
+        gzip_members=True,
+    )
+    (tmp_path / "f.warc.wet.gz").write_bytes(blob)
+    out = web_corpus_from_wet(
+        spark, str(tmp_path), detect_lang=True
+    )
+    rows = {r["lang"]: r for r in out.collect()}
+    n = len(rows)
+    dedup.release_cached_inputs(out)
+    assert n == 2  # en survives once (digest dedup), es once
+    assert set(rows) == {"en", "es"}
+    assert all(r["split"] in ("train", "val", "test") for r in rows.values())
+
+
+def test_web_corpus_from_warc_detect_lang(spark, tmp_path):
+    """detect_lang=True on the WARC front door: the stopword verdict
+    over the decoded page replaces the constant lang (markup dilutes
+    the counts but stopwords dominate on real pages)."""
+    from lakehouse_adventureworks2022_spark.operators import dedup
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        web_corpus_from_warc,
+    )
+
+    en = ("<html><body><p>the quiet harbour and the long road of the "
+          "north is that way to a lighthouse and the ferry schedule "
+          "of the island</p></body></html>")
+    es = ("<html><body><p>el puerto y la carretera de los barcos que "
+          "en un rincon de la costa y los faros del sur</p></body>"
+          "</html>")
+    blob = CODEC["write"](
+        [
+            {"uri": "http://a.io/en", "record_id": "<d:1>",
+             "body": en.encode()},
+            {"uri": "http://a.io/es", "record_id": "<d:2>",
+             "body": es.encode()},
+        ],
+        gzip_members=True,
+    )
+    (tmp_path / "f.warc.gz").write_bytes(blob)
+    out = web_corpus_from_warc(spark, str(tmp_path), detect_lang=True)
+    langs = sorted(r["lang"] for r in out.collect())
+    dedup.release_cached_inputs(out)
+    assert langs == ["en", "es"]
