@@ -677,6 +677,76 @@ def cdx_records(records: DataFrame, sort: bool = False) -> DataFrame:
     return out.orderBy("urlkey", "timestamp") if sort else out
 
 
+def cdxj_lines(cdx: DataFrame) -> DataFrame:
+    """Render a :func:`cdx_records` frame as CDXJ lines — the
+    pywb/OpenWayback interchange format: ``<urlkey> <timestamp>
+    {json}`` with the json fields conventionally STRINGS (offset/
+    length included — what pywb emits and indexes). One zero-shuffle
+    projection returning a single ``value`` column ready for
+    ``.write.text(...)``; write through :func:`write_cdxj` to get the
+    spec's global ``(urlkey, timestamp)`` ordering."""
+    payload = F.to_json(
+        F.struct(
+            F.col("url").alias("url"),
+            F.col("digest").alias("digest"),
+            F.col("length").cast("string").alias("length"),
+            F.col("offset").cast("string").alias("offset"),
+            F.col("filename").alias("filename"),
+        )
+    )
+    return cdx.select(
+        F.concat_ws(" ", F.col("urlkey"), F.col("timestamp"), payload)
+        .alias("value")
+    )
+
+
+def write_cdxj(cdx: DataFrame, path: str) -> None:
+    """Write a CDX frame as a spec-ordered CDXJ text dataset: ONE
+    range-partitioned global sort on ``(urlkey, timestamp)`` (binary
+    search over the written shards stays possible because the sort is
+    range-partitioned — shard N's keys all precede shard N+1's), then
+    plain text files. The sort is the real archive deployment cost —
+    a CDX batch is sorted once per crawl, not per lookup."""
+    ordered = cdx.orderBy("urlkey", "timestamp")
+    cdxj_lines(ordered).write.mode("overwrite").text(path)
+
+
+#: JSON schema of a CDXJ line's payload (string-typed per convention).
+_CDXJ_JSON_SCHEMA = (
+    "url string, digest string, length string, offset string, "
+    "filename string"
+)
+
+
+def read_cdxj(spark, path: str) -> DataFrame:
+    """Read CDXJ text files back into the :func:`cdx_records` column
+    shape ``(urlkey, timestamp, url, digest, offset, length,
+    filename)`` — the interop path for indexes produced by pywb/
+    cc-index tooling, and the round-trip twin of :func:`write_cdxj`.
+    The line splits at the FIRST two spaces only (a SURT urlkey never
+    contains a space; the json payload may). Malformed payloads parse
+    to NULL fields rather than aborting the read — filter
+    ``url IS NULL`` to quarantine them (the jsonl ingestion posture);
+    offset/length cast back to longs (``try_cast`` — a non-numeric
+    value quarantines as NULL, never throws)."""
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), " ", 3)
+    parsed = lines.filter(F.length(F.trim("value")) > 0).select(
+        parts[0].alias("urlkey"),
+        parts[1].alias("timestamp"),
+        F.from_json(parts[2], _CDXJ_JSON_SCHEMA).alias("j"),
+    )
+    return parsed.select(
+        "urlkey",
+        "timestamp",
+        F.col("j.url").alias("url"),
+        F.col("j.digest").alias("digest"),
+        F.col("j.offset").try_cast("long").alias("offset"),
+        F.col("j.length").try_cast("long").alias("length"),
+        F.col("j.filename").alias("filename"),
+    )
+
+
 def fetch_by_cdx(
     cdx: DataFrame,
     base_dir: str,

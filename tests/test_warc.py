@@ -1086,3 +1086,73 @@ def test_web_corpus_from_warc_detect_lang(spark, tmp_path):
     langs = sorted(r["lang"] for r in out.collect())
     dedup.release_cached_inputs(out)
     assert langs == ["en", "es"]
+
+
+def test_cdxj_roundtrip_and_interop(spark, tmp_path):
+    """CDXJ interop (r13): write_cdxj emits spec-ordered
+    '<urlkey> <timestamp> {json}' lines (string-typed json fields per
+    pywb convention, range-partitioned global sort), read_cdxj
+    round-trips them back to the cdx_records shape, a foreign
+    hand-written line parses, and a malformed payload quarantines as
+    NULL instead of aborting."""
+    import json as _json
+
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        cdx_records,
+        fetch_by_cdx,
+        read_cdxj,
+        read_warc,
+        write_cdxj,
+    )
+
+    blob = CODEC["write"](
+        [
+            {"uri": f"http://h{9 - i}.io/p/{i}", "record_id": f"<u:{i}>",
+             "body": f"<p>{i}</p>".encode()}
+            for i in range(6)
+        ],
+        gzip_members=True,
+    )
+    (tmp_path / "a.warc.gz").write_bytes(blob)
+    cdx = cdx_records(read_warc(spark, str(tmp_path / "a.warc.gz")))
+    out_dir = str(tmp_path / "cdxj")
+    write_cdxj(cdx, out_dir)
+
+    # file-level: every line is 'urlkey ts {json}' and GLOBALLY sorted
+    import glob
+
+    lines = []
+    for f in sorted(glob.glob(out_dir + "/part-*")):
+        lines += open(f).read().splitlines()
+    keys = []
+    for ln in lines:
+        urlkey, ts, payload = ln.split(" ", 2)
+        j = _json.loads(payload)
+        assert set(j) == {"url", "digest", "length", "offset", "filename"}
+        assert j["offset"].isdigit() and j["length"].isdigit()
+        keys.append((urlkey, ts))
+    assert keys == sorted(keys) and len(keys) == 6
+
+    # round-trip equals the original index (schema + values)
+    back = read_cdxj(spark, out_dir)
+    a = sorted(map(tuple, cdx.collect()))
+    b = sorted(map(tuple, back.select(*cdx.columns).collect()))
+    assert a == b
+    # and the round-tripped index still FETCHES
+    fetched = fetch_by_cdx(back, str(tmp_path))
+    assert fetched.count() == 6
+
+    # foreign line (hand-written, pywb-shaped) parses; junk quarantines
+    foreign = tmp_path / "foreign"
+    foreign.mkdir()
+    (foreign / "part-00000").write_text(
+        'com,example)/x 20240101000000 {"url": "http://example.com/x",'
+        ' "digest": "md5:ff", "length": "10", "offset": "0",'
+        ' "filename": "f.warc.gz"}\n'
+        "com,example)/y 20240101000001 not-json\n"
+    )
+    rows = read_cdxj(spark, str(foreign)).collect()
+    ok = [r for r in rows if r["url"] is not None]
+    bad = [r for r in rows if r["url"] is None]
+    assert len(ok) == 1 and ok[0]["offset"] == 0 and ok[0]["length"] == 10
+    assert len(bad) == 1 and bad[0]["urlkey"] == "com,example)/y"
