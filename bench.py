@@ -246,6 +246,9 @@ HEADLINE = [
     # r13: politeness planning — robots Crawl-delay → md5 host shards
     # + per-URL fetch schedule (exact swept twin; one by-host window)
     "crawl_politeness",
+    # r13: per-host crawl health report — in-plan mux through the real
+    # parser into ONE uniform-key agg (exact swept twin)
+    "crawl_health",
 ]
 
 

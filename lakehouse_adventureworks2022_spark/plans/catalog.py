@@ -569,6 +569,9 @@ QUERIES: dict[str, QueryFn] = {
     # schedule (exact r13 newcomer past the window; md5 shards so the
     # twin recomputes the identical bucket)
     "crawl_politeness": text_queries.q_crawl_politeness,
+    # per-host crawl health report: the fetch-tier alert surface as
+    # ONE uniform-key agg (exact r13 newcomer past the window)
+    "crawl_health": text_queries.q_crawl_health,
     # ---- r13 eleventh rotation OUT (both r7 first driver oracles,
     # green r7-r12; identical hash-diff rigor continues in
     # tests/test_rotated_oracles.py at two SFs; slots freed for
@@ -727,6 +730,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         # rotation; swept via PYTEST_ORACLES)
         "host_authority",
         "crawl_politeness",
+        "crawl_health",
         # exact, r13 eleventh rotation out of the window (r7 first
         # driver oracles, green r7-r12): same hash-diff rigor in
         # tests/test_rotated_oracles.py at two SFs
@@ -1563,6 +1567,7 @@ PYTEST_ORACLES: dict[str, str] = {
     # queue): swept by check_oracles at every snapshot
     "host_authority": text_queries.ORACLE_HOST_AUTHORITY,
     "crawl_politeness": text_queries.ORACLE_CRAWL_POLITENESS,
+    "crawl_health": text_queries.ORACLE_CRAWL_HEALTH,
     # (url_canonicalize was promoted to a first-time DRIVER oracle in
     # the r11 eighth rotation after one swept-green round — the queue
     # is empty again and this is exactly the rotated-veteran set)

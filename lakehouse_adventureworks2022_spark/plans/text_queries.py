@@ -2746,6 +2746,79 @@ ORACLE_WARC_INGEST = """
 """
 
 
+def q_crawl_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl health report (r13): the documents corpus is
+    muxed IN-PLAN into WARC responses with a planted operational mix —
+    status bands (``doc_id%8``: 0-4 → 200, 5 → 301, 6 → 404,
+    7 → 503), content types (``doc_id%3``: HTML / image/jpeg / header
+    missing) — across five hosts, then
+    ``sources.warc.crawl_health_report`` aggregates the fetch-tier
+    alert surface in ONE uniform-key agg. Exact: the oracle recomputes
+    every band count and the payload byte sum straight from
+    ``documents`` — a parser that drops a record, misreads a status or
+    a header, or an agg that miscounts a band diverges the hash."""
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        build_warc_codec,
+        crawl_health_report,
+        parse_warc_frame,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % 16).cast("int").alias("grp"),
+    )
+    write = build_warc_codec()["write"]
+    statuses = (200, 200, 200, 200, 200, 301, 404, 503)
+    cts = ("text/html; charset=utf-8", "image/jpeg", None)
+
+    def mux(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf.sort_values("doc_id")
+        blob = write(
+            [
+                {
+                    "uri": (
+                        f"http://h{int(r['doc_id']) % 5}.crawl.io/p/"
+                        f"{int(r['doc_id'])}"
+                    ),
+                    "record_id": f"<urn:uuid:hc-{int(r['doc_id'])}>",
+                    "body": str(r["text"]).encode("utf-8"),
+                    "status": statuses[int(r["doc_id"]) % 8],
+                    "http_content_type": cts[int(r["doc_id"]) % 3],
+                }
+                for _, r in rows.iterrows()
+            ],
+            gzip_members=True,
+        )
+        return pd.DataFrame(
+            {"grp": [int(pdf["grp"].iloc[0])], "content": [blob]}
+        )
+
+    blobs = docs.groupBy("grp").applyInPandas(
+        mux, schema="grp int, content binary"
+    )
+    return crawl_health_report(parse_warc_frame(blobs, "content", path_col=None))
+
+
+ORACLE_CRAWL_HEALTH = """
+    SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.crawl.io' AS host,
+           COUNT(*) AS n_responses,
+           CAST(0 AS BIGINT) AS n_revisits,
+           COUNT(*) FILTER (doc_id % 8 < 5) AS n_2xx,
+           COUNT(*) FILTER (doc_id % 8 = 5) AS n_3xx,
+           COUNT(*) FILTER (doc_id % 8 = 6) AS n_4xx,
+           COUNT(*) FILTER (doc_id % 8 = 7) AS n_5xx,
+           COUNT(*) FILTER (doc_id % 3 = 0) AS n_html,
+           COUNT(*) FILTER (doc_id % 3 = 1) AS n_non_html,
+           COUNT(*) FILTER (doc_id % 3 = 2) AS n_missing_ct,
+           CAST(0 AS BIGINT) AS n_encoding_excluded,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT)
+             AS payload_bytes
+    FROM documents
+    GROUP BY 1
+"""
+
+
 def q_warc_revisit_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC revisit records + crawler-digest dedup (r12): the documents
     corpus is muxed IN-PLAN into spec-shaped WARC files where every doc

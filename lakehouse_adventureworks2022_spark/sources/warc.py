@@ -677,6 +677,70 @@ def cdx_records(records: DataFrame, sort: bool = False) -> DataFrame:
     return out.orderBy("urlkey", "timestamp") if sort else out
 
 
+def crawl_health_report(records: DataFrame) -> DataFrame:
+    """Per-host crawl observability — the operational read a fetch
+    tier alerts on, as ONE uniform-key aggregation over parsed
+    records: capture/revisit counts, HTTP status bands, the
+    content-type mix (HTML family vs other vs missing — what the r13
+    content-type gate will keep vs cut), the un-inflatable-encoding
+    share (what the encoding gate excludes), and payload volume. A
+    drifting 4xx/5xx band means the frontier is stale, a rising
+    revisit share means the crawler refetches unchanged pages, a
+    binary-share spike means the frontier leaked asset URLs — each is
+    one threshold on this frame.
+
+    Scale: one groupBy on the canonical host (short string); every
+    metric is a conditional count/sum inside the same agg — no second
+    pass, no join, payloads never shuffle (only their lengths)."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        canonical_host_col,
+    )
+
+    is_resp = F.col("warc_type") == "response"
+    status = F.col("http_status")
+    html = _content_type_cond(HTML_CONTENT_TYPES, keep_null=False)
+    return (
+        records.filter(F.col("warc_type").isin("response", "revisit"))
+        .groupBy(canonical_host_col(F.col("target_uri")).alias("host"))
+        .agg(
+            F.count(F.when(is_resp, True)).alias("n_responses"),
+            F.count(F.when(F.col("warc_type") == "revisit", True)).alias(
+                "n_revisits"
+            ),
+            F.count(F.when(is_resp & status.between(200, 299), True)).alias(
+                "n_2xx"
+            ),
+            F.count(F.when(is_resp & status.between(300, 399), True)).alias(
+                "n_3xx"
+            ),
+            F.count(F.when(is_resp & status.between(400, 499), True)).alias(
+                "n_4xx"
+            ),
+            F.count(F.when(is_resp & status.between(500, 599), True)).alias(
+                "n_5xx"
+            ),
+            F.count(F.when(is_resp & html, True)).alias("n_html"),
+            F.count(
+                F.when(
+                    is_resp
+                    & F.col("http_content_type").isNotNull()
+                    & ~html,
+                    True,
+                )
+            ).alias("n_non_html"),
+            F.count(
+                F.when(is_resp & F.col("http_content_type").isNull(), True)
+            ).alias("n_missing_ct"),
+            F.count(
+                F.when(F.col("http_content_encoding").isNotNull(), True)
+            ).alias("n_encoding_excluded"),
+            F.sum(
+                F.when(is_resp, F.length(F.col("payload"))).otherwise(0)
+            ).alias("payload_bytes"),
+        )
+    )
+
+
 def cdxj_lines(cdx: DataFrame) -> DataFrame:
     """Render a :func:`cdx_records` frame as CDXJ lines — the
     pywb/OpenWayback interchange format: ``<urlkey> <timestamp>

@@ -1156,3 +1156,40 @@ def test_cdxj_roundtrip_and_interop(spark, tmp_path):
     bad = [r for r in rows if r["url"] is None]
     assert len(ok) == 1 and ok[0]["offset"] == 0 and ok[0]["length"] == 10
     assert len(bad) == 1 and bad[0]["urlkey"] == "com,example)/y"
+
+
+def test_crawl_health_report_all_bands(spark):
+    """crawl_health_report covers the branches the catalog plant zeros:
+    revisit counting, encoding-excluded counting, and per-host
+    separation with canonical host folding (case/port noise)."""
+    import gzip as _gz
+
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        crawl_health_report,
+    )
+
+    wire = _gz.compress(b"<p>x</p>", compresslevel=1, mtime=0)[:5]
+    blob = CODEC["write"](
+        [
+            {"uri": "http://A.IO:80/ok", "record_id": "<h:1>",
+             "body": "<p>ok page</p>".encode()},
+            {"uri": "http://a.io/dup", "record_id": "<h:2>",
+             "body": b"<p>ok</p>", "revisit": True},
+            # un-inflatable: truncated gzip wire bytes keep the token
+            {"uri": "http://a.io/gz", "record_id": "<h:3>",
+             "body": wire, "content_encoding": "gzip",
+             "body_is_wire": True},
+            {"uri": "http://b.io/miss", "record_id": "<h:4>",
+             "body": b"<p>m</p>", "status": 404},
+        ]
+    )
+    df = spark.createDataFrame([(blob,)], "content binary")
+    recs = parse_warc_frame(df, "content", path_col=None)
+    rows = {r["host"]: r for r in crawl_health_report(recs).collect()}
+    a = rows["a.io"]
+    assert a["n_responses"] == 2 and a["n_revisits"] == 1
+    assert a["n_2xx"] == 2 and a["n_encoding_excluded"] == 1
+    assert a["n_html"] == 2  # both responses carry the default html ct
+    b = rows["b.io"]
+    assert b["n_4xx"] == 1 and b["n_revisits"] == 0
+    assert b["payload_bytes"] == len(b"<p>m</p>")
