@@ -870,6 +870,56 @@ def main() -> None:
             2,
         )
 
+    # Politeness planning at rep× frontier volume (r13): rep×docs URLs
+    # over 1000·rep hosts, per-host robots bodies (every third host
+    # declares a Crawl-delay) through robots_crawl_delay →
+    # politeness_shards — the broadcast delays side grows with HOSTS
+    # (still kilobytes at 20k hosts), the one BY-HOST window carries
+    # rep× rows with per-host partitions of constant size (~docs/hosts
+    # per host), so wall time must stay ~linear, never host-skewed.
+    if only is None or "politeness_scaled" in only:
+        from lakehouse_adventureworks2022_spark.operators.curation import (
+            politeness_shards,
+        )
+        from lakehouse_adventureworks2022_spark.operators.textops import (
+            robots_crawl_delay,
+        )
+
+        did = F.col("doc_id")
+        n_hosts = 1000 * rep
+        frontier = big_docs.repartition(
+            spark.sparkContext.defaultParallelism
+        ).select(
+            F.concat(
+                F.lit("http://h"),
+                (did % n_hosts).cast("string"),
+                F.lit(".example.org/p/"),
+                did.cast("string"),
+            ).alias("url")
+        )
+        hk = F.col("id")
+        robots_bodies = spark.range(n_hosts).select(
+            F.concat(
+                F.lit("h"), hk.cast("string"), F.lit(".example.org")
+            ).alias("host"),
+            F.when(
+                hk % 3 == 0,
+                F.concat(
+                    F.lit("User-agent: *\nCrawl-delay: "),
+                    (hk % 9 + 1).cast("string"),
+                    F.lit("\nDisallow: /private/\n"),
+                ),
+            )
+            .otherwise(F.lit("User-agent: *\nDisallow: /private/\n"))
+            .alias("robots_txt"),
+        )
+        run(
+            "politeness_scaled",
+            lambda: politeness_shards(
+                frontier, delays=robots_crawl_delay(robots_bodies)
+            ),
+        )
+
     # Many-file WARC backfill at 8×rep files (r12): the whole new-file
     # list feeds ONE binaryFile read + ONE dynamic-partition write —
     # the r11 verdict's scale hazard was one sequential Spark job per
