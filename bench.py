@@ -249,6 +249,10 @@ HEADLINE = [
     # r13: per-host crawl health report — in-plan mux through the real
     # parser into ONE uniform-key agg (exact swept twin)
     "crawl_health",
+    # r13: amortized random-access capture fetch — persisted archive +
+    # CDX index built on the first rep; the median measures the
+    # byte-range lookup batch, never an archive scan (exact swept twin)
+    "warc_random_access",
 ]
 
 

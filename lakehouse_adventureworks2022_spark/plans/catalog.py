@@ -572,6 +572,10 @@ QUERIES: dict[str, QueryFn] = {
     # per-host crawl health report: the fetch-tier alert surface as
     # ONE uniform-key agg (exact r13 newcomer past the window)
     "crawl_health": text_queries.q_crawl_health,
+    # amortized random-access capture fetch over a persisted archive +
+    # CDX index (exact r13 newcomer past the window; byte-range reads,
+    # never a scan)
+    "warc_random_access": text_queries.q_warc_random_access,
     # ---- r13 eleventh rotation OUT (both r7 first driver oracles,
     # green r7-r12; identical hash-diff rigor continues in
     # tests/test_rotated_oracles.py at two SFs; slots freed for
@@ -731,6 +735,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "host_authority",
         "crawl_politeness",
         "crawl_health",
+        "warc_random_access",
         # exact, r13 eleventh rotation out of the window (r7 first
         # driver oracles, green r7-r12): same hash-diff rigor in
         # tests/test_rotated_oracles.py at two SFs
@@ -1568,6 +1573,7 @@ PYTEST_ORACLES: dict[str, str] = {
     "host_authority": text_queries.ORACLE_HOST_AUTHORITY,
     "crawl_politeness": text_queries.ORACLE_CRAWL_POLITENESS,
     "crawl_health": text_queries.ORACLE_CRAWL_HEALTH,
+    "warc_random_access": text_queries.ORACLE_WARC_RANDOM_ACCESS,
     # (url_canonicalize was promoted to a first-time DRIVER oracle in
     # the r11 eighth rotation after one swept-green round — the queue
     # is empty again and this is exactly the rotated-veteran set)

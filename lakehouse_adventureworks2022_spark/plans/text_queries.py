@@ -2819,6 +2819,114 @@ ORACLE_CRAWL_HEALTH = """
 """
 
 
+def _warc_archive_dir_for(sf_dir: str) -> str:
+    """Per-fixture-version persisted WARC archive (the
+    ``ivf_index_dir_for`` fingerprint trick — a regenerated fixture
+    gets a fresh archive, never stale captures)."""
+    import hashlib
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"warc_archive_{tag}")
+
+
+def q_warc_random_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amortized random-access capture fetch (r13): a persisted WARC
+    archive (one ``.warc.gz`` per 16-group of docs + its CDX parquet,
+    built ONCE per fixture version — the deployed web-archive shape)
+    serves a 2%-of-captures lookup batch: CDX filter →
+    :func:`~sources.warc.fetch_by_cdx` byte-range reads →
+    fingerprint. The measured path never scans the archive — it reads
+    ~N/50 gzip members out of 16 files by seek+read, which is the
+    entire point of the index at 100 TB (a re-processing job over a
+    classifier's flagged captures touches kilobytes per hit, not the
+    crawl). Exact: the oracle recomputes URI + payload md5/len for
+    exactly the ``doc_id % 50 = 0`` rows from ``documents`` — a fetch
+    that slices the wrong range, drops a hit, or returns a stale
+    record diverges the hash."""
+    import os
+
+    from lakehouse_adventureworks2022_spark.sources.warc import (
+        build_warc_codec,
+        cdx_records,
+        fetch_by_cdx,
+        read_warc,
+    )
+
+    d = _warc_archive_dir_for(sf_dir)
+    success = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(success):
+        os.makedirs(d, exist_ok=True)
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "text",
+            (F.col("doc_id") % 16).cast("int").alias("grp"),
+        )
+        write = build_warc_codec()["write"]
+
+        def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = pdf.sort_values("doc_id")
+            blob = write(
+                [
+                    {
+                        "uri": (
+                            "http://archive.example.org/doc/"
+                            f"{int(r['doc_id'])}"
+                        ),
+                        "record_id": f"<urn:uuid:ra-{int(r['doc_id'])}>",
+                        "body": str(r["text"]).encode("utf-8"),
+                    }
+                    for _, r in rows.iterrows()
+                ],
+                gzip_members=True,
+            )
+            grp = int(pdf["grp"].iloc[0])
+            name = f"part-{grp:05d}.warc.gz"
+            tmp = os.path.join(d, f".{name}.tmp.{os.getpid()}")
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, os.path.join(d, name))
+            return pd.DataFrame({"grp": [grp], "path": [name]})
+
+        n = (
+            docs.groupBy("grp")
+            .applyInPandas(write_group, schema="grp int, path string")
+            .count()
+        )
+        assert n == 16, f"archive build wrote {n}/16 files"
+        cdx_records(
+            read_warc(spark, os.path.join(d, "*.warc.gz"))
+        ).write.mode("overwrite").parquet(os.path.join(d, "cdx"))
+        open(success, "w").close()
+    cdx = spark.read.parquet(os.path.join(d, "cdx"))
+    sel = cdx.filter(
+        F.regexp_extract(F.col("url"), r"/doc/([0-9]+)$", 1)
+        .cast("long")
+        % 50
+        == 0
+    )
+    fetched = fetch_by_cdx(sel, d)
+    return fetched.select(
+        "target_uri",
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.length(F.col("payload")).alias("payload_bytes"),
+    )
+
+
+ORACLE_WARC_RANDOM_ACCESS = """
+    SELECT 'http://archive.example.org/doc/' || CAST(doc_id AS VARCHAR)
+             AS target_uri,
+           md5(text) AS payload_md5,
+           CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes
+    FROM documents
+    WHERE doc_id % 50 = 0
+"""
+
+
 def q_warc_revisit_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC revisit records + crawler-digest dedup (r12): the documents
     corpus is muxed IN-PLAN into spec-shaped WARC files where every doc
