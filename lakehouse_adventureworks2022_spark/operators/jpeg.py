@@ -8,7 +8,8 @@ restart markers, byte stuffing. Scans accumulate into per-component
 coefficient arrays; one vectorized dequant + batched-IDCT pass
 reconstructs at EOI. Also decodes predictive LOSSLESS JPEG (SOF3, r8 —
 T.81 Annex H: all 7 predictors, point transform, mod-2^16 difference
-arithmetic, 8-bit, 1×1 sampling) and 12-BIT DCT, both extended
+arithmetic, 1×1 sampling — at ANY T.81 precision 2-16 since r13) and
+12-BIT DCT, both extended
 sequential AND progressive (r8 — level shift 2048, uint16 output
 0..4095; the progressive encoder twin takes ``precision=12`` and the
 tests pin decode(progressive-12) == decode(sequential-12) exactly).
@@ -17,14 +18,16 @@ Encoders: 4:4:4/4:2:0 baseline with the Annex K example quant tables
 encoder twin (libjpeg-like scan script) whose quantized coefficients
 are bit-identical to the baseline's — the tests pin
 decode(progressive) == decode(baseline) exactly — a lossless encoder
-twin whose round-trip the tests pin EXACT for every predictor, and a
-12-bit SOF1 twin (flat 16-category DC table: 12-bit DC diffs exceed
-Annex K's 11 categories).
+twin whose round-trip the tests pin EXACT for every predictor across
+the full 2-16-bit precision range (r13; ≤8-bit keeps the Annex K DC
+table byte-identically, wider precisions switch to a flat 17-category
+table because their diffs reach SSSS 16), and a 12-bit SOF1 twin (flat
+16-category DC table: 12-bit DC diffs exceed Annex K's 11 categories).
 
-Arithmetic coding, differential modes, precisions other than 8/12, and
-the lossless corner cases without an encoder twin to test against
-(subsampled components, restart markers, non-8-bit precision) raise a
-named ``NotImplementedError`` — the same honesty contract as the other
+Arithmetic coding, differential modes, DCT precisions other than 8/12,
+and the lossless corners without an encoder twin to test against
+(subsampled components, restart markers) raise a named
+``NotImplementedError`` — the same honesty contract as the other
 codecs in ``operators/multimodal.py``.
 
 Worker portability: the public ``decode_jpeg``/``encode_jpeg`` are
@@ -502,12 +505,18 @@ def build_jpeg_decoder():
                 prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
                 lossless = marker == 0xC3
                 # DCT processes: 8-bit baseline + 12-bit extended
-                # sequential/progressive (r8). Lossless has an encoder
-                # twin only at 8-bit — other precisions stay named stubs.
-                if prec != 8 and (lossless or prec != 12):
-                    raise NotImplementedError(
-                        f"{prec}-bit {'lossless ' if lossless else ''}JPEG"
-                    )
+                # sequential/progressive (r8). Lossless (r13): the full
+                # T.81 precision range 2..16 — the mod-2^16 difference
+                # arithmetic and the SSSS≤16 category space already
+                # cover it, so only the guard/clip/dtype are
+                # precision-aware (encoder twin pins every width).
+                if lossless:
+                    if not 2 <= prec <= 16:
+                        raise NotImplementedError(
+                            f"{prec}-bit lossless JPEG (T.81 allows 2-16)"
+                        )
+                elif prec not in (8, 12):
+                    raise NotImplementedError(f"{prec}-bit JPEG")
                 comps = []
                 for c in range(nc):
                     cid, hv, tq = seg[6 + c * 3 : 9 + c * 3]
@@ -574,9 +583,16 @@ def build_jpeg_decoder():
             # predictive samples ARE the pixels (<< point transform);
             # no IDCT, no color transform — 3-component lossless is
             # stored as RGB by this module's encoder twin (T.81 defines
-            # no colorspace for the lossless process)
+            # no colorspace for the lossless process). Clip range and
+            # output dtype follow the sample precision (r13: full 2-16
+            # range; ≤8 bits stays uint8 so the 8-bit contract is
+            # byte-identical, wider returns uint16 like the DCT paths)
+            lmaxv = (1 << frame["prec"]) - 1
+            ldtype = np.uint8 if frame["prec"] <= 8 else np.uint16
             planes = [
-                np.clip(loss_px[c["id"]] << loss_pt, 0, 255).astype(np.uint8)
+                np.clip(loss_px[c["id"]] << loss_pt, 0, lmaxv).astype(
+                    ldtype
+                )
                 for c in frame["comps"]
             ]
             if len(planes) == 1:
@@ -1423,18 +1439,27 @@ def build_lossless_encoder():
     progressive encoder twin; finishes the job commit 6224580 half
     started, r7 verdict "what's wrong" #1).
 
-    8-bit samples, any predictor 1-7, optional point transform,
-    grayscale (1 component) or RGB (3 components, 1×1 sampling, NO
-    color transform — T.81 defines no colorspace for the lossless
-    process; the decoder mirrors this). Differences are coded with the
-    Annex K DC luminance Huffman table (SSSS category + extend bits,
-    T.81 H.1.1/H.1.2); byte stuffing as everywhere else. Exact
-    round-trip ``decode(encode(img)) == img`` is pinned in
-    tests/test_jpeg.py for every predictor."""
+    Any T.81 precision 2-16 (r13; default 8), any predictor 1-7,
+    optional point transform, grayscale (1 component) or RGB
+    (3 components, 1×1 sampling, NO color transform — T.81 defines no
+    colorspace for the lossless process; the decoder mirrors this).
+    Differences are coded with the Annex K DC luminance Huffman table
+    at ≤8 bits (byte-identical to the r8 encoder) and a flat
+    17-category table above it (wide-precision diffs reach SSSS 16 —
+    past both Annex K tables); SSSS category + extend bits per T.81
+    H.1.1/H.1.2, byte stuffing as everywhere else. Exact round-trip
+    ``decode(encode(img)) == img`` is pinned in tests/test_jpeg.py for
+    every predictor and a sweep of precisions."""
     tables = {"dc0": (list(DC_LUMA_BITS), list(DC_LUMA_VALS))}
+    # flat canonical table for SSSS 0..16: seventeen 5-bit codes
+    WIDE_BITS = [0, 0, 0, 0, 17] + [0] * 11
+    WIDE_VALS = list(range(17))
 
     def encode_jpeg_lossless(
-        arr, predictor: int = 4, point_transform: int = 0
+        arr,
+        predictor: int = 4,
+        point_transform: int = 0,
+        precision: int = 8,
     ) -> bytes:
         import struct
 
@@ -1444,7 +1469,16 @@ def build_lossless_encoder():
             raise ValueError(f"predictor must be 1..7, got {predictor}")
         if not 0 <= point_transform <= 7:
             raise ValueError(f"point transform must be 0..7, got {point_transform}")
+        if not 2 <= precision <= 16:
+            raise ValueError(
+                f"precision must be 2..16 (T.81), got {precision}"
+            )
         a = np.asarray(arr)
+        if a.size and int(np.max(a)) > (1 << precision) - 1:
+            raise ValueError(
+                f"samples exceed {precision}-bit range 0.."
+                f"{(1 << precision) - 1}"
+            )
         if a.ndim == 2:
             planes = [a.astype(np.int64)]
         elif a.ndim == 3 and a.shape[2] == 3:
@@ -1455,11 +1489,15 @@ def build_lossless_encoder():
         pt = point_transform
         planes = [p >> pt for p in planes]
 
-        # canonical Huffman codes for the DC table
+        # canonical Huffman codes for the DC table: Annex K luma at
+        # ≤8-bit precision (keeps the r8 byte stream), flat 17-category
+        # above it (wide diffs reach SSSS 16)
         codes = {}
         code = 0
         i = 0
-        bits, vals = tables["dc0"]
+        bits, vals = (
+            tables["dc0"] if precision <= 8 else (WIDE_BITS, WIDE_VALS)
+        )
         for ln in range(1, 17):
             for _ in range(bits[ln - 1]):
                 codes[vals[i]] = (ln, code)
@@ -1489,7 +1527,7 @@ def build_lossless_encoder():
                 s += 1
             return s
 
-        default = 1 << (8 - pt - 1)
+        default = 1 << (precision - pt - 1)
         for y in range(h):
             for x in range(w):
                 for p in planes:
@@ -1543,7 +1581,9 @@ def build_lossless_encoder():
             )
 
         nc = len(planes)
-        sof_body = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+        sof_body = (
+            bytes([precision]) + struct.pack(">HH", h, w) + bytes([nc])
+        )
         sos_body = bytes([nc])
         for ci in range(nc):
             sof_body += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, Tq ignored

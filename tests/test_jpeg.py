@@ -167,17 +167,17 @@ def test_named_stubs_and_malformed_input():
     lossless_trunc = b"\xff\xd8\xff\xc3" + struct.pack(">H", 4) + b"\x00\x00"
     with pytest.raises(ValueError, match="truncated SOF"):
         decode_jpeg(lossless_trunc)
-    # 12-bit lossless: named stub (only the 8-bit process has an
-    # encoder twin to test against)
-    sof3_12bit = (
+    # lossless decodes at ANY T.81 precision 2-16 since r13 — only an
+    # out-of-spec precision byte stays a named stub
+    sof3_17bit = (
         b"\xff\xd8\xff\xc3"
         + struct.pack(">H", 11)
-        + bytes([12])
+        + bytes([17])
         + struct.pack(">HH", 8, 8)
         + bytes([1, 1, 0x11, 0])
     )
-    with pytest.raises(NotImplementedError, match="12-bit lossless"):
-        decode_jpeg(sof3_12bit)
+    with pytest.raises(NotImplementedError, match="17-bit lossless"):
+        decode_jpeg(sof3_17bit)
     # subsampled lossless: named stub
     sof3_sub = (
         b"\xff\xd8\xff\xc3"
@@ -617,3 +617,59 @@ def test_12bit_progressive_decode_equals_12bit_sequential_exactly():
         encode_jpeg_progressive(
             np.full((8, 8), 5000, dtype=np.uint16), precision=12
         )
+
+
+def test_lossless_full_precision_range_roundtrip():
+    """r13: predictive lossless at ANY T.81 precision 2-16 — exact
+    decode(encode(img)) == img on incompressible noise for every
+    predictor at a sweep of widths; ≤8-bit output stays uint8, wider
+    returns uint16; the 8-bit byte stream is unchanged from the r8
+    encoder (regression pin)."""
+    import numpy as np
+
+    from lakehouse_adventureworks2022_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(113)
+    for prec in (2, 4, 7, 9, 10, 12, 14, 16):
+        maxv = (1 << prec) - 1
+        img = rng.integers(0, maxv + 1, size=(11, 9), dtype=np.uint16)
+        for pred in range(1, 8):
+            out = decode_jpeg(
+                encode_jpeg_lossless(img, predictor=pred, precision=prec)
+            )
+            assert out.dtype == (np.uint8 if prec <= 8 else np.uint16)
+            assert (out[:, :, 0].astype(np.int64) == img).all(), (
+                prec, pred,
+            )
+    # RGB, point transform, and the SSSS=16 extreme
+    img3 = rng.integers(0, 1 << 10, size=(6, 5, 3), dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg_lossless(img3, predictor=5, precision=10))
+    assert (out.astype(np.int64) == img3).all()
+    ptimg = (rng.integers(0, 1 << 14, size=(5, 7)) >> 3 << 3).astype(
+        np.uint16
+    )
+    out = decode_jpeg(
+        encode_jpeg_lossless(ptimg, predictor=6, point_transform=3,
+                             precision=14)
+    )
+    assert (out[:, :, 0].astype(np.int64) == ptimg).all()
+    # SSSS=16: a 0/32768 checkerboard at 16-bit makes every diff hit
+    # the no-extend-bits category (T.81 H.1.2: diff == 32768)
+    cb = (np.indices((8, 8)).sum(0) % 2 * 32768).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg_lossless(cb, predictor=1, precision=16))
+    assert (out[:, :, 0].astype(np.int64) == cb).all()
+    # 8-bit stream unchanged (default == precision=8, byte for byte)
+    img8 = rng.integers(0, 256, size=(6, 6), dtype=np.uint8)
+    assert encode_jpeg_lossless(img8, predictor=3) == encode_jpeg_lossless(
+        img8, predictor=3, precision=8
+    )
+    # out-of-range samples and precisions refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="range"):
+        encode_jpeg_lossless(np.full((3, 3), 256), precision=8)
+    with _pytest.raises(ValueError, match="2..16"):
+        encode_jpeg_lossless(img8, precision=17)
