@@ -8,8 +8,8 @@ restart markers, byte stuffing. Scans accumulate into per-component
 coefficient arrays; one vectorized dequant + batched-IDCT pass
 reconstructs at EOI. Also decodes predictive LOSSLESS JPEG (SOF3, r8 —
 T.81 Annex H: all 7 predictors, point transform, mod-2^16 difference
-arithmetic, 1×1 sampling — at ANY T.81 precision 2-16 since r13) and
-12-BIT DCT, both extended
+arithmetic, 1×1 sampling — at ANY T.81 precision 2-16 AND with
+restart markers since r13) and 12-BIT DCT, both extended
 sequential AND progressive (r8 — level shift 2048, uint16 output
 0..4095; the progressive encoder twin takes ``precision=12`` and the
 tests pin decode(progressive-12) == decode(sequential-12) exactly).
@@ -25,8 +25,8 @@ table because their diffs reach SSSS 16), and a 12-bit SOF1 twin (flat
 16-category DC table: 12-bit DC diffs exceed Annex K's 11 categories).
 
 Arithmetic coding, differential modes, DCT precisions other than 8/12,
-and the lossless corners without an encoder twin to test against
-(subsampled components, restart markers) raise a named
+and the one lossless corner without an encoder twin to test against
+(subsampled components) raise a named
 ``NotImplementedError`` — the same honesty contract as the other
 codecs in ``operators/multimodal.py``.
 
@@ -420,7 +420,17 @@ def build_jpeg_decoder():
             neighbor predictor. Edge rules per H.1.2.1: the scan's
             first sample predicts 2^(P-Pt-1), the rest of the first
             line predicts Ra, the first sample of later lines predicts
-            Rb. Arithmetic is mod 2^16."""
+            Rb. Arithmetic is mod 2^16.
+
+            Restart markers (r13, H.2.4): one MCU = one sample
+            position across the scan's components, so every
+            ``restart_interval`` positions the bit stream realigns at
+            an RSTn and prediction RESETS as at scan start — the
+            interval's first sample takes the default and the rest of
+            that sample line falls back to the 1-D Ra predictor (the
+            libjpeg reading of H.1.2.1's "at the beginning of each
+            restart interval"); later lines resume the selected
+            predictor against the sample buffer."""
             nonlocal bitpos, bytepos, loss_pt
             if not 1 <= pred_sel <= 7:
                 raise ValueError(f"bad lossless predictor {pred_sel}")
@@ -428,16 +438,26 @@ def build_jpeg_decoder():
             bitpos, bytepos = 0, start
             h, w = frame["h"], frame["w"]
             default = 1 << (frame["prec"] - pt - 1)
+            n_mcu = 0
+            sy, sx = 0, 0  # position where the current interval began
             for y in range(h):
                 for x in range(w):
+                    if (
+                        restart_interval
+                        and n_mcu
+                        and n_mcu % restart_interval == 0
+                    ):
+                        sync_restart()
+                        sy, sx = y, x
+                    n_mcu += 1
                     for cs, tdc, _ in scan_comps:
                         s = decode_sym(huff[(0, tdc)])
                         diff = 32768 if s == 16 else receive_extend(s)
                         arr = loss_px[cs]
-                        if y == 0 and x == 0:
+                        if y == sy and x == sx:
                             px = default
-                        elif y == 0:
-                            px = int(arr[0, x - 1])
+                        elif y == sy:
+                            px = int(arr[y, x - 1])
                         elif x == 0:
                             px = int(arr[y - 1, 0])
                         else:
@@ -561,10 +581,6 @@ def build_jpeg_decoder():
                     scan_comps.append((cs, tsel >> 4, tsel & 0xF))
                 ss, se, a = seg[1 + ns * 2 : 4 + ns * 2]
                 if lossless:
-                    if restart_interval:
-                        raise NotImplementedError(
-                            "lossless JPEG (SOF3) with restart markers"
-                        )
                     pos = decode_lossless_scan(
                         scan_comps, ss, a & 0xF, pos + seglen
                     )
@@ -1460,6 +1476,7 @@ def build_lossless_encoder():
         predictor: int = 4,
         point_transform: int = 0,
         precision: int = 8,
+        restart_interval: int = 0,
     ) -> bytes:
         import struct
 
@@ -1472,6 +1489,10 @@ def build_lossless_encoder():
         if not 2 <= precision <= 16:
             raise ValueError(
                 f"precision must be 2..16 (T.81), got {precision}"
+            )
+        if not 0 <= restart_interval <= 0xFFFF:
+            raise ValueError(
+                f"restart interval must be 0..65535, got {restart_interval}"
             )
         a = np.asarray(arr)
         if a.size and int(np.max(a)) > (1 << precision) - 1:
@@ -1528,13 +1549,30 @@ def build_lossless_encoder():
             return s
 
         default = 1 << (precision - pt - 1)
+        n_mcu = 0
+        rst_m = 0
+        sy, sx = 0, 0  # position where the current interval began
         for y in range(h):
             for x in range(w):
+                if (
+                    restart_interval
+                    and n_mcu
+                    and n_mcu % restart_interval == 0
+                ):
+                    # flush to a byte boundary (1-padded), emit RSTn
+                    # RAW (markers are never byte-stuffed), reset the
+                    # prediction state exactly like the decoder
+                    if nbits:
+                        put(8 - nbits, (1 << (8 - nbits)) - 1)
+                    out += bytes([0xFF, 0xD0 + rst_m])
+                    rst_m = (rst_m + 1) % 8
+                    sy, sx = y, x
+                n_mcu += 1
                 for p in planes:
-                    if y == 0 and x == 0:
+                    if y == sy and x == sx:
                         px = default
-                    elif y == 0:
-                        px = int(p[0, x - 1])
+                    elif y == sy:
+                        px = int(p[y, x - 1])
                     elif x == 0:
                         px = int(p[y - 1, 0])
                     else:
@@ -1594,6 +1632,8 @@ def build_lossless_encoder():
             + seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
             + seg(0xC3, sof_body)
         )
+        if restart_interval:
+            header += seg(0xDD, struct.pack(">H", restart_interval))
         return header + seg(0xDA, sos_body) + bytes(out) + b"\xff\xd9"
 
     return encode_jpeg_lossless

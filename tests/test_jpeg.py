@@ -673,3 +673,47 @@ def test_lossless_full_precision_range_roundtrip():
         encode_jpeg_lossless(np.full((3, 3), 256), precision=8)
     with _pytest.raises(ValueError, match="2..16"):
         encode_jpeg_lossless(img8, precision=17)
+
+
+def test_lossless_restart_markers_roundtrip():
+    """r13: SOF3 scans with restart markers — bit stream realigns at
+    each RSTn (raw, never stuffed) and prediction resets as at scan
+    start (interval's first sample default, rest of that line 1-D Ra —
+    the libjpeg reading of T.81 H.1.2.1/H.2.4). Exact round-trip on
+    noise across predictors, precisions, and intervals that land
+    mid-line, on line boundaries, and past the image size; the DRI
+    segment and at least one raw RSTn are present in the stream."""
+    import numpy as np
+
+    from lakehouse_adventureworks2022_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(41)
+    for prec in (8, 12, 16):
+        img = rng.integers(
+            0, (1 << prec), size=(10, 7), dtype=np.uint16
+        )
+        for pred in (1, 4, 7):
+            for ri in (1, 3, 7, 10, 64, 70):
+                blob = encode_jpeg_lossless(
+                    img, predictor=pred, precision=prec,
+                    restart_interval=ri,
+                )
+                out = decode_jpeg(blob)
+                assert (out[:, :, 0].astype(np.int64) == img).all(), (
+                    prec, pred, ri,
+                )
+    blob = encode_jpeg_lossless(
+        rng.integers(0, 256, size=(6, 6), dtype=np.uint8),
+        restart_interval=5,
+    )
+    assert b"\xff\xdd" in blob  # DRI
+    assert any(bytes([0xFF, 0xD0 + m]) in blob for m in range(8))
+    # RGB with restarts
+    img3 = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    out = decode_jpeg(
+        encode_jpeg_lossless(img3, predictor=4, restart_interval=4)
+    )
+    assert (out.astype(np.int64) == img3).all()
