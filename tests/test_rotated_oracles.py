@@ -125,6 +125,9 @@ ROTATED = (
     "corpus_drift",
     "pii_scrub",
     "scd2_part_price_asof",
+    # r13 eleventh rotation: slots freed for cdx_urlkey / crawl_frontier
+    "remove_repeated_spans",
+    "clean_boilerplate",
 )
 
 
