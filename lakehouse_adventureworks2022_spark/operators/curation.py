@@ -668,11 +668,17 @@ def build_crawl_frontier(
         # NO lastmod AND entries whose lastmod fails to parse
         # (nonstandard format → try_to_timestamp NULL) are KEPT —
         # fetch rather than silently under-crawl.
-        lm_ts = F.try_to_timestamp(F.col("lastmod"))
+        # ONE timestamp parse per row: NULL lastmod and unparseable
+        # lastmod both make the comparison NULL, and coalesce(…, True)
+        # keeps them — identical semantics to the three-clause OR but
+        # without evaluating try_to_timestamp twice (a measurable
+        # per-row cost inside this 9-exchange composite)
         entries = entries.filter(
-            F.col("lastmod").isNull()
-            | lm_ts.isNull()
-            | (lm_ts > F.to_timestamp(F.lit(watermark)))
+            F.coalesce(
+                F.try_to_timestamp(F.col("lastmod"))
+                > F.to_timestamp(F.lit(watermark)),
+                F.lit(True),
+            )
         )
     # exact-duplicate collapse first (one url listed by two sitemaps):
     # deterministic fold — min listing sitemap, NEWEST lastmod
