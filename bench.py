@@ -253,6 +253,10 @@ HEADLINE = [
     # CDX index built on the first rep; the median measures the
     # byte-range lookup batch, never an archive scan (exact swept twin)
     "warc_random_access",
+    # r13: archive-aware frontier pruning — frontier minus the CDX
+    # index unless modified since capture (exact swept twin; one
+    # uniform-short-key join)
+    "frontier_refresh",
 ]
 
 

@@ -788,6 +788,73 @@ def expand_frontier(
     )
 
 
+def frontier_minus_index(
+    frontier: DataFrame,
+    cdx: DataFrame,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod",
+    refetch_unknown: bool = False,
+) -> DataFrame:
+    """Archive-aware frontier pruning (r13) — the dedup-BEFORE-fetch
+    tier between discovery and fetch: drop frontier URLs whose
+    canonical resource the CDX index already holds, unless the sitemap
+    says it changed since the last capture. Per URL (SURT-key match
+    against the index):
+
+    - no capture → FETCH (new resource);
+    - ``lastmod`` parses and is after the LAST capture timestamp →
+      FETCH (changed since the archive took it);
+    - ``lastmod`` missing/unparseable while a capture exists → SKIP by
+      default: the archive HAS the page, and refetching on no evidence
+      burns crawl budget. This is deliberately the OPPOSITE polarity
+      from :func:`build_crawl_frontier`'s watermark gate (there
+      nothing was fetched yet, so unknown-age entries fetch); pass
+      ``refetch_unknown=True`` for freshness-critical crawls.
+
+    Non-URL frontier rows key as NULL, match nothing, and FETCH.
+
+    Scale: the index collapses to ONE row per urlkey (capture count +
+    max parsed timestamp) before the join — a uniform short-key
+    equi-join with the frontier; the frontier side stages canonical +
+    SURT once (the janino staging rule). At 100 TB the cdx side is the
+    billions-of-captures table, and the single groupBy on its own sort
+    key is the cheapest possible collapse."""
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        canonicalize_url_col,
+        surt_key_col,
+    )
+
+    staged = frontier.withColumn(
+        "__canon__", canonicalize_url_col(F.col(url_col))
+    ).withColumn(
+        "__key__", surt_key_col(F.col("__canon__"), canonical=True)
+    ).drop("__canon__")
+    last = (
+        cdx.select(
+            F.col("urlkey").alias("__key__"),
+            # CDX timestamps are the 14-digit form; unparseable ones
+            # still prove a capture EXISTS (counted), they just can't
+            # prove recency (NULL max → the unknown-age rule applies)
+            F.try_to_timestamp(
+                F.col("timestamp"), F.lit("yyyyMMddHHmmss")
+            ).alias("__cap_ts__"),
+        )
+        .groupBy("__key__")
+        .agg(
+            F.count(F.lit(1)).alias("__captured__"),
+            F.max("__cap_ts__").alias("__last_cap__"),
+        )
+    )
+    joined = staged.join(last, "__key__", "left")
+    lm = F.try_to_timestamp(F.col(lastmod_col))
+    keep = F.col("__captured__").isNull() | F.coalesce(
+        lm > F.col("__last_cap__"), F.lit(bool(refetch_unknown))
+    )
+    return joined.filter(keep).drop(
+        "__key__", "__captured__", "__last_cap__"
+    )
+
+
 def politeness_shards(
     frontier: DataFrame,
     url_col: str = "url",

@@ -576,6 +576,10 @@ QUERIES: dict[str, QueryFn] = {
     # CDX index (exact r13 newcomer past the window; byte-range reads,
     # never a scan)
     "warc_random_access": text_queries.q_warc_random_access,
+    # archive-aware frontier pruning: frontier minus the CDX index
+    # unless modified since capture (exact r13 newcomer past the
+    # window)
+    "frontier_refresh": text_queries.q_frontier_refresh,
     # ---- r13 eleventh rotation OUT (both r7 first driver oracles,
     # green r7-r12; identical hash-diff rigor continues in
     # tests/test_rotated_oracles.py at two SFs; slots freed for
@@ -736,6 +740,7 @@ NON_ORACLE_QUERIES: frozenset[str] = frozenset(
         "crawl_politeness",
         "crawl_health",
         "warc_random_access",
+        "frontier_refresh",
         # exact, r13 eleventh rotation out of the window (r7 first
         # driver oracles, green r7-r12): same hash-diff rigor in
         # tests/test_rotated_oracles.py at two SFs
@@ -1574,6 +1579,7 @@ PYTEST_ORACLES: dict[str, str] = {
     "crawl_politeness": text_queries.ORACLE_CRAWL_POLITENESS,
     "crawl_health": text_queries.ORACLE_CRAWL_HEALTH,
     "warc_random_access": text_queries.ORACLE_WARC_RANDOM_ACCESS,
+    "frontier_refresh": text_queries.ORACLE_FRONTIER_REFRESH,
     # (url_canonicalize was promoted to a first-time DRIVER oracle in
     # the r11 eighth rotation after one swept-green round — the queue
     # is empty again and this is exactly the rotated-veteran set)

@@ -3368,6 +3368,54 @@ ORACLE_CRAWL_POLITENESS = """
 """
 
 
+def q_frontier_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-aware frontier pruning (r13): planted frontier entries
+    against a planted CDX capture index through
+    ``curation.frontier_minus_index`` — four ``doc_id%4`` classes
+    (uncaptured → fetch; captured before lastmod → fetch; captured
+    after lastmod → skip; captured with no lastmod → skip). Exact: the
+    oracle recomputes the surviving class set straight from
+    ``documents`` — a key mismatch, a reversed comparison, or the
+    wrong unknown-age polarity diverges the hash."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        frontier_minus_index,
+    )
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        surt_key_col,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://h"), (did % 7).cast("string"),
+        F.lit(".refresh.io/p/"), did.cast("string"),
+    )
+    m4 = did % 4
+    frontier = docs.select(
+        url.alias("url"),
+        F.when(m4 < 3, F.lit("2024-06-15")).alias("lastmod"),
+    )
+    cdx = (
+        docs.filter(m4 != 0)
+        .select(
+            surt_key_col(url).alias("urlkey"),
+            F.when(m4 == 1, F.lit("20240101000000"))
+            .otherwise(F.lit("20240615120000"))
+            .alias("timestamp"),
+        )
+    )
+    return frontier_minus_index(frontier, cdx).select("url", "lastmod")
+
+
+ORACLE_FRONTIER_REFRESH = """
+    SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR)
+             || '.refresh.io/p/' || CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN doc_id % 4 < 3 THEN '2024-06-15' END AS lastmod
+    FROM documents
+    WHERE doc_id % 4 IN (0, 1)
+"""
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discovery-tier composite (r12): planted per-doc sitemap bodies
     (four entries each: a fresh page with lastmod, a fragment-spelling

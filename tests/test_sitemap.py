@@ -454,3 +454,59 @@ def test_expand_frontier_missing_body_is_not_a_crash(spark):
     provider = _tree_provider(spark, [("http://a.io/child1.xml", child1)])
     out = expand_frontier(robots, sitemaps, provider)
     assert [r["url"] for r in out.collect()] == ["http://a.io/p1"]
+
+
+def test_frontier_minus_index_capture_rules(spark):
+    """frontier_minus_index: uncaptured fetches, modified-since-capture
+    fetches, unchanged-since-capture skips, unknown-age skips by
+    default (and fetches under refetch_unknown), canonical spellings
+    match the index key, unparseable capture timestamps still prove
+    existence, and non-URL rows pass through."""
+    from lakehouse_adventureworks2022_spark.operators.curation import (
+        frontier_minus_index,
+    )
+    from lakehouse_adventureworks2022_spark.operators.textops import (
+        surt_key_col,
+    )
+    from pyspark.sql import functions as F
+
+    frontier = spark.createDataFrame(
+        [
+            ("http://a.io/new", "2024-06-15"),          # uncaptured
+            ("http://a.io/changed", "2024-06-15"),      # cap 2024-01-01
+            ("http://a.io/stale", "2024-06-15"),        # cap 2024-06-15T12
+            ("http://a.io/nolastmod", None),            # captured, unknown
+            # noisy spelling of a captured resource: the canonical/SURT
+            # key must still match the index (→ stale → skip)
+            ("HTTP://A.IO:80/canon?utm_source=x#f", "2020-01-01"),
+            ("not a url", None),                        # passes through
+            # captured but the capture timestamp is garbage → exists,
+            # age unknown → default skip
+            ("http://a.io/badts", "2024-06-15"),
+        ],
+        "url string, lastmod string",
+    )
+    cap_urls = [
+        ("http://a.io/changed", "20240101000000"),
+        ("http://a.io/stale", "20240615120000"),
+        ("http://a.io/nolastmod", "20240101000000"),
+        ("http://a.io/canon", "20240616000000"),
+        ("http://a.io/badts", "not-a-ts"),
+    ]
+    cdx = spark.createDataFrame(
+        cap_urls, "u string, timestamp string"
+    ).select(surt_key_col(F.col("u")).alias("urlkey"), "timestamp")
+
+    kept = sorted(
+        r["url"] for r in frontier_minus_index(frontier, cdx).collect()
+    )
+    assert kept == ["http://a.io/changed", "http://a.io/new", "not a url"]
+    # freshness-critical mode refetches the unknown-age captures too
+    kept2 = sorted(
+        r["url"]
+        for r in frontier_minus_index(
+            frontier, cdx, refetch_unknown=True
+        ).collect()
+    )
+    assert "http://a.io/nolastmod" in kept2 and "http://a.io/badts" in kept2
+    assert "http://a.io/stale" not in kept2  # provably unchanged stays out
