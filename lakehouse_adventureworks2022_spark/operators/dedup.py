@@ -475,20 +475,23 @@ def minhash_lsh_pairs(
     < 1 by design — that's the scale trade).
 
     The shingle set feeds BOTH the signature and verify stages (the plan
-    references it three times: signatures, verify side A, verify side B),
-    so when derived from ``df`` it is persisted here — one tokenization
-    pass instead of three (measured 1.2-2.4× at sf0.1; the cache is
-    LRU-evicted by Spark, MEMORY_AND_DISK at 100 TB shingle volumes).
-    Callers that already hold a shingle frame pass ``shingles=`` and own
-    its storage level (as :func:`clean_corpus` does). A persist created
-    HERE is tied to the returned frame: freed on GC of the result or
-    eagerly via :func:`release_cached_inputs` — no session-lifetime leak.
+    references it three times: signatures, verify side A, verify side B).
+    It is deliberately NOT persisted (r13 opt): the three consumers each
+    re-run only the zero-shuffle tokenize+explode projection over the
+    scan — a linear pass Spark pipelines into each consumer's first
+    stage — while a ``persist()`` here was measured strictly slower at
+    sf0.1 (2.93 s → 2.21 s for the benched dedup_minhash_lsh after
+    removal: the eager physical-planning at persist() time, the columnar
+    cache write, and AQE being disabled inside the cached plan cost more
+    than three cheap scans). At 100 TB the same trade holds — the
+    recomputed work is a projection over column-pruned parquet, not a
+    shuffle. Callers that already hold a shingle frame pass
+    ``shingles=`` (as :func:`clean_corpus` does) and own its lifetime.
     """
-    own_cache = None
     if shingles is None:
         if df is None:
             raise ValueError("pass df or shingles")
-        shingles = own_cache = shingles_df(df, text_col, n).persist()
+        shingles = shingles_df(df, text_col, n)
     sig = _signatures_from_shingles(shingles, k)
     bands = bands_from_signatures(sig, k, band_rows)
     candidates = (
@@ -524,8 +527,6 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", "n_common", j.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    if own_cache is not None:
-        pairs = _attach_cached_input(pairs, own_cache)
     return pairs
 
 
@@ -629,10 +630,12 @@ def clean_corpus(
        each near-dup chain edge-wise).
 
     Scale: stages only shrink data; the LSH stage (the expensive one)
-    runs on the already-gated unique set, over ONE persisted shingle
-    frame shared by its signature and verify stages (at 100 TB swap the
-    storage level to DISK_ONLY — the shingle set is ~tokens×n the corpus
-    size and the recompute it avoids is the corpus tokenization ×3).
+    runs on the already-gated unique set. The shingle frame is NOT
+    persisted (r13 opt — see :func:`minhash_lsh_pairs`): its consumers
+    re-run only a pipelined tokenize+explode projection, measured
+    cheaper than the cache write + AQE-blocked cached plan at sf0.1
+    (benched clean_corpus 3.61 s → 3.22 s after removal), and at 100 TB
+    the recompute is a column-pruned linear scan, not a shuffle.
     Returns the surviving document rows.
     """
     from lakehouse_adventureworks2022_spark.operators import textops
@@ -645,15 +648,12 @@ def clean_corpus(
         F.col("keeper_doc_id").alias("doc_id")
     )
     uniq = quality.join(keepers, "doc_id", "left_semi")
-    shingles = shingles_df(uniq, text_col).persist()
+    shingles = shingles_df(uniq, text_col)
     pairs = minhash_lsh_pairs(threshold=threshold, shingles=shingles)
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    survivors = uniq.join(dropped, "doc_id", "left_anti").select(
+    return uniq.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "source", "lang", "n_chars"
     )
-    # we own this persist: free it when the survivors frame is released
-    # (or explicitly via release_cached_inputs after materialization)
-    return _attach_cached_input(survivors, shingles)
 
 
 # ---- incremental dedup against historical state ----------------------
@@ -787,14 +787,16 @@ def incremental_dedup(
         )
     # exact within batch. The exact-deduped batch feeds FOUR downstream
     # subtrees (signatures, the vs-history anti-join, the within-batch
-    # LSH, and the final output) — persist it once so the hash scan +
-    # two anti-joins + keeper semi-join don't re-execute per reference.
-    # Batch-sized (a daily ingest, not the corpus), released with the
-    # result via the module's cache-lifetime contract.
+    # LSH, and the final output); no persist (r13 opt) — the repeated
+    # subtrees end in the same exchanges, which ReuseExchange computes
+    # once per action, and the remaining duplication is the pipelined
+    # batch scan + hash projection. A persist here was measured 7.6 s →
+    # 18.2 s at sf0.1 (eager physical-planning at persist() time on this
+    # operator's large tree, AQE disabled inside the cached plan).
     keepers = dedup_exact(fresh, text_col).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
-    fresh = exact_deduped = fresh.join(keepers, "doc_id", "left_semi").persist()
+    fresh = fresh.join(keepers, "doc_id", "left_semi")
 
     # near-dup vs history: batch signatures (small) broadcast against
     # the state's re-derived band buckets
@@ -835,6 +837,4 @@ def incremental_dedup(
         fresh, text_col, n, k, band_rows, threshold=threshold
     )
     dropped = batch_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    out = fresh.join(dropped, "doc_id", "left_anti").drop("__hash__")
-    out = _attach_cached_input(out, exact_deduped)
-    return transfer_cached_inputs(batch_pairs, out)
+    return fresh.join(dropped, "doc_id", "left_anti").drop("__hash__")

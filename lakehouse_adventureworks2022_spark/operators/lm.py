@@ -156,25 +156,24 @@ def score_perplexity(
     (e.g. scoring many batches under one persisted model).
 
     The model frame is consumed three times (vocabulary scalar, the
-    ``(context, word)`` join, the context-totals join), so it is
-    persisted for the duration of the plan — without this a self-scored
-    corpus pays the train explode+aggregate 3× per execution (measured
-    3.4× at sf0.1). Ownership follows the engine's cache contract
-    (``dedup._attach_cached_input``): released explicitly via
-    ``dedup.release_cached_inputs(result)`` after materialization, GC
-    as last resort.
+    ``(context, word)`` join, the context-totals join). The scorers do
+    NOT persist it: every consumer sits on the same
+    ``Exchange hashpartitioning(context, word)`` over the gram explode,
+    which Spark's ReuseExchange computes once per action — the train
+    pass runs once and only the cheap per-consumer re-aggregations
+    repeat. An earlier ``persist()`` here was measured (r13 opt) as a
+    net pessimization: ``persist()`` eagerly physical-plans the model
+    subtree at call time, the InMemoryRelation blocks AQE inside the
+    cached plan, and the columnar cache write costs more than the
+    re-aggregations it saves (doc_perplexity 1.69 s → 2.43 s at sf0.1
+    with the cache live; 1.48 s with no persist at all). At 100 TB the
+    exchange-reuse posture holds: shuffle files are reused from disk,
+    nothing recomputes the corpus explode.
 
-    ``manage_cache=False`` skips the persist/ownership handling for
-    callers that hold the model persisted themselves (e.g. a streaming
-    gate scoring every micro-batch under one long-lived model — per-call
-    attach would churn the shared cache entry as batch frames die).
+    ``manage_cache`` is retained for API compatibility (callers holding
+    a long-lived persisted model pass ``False``); since r13 neither
+    value takes a persist here.
     """
-    from lakehouse_adventureworks2022_spark.operators.dedup import (
-        _attach_cached_input,
-    )
-
-    if manage_cache:
-        lm = lm.persist()
     ctx_totals = lm.groupBy("context").agg(F.sum("c").alias("ctx_c"))
     grams = _gram_frame(docs, text_col, n, with_doc_id=True)
     joined = grams.join(lm, ["context", "word"], "left").join(
@@ -211,7 +210,7 @@ def score_perplexity(
             F.exp(nll).alias("ppl"),
         )
     )
-    return _attach_cached_input(out, lm) if manage_cache else out
+    return out
 
 
 def score_perplexity_interpolated(
@@ -236,12 +235,8 @@ def score_perplexity_interpolated(
     summing counts per word (|vocab| rows). Both component
     probabilities use add-k smoothing over the same vocabulary.
     """
-    from lakehouse_adventureworks2022_spark.operators.dedup import (
-        _attach_cached_input,
-    )
-
-    if manage_cache:
-        lm = lm.persist()
+    # no persist: model consumers share the (context, word) exchange
+    # via ReuseExchange — see score_perplexity (r13 opt)
     ctx_totals = lm.groupBy("context").agg(F.sum("c").alias("ctx_c"))
     uni = lm.groupBy("word").agg(F.sum("c").alias("uc"))
     # model-level scalars as one broadcast subplan (no driver collects
@@ -278,7 +273,7 @@ def score_perplexity_interpolated(
         nll.alias("avg_nll"),
         F.exp(nll).alias("ppl"),
     )
-    return _attach_cached_input(out, lm) if manage_cache else out
+    return out
 
 
 def doc_perplexity(
@@ -328,12 +323,8 @@ def score_perplexity_kn(
     the global bigram-type count — then the same grams⋈model scoring
     joins as the other scorers; zero UDFs. The model rows are unique on
     (context, word), so type counts are plain row counts."""
-    from lakehouse_adventureworks2022_spark.operators.dedup import (
-        _attach_cached_input,
-    )
-
-    if manage_cache:
-        lm = lm.persist()
+    # no persist: model consumers share the (context, word) exchange
+    # via ReuseExchange — see score_perplexity (r13 opt)
     ctx_stats = lm.groupBy("context").agg(
         F.sum("c").alias("ctx_c"),
         F.count(F.lit(1)).alias("ctx_types"),
@@ -375,7 +366,7 @@ def score_perplexity_kn(
         nll.alias("avg_nll"),
         F.exp(nll).alias("ppl"),
     )
-    return _attach_cached_input(out, lm) if manage_cache else out
+    return out
 
 
 def perplexity_buckets(

@@ -1054,23 +1054,26 @@ def clean_assets(
     composition discipline as the text pipeline, exact-dedup first so
     identical bytes never flood a perceptual bucket."""
     from lakehouse_adventureworks2022_spark.operators.dedup import (
-        _attach_cached_input,
         dedup_keep_canonical,
     )
 
     md5w = Window.partitionBy("__md5__").orderBy("asset_id")
-    # persist the deduped uniques: they feed THREE subtrees (image
-    # filter, audio filter, the canonical join-back), and when the
-    # asset source is a generator (attach_real_assets encodes every
-    # binary in-plan) each re-execution would re-encode the whole
-    # corpus — measured ~3× the composite cost at bench scale. Cache
-    # released via the dedup module's cached-input contract.
+    # the deduped uniques feed THREE subtrees (image filter, audio
+    # filter, the canonical join-back). No persist (r13 opt): the
+    # perceptual-pair stage is consumed EAGERLY inside
+    # connected_components' checkpoint loop in ONE action (where the
+    # md5-window exchange is shared by ReuseExchange), and the final
+    # join-back re-runs one generator pass; caching the binary uniques
+    # was measured slower end-to-end at sf0.1 (8.4 s → 10.1 s with the
+    # cache live — columnar caching of binary payloads costs more than
+    # the re-encode it saves, and the cached plan loses AQE). At 100 TB
+    # the asset source is a real table scan, not a generator, and the
+    # join-back is one extra column-pruned scan.
     uniques = (
         assets.withColumn("__md5__", F.md5("content"))
         .withColumn("__rn__", F.row_number().over(md5w))
         .filter(F.col("__rn__") == 1)
         .drop("__md5__", "__rn__")
-        .persist()
     )
     # video rides the image leg: image_hashes dHashes an MJPEG MP4's
     # representative middle frame (r7), so near-dup videos collapse
@@ -1084,13 +1087,12 @@ def clean_assets(
     ).unionByName(
         audio_near_dup_pairs(uniques.filter(is_audio), max_hamming, fake=fake)
     )
-    out = dedup_keep_canonical(
+    return dedup_keep_canonical(
         uniques.withColumnRenamed("asset_id", "doc_id"),
         pairs.select(
             F.col("asset_a").alias("doc_a"), F.col("asset_b").alias("doc_b")
         ),
     ).withColumnRenamed("doc_id", "asset_id")
-    return _attach_cached_input(out, uniques)
 
 
 def resize_images(assets: DataFrame, max_px: int = 512, fake: bool = True) -> DataFrame:

@@ -201,26 +201,24 @@ def test_prepare_training_corpus_composite(spark, docs):
     assert again == {(r["doc_id"], r["split"]) for r in rows}
 
 
-def test_prepare_training_corpus_cache_survives_gc(spark, docs):
-    """clean_corpus's shingle persist must survive the intermediate frame
-    being rebound/GC'd inside prepare_training_corpus (derived frames
-    hold no Python ref to their parent): ownership transfers to the
-    returned frame, then releases explicitly."""
+def test_prepare_training_corpus_takes_no_cache(spark, docs):
+    """r13 opt: clean_corpus no longer persists its shingle frame (the
+    consumers share exchanges via ReuseExchange within the one action;
+    the persist was measured as a net pessimization — see
+    OPTIMIZATION_r13.md). The composite must register no cache entry
+    and release_cached_inputs must stay a harmless no-op on it."""
     import gc
 
     from lakehouse_adventureworks2022_spark.operators import dedup
 
+    spark.catalog.clearCache()
     out = curation.prepare_training_corpus(docs)
-    gc.collect()  # would have fired the old intermediate-bound finalizer
-    cached = list(getattr(out, "_cached_inputs", ()))
-    assert cached, "cache ownership was not transferred to the result"
-    assert all(c.is_cached for c in cached), (
-        "shingle cache evicted before materialization — persist win lost"
+    gc.collect()
+    assert not list(getattr(out, "_cached_inputs", ())), (
+        "a persist crept back into the single-action curation path"
     )
-    assert out.count() > 0  # materialize WITH the cache alive
-    dedup.release_cached_inputs(out)
-    assert all(not c.is_cached for c in cached)
-    assert not out._cached_inputs  # release is idempotent/terminal
+    assert out.count() > 0
+    dedup.release_cached_inputs(out)  # still safe to call
 
 
 def test_pack_documents_with_precomputed_counts(spark):
