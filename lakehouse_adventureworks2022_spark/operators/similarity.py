@@ -282,7 +282,10 @@ def _safe_norms_np(m):
 
 
 def ivf_build(
-    candidates: DataFrame, n_cells: int = 16, train_cap: int = 2048
+    candidates: DataFrame,
+    n_cells: int = 16,
+    train_cap: int = 2048,
+    _sample_rows: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build a persistable IVF index: ``(centroids, cells)``.
 
@@ -306,12 +309,19 @@ def ivf_build(
     """
     import numpy as np
 
-    sample = (
-        candidates.select("vec_id", "embedding")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(train_cap)
-        .collect()
-    )
+    # ``_sample_rows``: a pre-collected hash-ordered sample (internal —
+    # ivf_build_auto fuses its corpus-count job into one oversized
+    # sample collect; the top-k order is total, so any prefix of a
+    # longer collect is bit-identical to collecting that prefix)
+    if _sample_rows is not None:
+        sample = _sample_rows[:train_cap]
+    else:
+        sample = (
+            candidates.select("vec_id", "embedding")
+            .orderBy(F.xxhash64("vec_id"), "vec_id")
+            .limit(train_cap)
+            .collect()
+        )
     tm = np.array([r["embedding"] for r in sample], dtype=np.float64)
     tm /= _safe_norms_np(tm)
     cents = tm[: min(n_cells, len(tm))].copy()
@@ -536,6 +546,33 @@ def ivf_build_auto(
     (``n_cells > train_cap/8``): pass an explicit small ``train_cap``
     to force it, or call the distributed trainer directly for
     full-corpus training."""
+    if n_cells is None and train_cap is None:
+        # fused count+sample (r13 opt): one hash-ordered top-k collect of
+        # max_train_cap+1 rows serves BOTH the corpus count (when the
+        # corpus fits under the cap, len(rows) IS N — exactly the
+        # fixture/bench regime, where the separate count() job paid a
+        # full chunk-explode pass per build) and the training sample
+        # (any auto train_cap ≤ max_train_cap is a PREFIX of this
+        # collect under the same total order — bit-identical to the
+        # unfused build). Oversized corpora still count (their sample
+        # truncated the collect), and the auto train_cap formula makes
+        # the distributed-trainer routing unreachable here
+        # (train_cap//8 ≥ 2·n_cells always), same as before.
+        rows = (
+            candidates.select("vec_id", "embedding")
+            .orderBy(F.xxhash64("vec_id"), "vec_id")
+            .limit(max_train_cap + 1)
+            .collect()
+        )
+        n = len(rows) if len(rows) <= max_train_cap else candidates.count()
+        n_cells = max(min_cells, min(max_cells, round(n**0.5)))
+        train_cap = min(max(2048, 16 * n_cells), max_train_cap)
+        return ivf_build(
+            candidates,
+            n_cells=n_cells,
+            train_cap=train_cap,
+            _sample_rows=rows,
+        )
     if n_cells is None:
         n = candidates.count()
         n_cells = max(min_cells, min(max_cells, round(n**0.5)))

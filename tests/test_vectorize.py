@@ -322,8 +322,8 @@ def test_ivf_build_auto_derives_cells_and_routes_trainer(spark, monkeypatch):
     real_build, real_dist = sim.ivf_build, sim.ivf_build_distributed
     monkeypatch.setattr(
         sim, "ivf_build",
-        lambda c, n_cells, train_cap: calls.append(("sampled", n_cells))
-        or real_build(c, n_cells=n_cells, train_cap=train_cap),
+        lambda c, n_cells, train_cap, **kw: calls.append(("sampled", n_cells))
+        or real_build(c, n_cells=n_cells, train_cap=train_cap, **kw),
     )
     monkeypatch.setattr(
         sim, "ivf_build_distributed",
@@ -346,6 +346,36 @@ def test_ivf_build_auto_derives_cells_and_routes_trainer(spark, monkeypatch):
     calls.clear()
     sim.ivf_build_auto(vecs, n_cells=4)
     assert calls == [("sampled", 4)]
+
+
+def test_ivf_build_auto_fused_sample_identical_to_unfused(spark):
+    """r13 opt: with both n_cells and train_cap auto, ivf_build_auto
+    fuses the corpus count into one oversized hash-ordered sample
+    collect. The top-k order is total (xxhash64, vec_id tie-break), so
+    the fused build's training prefix — and therefore its centroids —
+    must be bit-identical to the unfused two-job build."""
+    from lakehouse_adventureworks2022_spark.operators import similarity as sim
+
+    docs = read_table(spark, SF, "documents")
+    vecs = hashing_vectorizer(docs, keep_cols=("doc_id",)).selectExpr(
+        "doc_id AS vec_id", "embedding"
+    )
+    fused_cents, fused_cells = sim.ivf_build_auto(vecs)
+    # unfused reference: derive the same parameters with the explicit
+    # count, then build with its own sample job
+    n = vecs.count()
+    n_cells = max(8, min(4096, round(n**0.5)))
+    train_cap = min(max(2048, 16 * n_cells), 65536)
+    ref_cents, ref_cells = sim.ivf_build(
+        vecs, n_cells=n_cells, train_cap=train_cap
+    )
+    assert sorted(map(tuple, fused_cents.collect())) == sorted(
+        map(tuple, ref_cents.collect())
+    )
+    assert (
+        fused_cells.groupBy("cell").count().orderBy("cell").collect()
+        == ref_cells.groupBy("cell").count().orderBy("cell").collect()
+    )
 
 
 def test_ann_query_batch_cap_raises_readably(spark):
