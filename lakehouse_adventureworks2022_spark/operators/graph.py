@@ -64,11 +64,20 @@ def pagerank(
     dropped edge still enter the node set (they appeared in the graph),
     so rank conservation holds."""
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    # the edge projection is materialized ONCE up front (r13 opt): the
+    # edge list is the host graph — one row per (src, dst) host pair,
+    # orders of magnitude smaller than the pages it was extracted from —
+    # and it feeds nodes, out-weights and fractions. Without the cut,
+    # materializing nodes and frac each re-ran the whole upstream
+    # extraction pipeline (measured: two extra full passes per build at
+    # sf0.1). localCheckpoint rather than persist: it cuts lineage AND
+    # skips the CacheManager machinery (eager physical-planning at
+    # persist() time, AQE loss inside cached plans — OPTIMIZATION_r13.md).
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         w.alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -77,7 +86,7 @@ def pagerank(
         .persist()
     )
     n = nodes.count()  # bounded: one scalar for the teleport term
-    # per-source outgoing fractions, built once and persisted
+    # per-source outgoing fractions, built once, checkpointed
     # co-partitioned on the join key every iteration reuses. Only
     # positive-weight edges distribute mass (docstring contract) —
     # without the filter a source whose weights sum to 0 yields NULL
