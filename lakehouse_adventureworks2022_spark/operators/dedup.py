@@ -574,24 +574,26 @@ def connected_components(
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("component").alias("neigh_min"))
         )
-        new_labels = (
+        # the convergence flag rides INSIDE the checkpointed frame (r13
+        # opt): the old per-iteration `changed` test re-joined the new
+        # labels against the old ones — a second shuffle job per round —
+        # while the information is already on the join row being
+        # checkpointed. The count below scans checkpointed blocks of one
+        # boolean column: a scheduling-constant job, no shuffle.
+        new_comp = F.least(
+            F.col("component"), F.coalesce("neigh_min", F.col("component"))
+        )
+        flagged = (
             labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("neigh_min", F.col("component")),
-                ).alias("component"),
+                new_comp.alias("component"),
+                (new_comp != F.col("component")).alias("__changed__"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = flagged.filter("__changed__").count()
+        labels = flagged.drop("__changed__")
         if changed == 0:
             return labels
     raise RuntimeError(
