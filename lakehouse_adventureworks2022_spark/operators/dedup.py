@@ -788,17 +788,26 @@ def incremental_dedup(
             "left_anti",
         )
     # exact within batch. The exact-deduped batch feeds FOUR downstream
-    # subtrees (signatures, the vs-history anti-join, the within-batch
-    # LSH, and the final output); no persist (r13 opt) — the repeated
-    # subtrees end in the same exchanges, which ReuseExchange computes
-    # once per action, and the remaining duplication is the pipelined
-    # batch scan + hash projection. A persist here was measured 7.6 s →
-    # 18.2 s at sf0.1 (eager physical-planning at persist() time on this
-    # operator's large tree, AQE disabled inside the cached plan).
+    # subtrees (signatures, the near-dup anti-joins, the within-batch
+    # LSH, and the final output). It is cut with an eager
+    # localCheckpoint (r13 opt): the frame is the BATCH — a daily
+    # ingest, small by this operator's contract, never the corpus — and
+    # without the cut the optimizer re-inlines the whole
+    # vs-history+exact subtree into all four consumers (a ~400-node
+    # physical plan costing ~2 s of driver-side Catalyst per run at any
+    # data size). localCheckpoint, not persist: it truncates lineage
+    # without the CacheManager machinery whose eager physical-planning
+    # and AQE loss measured 7.6 s → 18.2 s at sf0.1; the checkpoint
+    # measured 4.3 s → 3.5 s with bit-identical output. The operator is
+    # therefore eager from here on (the batch dedup runs at call time)
+    # — the posture its callers (bench reps, streaming micro-batches
+    # that immediately materialize) already assume.
     keepers = dedup_exact(fresh, text_col).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
-    fresh = fresh.join(keepers, "doc_id", "left_semi")
+    fresh = fresh.join(keepers, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
 
     # near-dup vs history: batch signatures (small) broadcast against
     # the state's re-derived band buckets
