@@ -86,8 +86,11 @@ def pagerank(
         .persist()
     )
     n = nodes.count()  # bounded: one scalar for the teleport term
-    # per-source outgoing fractions, built once, checkpointed
-    # co-partitioned on the join key every iteration reuses. Only
+    # per-source outgoing fractions, built once and persisted
+    # co-partitioned on the join key every iteration reuses (persist,
+    # not checkpoint, for nodes/frac: swapping them to checkpoints
+    # reintroduced run-to-run float-sum ulp instability in the contribs
+    # aggregation — see test_pagerank_deterministic_across_runs). Only
     # positive-weight edges distribute mass (docstring contract) —
     # without the filter a source whose weights sum to 0 yields NULL
     # fractions (0/0) non-ANSI, or a mid-loop throw under ANSI.
