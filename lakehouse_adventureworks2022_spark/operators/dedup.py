@@ -805,9 +805,8 @@ def incremental_dedup(
     keepers = dedup_exact(fresh, text_col).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
-    fresh = fresh.join(keepers, "doc_id", "left_semi").localCheckpoint(
-        eager=True
-    )
+    gate_stage = fresh.join(keepers, "doc_id", "left_semi")
+    fresh = gate_stage.localCheckpoint(eager=True)
 
     # near-dup vs history: batch signatures (small) broadcast against
     # the state's re-derived band buckets
@@ -848,4 +847,12 @@ def incremental_dedup(
         fresh, text_col, n, k, band_rows, threshold=threshold
     )
     dropped = batch_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    return fresh.join(dropped, "doc_id", "left_anti").drop("__hash__")
+    out = fresh.join(dropped, "doc_id", "left_anti").drop("__hash__")
+    # the vs-history gate (stage 1) + exact keeper join (stage 2) run at
+    # BUILD time behind the checkpoint, so the returned plan starts at a
+    # Scan ExistingRDD. Expose the (lazy) pre-checkpoint frame for
+    # plan-shape tests asserting stage-1 properties — the bloom In()
+    # pushdown on the state scan, bloom-negative never touching state
+    # (tests/test_bloom_sketch.py); production code never plans it.
+    out._gate_stage = gate_stage
+    return out

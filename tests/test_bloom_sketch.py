@@ -199,7 +199,9 @@ def test_all_new_batch_never_scans_state(spark, tmp_path):
         F.concat(F.lit("unique payload "), "content_hash").alias("text"),
     )
     out = incremental_dedup(fresh_batch, hashes, sigs, bloom=bf)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the vs-history gate runs at build time behind the r13 checkpoint;
+    # its plan-shape evidence lives on the exposed pre-checkpoint frame
+    plan = out._gate_stage._jdf.queryExecution().executedPlan().toString()
     assert "dstate/hashes" not in plan
     assert out.count() == 40
     release_cached_inputs(out)
@@ -219,7 +221,8 @@ def test_candidates_push_in_filter_into_state_scan(spark, tmp_path):
     )
     planted = copies.selectExpr("doc_id", "text").unionByName(newdoc)
     out = incremental_dedup(planted, hashes, sigs, bloom=bf)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # stage-1 plan evidence moved to the pre-checkpoint frame (r13 opt)
+    plan = out._gate_stage._jdf.queryExecution().executedPlan().toString()
     assert "In(content_hash" in plan or "content_hash IN" in plan
     got = {r[0] for r in out.select("doc_id").collect()}
     release_cached_inputs(out)
