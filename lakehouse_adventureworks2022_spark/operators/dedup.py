@@ -531,7 +531,7 @@ def minhash_lsh_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25
+    pairs: DataFrame, max_iter: int = 25, steps_per_round: int = 2
 ) -> DataFrame:
     """Canonicalize near-dup pairs into clusters: (doc_id, component)
     where ``component`` is the MIN doc_id reachable through the pair
@@ -541,20 +541,35 @@ def connected_components(
 
     Algorithm: min-label propagation — every node repeatedly adopts the
     smallest label among itself and its neighbors until no label
-    changes. Each iteration is ONE equi-shuffle join on doc_id plus a
-    doc-keyed aggregation; iterations needed = graph diameter, and LSH
+    changes. Propagation steps needed = graph diameter, and LSH
     candidate graphs have tiny components (near-dup chains), so this
-    converges in a handful of rounds at any corpus size. Lineage is cut
-    every iteration with ``localCheckpoint`` (eager) — without it the
-    plan doubles per round and the driver re-optimizes an exponentially
-    growing tree. Deterministic: labels are min doc_ids, independent of
-    partitioning.
+    converges in a handful of steps at any corpus size. Two r14 cost
+    cuts (guide §2 — fewer jobs, same exact fixpoint):
 
-    Raises if not converged within ``max_iter`` (a pair graph with a
-    longer diameter than that is not a near-dup graph — investigate).
+    - the label init SEEDS each node with ``min(self, direct
+      neighbors)`` — the first propagation step fused into the init
+      aggregation, replacing the old ``distinct`` (same exchange, one
+      whole round saved);
+    - ``steps_per_round`` propagation joins chain LAZILY between
+      checkpoints, so each materialized round costs ONE checkpoint job
+      + ONE convergence count instead of one of each per step. Min-label
+      propagation is monotone, so checkpoint placement cannot change the
+      fixpoint; the plan stays bounded at ``steps_per_round`` joins deep.
+
+    Lineage is cut every round with ``localCheckpoint`` (eager) —
+    without it the plan doubles per round and the driver re-optimizes an
+    exponentially growing tree. (Fault-tolerance trade, also noted in
+    SCALE.md: checkpointed blocks live on executors only — an executor
+    loss mid-loop fails the job instead of recomputing, acceptable for
+    an iterative batch loop that simply re-runs.) Deterministic: labels
+    are min doc_ids, independent of partitioning.
+
+    Raises if not converged within ``max_iter`` rounds (a pair graph
+    with a longer diameter than that is not a near-dup graph —
+    investigate).
     """
     edges = pairs.select("doc_a", "doc_b")
-    # materialize the symmetric edge list ONCE: every iteration joins
+    # materialize the symmetric edge list ONCE: every round joins
     # against it (plus the convergence count), and `pairs` is typically
     # an expensive LSH plan that must not re-execute per round
     sym = edges.union(
@@ -563,35 +578,40 @@ def connected_components(
         )
     ).localCheckpoint(eager=True)
     labels = (
-        sym.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
+        sym.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("__mn__"))
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.col("__mn__")).alias("component"),
+        )
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        neigh = (
-            sym.join(labels, sym["doc_b"] == labels["doc_id"])
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("component").alias("neigh_min"))
+        # the round-start label rides along so the convergence flag can
+        # be computed on the row being checkpointed (labels are monotone
+        # non-increasing: end != start ⇔ some step in the round changed)
+        cur = labels.select(
+            "doc_id", "component", F.col("component").alias("__start__")
         )
-        # the convergence flag rides INSIDE the checkpointed frame (r13
-        # opt): the old per-iteration `changed` test re-joined the new
-        # labels against the old ones — a second shuffle job per round —
-        # while the information is already on the join row being
-        # checkpointed. The count below scans checkpointed blocks of one
-        # boolean column: a scheduling-constant job, no shuffle.
-        new_comp = F.least(
-            F.col("component"), F.coalesce("neigh_min", F.col("component"))
-        )
-        flagged = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                new_comp.alias("component"),
-                (new_comp != F.col("component")).alias("__changed__"),
+        for _ in range(max(1, steps_per_round)):
+            neigh = (
+                sym.join(cur, sym["doc_b"] == cur["doc_id"])
+                .groupBy(F.col("doc_a").alias("doc_id"))
+                .agg(F.min("component").alias("neigh_min"))
             )
-            .localCheckpoint(eager=True)
-        )
+            cur = cur.join(neigh, "doc_id", "left").select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("neigh_min", F.col("component")),
+                ).alias("component"),
+                "__start__",
+            )
+        flagged = cur.select(
+            "doc_id",
+            "component",
+            (F.col("component") != F.col("__start__")).alias("__changed__"),
+        ).localCheckpoint(eager=True)
         changed = flagged.filter("__changed__").count()
         labels = flagged.drop("__changed__")
         if changed == 0:
