@@ -307,6 +307,25 @@ def ivf_build(
     without re-training — the build cost amortizes over every query
     batch, which is the point of IVF at 100 TB.
     """
+    return _ivf_build_collected(
+        candidates, n_cells=n_cells, train_cap=train_cap,
+        _sample_rows=_sample_rows,
+    )[1:]
+
+
+def _ivf_build_collected(
+    candidates: DataFrame,
+    n_cells: int = 16,
+    train_cap: int = 2048,
+    _sample_rows: list | None = None,
+) -> tuple:
+    """:func:`ivf_build` plus the centroid MATRIX it just computed
+    driver-side — ``(cm, centroids, cells)`` with ``cm`` the
+    (n_cells × dim) unit numpy matrix. One-shot search paths hand
+    ``cm`` straight to :func:`ivf_search`/SQ8 training, saving the
+    collect-back of a frame that was CREATED from driver data one call
+    earlier (r14 — the PQ paths got the same treatment; the amortized
+    forms still collect, their centroids genuinely live in parquet)."""
     import numpy as np
 
     # ``_sample_rows``: a pre-collected hash-ordered sample (internal —
@@ -339,7 +358,7 @@ def ivf_build(
         [(i, [float(x) for x in c]) for i, c in enumerate(cm)],
         "cell int, centroid array<double>",
     )
-    return centroids, _assign_cells_df(candidates, cm)
+    return cm, centroids, _assign_cells_df(candidates, cm)
 
 
 def ivf_search(
@@ -349,6 +368,7 @@ def ivf_search(
     k: int = 10,
     n_probe: int = 4,
     query_cap: int = QUERY_BATCH_CAP,
+    centroid_matrix=None,
 ) -> DataFrame:
     """Probe a built (possibly reloaded) IVF index: each query scores
     only its ``n_probe`` nearest cells via an equi-join on ``cell`` —
@@ -361,11 +381,20 @@ def ivf_search(
     files/row groups via footer min-max stats before any join runs,
     which is the point of persisting the index clustered: a query batch
     probing p of C cells reads ~p/C of the corpus, not all of it.
+
+    ``centroid_matrix``: the (n_cells × dim) numpy matrix from
+    :func:`_ivf_build_collected`, skipping the collect-back of a frame
+    the caller just created from driver data (one job saved on the
+    one-shot paths; reloaded indexes still collect — their centroids
+    genuinely live in parquet).
     """
     import numpy as np
 
-    crows = sorted(centroids.collect(), key=lambda r: r["cell"])
-    cm = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    if centroid_matrix is not None:
+        cm = centroid_matrix
+    else:
+        crows = sorted(centroids.collect(), key=lambda r: r["cell"])
+        cm = np.array([r["centroid"] for r in crows], dtype=np.float64)
 
     qrows = _collect_query_batch(queries, cap=query_cap)
     qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
@@ -421,8 +450,12 @@ def cosine_topk_ivf(
     executor-sized; recall is tunable via ``n_probe``. Approximate by
     design ⇒ rows-only check; the recall floor is asserted in tests.
     """
-    centroids, cells = ivf_build(candidates, n_cells=n_cells, train_cap=train_cap)
-    return ivf_search(queries, centroids, cells, k=k, n_probe=n_probe)
+    cm, centroids, cells = _ivf_build_collected(
+        candidates, n_cells=n_cells, train_cap=train_cap
+    )
+    return ivf_search(
+        queries, centroids, cells, k=k, n_probe=n_probe, centroid_matrix=cm
+    )
 
 
 def ivf_build_distributed(
@@ -567,6 +600,14 @@ def ivf_build_auto(
         n = len(rows) if len(rows) <= max_train_cap else candidates.count()
         n_cells = max(min_cells, min(max_cells, round(n**0.5)))
         train_cap = min(max(2048, 16 * n_cells), max_train_cap)
+        # re-check the distributed-trainer routing guard HERE too (r13
+        # ADVICE): with the DEFAULT caps 16·max_cells == max_train_cap
+        # makes this unreachable, but a caller passing custom
+        # max_cells/max_train_cap where 16·max_cells > max_train_cap
+        # must route to the distributed trainer exactly like the
+        # unfused path below, not silently get the truncated sample
+        if n_cells > max(1, train_cap // 8):
+            return ivf_build_distributed(candidates, n_cells=n_cells, seed=seed)
         return ivf_build(
             candidates,
             n_cells=n_cells,
@@ -995,6 +1036,22 @@ def pq_train(
     TakeOrderedAndProject — no full-scan job), then driver-side Lloyd
     per subspace with first-rows init, so rebuilds agree bit-for-bit.
     """
+    return _pq_train_collected(candidates, m, n_codes, train_cap)[1]
+
+
+def _pq_train_collected(
+    candidates: DataFrame,
+    m: int = 16,
+    n_codes: int = 32,
+    train_cap: int = 2048,
+) -> tuple[list[dict], DataFrame]:
+    """:func:`pq_train` plus the codebook rows it just computed
+    driver-side — ``(rows, codebooks_df)``. One-shot search paths hand
+    the rows straight to :func:`pq_encode`/:func:`pq_adc_topk`, saving
+    the collect-back of a frame that was CREATED from driver data one
+    call earlier (r14: two whole jobs per query on the benched PQ
+    paths; the amortized form still collects, its codebooks genuinely
+    live in parquet)."""
     import numpy as np
 
     sample = (
@@ -1008,7 +1065,7 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub_d = dim // m
-    rows = []
+    rows: list[dict] = []
     for s in range(m):
         block = tm[:, s * sub_d : (s + 1) * sub_d]
         cents = block[: min(n_codes, len(block))].copy()
@@ -1020,14 +1077,36 @@ def pq_train(
                 if len(members):
                     cents[c] = members.mean(axis=0)
         rows += [
-            (s, c, [float(x) for x in cents[c]]) for c in range(len(cents))
+            {"sub": s, "code": c, "centroid": [float(x) for x in cents[c]]}
+            for c in range(len(cents))
         ]
-    return candidates.sparkSession.createDataFrame(
-        rows, "sub int, code int, centroid array<double>"
+    df = candidates.sparkSession.createDataFrame(
+        [(r["sub"], r["code"], r["centroid"]) for r in rows],
+        "sub int, code int, centroid array<double>",
     )
+    return rows, df
 
 
-def pq_encode(codebooks: DataFrame, vectors: DataFrame) -> DataFrame:
+def _pq_tensor(cb_rows) -> tuple:
+    """(tensor[m][n_codes][sub_d], m, n_codes, sub_d) from codebook rows
+    (pyspark Rows or the dicts :func:`_pq_train_collected` returns)."""
+    import numpy as np
+
+    cb = sorted(cb_rows, key=lambda r: (r["sub"], r["code"]))
+    m = max(r["sub"] for r in cb) + 1
+    n_codes = max(r["code"] for r in cb) + 1
+    sub_d = len(cb[0]["centroid"])
+    tensor = np.zeros((m, n_codes, sub_d), dtype=np.float64)
+    for r in cb:
+        tensor[r["sub"], r["code"]] = r["centroid"]
+    return tensor, m, n_codes, sub_d
+
+
+def pq_encode(
+    codebooks: DataFrame,
+    vectors: DataFrame,
+    codebook_rows: list | None = None,
+) -> DataFrame:
     """Encode every vector to ``m`` small codes (nearest codebook entry
     per subspace, L2): ``(cand_id, codes array<int>, vnorm double)``
     plus any ``cell`` column passed through (IVF-PQ layout).
@@ -1038,16 +1117,15 @@ def pq_encode(codebooks: DataFrame, vectors: DataFrame) -> DataFrame:
     ~16× less data than the raw corpus, which is the entire point at
     100 TB (recall 1.0 at k=10 on the fixture with the default
     8×-rerank; m/n_codes trade compression against recall).
-    """
-    import numpy as np
 
-    cb = sorted(codebooks.collect(), key=lambda r: (r["sub"], r["code"]))
-    m = max(r["sub"] for r in cb) + 1
-    n_codes = max(r["code"] for r in cb) + 1
-    sub_d = len(cb[0]["centroid"])
-    tensor = np.zeros((m, n_codes, sub_d), dtype=np.float64)
-    for r in cb:
-        tensor[r["sub"], r["code"]] = r["centroid"]
+    ``codebook_rows``: the driver-side rows from
+    :func:`_pq_train_collected`, skipping the collect-back of a frame
+    the same call chain just created (one job saved per encode on the
+    one-shot paths).
+    """
+    tensor, m, n_codes, sub_d = _pq_tensor(
+        codebook_rows if codebook_rows is not None else codebooks.collect()
+    )
 
     has_cell = "cell" in vectors.columns
     id_col = "cand_id" if "cand_id" in vectors.columns else "vec_id"
@@ -1087,6 +1165,7 @@ def pq_adc_topk(
     codebooks: DataFrame,
     k: int = 10,
     query_cap: int = QUERY_BATCH_CAP,
+    codebook_rows: list | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: per query, a lookup
     table ``LUT[sub][code] = dot(q_sub, centroid)`` (m × n_codes
@@ -1096,25 +1175,28 @@ def pq_adc_topk(
     entirely) and the scoring expression is a codegen'd fixed-length
     sum of ``element_at`` lookups, no UDF.
 
-    The query LUTs are kilobyte-scale driver data, so they ship as plan
-    LITERALS fanned out with ``posexplode`` — a Generate inside one
-    whole-stage-codegen span, not a join. (The earlier
-    ``broadcast(luts).crossJoin(codes)`` form compiled to a
-    BroadcastNestedLoopJoin; same data volume, but the NL-join operator
-    blocks codegen and trips the no-cartesian plan audit.)
+    The per-query LUTs attach via ``explode`` of the (tiny) query-id
+    literal + a BROADCAST equi-join on ``query_id`` against the
+    kilobyte ``(query_id, lut)`` frame (r14, guide §4 boundary /
+    verdict ask): the earlier ~217 KB nested-array plan LITERAL cost
+    ~1 s of driver-side analysis per run — Catalyst re-walks its ~10k
+    literal nodes on every downstream operation — while the broadcast
+    relation ships the same bytes once and keeps the scoring expression
+    in one whole-stage-codegen span (BroadcastHashJoin, never the
+    NL-join a ``crossJoin(luts)`` would plan).
+
+    ``codebook_rows``: driver-side rows from
+    :func:`_pq_train_collected` — skips re-collecting a codebook frame
+    the caller just built from driver data.
 
     Approximate cosine = ADC-dot / vnorm (queries are normalized into
     the LUT). Rank ties break on cand_id like every ANN path here.
     """
     import numpy as np
 
-    cb = sorted(codebooks.collect(), key=lambda r: (r["sub"], r["code"]))
-    m = max(r["sub"] for r in cb) + 1
-    n_codes = max(r["code"] for r in cb) + 1
-    sub_d = len(cb[0]["centroid"])
-    tensor = np.zeros((m, n_codes, sub_d), dtype=np.float64)
-    for r in cb:
-        tensor[r["sub"], r["code"]] = r["centroid"]
+    tensor, m, n_codes, sub_d = _pq_tensor(
+        codebook_rows if codebook_rows is not None else codebooks.collect()
+    )
 
     qrows = _collect_query_batch(queries, cap=query_cap)
     qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
@@ -1142,27 +1224,19 @@ def pq_adc_topk(
             ),
         )
         adc = term if adc is None else adc + term
-    # the LUT literal is built as ONE parsed SQL expression: F.lit on a
-    # nested python list recurses into ~|Q|·m·n_codes individual py4j
-    # calls (~6 s driver-side at 20×512) while the parser ingests the
-    # same literal in <0.1 s — measured 6-8× faster end-to-end
-    luts_lit = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{x!r}D" for x in lut) + ")" for lut in luts
-        )
-        + ")"
+    # the LUTs ride as a broadcast (query_id, lut) relation — see the
+    # docstring; only the 8-byte query ids remain a plan literal
+    luts_df = queries.sparkSession.createDataFrame(
+        list(zip(qids, luts)), "query_id long, lut array<double>"
     )
     scored = (
         encoded.select(
             "cand_id",
             "codes",
             "vnorm",
-            F.posexplode(F.lit(qids).cast("array<long>")).alias(
-                "pos", "query_id"
-            ),
+            F.explode(F.lit(qids).cast("array<long>")).alias("query_id"),
         )
-        .withColumn("lut", F.element_at(luts_lit, F.col("pos") + 1))
+        .join(F.broadcast(luts_df), "query_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
@@ -1203,9 +1277,13 @@ def cosine_topk_pq(
     rows-only check; the recall floor vs exact brute force is asserted
     in tests.
     """
-    codebooks = pq_train(candidates, m=m, n_codes=n_codes, train_cap=train_cap)
-    encoded = pq_encode(codebooks, candidates)
-    shortlist = pq_adc_topk(queries, encoded, codebooks, k=rerank * k)
+    cb_rows, codebooks = _pq_train_collected(
+        candidates, m=m, n_codes=n_codes, train_cap=train_cap
+    )
+    encoded = pq_encode(codebooks, candidates, codebook_rows=cb_rows)
+    shortlist = pq_adc_topk(
+        queries, encoded, codebooks, k=rerank * k, codebook_rows=cb_rows
+    )
     e = candidates.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").cast("array<double>").alias("cv"),
@@ -1258,15 +1336,12 @@ def cosine_topk_ivf_pq(
     import numpy as np
 
     centroids, cells = ivf_build(candidates, n_cells=n_cells, train_cap=train_cap)
-    codebooks = pq_train(candidates, m=m, n_codes=n_codes, train_cap=train_cap)
-    encoded = pq_encode(codebooks, cells)  # keeps the cell column
+    cb_rows, codebooks = _pq_train_collected(
+        candidates, m=m, n_codes=n_codes, train_cap=train_cap
+    )
+    encoded = pq_encode(codebooks, cells, codebook_rows=cb_rows)
 
-    cb = sorted(codebooks.collect(), key=lambda r: (r["sub"], r["code"]))
-    n_codes_eff = max(r["code"] for r in cb) + 1
-    sub_d = len(cb[0]["centroid"])
-    tensor = np.zeros((m, n_codes_eff, sub_d), dtype=np.float64)
-    for r in cb:
-        tensor[r["sub"], r["code"]] = r["centroid"]
+    tensor, _, n_codes_eff, sub_d = _pq_tensor(cb_rows)
 
     crows = sorted(centroids.collect(), key=lambda r: r["cell"])
     cm = np.array([r["centroid"] for r in crows], dtype=np.float64)
@@ -1385,10 +1460,14 @@ def cosine_topk_pq_amortized(
 
     spark = queries.sparkSession
     if not os.path.exists(f"{index_dir}/codebooks/_SUCCESS"):
-        codebooks = pq_train(
+        cb_rows, codebooks = _pq_train_collected(
             candidates, m=m, n_codes=n_codes, train_cap=train_cap
         )
-        pq_index_save(codebooks, pq_encode(codebooks, candidates), index_dir)
+        pq_index_save(
+            codebooks,
+            pq_encode(codebooks, candidates, codebook_rows=cb_rows),
+            index_dir,
+        )
     codebooks, encoded = pq_index_load(spark, index_dir)
     shortlist = pq_adc_topk(queries, encoded, codebooks, k=rerank * k)
     e = candidates.select(
@@ -1416,13 +1495,19 @@ def cosine_topk_pq_amortized(
 # ---- scalar quantization (SQ8) tier (r7) -----------------------------
 
 
-def sq8_train(candidates: DataFrame, vec_col: str = "embedding") -> tuple:
+def sq8_train(
+    candidates: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> tuple:
     """Per-dimension affine quantizer params from ONE pass over the
     corpus: ``(mins, scales)`` lists of length d, where
     ``code = round((v - min) / scale)`` lands in 0..255. Bounded driver
     state (2·d floats — same class as IVF centroids/PQ codebooks);
-    degenerate constant dimensions get scale ~0 and decode exactly."""
-    d = len(candidates.select(vec_col).first()[0])
+    degenerate constant dimensions get scale ~0 and decode exactly.
+
+    ``dim``: pass the (known) vector dimensionality to skip the
+    ``first()`` probe job — composed builds already hold it from their
+    IVF training sample (r14)."""
+    d = dim if dim is not None else len(candidates.select(vec_col).first()[0])
     aggs = []
     for i in range(d):
         aggs.append(F.min(F.col(vec_col)[i]).alias(f"mn{i}"))
@@ -1776,13 +1861,11 @@ def cosine_topk_ivf_sq8(
 
     One-shot form (train + assign + encode per call); the deployment
     shape is :func:`cosine_topk_ivf_sq8_amortized`."""
-    import numpy as np
-
-    centroids, cells = ivf_build(candidates, n_cells=n_cells, train_cap=train_cap)
-    mins, scales = sq8_train(candidates)
+    cm, centroids, cells = _ivf_build_collected(
+        candidates, n_cells=n_cells, train_cap=train_cap
+    )
+    mins, scales = sq8_train(candidates, dim=cm.shape[1])
     encoded = sq8_encode(cells, mins, scales, id_col="cand_id", extra_cols=("cell",))
-    crows = sorted(centroids.collect(), key=lambda r: r["cell"])
-    cm = np.array([r["centroid"] for r in crows], dtype=np.float64)
     return _ivf_sq8_search(
         queries, encoded, candidates, mins, scales, cm,
         k=k, n_probe=n_probe, rerank=rerank, query_cap=query_cap,
