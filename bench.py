@@ -260,6 +260,46 @@ HEADLINE = [
 ]
 
 
+def _purge_amortized_state(sf_dir: str) -> list[str]:
+    """Delete THIS fixture version's persisted amortized-query state
+    (/tmp index/archive/state dirs keyed on the fixture fingerprint) so
+    every bench run pays each one-time build exactly once, on its first
+    rep (r13 verdict ask #6 — reproducible totals: a warm machine used
+    to skip the builds forever, so the headline total contained entries
+    whose build cost appeared in no rep). The per-query MEDIAN still
+    reports the amortized steady state (reps 2..n are lookup-only); the
+    build rep is visible in the sidecar's per-rep times. Default-on;
+    set ``SPARK_GRAFT_PURGE_AMORTIZED=0`` to keep warm state (e.g. for
+    a lookup-only probe). Returns the dirs actually removed."""
+    import shutil
+
+    from lakehouse_adventureworks2022_spark.plans import text_queries as tq
+
+    dirs: list[str] = []
+    try:
+        for prefix in (
+            "ivf_index_", "pq_index_", "sq8_index_",
+            "ivf_sq8_index_", "ivf_sq8_ingest_",
+        ):
+            dirs.append(tq.ivf_index_dir_for(sf_dir, prefix))
+    except OSError:
+        pass  # fixture without embeddings.parquet: no vector indexes
+    try:
+        rag = tq.rag_index_dir_for(sf_dir)
+        dirs += [rag, rag + "_bm25", tq.rag_index_dir_for(sf_dir, "rag_ingest_index_")]
+        dirs.append(tq._dedup_state_dir_for(sf_dir))
+        dirs.append(tq.mp4_corpus_dir_for(sf_dir))
+        dirs.append(tq._warc_archive_dir_for(sf_dir))
+    except OSError:
+        pass  # fixture without documents.parquet
+    removed = []
+    for d in dirs:
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(d)
+    return removed
+
+
 def _cpu_times() -> tuple[int, int]:
     """(steal jiffies, total jiffies) from the aggregate /proc/stat cpu
     line; (0, 0) where /proc is unavailable (bench stays portable)."""
@@ -320,6 +360,8 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_QUIET_WAIT_MAX_SEC", "300")
     )
     quiet_pct = float(os.environ.get("SPARK_GRAFT_QUIET_PCT", "0.5"))
+    purge = os.environ.get("SPARK_GRAFT_PURGE_AMORTIZED", "1") != "0"
+    purged = _purge_amortized_state(sf_dir) if purge else []
     quiet_wait, quiet_last_pct = _wait_for_quiet(quiet_wait_max, quiet_pct)
     # byte-clean artifact tail (r12 verdict #4): the driver records the
     # printed tail verbatim, and stage-progress \r frames otherwise ride
@@ -351,6 +393,7 @@ def main() -> None:
         clean: list[float] = []
         dirty: list[float] = []
         steals: list[float] = []
+        rep_times: list[float] = []
         attempts = 0
         while len(clean) < reps and attempts < reps + extra:
             attempts += 1
@@ -361,6 +404,7 @@ def main() -> None:
                 errors[name] = f"{type(e).__name__}: {first[:200]}"
                 break  # same plan fails identically; don't retry the reps
             steals.append(round(steal, 2))
+            rep_times.append(round(elapsed, 3))
             (clean if steal <= steal_max else dirty).append(elapsed)
         samples = clean or dirty  # all-stolen: report, flagged below
         if samples:
@@ -371,6 +415,12 @@ def main() -> None:
                 "max": round(max(samples), 3),
                 "steal": steals,
                 "dirty": len(dirty),
+                # raw per-rep wall times IN ORDER: with the amortized
+                # state purged at run start, rep 1 of an amortized query
+                # carries its one-time build — the build/lookup split is
+                # therefore on the record (r13 verdict ask #6) while the
+                # median keeps reporting the steady state
+                "reps_sec": rep_times,
             }
     run_s1, run_t1 = _cpu_times()
     run_steal = (
@@ -504,7 +554,13 @@ def main() -> None:
             json.dumps(
                 {"sf": sf, "reps": reps, "queries": timings,
                  "errors": errors, "query_stats": stats,
-                 "steal": steal_summary},
+                 "steal": steal_summary,
+                 # reproducibility of the amortized family (r13 verdict
+                 # ask #6): which persisted per-fixture state dirs were
+                 # purged before timing, so first reps include builds
+                 "amortized_purge": {
+                     "enabled": purge, "purged_dirs": purged,
+                 }},
                 indent=1,
             )
         )

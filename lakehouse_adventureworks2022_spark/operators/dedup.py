@@ -758,6 +758,98 @@ def incremental_dedup(
     broadcast-semi plan above. Output is IDENTICAL either way
     (equivalence + planted-false-positive tests in tests/test_bloom.py).
     """
+    gate_stage = incremental_dedup_gate_stage(
+        new_df, state_hashes, state_sigs, text_col,
+        bloom=bloom, max_pushdown_hashes=max_pushdown_hashes,
+    )
+    # The exact-deduped batch feeds FOUR downstream subtrees
+    # (signatures, the near-dup anti-joins, the within-batch LSH, and
+    # the final output). It is cut with an eager localCheckpoint (r13
+    # opt): the frame is the BATCH — a daily ingest, small by this
+    # operator's contract, never the corpus — and without the cut the
+    # optimizer re-inlines the whole vs-history+exact subtree into all
+    # four consumers (a ~400-node physical plan costing ~2 s of
+    # driver-side Catalyst per run at any data size). localCheckpoint,
+    # not persist: it truncates lineage without the CacheManager
+    # machinery whose eager physical-planning and AQE loss measured
+    # 7.6 s → 18.2 s at sf0.1; the checkpoint measured 4.3 s → 3.5 s
+    # with bit-identical output. The operator is therefore eager from
+    # here on (the batch dedup runs at call time) — the posture its
+    # callers (bench reps, streaming micro-batches that immediately
+    # materialize) already assume. Fault-tolerance trade (SCALE.md):
+    # checkpointed blocks live on executors only — an executor loss
+    # mid-query fails the job instead of recomputing; acceptable for a
+    # batch-sized frame whose job simply re-runs.
+    fresh = gate_stage.localCheckpoint(eager=True)
+
+    # near-dup vs history: batch signatures (small) broadcast against
+    # the state's re-derived band buckets
+    new_sigs = minhash_signatures(fresh, text_col, n, k)
+    new_bands = bands_from_signatures(new_sigs, k, band_rows)
+    state_bands = bands_from_signatures(state_sigs, k, band_rows)
+    cand = (
+        state_bands.withColumnRenamed("doc_id", "old_id")
+        .join(
+            F.broadcast(new_bands.withColumnRenamed("doc_id", "new_id")),
+            ["band", "band_sig"],
+        )
+        .select("old_id", "new_id")
+        .distinct()
+    )
+    est = F.col("n_agree").cast("double") / F.lit(k)
+    agree = sum(
+        F.when(
+            F.col(f"o.mh_{i:02d}") == F.col(f"nw.mh_{i:02d}"), 1
+        ).otherwise(0)
+        for i in range(k)
+    )
+    near_old = (
+        cand.join(state_sigs.alias("o"), cand["old_id"] == F.col("o.doc_id"))
+        .join(
+            F.broadcast(new_sigs.alias("nw")),
+            cand["new_id"] == F.col("nw.doc_id"),
+        )
+        .withColumn("n_agree", agree)
+        .filter(est >= threshold)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    fresh = fresh.join(near_old, "doc_id", "left_anti")
+
+    # near-dup within batch (exact verification — shingles available)
+    batch_pairs = minhash_lsh_pairs(
+        fresh, text_col, n, k, band_rows, threshold=threshold
+    )
+    dropped = batch_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    # the vs-history gate (stage 1) + exact keeper join (stage 2) run at
+    # BUILD time behind the checkpoint, so the returned plan starts at a
+    # Scan ExistingRDD; stage-1/2 plan-shape evidence is audited on the
+    # explicit :func:`incremental_dedup_gate_stage` builder (r13 ADVICE:
+    # previously an ad-hoc ``_gate_stage`` attribute on the result,
+    # which pinned the pre-checkpoint lineage for the result's lifetime
+    # and silently vanished on any derived frame).
+    return fresh.join(dropped, "doc_id", "left_anti").drop("__hash__")
+
+
+def incremental_dedup_gate_stage(
+    new_df: DataFrame,
+    state_hashes: DataFrame,
+    state_sigs: DataFrame,
+    text_col: str = "text",
+    bloom: "BloomFilter | None" = None,
+    max_pushdown_hashes: int = 1024,
+) -> DataFrame:
+    """The LAZY stage-1+2 frame of :func:`incremental_dedup` — the
+    exact-vs-history gate plus the within-batch exact keeper join, i.e.
+    exactly what that operator eagerly checkpoints. Production callers
+    use :func:`incremental_dedup`; this builder exists so plan audits
+    and tests can assert stage-1 hazards (bloom ``In()`` pushdown into
+    the state scan, bloom-negative batches never touching state, the
+    broadcast directions) on a plan the checkpoint otherwise hides.
+    Building it runs the same bounded bloom-probe collect stage 1 runs;
+    nothing is checkpointed or cached here. ``state_sigs`` is unused by
+    stages 1-2 but kept so the call mirrors ``incremental_dedup``."""
+    del state_sigs  # stages 1-2 only touch the hash state
     new_hashed = new_df.withColumn("__hash__", content_hash_col(text_col))
     if bloom is not None:
         from lakehouse_adventureworks2022_spark.operators import (
@@ -807,72 +899,7 @@ def incremental_dedup(
             new_hashed["__hash__"] == matched["content_hash"],
             "left_anti",
         )
-    # exact within batch. The exact-deduped batch feeds FOUR downstream
-    # subtrees (signatures, the near-dup anti-joins, the within-batch
-    # LSH, and the final output). It is cut with an eager
-    # localCheckpoint (r13 opt): the frame is the BATCH — a daily
-    # ingest, small by this operator's contract, never the corpus — and
-    # without the cut the optimizer re-inlines the whole
-    # vs-history+exact subtree into all four consumers (a ~400-node
-    # physical plan costing ~2 s of driver-side Catalyst per run at any
-    # data size). localCheckpoint, not persist: it truncates lineage
-    # without the CacheManager machinery whose eager physical-planning
-    # and AQE loss measured 7.6 s → 18.2 s at sf0.1; the checkpoint
-    # measured 4.3 s → 3.5 s with bit-identical output. The operator is
-    # therefore eager from here on (the batch dedup runs at call time)
-    # — the posture its callers (bench reps, streaming micro-batches
-    # that immediately materialize) already assume.
     keepers = dedup_exact(fresh, text_col).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
-    gate_stage = fresh.join(keepers, "doc_id", "left_semi")
-    fresh = gate_stage.localCheckpoint(eager=True)
-
-    # near-dup vs history: batch signatures (small) broadcast against
-    # the state's re-derived band buckets
-    new_sigs = minhash_signatures(fresh, text_col, n, k)
-    new_bands = bands_from_signatures(new_sigs, k, band_rows)
-    state_bands = bands_from_signatures(state_sigs, k, band_rows)
-    cand = (
-        state_bands.withColumnRenamed("doc_id", "old_id")
-        .join(
-            F.broadcast(new_bands.withColumnRenamed("doc_id", "new_id")),
-            ["band", "band_sig"],
-        )
-        .select("old_id", "new_id")
-        .distinct()
-    )
-    est = F.col("n_agree").cast("double") / F.lit(k)
-    agree = sum(
-        F.when(
-            F.col(f"o.mh_{i:02d}") == F.col(f"nw.mh_{i:02d}"), 1
-        ).otherwise(0)
-        for i in range(k)
-    )
-    near_old = (
-        cand.join(state_sigs.alias("o"), cand["old_id"] == F.col("o.doc_id"))
-        .join(
-            F.broadcast(new_sigs.alias("nw")),
-            cand["new_id"] == F.col("nw.doc_id"),
-        )
-        .withColumn("n_agree", agree)
-        .filter(est >= threshold)
-        .select(F.col("new_id").alias("doc_id"))
-        .distinct()
-    )
-    fresh = fresh.join(near_old, "doc_id", "left_anti")
-
-    # near-dup within batch (exact verification — shingles available)
-    batch_pairs = minhash_lsh_pairs(
-        fresh, text_col, n, k, band_rows, threshold=threshold
-    )
-    dropped = batch_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    out = fresh.join(dropped, "doc_id", "left_anti").drop("__hash__")
-    # the vs-history gate (stage 1) + exact keeper join (stage 2) run at
-    # BUILD time behind the checkpoint, so the returned plan starts at a
-    # Scan ExistingRDD. Expose the (lazy) pre-checkpoint frame for
-    # plan-shape tests asserting stage-1 properties — the bloom In()
-    # pushdown on the state scan, bloom-negative never touching state
-    # (tests/test_bloom_sketch.py); production code never plans it.
-    out._gate_stage = gate_stage
-    return out
+    return fresh.join(keepers, "doc_id", "left_semi")

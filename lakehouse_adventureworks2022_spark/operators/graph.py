@@ -73,6 +73,14 @@ def pagerank(
     # sf0.1). localCheckpoint rather than persist: it cuts lineage AND
     # skips the CacheManager machinery (eager physical-planning at
     # persist() time, AQE loss inside cached plans — OPTIMIZATION_r13.md).
+    # Fault-tolerance trade (r13 ADVICE, documented in SCALE.md):
+    # checkpointed blocks live only on executors — losing one mid-build
+    # fails the job instead of recomputing from lineage (and under
+    # dynamic allocation idle-executor reclaim can do the same);
+    # acceptable for a host-graph-sized frame inside a single batch
+    # build, which simply re-runs. Deployments running with
+    # spark.dynamicAllocation.enabled should prefer a reliable
+    # checkpoint dir or persist(DISK_ONLY) here.
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),

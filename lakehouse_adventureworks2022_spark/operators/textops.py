@@ -480,41 +480,64 @@ def remove_boilerplate_lines(
     caller's quality gate drops them — this operator never drops rows).
 
     Shape: the line inventory (:func:`boilerplate_lines`) is one
-    aggregation; removal is a ``left_anti`` equi-join of exploded lines
-    against it, then one per-doc rebuild aggregation
-    (``sort_array(collect_list(struct(pos, line)))`` restores order —
-    no window, no global sort). Popular boilerplate lines skew the
-    anti-join's shuffle keys; the join fans nothing out (the inventory
-    side is one row per key) and AQE skew-split handles the rest. All
+    aggregation; removal is a ``left`` equi-join of exploded lines
+    against it (the inventory side is one row per key — a matched line
+    is marked, never fanned out), then one per-doc rebuild aggregation
+    (``sort_array(collect_list(when(not bp, struct(pos, line))))``
+    restores order — no window, no global sort; ``collect_list`` skips
+    the NULLs the boilerplate rows become). Popular boilerplate lines
+    skew the join's shuffle keys; AQE skew-split handles the rest. All
     other columns of ``df`` pass through untouched.
+
+    r14 shape note: the per-doc TOTAL line count rides through the
+    exploded side (``count(*)`` of the rebuild aggregation — every doc
+    keeps at least one exploded row, so the marked left join preserves
+    all docs, including all-boilerplate ones), so the final join's
+    ``df`` side no longer references ``text_col`` at all. When the text
+    column is an expensive derived chain (the web-corpus pipeline:
+    extraction + PII scrub), that side's chain is column-pruned away —
+    one full pass of the strip chain saved per consumer — and over a
+    plain table it saves re-reading the text bytes. Values are
+    unchanged: the old ``size(split(text))`` on the df side equals the
+    exploded row count per doc by construction.
     """
-    bp = boilerplate_lines(df, text_col, min_docs, min_line_chars)
+    bp = boilerplate_lines(df, text_col, min_docs, min_line_chars).withColumn(
+        "__bp__", F.lit(True)
+    )
     parts = df.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
     )
-    kept = parts.join(
-        bp, F.trim(parts["line"]) == bp["bp_line"], "left_anti"
+    marked = parts.join(
+        bp, F.trim(parts["line"]) == bp["bp_line"], "left"
     )
-    rebuilt = kept.groupBy("doc_id").agg(
+    keep_row = F.col("__bp__").isNull()
+    rebuilt = marked.groupBy("doc_id").agg(
         F.concat_ws(
             "\n",
             F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(keep_row, F.struct("pos", "line"))
+                    )
+                ),
                 lambda s: s["line"],
             ),
         ).alias("__clean__"),
-        F.count(F.lit(1)).alias("__kept__"),
+        F.count(F.when(keep_row, F.lit(1))).alias("__kept__"),
+        F.count(F.lit(1)).alias("__nl__"),
     )
-    n_lines = F.size(F.split(F.col(text_col), r"\n"))
     return (
         df.join(rebuilt, "doc_id", "left")
         .withColumn(
             "n_boilerplate_removed",
-            (n_lines - F.coalesce(F.col("__kept__"), F.lit(0))).cast("int"),
+            (
+                F.coalesce(F.col("__nl__"), F.lit(0))
+                - F.coalesce(F.col("__kept__"), F.lit(0))
+            ).cast("int"),
         )
         .withColumn(text_col, F.coalesce(F.col("__clean__"), F.lit("")))
-        .drop("__clean__", "__kept__")
+        .drop("__clean__", "__kept__", "__nl__")
     )
 
 

@@ -120,7 +120,6 @@ def perplexity_gate(
             n,
             k,
             vocab_size=vocab_size,
-            manage_cache=False,
         )
         keep = scores.filter(F.col("ppl") <= max_ppl).select("doc_id")
         return batch_df.join(keep, "doc_id")

@@ -8,6 +8,8 @@ cartesian products from the range join)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from pyspark.sql import functions as F
@@ -25,6 +27,7 @@ def _ts(s: str) -> datetime.datetime:
     return datetime.datetime.fromisoformat(s)
 
 
+@pytest.mark.slow
 def test_asof_tie_and_missing_semantics(spark, tmp_path):
     """A click at the purchase's exact timestamp IS attributed; among
     same-ts clicks the highest event_id wins; a purchase with no prior

@@ -45,6 +45,7 @@ def sparkref(spark):
     return spark
 
 
+@pytest.mark.slow
 @settings(
     max_examples=10,
     deadline=None,
@@ -103,6 +104,7 @@ burst_event_strategy = st.tuples(
 )
 
 
+@pytest.mark.slow
 @settings(
     max_examples=10,
     deadline=None,

@@ -37,6 +37,9 @@ def _run(spark, monkeypatch, capsys, tmp_path, queries, headline, reps):
         bench, "get_spark", lambda name, **kw: _NoStop(spark)
     )
     monkeypatch.setenv("SPARK_GRAFT_BENCH_REPS", str(reps))
+    # harness tests must not purge the REAL /tmp amortized state of the
+    # default sf_dir (the purge contract has its own focused test below)
+    monkeypatch.setenv("SPARK_GRAFT_PURGE_AMORTIZED", "0")
     detail = tmp_path / "detail.json"
     monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", str(detail))
     bench.main()
@@ -95,6 +98,53 @@ def test_bench_line_fits_driver_tail_window(
         f"bench line is {len(line)} bytes — it will truncate in the "
         f"driver artifact again (BENCH_r08-r10 'parsed': null)"
     )
+
+
+def test_bench_purges_amortized_state_and_records_reps(
+    spark, monkeypatch, capsys, tmp_path
+):
+    """r14 (verdict ask #6): with the default-on purge, the bench
+    removes THIS fixture version's persisted amortized-state dirs at
+    run start (so first reps pay the one-time builds and totals are
+    reproducible on a warm machine), records what it purged in the
+    sidecar, and keeps raw per-rep times so the build/lookup split is
+    visible."""
+    import os
+
+    from lakehouse_adventureworks2022_spark.plans import text_queries as tq
+
+    sf_dir = tmp_path / "sf0.5"
+    sf_dir.mkdir()
+    (sf_dir / "documents.parquet").write_bytes(b"x")
+    (sf_dir / "embeddings.parquet").write_bytes(b"y")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(sf_dir))
+    fake_state = [
+        tq.ivf_index_dir_for(str(sf_dir), "pq_index_"),
+        tq._dedup_state_dir_for(str(sf_dir)),
+        tq._warc_archive_dir_for(str(sf_dir)),
+    ]
+    for d in fake_state:
+        os.makedirs(d, exist_ok=True)
+
+    def ok(s, _sf):
+        return spark.range(3)
+
+    monkeypatch.setattr(bench, "QUERIES", {"top_products": ok})
+    monkeypatch.setattr(bench, "HEADLINE", ["top_products"])
+    monkeypatch.setattr(bench, "get_spark", lambda name, **kw: _NoStop(spark))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPS", "2")
+    monkeypatch.delenv("SPARK_GRAFT_PURGE_AMORTIZED", raising=False)
+    detail = tmp_path / "detail.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", str(detail))
+    bench.main()
+    capsys.readouterr()
+    side = json.loads(detail.read_text())
+    assert side["amortized_purge"]["enabled"] is True
+    assert set(fake_state) <= set(side["amortized_purge"]["purged_dirs"])
+    for d in fake_state:
+        assert not os.path.exists(d)
+    # raw per-rep wall times ride in order beside the median
+    assert len(side["query_stats"]["top_products"]["reps_sec"]) == 2
 
 
 def test_bench_survives_broken_warmup(spark, monkeypatch, capsys, tmp_path):

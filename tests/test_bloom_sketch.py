@@ -26,6 +26,7 @@ from lakehouse_adventureworks2022_spark.operators import bloom as B
 from lakehouse_adventureworks2022_spark.operators.dedup import (
     content_hash_col,
     incremental_dedup,
+    incremental_dedup_gate_stage,
     release_cached_inputs,
 )
 from lakehouse_adventureworks2022_spark.sources.readers import read_table
@@ -155,6 +156,7 @@ def _rows(df):
     return out
 
 
+@pytest.mark.slow
 def test_gated_equals_ungated(spark, tmp_path):
     state, hashes, sigs, batch = _state(spark, tmp_path)
     bf = ensure_dedup_bloom(spark, state)
@@ -200,8 +202,10 @@ def test_all_new_batch_never_scans_state(spark, tmp_path):
     )
     out = incremental_dedup(fresh_batch, hashes, sigs, bloom=bf)
     # the vs-history gate runs at build time behind the r13 checkpoint;
-    # its plan-shape evidence lives on the exposed pre-checkpoint frame
-    plan = out._gate_stage._jdf.queryExecution().executedPlan().toString()
+    # stage-1 plan evidence comes from the explicit lazy builder (r14 —
+    # replaces the ad-hoc _gate_stage attribute, r13 ADVICE)
+    gate = incremental_dedup_gate_stage(fresh_batch, hashes, sigs, bloom=bf)
+    plan = gate._jdf.queryExecution().executedPlan().toString()
     assert "dstate/hashes" not in plan
     assert out.count() == 40
     release_cached_inputs(out)
@@ -221,8 +225,9 @@ def test_candidates_push_in_filter_into_state_scan(spark, tmp_path):
     )
     planted = copies.selectExpr("doc_id", "text").unionByName(newdoc)
     out = incremental_dedup(planted, hashes, sigs, bloom=bf)
-    # stage-1 plan evidence moved to the pre-checkpoint frame (r13 opt)
-    plan = out._gate_stage._jdf.queryExecution().executedPlan().toString()
+    # stage-1 plan evidence from the explicit lazy builder (r14)
+    gate = incremental_dedup_gate_stage(planted, hashes, sigs, bloom=bf)
+    plan = gate._jdf.queryExecution().executedPlan().toString()
     assert "In(content_hash" in plan or "content_hash IN" in plan
     got = {r[0] for r in out.select("doc_id").collect()}
     release_cached_inputs(out)
@@ -341,6 +346,7 @@ def sparkref(spark):
     return spark
 
 
+@pytest.mark.slow
 @settings(
     max_examples=8,
     deadline=None,

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from lakehouse_adventureworks2022_spark.operators import bm25
@@ -60,6 +62,7 @@ def _search(spark, corpus, query_text, **kw):
     }
 
 
+@pytest.mark.slow
 def test_bm25_matches_python_reference(spark):
     for q in ("spark fast", "big data spark", "cat", "spark spark"):
         got = _search(spark, CORPUS, q)
@@ -146,6 +149,7 @@ def test_fixture_structural_and_hybrid(spark):
     assert f1 == l1  # fusing a leg with itself cannot reorder
 
 
+@pytest.mark.slow
 def test_bm25_index_persist_reuse(spark, tmp_path):
     import os
 
@@ -181,6 +185,7 @@ def test_bm25_index_persist_reuse(spark, tmp_path):
 
 # ---- learned re-ranking (round 5) ------------------------------------
 
+@pytest.mark.slow
 def test_ltr_reranker_end_to_end(spark):
     from lakehouse_adventureworks2022_spark.operators.vectorize import (
         build_chunk_index,

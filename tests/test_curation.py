@@ -175,6 +175,7 @@ def test_sample_mixture_rates_and_determinism(spark):
     assert smaller < web_a
 
 
+@pytest.mark.slow
 def test_prepare_training_corpus_composite(spark, docs):
     out = curation.prepare_training_corpus(
         docs, mixture_rates={"web": 0.5}, split_weights={"train": 0.9, "val": 0.1}
@@ -380,6 +381,7 @@ def test_chunk_documents_property(spark, n_tokens, chunk, data):
     assert got == want
 
 
+@pytest.mark.slow
 def test_prepare_packed_corpus_end_to_end(spark, docs):
     """Full chain: survivors' chunks packed once each, packs never mix
     splits, budget respected, chunk identity decodes, deterministic."""
@@ -477,6 +479,7 @@ def test_shuffle_corpus_single_exchange(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_prepare_training_corpus_with_model_gates(spark):
     """Extended composite: corpus-wide boilerplate pass + perplexity
     gate compose with the existing stages; default args unchanged."""

@@ -237,6 +237,7 @@ def test_host_authority_join_and_defaults(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+@pytest.mark.slow
 def test_prepare_web_corpus_host_authority_gate(spark):
     """r12 verdict ask #3: planted high/low-authority hosts shift the
     quality gate — pages from a host RANKED below min_host_authority

@@ -20,6 +20,8 @@ persistence needs genuinely separate JVMs anyway.
 
 from __future__ import annotations
 
+import pytest
+
 import subprocess
 import sys
 import textwrap
@@ -87,6 +89,7 @@ def _run_phase(phase: str, tmp_path) -> str:
     return out.stdout
 
 
+@pytest.mark.slow
 def test_catalog_persists_across_separate_jvm_sessions(tmp_path):
     w = _run_phase("write", tmp_path)
     assert "WROTE 7" in w

@@ -5,6 +5,8 @@ under the trigger, a drifted append stream must fire it."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from lakehouse_adventureworks2022_spark.operators import similarity
@@ -107,6 +109,7 @@ def test_trigger_only_counts_committed_batches(spark, tmp_path):
     shutil.rmtree(f"{idx}/cells_appends/b1")
 
 
+@pytest.mark.slow
 def test_codes_variant_for_sq8_indexes(spark, tmp_path):
     emb = _emb(spark)
     q = emb.limit(3)
@@ -142,6 +145,7 @@ def _grown_corpus(spark, idx):
     return cells.select(F.col("cand_id").alias("vec_id"), "embedding")
 
 
+@pytest.mark.slow
 def test_maintenance_retrains_drifted_not_iid(spark, tmp_path):
     """The verdict's Done criterion: on the maintenance cadence a
     DRIFTED ingest-grown index is re-trained (fresh centroids), an iid

@@ -4,6 +4,8 @@ never rewrite."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 
@@ -35,6 +37,7 @@ def _run_ingest(spark, src_dir, idx, ckpt):
     q.stop()
 
 
+@pytest.mark.slow
 def test_streamed_docs_become_searchable_and_replay_is_idempotent(
     spark, tmp_path
 ):
@@ -85,6 +88,7 @@ def test_streamed_docs_become_searchable_and_replay_is_idempotent(
     assert ivf_index_load(spark, idx)[1].count() == n1
 
 
+@pytest.mark.slow
 def test_quality_gate_filters_before_indexing(spark, tmp_path):
     docs = read_table(spark, SF, "documents")
     seed = docs.filter("doc_id < 100")

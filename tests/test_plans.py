@@ -7,6 +7,8 @@ value checks."""
 
 from __future__ import annotations
 
+import pytest
+
 import io
 from contextlib import redirect_stdout
 
@@ -91,6 +93,7 @@ def test_hot_paths_are_whole_stage_codegen(spark, sf_dir):
     assert len(spans) >= 2, plan
 
 
+@pytest.mark.slow
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     from lakehouse_adventureworks2022_spark.plans.catalog import QUERIES
 
@@ -152,6 +155,7 @@ def test_cdc_upsert_anti_join_is_broadcast_not_cartesian(spark, sf_dir, tmp_path
     assert "Join LeftAnti" in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+@pytest.mark.slow
 def test_ivf_sq8_ingest_search_prunes_probed_cells(spark, sf_dir, tmp_path):
     """(r9) After an append, the amortized search over base ∪ appends
     must still push the probed-cell IN filter to the codes scans (both
@@ -171,6 +175,7 @@ def test_ivf_sq8_ingest_search_prunes_probed_cells(spark, sf_dir, tmp_path):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_rag_ingest_search_prunes_probed_cells(spark, sf_dir, tmp_path):
     """(r10) After a chunk_index_append, retrieval over base ∪ appended
     batches must still push the probed-cell IN filter to the cells

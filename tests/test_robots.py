@@ -261,6 +261,7 @@ def test_crawl_chain_robots_before_dedup(spark):
     assert got == [1]
 
 
+@pytest.mark.slow
 def test_web_corpus_robots_gate_integration(spark):
     """prepare_web_corpus(robots_rules=...) drops disallowed pages
     BEFORE URL dedup and extraction — a blocked page must not even be

@@ -27,6 +27,7 @@ def sparkref(spark):
     return spark
 
 
+@pytest.mark.slow
 @settings(
     max_examples=12,
     deadline=None,

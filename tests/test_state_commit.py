@@ -7,6 +7,8 @@ drives the normal code path over it."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import shutil
@@ -54,6 +56,7 @@ def test_meta_commits_inside_state_dir(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_crash_between_renames_restores_old_state(spark, tmp_path):
     """Residue of a crash AFTER rename(final → trash) but BEFORE
     rename(staging → final): final missing, trash = old committed gen,

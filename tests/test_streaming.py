@@ -4,6 +4,8 @@ watermark config must be accepted for append-mode state bounding."""
 
 from __future__ import annotations
 
+import pytest
+
 from lakehouse_adventureworks2022_spark.plans.events import event_windows
 from lakehouse_adventureworks2022_spark.streaming.events import (
     run_stream_once,
@@ -82,6 +84,7 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     assert got.count() > 0
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_event(spark, tmp_path):
     """An event arriving behind the watermark must NOT revise an already
     finalized window (the late-data policy the reference's hand-rolled
@@ -137,6 +140,7 @@ def test_watermark_drops_late_event(spark, tmp_path):
     assert got[10] == 3  # late event 5 dropped, count unrevised
 
 
+@pytest.mark.slow
 def test_stream_dedup_drops_replayed_copies(spark, tmp_path):
     """A re-delivered batch (same event_ids, later arrival inside the
     watermark horizon) must contribute zero extra rows; result equals the
@@ -193,6 +197,7 @@ def test_stream_dedup_drops_replayed_copies(spark, tmp_path):
     assert dedup_batch(all_rows).count() == 4
 
 
+@pytest.mark.slow
 def test_stream_clean_corpus_gate_and_dedup(spark, tmp_path):
     """Streaming corpus ingestion: low-quality docs filtered by the SAME
     thresholds as batch token_stats, replayed duplicates dropped on the
@@ -337,6 +342,7 @@ def test_stream_source_rejects_prehistoric_timestamps(spark, tmp_path):
         stream_events_source(spark, str(tmp_path))
 
 
+@pytest.mark.slow
 def test_stream_ingest_with_history_matches_batch(spark, tmp_path):
     """Streamed ingestion deduped against persisted history equals the
     batch-mode incremental_dedup of the same (gated) batch, and a
@@ -428,6 +434,7 @@ def test_append_dedup_state_grows_both_tables(spark, tmp_path):
     assert spark.read.parquet(f"{state}/sigs").count() == s0 + n
 
 
+@pytest.mark.slow
 def test_stream_ingest_bloom_gate_matches_ungated(spark, tmp_path):
     """use_bloom=True lands exactly the rows the ungated stream lands,
     and every accepted batch is absorbed into the persisted bloom (the
@@ -484,6 +491,7 @@ def test_stream_ingest_bloom_gate_matches_ungated(spark, tmp_path):
     assert covered == n
 
 
+@pytest.mark.slow
 def test_stream_ingest_with_model_gates(spark, tmp_path):
     """The pluggable model gates (classifier / LM-perplexity) filter the
     stream exactly as their batch forms filter the same micro-batch."""
@@ -507,7 +515,7 @@ def test_stream_ingest_with_model_gates(spark, tmp_path):
     ppls = sorted(
         r["ppl"]
         for r in lm.score_perplexity(
-            batch, model, vocab_size=vocab, manage_cache=False
+            batch, model, vocab_size=vocab
         ).collect()
     )
     max_ppl = ppls[len(ppls) // 2]  # median: gate drops roughly half
@@ -530,7 +538,7 @@ def test_stream_ingest_with_model_gates(spark, tmp_path):
     kept_ids = {
         r["doc_id"]
         for r in lm.score_perplexity(
-            batch, model, vocab_size=vocab, manage_cache=False
+            batch, model, vocab_size=vocab
         )
         .filter(f"ppl <= {max_ppl}")
         .collect()
@@ -542,6 +550,7 @@ def test_stream_ingest_with_model_gates(spark, tmp_path):
     assert len(kept_ids - got) < len(kept_ids)  # most survivors landed
 
 
+@pytest.mark.slow
 def test_stream_classifier_gate_matches_batch_predictions(spark, tmp_path):
     """The classifier gate keeps exactly the docs the batch-mode
     classifier predicts as quality."""
@@ -592,6 +601,7 @@ def test_stream_classifier_gate_matches_batch_predictions(spark, tmp_path):
     assert got <= batch_pred  # nothing the model rejects got through
 
 
+@pytest.mark.slow
 def test_stream_decontamination_alerts_and_removal_equal_batch(spark, tmp_path):
     """Streaming eval-leak coverage (r8): the alert stream flags exactly
     the docs the BATCH contamination_report flags, and the foreachBatch

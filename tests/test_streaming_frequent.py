@@ -48,6 +48,7 @@ def test_mg_merge_bound_holds_under_splits(spark):
             assert v in merged, f"frequent value {v} missing"
 
 
+@pytest.mark.slow
 def test_streaming_state_matches_exact_within_bound(spark, tmp_path):
     """Feed the fixture events through the streaming sink in micro
     batches; the persisted state's top value and bound must agree with
@@ -85,6 +86,7 @@ def test_streaming_state_matches_exact_within_bound(spark, tmp_path):
     assert rows[0]["value"] == exact.most_common(1)[0][0]
 
 
+@pytest.mark.slow
 def test_replayed_batch_is_not_double_counted(spark, tmp_path):
     docs = spark.createDataFrame(
         [("a",)] * 30 + [("b",)] * 5, "k string"

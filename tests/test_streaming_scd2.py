@@ -4,6 +4,8 @@ mid-batch-crash atomicity."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 
@@ -104,6 +106,7 @@ def _run_stream(spark, src_dir, tables, ckpt):
     q.stop()
 
 
+@pytest.mark.slow
 def test_stream_equals_sequential_batch_merges(spark, tmp_path):
     src_dir = tmp_path / "cdc"
     _write_cdc_files(spark, src_dir)
@@ -124,6 +127,7 @@ def test_stream_equals_sequential_batch_merges(spark, tmp_path):
     assert got.filter(f"{KEY} = 2").count() == 2
 
 
+@pytest.mark.slow
 def test_restart_is_idempotent(spark, tmp_path):
     src_dir = tmp_path / "cdc"
     _write_cdc_files(spark, src_dir)

@@ -25,6 +25,7 @@ def sparkref(spark):
     return spark
 
 
+@pytest.mark.slow
 @settings(
     max_examples=10,
     deadline=None,

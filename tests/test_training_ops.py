@@ -299,6 +299,7 @@ def test_ivf_index_persist_reload_search(spark, tmp_path):
     assert reloaded == direct and len(direct) == 50
 
 
+@pytest.mark.slow
 def test_ivf_amortized_builds_once_then_searches(spark, tmp_path):
     """cosine_topk_ivf_amortized: first call builds + persists the
     clustered index, later calls reuse it (no rebuild — verified via the
@@ -338,6 +339,7 @@ def test_ivf_search_prunes_unprobed_cells(spark, tmp_path):
     assert "PushedFilters: [In(cell" in plan, plan[:2000]
 
 
+@pytest.mark.slow
 def test_ivf_distributed_training_recall_and_compose(spark, tmp_path):
     """ivf_build_distributed trains on the WHOLE corpus via pyspark.ml
     KMeans (no driver-side sample) yet keeps the (centroids, cells)
@@ -395,6 +397,7 @@ def test_connected_components_matches_union_find(spark, docs):
     assert got == want
 
 
+@pytest.mark.slow
 def test_connected_components_chain_and_determinism(spark):
     """A 12-node path (worst diameter per edge count) converges to one
     component; result is partitioning-independent."""
@@ -478,6 +481,7 @@ def test_incremental_dedup_batch_equals_full_for_fresh_batch(spark, docs):
     assert out == {20001, 20003}
 
 
+@pytest.mark.slow
 def test_ivf_index_append_equals_same_centroid_assignment(spark, tmp_path):
     """Appending a batch to a persisted index (frozen centroids) must
     equal assigning ALL vectors under those same centroids — and search
@@ -514,6 +518,7 @@ def test_ivf_index_append_equals_same_centroid_assignment(spark, tmp_path):
     assert n_index == emb.count()
 
 
+@pytest.mark.slow
 @settings(
     max_examples=5,
     deadline=None,
@@ -787,6 +792,7 @@ def test_sq8_recall_and_determinism(spark):
     assert bad == 0
 
 
+@pytest.mark.slow
 def test_sq8_amortized_matches_one_shot_and_reuses_index(spark, tmp_path):
     """The deployed SQ8 form: identical results to the one-shot tier,
     and the second call must REUSE the persisted index (no re-encode —
@@ -889,6 +895,7 @@ def test_ivf_sq8_scan_reads_codes_not_vectors(spark):
     assert "BatchEvalPython" not in plan  # scoring is codegen'd
 
 
+@pytest.mark.slow
 def test_ivf_sq8_amortized_matches_one_shot_and_reuses_index(spark, tmp_path):
     """The deployed IVF+SQ8 form: identical results to the one-shot
     tier (deterministic train/assign/encode), and the second call must
@@ -984,6 +991,7 @@ def test_truncate_embeddings_composes_with_ann_tiers(spark):
     assert len(trunc_exact & ivf) / len(trunc_exact) >= 0.8
 
 
+@pytest.mark.slow
 def test_ivf_sq8_index_append_idempotent_and_searchable(spark, tmp_path):
     """The combined index grows under ingest like the plain IVF one:
     frozen centroids + frozen quantizer encode the batch, a replayed

@@ -125,6 +125,7 @@ def test_retrieval_composite_end_to_end(spark):
     assert hits >= 0.7 * len(top1)
 
 
+@pytest.mark.slow
 def test_amortized_retrieval_reuses_index_and_matches_one_shot(spark, tmp_path):
     import os
 
@@ -401,6 +402,7 @@ def test_ann_query_batch_cap_raises_readably(spark):
 # ---- r10: incremental chunk-index growth (chunk_index_append) --------
 
 
+@pytest.mark.slow
 def test_chunk_index_append_makes_new_docs_retrievable(spark, tmp_path):
     """Appended documents must come back through the SAME load path
     every retrieval query uses (chunk_index_ensure → ivf_index_load
@@ -460,6 +462,7 @@ def test_chunk_index_append_replay_is_idempotent(spark, tmp_path):
     assert cells3.count() > n1
 
 
+@pytest.mark.slow
 def test_chunk_index_append_results_match_full_rebuild(spark, tmp_path):
     """Growth path vs rebuild: searching base∪appends with FROZEN
     centroids must rank the planted near-exact match identically to a

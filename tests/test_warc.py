@@ -143,6 +143,7 @@ def test_read_warc_binaryfile_path(spark, tmp_path):
     assert all("hello" in r["html"] or "line1" in r["html"] for r in pages)
 
 
+@pytest.mark.slow
 def test_pages_feed_web_corpus_front_door(spark, tmp_path):
     """End-to-end crawl chain: WARC file → warc_pages → URL dedup +
     extraction + gates (prepare_web_corpus(url_col='url'))."""
@@ -351,6 +352,7 @@ def test_cdx_records_end_to_end(spark, tmp_path):
         assert rr[2] == r["url"]
 
 
+@pytest.mark.slow
 def test_web_corpus_from_warc_one_call_front_door(spark, tmp_path):
     """The full one-call chain: WARC files on disk → digest dedup →
     page projection → robots gate → URL dedup → extraction → quality
@@ -427,6 +429,7 @@ def test_web_corpus_from_warc_one_call_front_door(spark, tmp_path):
     assert ids2 == sorted(r["doc_id"] for r in rows)
 
 
+@pytest.mark.slow
 def test_streaming_digest_dedup_stream_equals_batch(spark, tmp_path):
     """Streaming crawl ingest twin (the foreachBatch-over-the-same-
     batch-operator posture): micro-batches of parsed WARC records
@@ -1013,6 +1016,7 @@ def test_fetch_by_cdx_null_ranges_skip_and_corrupt_raises(spark, tmp_path):
         fetch_by_cdx(bad, str(tmp_path)).collect()
 
 
+@pytest.mark.slow
 def test_web_corpus_from_wet_front_door_and_detect_lang(spark, tmp_path):
     """web_corpus_from_wet (r13): *.warc.wet.gz files → digest dedup →
     conversion projection → the full curation chain; detect_lang runs
@@ -1057,6 +1061,7 @@ def test_web_corpus_from_wet_front_door_and_detect_lang(spark, tmp_path):
     assert all(r["split"] in ("train", "val", "test") for r in rows.values())
 
 
+@pytest.mark.slow
 def test_web_corpus_from_warc_detect_lang(spark, tmp_path):
     """detect_lang=True on the WARC front door: the stopword verdict
     over the decoded page replaces the constant lang (markup dilutes

@@ -107,6 +107,7 @@ def test_replace_where_is_idempotent(spark, tmp_path, tm_fmt):
     assert tm.read("gold.fact").count() == 8
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end_and_incremental_idempotency(spark, sf_dir, tmp_path):
     from lakehouse_adventureworks2022_spark.pipeline import MedallionPipeline
 
@@ -289,6 +290,7 @@ def test_merge_upsert_composite_keys_and_partitions(spark, tmp_path, tm_fmt):
     assert got == {("us", 1): 10, ("us", 2): 99, ("eu", 1): 30, ("eu", 2): 40}
 
 
+@pytest.mark.slow
 def test_merge_upsert_matches_python_reference_for_any_cdc_sequence(
     spark, tmp_path
 ):
