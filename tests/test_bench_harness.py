@@ -143,8 +143,10 @@ def test_bench_purges_amortized_state_and_records_reps(
     assert set(fake_state) <= set(side["amortized_purge"]["purged_dirs"])
     for d in fake_state:
         assert not os.path.exists(d)
-    # raw per-rep wall times ride in order beside the median
-    assert len(side["query_stats"]["top_products"]["reps_sec"]) == 2
+    # raw per-rep wall times ride in order beside the median — one entry
+    # per ATTEMPT (steal-dirty reps re-run up to reps+extra times, and
+    # their attempts are recorded too)
+    assert 2 <= len(side["query_stats"]["top_products"]["reps_sec"]) <= 4
 
 
 def test_bench_survives_broken_warmup(spark, monkeypatch, capsys, tmp_path):
